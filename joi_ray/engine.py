@@ -1,0 +1,1027 @@
+"""The batch validation engine: Schema -> CompiledSchema -> per-batch eval.
+
+This is the Ray-Data-native replacement for the reference's per-value
+recursive-descent interpreter (``/root/reference/lib/validator.js:112-257``).
+The same stage order is preserved per column — coerce → empty → presence →
+valids/invalids → base type → rules loop → finalize — but every stage is a
+vectorized mask/kernel over an Arrow column instead of a per-value branch.
+
+Compilation happens once (driver, or per validator actor in ``__init__``);
+``validate_table`` then runs per batch with no Python-per-row work.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .spec import Ref, Schema, build, compile_literal
+from .kernels import lists as k_lists
+from .kernels import numbers as k_numbers
+from .kernels import scalars as k_scalars
+from .kernels import strings as k_strings
+from .kernels import structs as k_structs
+from .kernels.messages import render
+from .kernels.util import Env, ErrRec, as_bool_np, combine, null_mask
+
+DEFAULT_PREFS = {
+    "convert": True,          # lib/common.js:25
+    "abort_early": True,      # joi default abortEarly=true
+    "allow_unknown": False,
+    "strip_unknown": False,
+    "context": {},
+    "now_ms": 1_700_000_000_000,  # 'now' bound at compile time for determinism
+}
+
+VIOLATION_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("row", pa.int64()),
+        ("path", pa.string()),
+        ("item_index", pa.int32()),
+        ("code", pa.string()),
+        ("message", pa.string()),
+        ("context", pa.string()),
+        ("severity", pa.string()),
+    ]
+)
+
+
+@dataclass
+class CompiledRule:
+    name: str
+    fn: Any                   # kernel(arr, env) -> RuleOut
+    code: str
+    seq: int
+    warn: bool = False
+    message: Optional[str] = None
+    convert_phase: bool = False
+
+
+@dataclass
+class NodeResult:
+    value: pa.Array
+    errors: list[ErrRec] = field(default_factory=list)
+    missing: Optional[np.ndarray] = None
+    failed: Optional[np.ndarray] = None
+    strip: bool = False
+    raw_value: Optional[pa.Array] = None
+
+
+_RULE_FACTORIES = {
+    "string": k_strings.FACTORIES,
+    "number": k_numbers.FACTORIES,
+    "date": k_scalars.DATE_FACTORIES,
+    "binary": k_scalars.BINARY_FACTORIES,
+    "array": k_lists.FACTORIES,
+}
+_RULE_CODES = {
+    "string": k_strings.CODES,
+    "number": k_numbers.CODES,
+}
+# array rules handled structurally by the engine, not leaf kernels
+_STRUCTURAL_RULES = {
+    "array": {"has"},
+    "object": {"assert", "min", "max", "length"},
+    "any": set(),
+}
+_STRING_CONVERT_RULES = set(k_strings.CONVERT_ORDER)
+
+
+class CNode:
+    """One compiled schema node: kernels constructed, children compiled,
+    value sets prebuilt, conditionals desugared via concat."""
+
+    def __init__(self, schema: Schema, prefs: dict):
+        self.schema = schema
+        self.type = schema.type
+        self.flags = dict(schema.flags)
+        self.prefs = {**prefs, **schema.prefs}
+        self.allow_static = [v for v in schema.allow_vals if not isinstance(v, Ref)]
+        self.allow_refs = [v for v in schema.allow_vals if isinstance(v, Ref)]
+        self.invalid_static = [v for v in schema.invalid_vals if not isinstance(v, Ref)]
+        self.invalid_refs = [v for v in schema.invalid_vals if isinstance(v, Ref)]
+        self.allow_missing = any(v is None for v in self.allow_static)
+        self.allow_static = [v for v in self.allow_static if v is not None]
+        self.invalid_missing = any(v is None for v in self.invalid_static)
+        self.invalid_static = [v for v in self.invalid_static if v is not None]
+
+        # --- leaf rule kernels
+        self.rules: list[CompiledRule] = []
+        structural = _STRUCTURAL_RULES.get(self.type, set())
+        factories = _RULE_FACTORIES.get(self.type, {})
+        for seq, r in enumerate(schema.rules):
+            name, args = r["name"], r.get("args", {})
+            if name == "warning":
+                code = args.get("code", "any.warning")
+                self.rules.append(
+                    CompiledRule(name, None, code, seq, warn=True, message=r.get("message"))
+                )
+                continue
+            if name in structural:
+                self.rules.append(CompiledRule(name, ("structural", args), f"{self.type}.{name}", seq, warn=r.get("warn", False), message=r.get("message")))
+                continue
+            if name not in factories:
+                raise ValueError(f"unknown rule {self.type}.{name}")
+            fn = factories[name](args)
+            code_fn = _RULE_CODES.get(self.type, {}).get(name)
+            code = code_fn(args) if code_fn else f"{self.type}.{name}"
+            self.rules.append(
+                CompiledRule(
+                    name,
+                    fn,
+                    code,
+                    seq,
+                    warn=r.get("warn", False),
+                    message=r.get("message"),
+                    convert_phase=(self.type == "string" and name in _STRING_CONVERT_RULES),
+                )
+            )
+        if self.type == "string":
+            order = {n: i for i, n in enumerate(k_strings.CONVERT_ORDER)}
+            conv = sorted((r for r in self.rules if r.convert_phase), key=lambda r: order[r.name])
+            rest = [r for r in self.rules if not r.convert_phase]
+            self.rules = conv + rest
+
+        # --- children
+        t = schema.terms
+        self.keys: dict[str, CNode] = {k: CNode(v, prefs) for k, v in t.get("keys", {}).items()}
+        self.items: list[CNode] = [CNode(v, prefs) for v in t.get("items", [])]
+        self.ordered: list[CNode] = [CNode(v, prefs) for v in t.get("ordered", [])]
+        self.matches: list[CNode] = [CNode(v, prefs) for v in t.get("matches", [])]
+        self.dependencies = list(t.get("dependencies", []))
+        self.renames = list(t.get("renames", []))
+        self.replacements = list(t.get("replacements", []))
+        self.terms = t
+
+        # --- whens desugared at compile time via concat (lib/base.js:364:
+        # when() lifts into alternatives; we keep base+branch merged chains)
+        self.whens = []
+        for w in t.get("whens", []):
+            base = schema._clone()
+            base.terms = {k: v for k, v in base.terms.items() if k != "whens"}
+            entry = {"ref": w["ref"]}
+            if "switch" in w:
+                cases = []
+                for sw in w["switch"]:
+                    is_c = self._compile_is(sw["is"], prefs)
+                    then_c = CNode(base.concat(sw["then"]), prefs) if sw.get("then") else CNode(base, prefs)
+                    cases.append((is_c, then_c))
+                    if "otherwise" in sw:
+                        entry["otherwise"] = CNode(base.concat(sw["otherwise"]), prefs)
+                entry["switch"] = cases
+                entry.setdefault("otherwise", CNode(base, prefs))
+            else:
+                entry["is"] = self._compile_is(w.get("is"), prefs)
+                entry["then"] = CNode(base.concat(w["then"]), prefs) if w.get("then") else CNode(base, prefs)
+                entry["otherwise"] = (
+                    CNode(base.concat(w["otherwise"]), prefs) if w.get("otherwise") else CNode(base, prefs)
+                )
+            self.whens.append(entry)
+        if len(self.whens) > 1:
+            raise NotImplementedError("multiple when() conditions on one node")
+        self.base_no_whens = CNode(
+            self._strip_whens(schema), prefs
+        ) if self.whens else None
+
+    @staticmethod
+    def _strip_whens(schema: Schema) -> Schema:
+        s = schema._clone()
+        s.terms = {k: v for k, v in s.terms.items() if k != "whens"}
+        return s
+
+    @staticmethod
+    def _compile_is(is_val, prefs) -> "CNode":
+        s = compile_literal(is_val) if not isinstance(is_val, Schema) else is_val
+        if "presence" not in s.flags:
+            s = s.required()  # joi: `is` defaults to required
+        return CNode(s, prefs)
+
+
+# ==========================================================================
+# evaluation
+
+
+def _set_membership(arr: pa.Array, values: list, refs: list[Ref], insensitive: bool, env: Env) -> np.ndarray:
+    n = len(arr)
+    m = np.zeros(n, dtype=bool)
+    if values:
+        probe = arr
+        vals = values
+        if insensitive and pa.types.is_string(arr.type):
+            probe = pc.utf8_lower(arr)
+            vals = [v.lower() if isinstance(v, str) else v for v in values]
+        try:
+            vs = pa.array(vals).cast(probe.type) if not pa.types.is_null(probe.type) else pa.array(vals)
+            m |= as_bool_np(pc.is_in(probe, value_set=vs), n)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+            for v in vals:
+                try:
+                    m |= as_bool_np(pc.equal(probe, pa.scalar(v, type=probe.type)), n)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                    continue
+    for r in refs:
+        col = env.resolve_ref(r, n)
+        try:
+            if isinstance(col, (pa.Array, pa.ChunkedArray)):
+                m |= as_bool_np(pc.equal(arr, combine(col)), n)
+            else:
+                m |= as_bool_np(pc.equal(arr, pa.scalar(col)), n)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+            continue
+    return m
+
+
+def _scalar_for(value, arr_type):
+    try:
+        return pa.scalar(value, type=arr_type)
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        return None
+
+
+def _coerce(node: CNode, arr: pa.Array, env: Env):
+    """Type coercion phase -> (new_arr, base_fail_mask, extra_errs)."""
+    n = len(arr)
+    t = node.type
+    zeros = np.zeros(n, dtype=bool)
+    if t == "number":
+        return k_numbers.coerce(arr, env, node.flags)
+    if t == "boolean":
+        return k_scalars.coerce_boolean(arr, env, node.terms, node.flags)
+    if t == "date":
+        return k_scalars.coerce_date(arr, env, node.flags)
+    if t == "binary":
+        return k_scalars.coerce_binary(arr, env, node.flags)
+    if t == "string":
+        if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type) or pa.types.is_null(arr.type):
+            if node.replacements and env.convert and not pa.types.is_null(arr.type):
+                arr = k_strings.apply_replacements(arr, node.replacements)
+            return arr, zeros
+        return arr, ~null_mask(arr)
+    if t == "array":
+        if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type) or pa.types.is_null(arr.type):
+            return arr, zeros
+        if node.flags.get("single") and not pa.types.is_list(arr.type):
+            # wrap scalars into 1-item lists (array.js:66-85 `single`)
+            lengths = np.where(null_mask(arr), 0, 1).astype(np.int32)
+            offsets = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(lengths, out=offsets[1:])
+            values = arr.filter(pc.is_valid(arr))
+            out = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), values)
+            return out, zeros
+        return arr, ~null_mask(arr)
+    if t == "object":
+        if pa.types.is_struct(arr.type) or pa.types.is_null(arr.type):
+            return arr, zeros
+        return arr, ~null_mask(arr)
+    return arr, zeros
+
+
+def eval_node(
+    node: CNode,
+    arr,
+    env: Env,
+    path: str,
+    scope: Optional[np.ndarray] = None,
+) -> NodeResult:
+    """Validate one column/array against one compiled node.  ``scope`` masks
+    which rows this evaluation applies to (used for struct children of null
+    parents and conditional branches); errors outside scope are suppressed."""
+    arr = combine(arr)
+    n = len(arr)
+    if scope is None:
+        scope = np.ones(n, dtype=bool)
+
+    # ---- conditionals: branch per row, each branch = base.concat(branch)
+    if node.whens:
+        w = node.whens[0]
+        ref_arr = env.resolve_ref(w["ref"], n)
+        if not isinstance(ref_arr, (pa.Array, pa.ChunkedArray)):
+            ref_arr = pa.array([ref_arr] * n)
+        ref_arr = combine(ref_arr)
+        if "switch" in w:
+            remaining = scope.copy()
+            merged = NodeResult(value=arr, missing=np.zeros(n, bool), failed=np.zeros(n, bool))
+            for is_c, then_c in w["switch"]:
+                cond = node_validity(is_c, ref_arr, env, remaining)
+                sel = remaining & cond
+                remaining = remaining & ~cond
+                sub = eval_node(then_c, arr, env, path, scope=sel)
+                _merge_into(merged, sub, sel)
+            sub = eval_node(w["otherwise"], arr, env, path, scope=remaining)
+            _merge_into(merged, sub, remaining)
+            return merged
+        cond = node_validity(w["is"], ref_arr, env, scope)
+        sel_then = scope & cond
+        sel_other = scope & ~cond
+        merged = NodeResult(value=arr, missing=np.zeros(n, bool), failed=np.zeros(n, bool))
+        _merge_into(merged, eval_node(w["then"], arr, env, path, scope=sel_then), sel_then)
+        _merge_into(merged, eval_node(w["otherwise"], arr, env, path, scope=sel_other), sel_other)
+        return merged
+
+    errors: list[ErrRec] = []
+    original = arr
+
+    # ---- alternatives: first-match-wins over matches
+    if node.type == "alternatives":
+        return _eval_alternatives(node, arr, env, path, scope, errors)
+
+    # ---- coerce
+    arr, base_fail = _coerce(node, arr, env)
+
+    # ---- empty: values treated as missing (lib/validator.js:162-165)
+    empty_vals = node.flags.get("empty")
+    if empty_vals:
+        em = _set_membership(arr, empty_vals, [], node.flags.get("insensitive", False), env)
+        if em.any():
+            arr = pc.if_else(pa.array(em), pa.nulls(n, arr.type), arr)
+
+    missing = null_mask(arr) & ~base_fail
+    present = ~missing & ~base_fail
+
+    failed = np.zeros(n, dtype=bool)
+    resolved = np.zeros(n, dtype=bool)
+
+    def add_err(code, mask, ctx=None, seq=10_000, warn=False, message=None, item_rows=None, item_index=None, path_override=None):
+        mask = mask & scope
+        p = path_override if path_override is not None else path
+        if item_rows is not None:
+            keep = scope[item_rows]
+            item_rows, item_index = item_rows[keep], item_index[keep]
+            if len(item_rows) == 0:
+                return
+            rec = ErrRec(code, mask, p, ctx or {}, seq, warn, message)
+            rec.rows = item_rows
+            rec.item_index = item_index
+            errors.append(rec)
+            if not warn:
+                failed[item_rows] = True
+            return
+        if not mask.any():
+            return
+        rec = ErrRec(code, mask, p, ctx or {}, seq, warn, message)
+        rec.rows = None
+        errors.append(rec)
+        if not warn:
+            np.logical_or(failed, mask, out=failed)
+
+    # ---- presence (lib/validator.js:168-190)
+    presence = node.flags.get("presence", "optional")
+    if node.allow_missing:
+        resolved |= missing
+    elif presence == "required":
+        add_err("any.required", missing, seq=-3)
+    elif presence == "forbidden":
+        add_err("any.unknown", present, seq=-3)
+        resolved |= missing
+    else:
+        resolved |= missing
+
+    # ---- valids / invalids (lib/validator.js:194-227)
+    insensitive = node.flags.get("insensitive", False)
+    active = scope & ~missing & ~resolved & ~failed
+    if node.allow_static or node.allow_refs:
+        in_allow = _set_membership(arr, node.allow_static, node.allow_refs, insensitive, env)
+        in_allow_orig = in_allow
+        if base_fail.any():
+            in_allow_orig = in_allow | _set_membership(original, node.allow_static, node.allow_refs, insensitive, env)
+        if node.flags.get("only"):
+            miss_set = active & ~in_allow_orig & ~base_fail
+            add_err("any.only", miss_set, {"valids": node.allow_static}, seq=-2)
+            resolved |= in_allow_orig
+        else:
+            resolved |= in_allow_orig
+        base_fail = base_fail & ~in_allow_orig
+    elif node.flags.get("only"):
+        pass  # only with no allow values: everything fails? joi treats as no-op
+    if node.invalid_static or node.invalid_refs:
+        in_invalid = _set_membership(arr, node.invalid_static, node.invalid_refs, insensitive, env)
+        add_err("any.invalid", in_invalid & active & ~resolved, {"invalids": node.invalid_static}, seq=-2)
+    if node.invalid_missing:
+        pass  # null in invalid(): joi invalid(null) -> missing is an error only if present-as-null; N/A in Arrow
+
+    # ---- base type errors from coercion
+    add_err(f"{node.type}.base", base_fail & ~resolved, seq=-1)
+
+    # ---- string base: empty string is an error (string/index.js:139-148)
+    if node.type == "string" and (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+        allow_empty = any(v == "" for v in node.allow_static)
+        if not allow_empty:
+            empty_mask = as_bool_np(pc.equal(pc.utf8_length(arr), 0), n)
+            add_err("string.empty", empty_mask & scope & ~missing & ~resolved, seq=-1)
+
+    # ---- structural recursion
+    if node.type == "array" and (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)):
+        arr = _eval_array(node, arr, env, path, scope, resolved, failed, add_err)
+    elif node.type == "object" and pa.types.is_struct(arr.type):
+        arr = _eval_object(node, arr, env, path, scope, resolved, failed, errors, add_err)
+
+    # ---- rules loop (lib/validator.js:260-320)
+    for cr in node.rules:
+        if cr.fn is None:  # warning rule: always fires on present rows
+            active = scope & ~missing & ~resolved
+            add_err(cr.code, active, {"code": cr.code}, seq=cr.seq, warn=True, message=cr.message)
+            continue
+        if isinstance(cr.fn, tuple) and cr.fn[0] == "structural":
+            _eval_structural_rule(node, cr, arr, env, path, scope, missing, resolved, failed, add_err)
+            continue
+        active = scope & ~missing & ~resolved
+        if env.abort_early:
+            active = active & ~failed
+        if not active.any() and cr.convert_phase is False:
+            continue
+        out = cr.fn(arr, env)
+        if out.new_value is not None:
+            arr = out.new_value
+        bad = active & ~out.ok
+        add_err(cr.code, bad, out.context, seq=cr.seq, warn=cr.warn, message=cr.message)
+
+    # ---- finalize (lib/validator.js:351-430)
+    if node.flags.get("truncate") and node.type == "string":
+        for cr in node.rules:
+            if cr.name == "max" and env.convert:
+                arr = k_strings.truncate_to(arr, int(node.schema.rules[cr.seq]["args"]["limit"]))
+                break
+    if "default" in node.flags and presence != "required":
+        dv = node.flags["default"]
+        fill_mask = missing & scope
+        if fill_mask.any():
+            if pa.types.is_null(arr.type):
+                arr = pa.array([dv if m else None for m in fill_mask])
+            else:
+                s = _scalar_for(dv, arr.type)
+                if s is not None:
+                    arr = pc.if_else(pa.array(fill_mask), s, arr)
+    if "failover" in node.flags:
+        fv = node.flags["failover"]
+        fo_mask = failed & scope
+        if fo_mask.any():
+            s = _scalar_for(fv, arr.type)
+            if s is not None:
+                arr = pc.if_else(pa.array(fo_mask), s, arr)
+            for rec in errors:
+                if rec.rows is None:
+                    rec.mask = rec.mask & ~fo_mask
+                else:
+                    keep = ~fo_mask[rec.rows]
+                    rec.rows, rec.item_index = rec.rows[keep], rec.item_index[keep]
+            errors[:] = [r for r in errors if (r.rows is not None and len(r.rows)) or (r.rows is None and r.mask.any())]
+            failed = failed & ~fo_mask
+    cast_to = node.flags.get("cast")
+    if cast_to:
+        arr = _apply_cast(arr, cast_to)
+
+    out_value = original if node.flags.get("raw") else arr
+    return NodeResult(
+        value=out_value,
+        errors=errors,
+        missing=missing,
+        failed=failed,
+        strip=bool(node.flags.get("strip")),
+        raw_value=original,
+    )
+
+
+def _apply_cast(arr: pa.Array, to: str) -> pa.Array:
+    if to == "string":
+        return pc.cast(arr, pa.string())
+    if to == "number":
+        if pa.types.is_timestamp(arr.type):
+            return pc.cast(pc.cast(arr, pa.timestamp("ms")), pa.int64())
+        if pa.types.is_boolean(arr.type):
+            return pc.cast(arr, pa.int8())
+        return pc.cast(arr, pa.float64())
+    if to in ("set", "map"):
+        return arr  # JS Set/Map casts are N/A-by-design in Arrow (SURVEY §2.3)
+    return pc.cast(arr, to)
+
+
+def _merge_into(merged: NodeResult, sub: NodeResult, sel: np.ndarray):
+    merged.errors.extend(sub.errors)
+    if sub.missing is not None:
+        merged.missing = merged.missing | (sub.missing & sel)
+    if sub.failed is not None:
+        merged.failed = merged.failed | (sub.failed & sel)
+    if len(sel) and sel.any():
+        try:
+            merged.value = pc.if_else(pa.array(sel), sub.value, merged.value)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+            pass
+    merged.strip = merged.strip or sub.strip
+
+
+def node_validity(node: CNode, arr, env: Env, scope: np.ndarray) -> np.ndarray:
+    """Row mask: does this value satisfy the node? (Used for `is` conditions,
+    alternatives matching, array item matching, has().)"""
+    arr = combine(arr)
+    res = eval_node(node, arr, env, "", scope=scope)
+    ok = ~res.failed
+    # a required node does not match missing rows
+    if node.flags.get("presence") == "required" or node.whens:
+        pass  # required-missing already recorded as failure
+    return ok
+
+
+def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeResult:
+    n = len(arr)
+    missing = null_mask(arr)
+    failed = np.zeros(n, dtype=bool)
+    presence = node.flags.get("presence", "optional")
+    resolved = np.zeros(n, dtype=bool)
+    if presence == "required":
+        req = missing & scope
+        if req.any():
+            rec = ErrRec("any.required", req, path, {}, -3)
+            rec.rows = None
+            errors.append(rec)
+            failed |= req
+    else:
+        resolved |= missing
+    active = scope & ~missing & ~failed
+    matched = np.zeros(n, dtype=bool)
+    value = arr
+    for m in node.matches:
+        still = active & ~matched
+        if not still.any():
+            break
+        ok = node_validity(m, arr, env, still)
+        hit = still & ok
+        matched |= hit
+        # adopt the branch's coerced value for matched rows
+        sub = eval_node(m, arr, env, path, scope=hit)
+        if hit.any():
+            try:
+                value = pc.if_else(pa.array(hit), sub.value, value)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                pass
+    nomatch = active & ~matched
+    if nomatch.any():
+        rec = ErrRec("alternatives.any", nomatch, path, {}, 0)
+        rec.rows = None
+        errors.append(rec)
+        failed |= nomatch
+    return NodeResult(value=value, errors=errors, missing=missing, failed=failed)
+
+
+def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, failed, add_err) -> pa.Array:
+    n = len(arr)
+    flat, parents, positions = k_lists.flatten_with_parents(arr)
+
+    # sparse: null items forbidden unless flag (array.js:454-466)
+    if not node.flags.get("sparse") and len(parents):
+        nulls = as_bool_np(pc.is_null(flat), len(flat))
+        if nulls.any():
+            add_err(
+                "array.sparse",
+                np.zeros(n, bool),
+                item_rows=parents[nulls],
+                item_index=positions[nulls].astype(np.int32),
+                seq=-1,
+            )
+
+    if not len(parents):
+        return arr
+
+    # ancestor resolver: parent-row columns broadcast to item rows
+    parent_idx = pa.array(parents)
+
+    def make_child_env():
+        def resolve_ancestor(name: str):
+            col = env.resolve_ref(Ref(name), n)
+            if isinstance(col, (pa.Array, pa.ChunkedArray)):
+                return combine(col).take(parent_idx)
+            return col
+
+        child = Env(env.prefs, None, env.ancestors + [resolve_ancestor])
+        return child
+
+    def lift_item_errors(sub: NodeResult, sub_path_prefix: str):
+        for rec in sub.errors:
+            if getattr(rec, "rows", None) is not None:
+                rows = parents[rec.rows]
+                idx = positions[rec.rows].astype(np.int32)
+            else:
+                fired = np.nonzero(rec.mask)[0]
+                rows = parents[fired]
+                idx = positions[fired].astype(np.int32)
+            if len(rows) == 0:
+                continue
+            add_err(rec.code, np.zeros(n, bool), rec.context, seq=rec.seq, warn=rec.warn,
+                    message=rec.message, item_rows=rows, item_index=idx, path_override=rec.path)
+
+    new_flat = None
+    n_items = len(flat)
+    if len(node.items) == 1 and not node.ordered:
+        child_env = make_child_env()
+        sub = eval_node(node.items[0], flat, child_env, path)
+        lift_item_errors(sub, path)
+        new_flat = sub.value
+    elif node.items or node.ordered:
+        child_env = make_child_env()
+        item_scope_all = np.ones(n_items, dtype=bool)
+        matched_any = np.zeros(n_items, dtype=bool)
+        if node.ordered:
+            for i, oc in enumerate(node.ordered):
+                pos_mask = positions == i
+                if not pos_mask.any():
+                    continue
+                sub = eval_node(oc, flat, child_env, path, scope=pos_mask)
+                lift_item_errors(sub, path)
+                matched_any |= pos_mask
+            beyond = positions >= len(node.ordered)
+            if beyond.any() and not node.items:
+                add_err(
+                    "array.orderedLength",
+                    np.zeros(n, bool),
+                    {"limit": len(node.ordered)},
+                    item_rows=parents[beyond],
+                    item_index=positions[beyond].astype(np.int32),
+                )
+                matched_any |= beyond
+        if node.items:
+            remaining = item_scope_all & ~matched_any
+            for ic in node.items:
+                if not remaining.any():
+                    break
+                ok = node_validity(ic, flat, child_env, remaining)
+                hit = remaining & ok
+                matched_any |= hit
+                remaining = remaining & ~hit
+            nomatch = item_scope_all & ~matched_any & ~as_bool_np(pc.is_null(flat), n_items)
+            if nomatch.any():
+                add_err(
+                    "array.includes",
+                    np.zeros(n, bool),
+                    {},
+                    item_rows=parents[nomatch],
+                    item_index=positions[nomatch].astype(np.int32),
+                )
+            # required item schemas must each match at least once per row
+            for ic in node.items:
+                if ic.flags.get("presence") == "required":
+                    ok = node_validity(ic, flat, child_env, item_scope_all)
+                    rows_with = np.zeros(n, dtype=bool)
+                    rows_with[np.unique(parents[ok])] = True
+                    has_items = as_bool_np(pc.greater(pc.list_value_length(arr), 0), n)
+                    miss = has_items & ~rows_with & scope
+                    add_err("array.includesRequiredUnknowns", miss, {"unknownMisses": 1})
+
+    if new_flat is not None and new_flat is not flat:
+        arr = _rebuild_list(arr, new_flat)
+    return arr
+
+
+def _rebuild_list(arr: pa.Array, new_flat: pa.Array) -> pa.Array:
+    lengths = pc.list_value_length(arr).fill_null(0).to_numpy(zero_copy_only=False)
+    offsets = np.zeros(len(arr) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    nulls = null_mask(arr)
+    off = pa.array(offsets.astype(np.int32), type=pa.int32())
+    out = pa.ListArray.from_arrays(off, new_flat)
+    if nulls.any():
+        out = pc.if_else(pa.array(nulls), pa.nulls(len(arr), out.type), out)
+    return out
+
+
+def _eval_object(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, failed, errors, add_err) -> pa.Array:
+    n = len(arr)
+    parent_present = ~null_mask(arr)
+    field_names = [f.name for f in arr.type]
+
+    # renames (object.js:387-415): struct-field rename at batch level
+    if node.renames:
+        mapping = {r["from"]: r["to"] for r in node.renames}
+        field_names = [mapping.get(f, f) for f in field_names]
+        arr = pa.StructArray.from_arrays(
+            [pc.struct_field(arr, i) for i in range(arr.type.num_fields)],
+            names=field_names,
+            mask=pa.array(~parent_present),
+        )
+
+    children: dict[str, pa.Array] = {f: pc.struct_field(arr, f) for f in field_names}
+    results: dict[str, NodeResult] = {}
+
+    def resolve_sibling(name: str):
+        if name in results:
+            return results[name].value
+        if name in children:
+            return children[name]
+        raise KeyError(name)
+
+    child_env = env.child(resolve_sibling)
+    kscope = scope & parent_present
+
+    for key in _topo_keys(node.keys):
+        cnode = node.keys[key]
+        child_arr = children.get(key)
+        if child_arr is None:
+            child_arr = pa.nulls(n)
+        sub = eval_node(cnode, child_arr, child_env, f"{path}.{key}" if path else key, scope=kscope)
+        results[key] = sub
+        errors.extend(sub.errors)
+        if sub.failed is not None:
+            np.logical_or(failed, sub.failed, out=failed)
+
+    # unknown fields
+    unknown = [f for f in field_names if f not in node.keys]
+    allow_unknown = node.flags.get("unknown", env.prefs.get("allow_unknown", False))
+    strip_unknown = env.prefs.get("strip_unknown", False)
+    if unknown and not allow_unknown and not strip_unknown and node.keys:
+        for f in unknown:
+            add_err("object.unknown", kscope.copy(), {"child": f}, seq=-1)
+
+    # dependencies over presence masks (object.js:722-873)
+    presence_masks = {
+        f: (~null_mask(results[f].value) if f in results else ~null_mask(children[f])) & parent_present
+        for f in set(list(node.keys) + [p for d in node.dependencies for p in d["peers"]] + [d["key"] for d in node.dependencies if d.get("key")])
+        if f in results or f in children
+    }
+    for d in node.dependencies:
+        peers = [p for p in d["peers"] if p in presence_masks]
+        if d.get("key") and d["key"] not in presence_masks:
+            continue
+        viol, code, ctx = k_structs.dependency_mask(d["rel"], presence_masks, peers, d.get("key"))
+        add_err(code, viol & kscope, ctx)
+
+    # rebuild struct with coerced / stripped children
+    keep = [f for f in field_names if not (f in results and results[f].strip) and not (strip_unknown and f in unknown)]
+    arrays = [results[f].value if f in results else children[f] for f in keep]
+    if keep != field_names or any(results[f].value is not children.get(f) for f in results if f in keep):
+        arr = pa.StructArray.from_arrays([combine(a) for a in arrays], names=keep, mask=pa.array(~parent_present))
+    return arr
+
+
+def _eval_structural_rule(node, cr, arr, env, path, scope, missing, resolved, failed, add_err):
+    name, args = cr.name, cr.fn[1]
+    n = len(arr)
+    active = scope & ~missing & ~resolved
+    if node.type == "array" and name == "has":
+        schema = args["schema"]
+        cnode = CNode(schema if isinstance(schema, Schema) else build(schema), env.prefs)
+        flat, parents, _ = k_lists.flatten_with_parents(arr)
+        ok_rows = np.zeros(n, dtype=bool)
+        if len(parents):
+            ok = node_validity(cnode, flat, Env(env.prefs), np.ones(len(flat), dtype=bool))
+            ok_rows[np.unique(parents[ok])] = True
+        add_err("array.hasUnknown", active & ~ok_rows, {}, seq=cr.seq, warn=cr.warn, message=cr.message)
+        return
+    if node.type == "object":
+        if name in ("min", "max", "length"):
+            field_names = [f.name for f in arr.type] if pa.types.is_struct(arr.type) else []
+            presence = {f: ~null_mask(pc.struct_field(arr, f)) for f in field_names}
+            counts = k_structs.key_count(presence, n)
+            limit = args["limit"]
+            opmap = {"min": counts >= limit, "max": counts <= limit, "length": counts == limit}
+            add_err(f"object.{name}", active & ~opmap[name], {"limit": limit}, seq=cr.seq, warn=cr.warn, message=cr.message)
+            return
+        if name == "assert":
+            r = args["ref"]
+            schema = args["schema"]
+            cnode = CNode(schema if isinstance(schema, Schema) else build(schema), env.prefs)
+            subject = env.resolve_ref(r, n) if not pa.types.is_struct(arr.type) else combine(pc.struct_field(arr, r.path))
+            if not isinstance(subject, (pa.Array, pa.ChunkedArray)):
+                subject = pa.array([subject] * n)
+            ok = node_validity(cnode, combine(subject), env, active)
+            add_err("object.assert", active & ~ok, {"message": args.get("message") or f"assert on {r.path}"}, seq=cr.seq, warn=cr.warn, message=cr.message)
+            return
+    raise ValueError(f"unhandled structural rule {node.type}.{name}")
+
+
+def _topo_keys(keys: dict[str, CNode]) -> list[str]:
+    """Topologically order sibling keys so referenced columns evaluate first
+    (shadow semantics — the analog of ``object.js:598-609``)."""
+    deps: dict[str, set[str]] = {k: set() for k in keys}
+
+    def collect(s: Schema, out: set):
+        for r in s.rules:
+            for v in r.get("args", {}).values():
+                if isinstance(v, Ref) and v.kind == "sibling":
+                    out.add(v.path)
+        for v in s.allow_vals + s.invalid_vals:
+            if isinstance(v, Ref) and v.kind == "sibling":
+                out.add(v.path)
+        for w in s.terms.get("whens", []):
+            r = w.get("ref")
+            if isinstance(r, Ref) and r.kind == "sibling":
+                out.add(r.path)
+
+    for k, cn in keys.items():
+        collect(cn.schema, deps[k])
+        deps[k] &= set(keys)
+    out, seen = [], set()
+
+    def visit(k, stack):
+        if k in seen or k in stack:
+            return
+        stack.add(k)
+        for d in sorted(deps.get(k, ())):
+            visit(d, stack)
+        stack.discard(k)
+        seen.add(k)
+        out.append(k)
+
+    for k in keys:
+        visit(k, set())
+    return out
+
+
+# ==========================================================================
+# table-level API
+
+
+@dataclass
+class BatchResult:
+    value: pa.Table
+    violations: pa.Table
+    ok: np.ndarray
+
+    @property
+    def n_rows(self) -> int:
+        return len(self.ok)
+
+    @property
+    def n_failed(self) -> int:
+        return int((~self.ok).sum())
+
+    def summary(self) -> dict:
+        codes: dict[str, int] = {}
+        if self.violations.num_rows:
+            vc = self.violations.group_by(["code", "severity"]).aggregate([("code", "count")])
+            for code, sev, cnt in zip(
+                vc["code"].to_pylist(), vc["severity"].to_pylist(), vc["code_count"].to_pylist()
+            ):
+                codes[code] = codes.get(code, 0) + cnt
+        return {"rows": self.n_rows, "failed": self.n_failed, "codes": codes}
+
+
+class CompiledSchema:
+    """Driver-side compiled validation program for a fixed-schema table.
+
+    ``schema`` must be (or describe) an object schema whose keys are the
+    table's columns; ``id_column`` names the column carried into violation
+    rows (the north rule's ``doc_id``).
+    """
+
+    def __init__(self, schema: Schema | dict, prefs: dict | None = None, id_column: str | None = None):
+        if isinstance(schema, dict) and "type" not in schema:
+            schema = Schema.__new__(Schema)  # pragma: no cover - guarded below
+        if isinstance(schema, dict):
+            schema = build(schema)
+        if schema.type != "object":
+            raise ValueError("table schema root must be an object() with keys")
+        self.schema = schema
+        self.prefs = {**DEFAULT_PREFS, **(prefs or {}), **schema.prefs}
+        self.id_column = id_column
+        self.root = CNode(schema, self.prefs)
+        self.key_order = _topo_keys(self.root.keys)
+
+    def validate_table(self, tbl: pa.Table) -> BatchResult:
+        tbl = tbl.combine_chunks()
+        n = tbl.num_rows
+        env = Env(self.prefs)
+        # table-level renames
+        for r in self.root.renames:
+            if r["from"] in tbl.column_names:
+                tbl = tbl.rename_columns([r["to"] if c == r["from"] else c for c in tbl.column_names])
+
+        columns: dict[str, pa.Array] = {c: combine(tbl[c]) for c in tbl.column_names}
+        results: dict[str, NodeResult] = {}
+        errors: list[ErrRec] = []
+        failed = np.zeros(n, dtype=bool)
+
+        def resolve_sibling(name: str):
+            if name in results:
+                return results[name].value
+            if name in columns:
+                return columns[name]
+            raise KeyError(name)
+
+        env = Env(self.prefs, resolve_sibling)
+        scope = np.ones(n, dtype=bool)
+
+        for key in self.key_order:
+            cnode = self.root.keys[key]
+            arr = columns.get(key, pa.nulls(n))
+            res = eval_node(cnode, arr, env, key, scope=scope)
+            results[key] = res
+            errors.extend(res.errors)
+            if res.failed is not None:
+                np.logical_or(failed, res.failed, out=failed)
+
+        # unknown columns
+        unknown = [c for c in tbl.column_names if c not in self.root.keys]
+        allow_unknown = self.root.flags.get("unknown", self.prefs.get("allow_unknown", False))
+        strip_unknown = self.prefs.get("strip_unknown", False)
+        if unknown and not allow_unknown and not strip_unknown:
+            for c in unknown:
+                rec = ErrRec("object.unknown", scope.copy(), c, {"child": c}, -1)
+                rec.rows = None
+                errors.append(rec)
+                failed |= scope
+
+        # dependencies across top-level columns
+        presence_masks = {
+            k: ~null_mask(results[k].value) if k in results else (~null_mask(columns[k]) if k in columns else np.zeros(n, bool))
+            for k in set(list(self.root.keys) + [p for d in self.root.dependencies for p in d["peers"]] + [d["key"] for d in self.root.dependencies if d.get("key")])
+        }
+        for d in self.root.dependencies:
+            viol, code, ctx = k_structs.dependency_mask(d["rel"], presence_masks, d["peers"], d.get("key"))
+            if viol.any():
+                rec = ErrRec(code, viol & scope, "", ctx, 9000)
+                rec.rows = None
+                errors.append(rec)
+                failed |= viol & scope
+        for cr in self.root.rules:
+            if isinstance(cr.fn, tuple) and cr.fn[0] == "structural" and cr.name == "assert":
+                args = cr.fn[1]
+                cnode = CNode(args["schema"] if isinstance(args["schema"], Schema) else build(args["schema"]), self.prefs)
+                subject = combine(env.resolve_ref(args["ref"], n))
+                ok = node_validity(cnode, subject, env, scope)
+                bad = scope & ~ok
+                if bad.any():
+                    rec = ErrRec("object.assert", bad, args["ref"].path, {"message": args.get("message") or ""}, cr.seq)
+                    rec.rows = None
+                    errors.append(rec)
+                    failed |= bad
+
+        # assemble normalized output
+        out_cols, out_names = [], []
+        for key in self.root.keys:
+            if key in results and not results[key].strip:
+                out_names.append(key)
+                out_cols.append(results[key].value)
+        for c in unknown:
+            if not strip_unknown:
+                out_names.append(c)
+                out_cols.append(columns[c])
+        value = pa.table(dict(zip(out_names, out_cols))) if out_names else tbl
+
+        warn_failed = np.zeros(n, dtype=bool)
+        for rec in errors:
+            if not rec.warn:
+                continue
+        ok_mask = ~failed
+        violations = self._assemble_violations(errors, columns, n)
+        return BatchResult(value=value, violations=violations, ok=ok_mask)
+
+    def _assemble_violations(self, errors: list[ErrRec], columns: dict, n: int) -> pa.Table:
+        ids = None
+        if self.id_column and self.id_column in columns:
+            idc = columns[self.id_column]
+            if not pa.types.is_string(idc.type):
+                idc = pc.cast(idc, pa.string())
+            ids = idc
+        rows_l, item_l, path_l, code_l, msg_l, ctx_l, sev_l, seq_l = [], [], [], [], [], [], [], []
+        for rec in errors:
+            if getattr(rec, "rows", None) is not None:
+                rows = rec.rows
+                items = rec.item_index if rec.item_index is not None else np.full(len(rows), -1, np.int32)
+            else:
+                rows = np.nonzero(rec.mask)[0]
+                items = np.full(len(rows), -1, dtype=np.int32)
+            if len(rows) == 0:
+                continue
+            k = len(rows)
+            rows_l.append(rows.astype(np.int64))
+            item_l.append(items.astype(np.int32))
+            ctx_json = json.dumps(rec.context, default=str, sort_keys=True) if rec.context else "{}"
+            msg = render(rec.code, rec.path, rec.context, rec.message)
+            path_l.extend([rec.path] * k)
+            code_l.extend([rec.code] * k)
+            msg_l.extend([msg] * k)
+            ctx_l.extend([ctx_json] * k)
+            sev_l.extend(["warn" if rec.warn else "error"] * k)
+            seq_l.extend([rec.seq] * k)
+        if not rows_l:
+            empty = {name: pa.array([], type=t) for name, t in zip(VIOLATION_SCHEMA.names, VIOLATION_SCHEMA.types)}
+            return pa.table(empty)
+        rows_all = np.concatenate(rows_l)
+        items_all = np.concatenate(item_l)
+        id_arr = (
+            ids.take(pa.array(rows_all)) if ids is not None else pa.nulls(len(rows_all), pa.string())
+        )
+        t = pa.table(
+            {
+                "doc_id": id_arr,
+                "row": pa.array(rows_all, type=pa.int64()),
+                "path": pa.array(path_l, type=pa.string()),
+                "item_index": pa.array(items_all, type=pa.int32()),
+                "code": pa.array(code_l, type=pa.string()),
+                "message": pa.array(msg_l, type=pa.string()),
+                "context": pa.array(ctx_l, type=pa.string()),
+                "severity": pa.array(sev_l, type=pa.string()),
+                "_seq": pa.array(seq_l, type=pa.int32()),
+            }
+        )
+        # deterministic order (FIXTURES.md determinism rules): (row, path, seq, item)
+        t = t.sort_by([("row", "ascending"), ("path", "ascending"), ("_seq", "ascending"), ("item_index", "ascending")])
+        return t.drop_columns(["_seq"])
+
+
+def compile_schema(schema: Schema | dict, prefs: dict | None = None, id_column: str | None = None) -> CompiledSchema:
+    return CompiledSchema(schema, prefs, id_column)

@@ -1,0 +1,139 @@
+"""List (array-type) leaf kernels over Arrow list columns.
+
+Reference: ``/root/reference/lib/types/array.js`` (813 LoC).  Per-item
+schemas are handled by the engine via flatten + recursive evaluation
+(SURVEY.md §2.3 array mapping); the kernels here are the row-level list
+rules: length bounds (``array.js:354-389``), within-row ``unique``
+(``:468-558``), ``sparse`` (``:454-466``) and ``sort`` order checking
+(``:420-452,740-787``).  Dataset-level uniqueness is a pipeline shuffle
+stage, not a schema rule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .util import Env, RuleOut, as_bool_np, cmp_mask
+
+
+def list_lengths(arr: pa.Array) -> pa.Array:
+    return pc.list_value_length(arr)
+
+
+def flatten_with_parents(arr: pa.Array):
+    """(flat_values, parent_row_indices, within_list_positions) — nulls at
+    the outer level contribute no items."""
+    flat = pc.list_flatten(arr)
+    parents = pc.list_parent_indices(arr).to_numpy(zero_copy_only=False)
+    if len(parents):
+        # position within each list: running index reset at parent change
+        change = np.r_[True, parents[1:] != parents[:-1]]
+        grp_start = np.maximum.accumulate(np.where(change, np.arange(len(parents)), 0))
+        positions = np.arange(len(parents)) - grp_start
+    else:
+        positions = parents.copy()
+    return flat, parents, positions
+
+
+def make_list_compare(op: str):
+    def factory(args):
+        limit = args["limit"]
+
+        def kernel(arr, env: Env) -> RuleOut:
+            ok, ctx = cmp_mask(list_lengths(arr), op, limit, env)
+            return RuleOut(ok=ok, context=ctx)
+
+        return kernel
+
+    return factory
+
+
+def _item_values(arr: pa.Array, by: str | None):
+    flat, parents, positions = flatten_with_parents(arr)
+    if by:
+        for part in by.split("."):
+            flat = pc.struct_field(flat, part)
+    return flat, parents, positions
+
+
+def make_unique(args):
+    by = args.get("by")
+
+    def kernel(arr, env: Env) -> RuleOut:
+        n = len(arr)
+        flat, parents, _ = _item_values(arr, by)
+        ok = np.ones(n, dtype=bool)
+        if len(parents):
+            df = pd.DataFrame({"p": parents, "v": flat.to_pandas()})
+            dup = df.duplicated(subset=["p", "v"], keep="first") & df["v"].notna()
+            bad_parents = np.unique(df.loc[dup, "p"].to_numpy())
+            ok[bad_parents] = False
+        return RuleOut(ok=ok, context={"path": by})
+
+    return kernel
+
+
+def sparse_check(arr: pa.Array) -> np.ndarray:
+    """Rows containing null items (forbidden unless the sparse flag is set)."""
+    n = len(arr)
+    flat, parents, _ = flatten_with_parents(arr)
+    bad = np.zeros(n, dtype=bool)
+    if len(parents):
+        nulls = as_bool_np(pc.is_null(flat), len(flat))
+        bad[np.unique(parents[nulls])] = True
+    return bad
+
+
+def make_sort(args):
+    order = args.get("order", "ascending")
+    by = args.get("by")
+
+    def kernel(arr, env: Env) -> RuleOut:
+        n = len(arr)
+        flat, parents, _ = _item_values(arr, by)
+        ok = np.ones(n, dtype=bool)
+        if len(parents) > 1:
+            v = flat.to_numpy(zero_copy_only=False)
+            same = parents[1:] == parents[:-1]
+            with np.errstate(invalid="ignore"):
+                if order == "ascending":
+                    in_order = v[1:] >= v[:-1]
+                else:
+                    in_order = v[1:] <= v[:-1]
+            # null comparisons -> False counts as out-of-order only if both non-null
+            both = pd.notna(v[1:]) & pd.notna(v[:-1])
+            viol = same & both & ~in_order.astype(bool)
+            ok[np.unique(parents[1:][viol])] = False
+        return RuleOut(ok=ok, context={"order": order, "by": by or "value"})
+
+    return kernel
+
+
+def monotonic_check(arr: pa.Array, by: str, strict: bool = False) -> np.ndarray:
+    """Convenience used by the interleaved-document schema: is the struct
+    field ``by`` monotonically non-decreasing (or strictly increasing) within
+    each row's list?  Returns ok mask per row."""
+    n = len(arr)
+    flat, parents, _ = _item_values(arr, by)
+    ok = np.ones(n, dtype=bool)
+    if len(parents) > 1:
+        v = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+        same = parents[1:] == parents[:-1]
+        with np.errstate(invalid="ignore"):
+            in_order = (v[1:] > v[:-1]) if strict else (v[1:] >= v[:-1])
+        both = ~np.isnan(v[1:]) & ~np.isnan(v[:-1])
+        viol = same & both & ~in_order
+        ok[np.unique(parents[1:][viol])] = False
+    return ok
+
+
+FACTORIES = {
+    "min": make_list_compare("ge"),
+    "max": make_list_compare("le"),
+    "length": make_list_compare("eq"),
+    "unique": make_unique,
+    "sort": make_sort,
+}

@@ -1,0 +1,126 @@
+"""Error-message catalog and renderer.
+
+Mirrors the reference's per-type template tables (string messages
+``/root/reference/lib/types/string/index.js:737-769``, number
+``lib/types/number.js`` tail, base/any codes ``lib/messages.js``): one
+template per error ``type`` code, interpolating ``{#label}`` / ``{#limit}`` /
+rule-specific context.  We render lazily — only for failing rows — and keep
+the rendered string static per (code, path, context) so violation output is
+byte-stable across partitioning (required for the N-vs-4N fixture match).
+"""
+
+from __future__ import annotations
+
+MESSAGES: dict[str, str] = {
+    # any (lib/messages.js)
+    "any.required": '"{label}" is required',
+    "any.unknown": '"{label}" is not allowed',
+    "any.invalid": '"{label}" contains an invalid value',
+    "any.only": '"{label}" must be one of {valids}',
+    "any.custom": '"{label}" failed custom validation',
+    "any.warning": '"{label}" triggered warning {code}',
+    # string
+    "string.base": '"{label}" must be a string',
+    "string.empty": '"{label}" is not allowed to be empty',
+    "string.min": '"{label}" length must be at least {limit} characters long',
+    "string.max": '"{label}" length must be less than or equal to {limit} characters long',
+    "string.length": '"{label}" length must be {limit} characters long',
+    "string.pattern.base": '"{label}" with value "{value}" fails to match the required pattern',
+    "string.pattern.name": '"{label}" with value "{value}" fails to match the {name} pattern',
+    "string.pattern.invert.base": '"{label}" with value "{value}" matches the inverted pattern',
+    "string.pattern.invert.name": '"{label}" with value "{value}" matches the inverted {name} pattern',
+    "string.alphanum": '"{label}" must only contain alpha-numeric characters',
+    "string.token": '"{label}" must only contain alpha-numeric and underscore characters',
+    "string.hex": '"{label}" must only contain hexadecimal characters',
+    "string.base64": '"{label}" must be a valid base64 string',
+    "string.dataUri": '"{label}" must be a valid dataUri string',
+    "string.email": '"{label}" must be a valid email',
+    "string.domain": '"{label}" must contain a valid domain name',
+    "string.hostname": '"{label}" must be a valid hostname',
+    "string.guid": '"{label}" must be a valid GUID',
+    "string.ip": '"{label}" must be a valid ip address with a {cidr} CIDR',
+    "string.ipVersion": '"{label}" must be a valid ip address of one of the following versions {version} with a {cidr} CIDR',
+    "string.uri": '"{label}" must be a valid uri',
+    "string.uriCustomScheme": '"{label}" must be a valid uri with a scheme matching the {scheme} pattern',
+    "string.uriRelativeOnly": '"{label}" must be a valid relative uri',
+    "string.isoDate": '"{label}" must be in iso format',
+    "string.isoDuration": '"{label}" must be a valid ISO 8601 duration',
+    "string.creditCard": '"{label}" must be a credit card',
+    "string.lowercase": '"{label}" must only contain lowercase characters',
+    "string.uppercase": '"{label}" must only contain uppercase characters',
+    "string.trim": '"{label}" must not have leading or trailing whitespace',
+    "string.normalize": '"{label}" must be unicode normalized in the {form} form',
+    # number
+    "number.base": '"{label}" must be a number',
+    "number.min": '"{label}" must be greater than or equal to {limit}',
+    "number.max": '"{label}" must be less than or equal to {limit}',
+    "number.greater": '"{label}" must be greater than {limit}',
+    "number.less": '"{label}" must be less than {limit}',
+    "number.integer": '"{label}" must be an integer',
+    "number.multiple": '"{label}" must be a multiple of {multiple}',
+    "number.port": '"{label}" must be a valid port',
+    "number.positive": '"{label}" must be a positive number',
+    "number.negative": '"{label}" must be a negative number',
+    "number.precision": '"{label}" must have no more than {limit} decimal places',
+    "number.unsafe": '"{label}" must be a safe number',
+    "number.infinity": '"{label}" cannot be infinity',
+    # boolean
+    "boolean.base": '"{label}" must be a boolean',
+    # date
+    "date.base": '"{label}" must be a valid date',
+    "date.format": '"{label}" must be in {format} format',
+    "date.min": '"{label}" must be greater than or equal to "{limit}"',
+    "date.max": '"{label}" must be less than or equal to "{limit}"',
+    "date.greater": '"{label}" must be greater than "{limit}"',
+    "date.less": '"{label}" must be less than "{limit}"',
+    # binary
+    "binary.base": '"{label}" must be a buffer or a string',
+    "binary.min": '"{label}" must be at least {limit} bytes',
+    "binary.max": '"{label}" must be less than or equal to {limit} bytes',
+    "binary.length": '"{label}" must be {limit} bytes',
+    # array
+    "array.base": '"{label}" must be an array',
+    "array.min": '"{label}" must contain at least {limit} items',
+    "array.max": '"{label}" must contain less than or equal to {limit} items',
+    "array.length": '"{label}" must contain {limit} items',
+    "array.unique": '"{label}" contains a duplicate value',
+    "array.sparse": '"{label}" must not be a sparse array item',
+    "array.includes": '"{label}" does not match any of the allowed types',
+    "array.includesRequiredUnknowns": '"{label}" does not contain {unknownMisses} required value(s)',
+    "array.hasUnknown": '"{label}" does not contain at least one required match',
+    "array.sort": '"{label}" must be sorted in {order} order by {by}',
+    "array.orderedLength": '"{label}" must contain at most {limit} items',
+    # object
+    "object.base": '"{label}" must be of type object',
+    "object.unknown": '"{label}" is not allowed',
+    "object.and": '"{label}" contains {presentWithRequired} without its required peers {missingWithRequired}',
+    "object.nand": '"{label}" must not exist simultaneously with {peers}',
+    "object.or": '"{label}" must contain at least one of {peers}',
+    "object.xor": '"{label}" contains a conflict between exclusive peers {peers}',
+    "object.oxor": '"{label}" contains a conflict between optional exclusive peers {peers}',
+    "object.with": '"{main}" missing required peer "{peer}"',
+    "object.without": '"{main}" conflict with forbidden peer "{peer}"',
+    "object.assert": '"{label}" is invalid because {message}',
+    "object.min": '"{label}" must have at least {limit} keys',
+    "object.max": '"{label}" must have less than or equal to {limit} keys',
+    "object.length": '"{label}" must have {limit} keys',
+    "object.missing": '"{label}" must contain at least one of {peers}',
+    # alternatives
+    "alternatives.any": '"{label}" does not match any of the allowed types',
+    "alternatives.match": '"{label}" does not match any of the allowed types',
+    "alternatives.base": '"{label}" does not match any of the allowed types',
+}
+
+
+def render(code: str, path: str, context: dict, override: str | None = None) -> str:
+    """Render the static message for an error family.  Per-row ``{value}``
+    interpolation is intentionally omitted (violation rows carry the doc id
+    and span index instead) so one render serves the whole mask."""
+    tmpl = override or MESSAGES.get(code, f'"{{label}}" fails rule {code}')
+    label = context.get("label") or path or "value"
+    out = tmpl
+    out = out.replace("{#label}", str(label)).replace("{label}", str(label))
+    for k, v in context.items():
+        out = out.replace("{#%s}" % k, str(v)).replace("{%s}" % k, str(v))
+    # leave unknown placeholders (e.g. {value}) as-is; they are per-row
+    return out

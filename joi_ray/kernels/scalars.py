@@ -1,0 +1,179 @@
+"""Boolean, date, and binary kernels.
+
+References: boolean ``/root/reference/lib/types/boolean.js`` (146 LoC),
+date ``lib/types/date.js`` (226 LoC), binary ``lib/types/binary.js`` (108
+LoC).  Date comparisons support ``'now'`` bound once at compile time
+(prefs["now_ms"]) for determinism across workers, per SURVEY.md §2.3.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .util import Env, RuleOut, as_bool_np, cmp_mask
+
+# --------------------------------------------------------------------------
+# boolean
+
+
+def coerce_boolean(arr: pa.Array, env: Env, terms: dict, flags: dict):
+    """'true'/'false' (+ user truthy/falsy sets, case-insensitive when the
+    insensitive flag is set) -> bool (``boolean.js:34-51,65-97``)."""
+    n = len(arr)
+    if pa.types.is_boolean(arr.type):
+        return arr, np.zeros(n, dtype=bool)
+    if not env.convert:
+        return arr, ~as_bool_np(pc.is_null(arr), n)
+    truthy = list(terms.get("truthy", []))
+    falsy = list(terms.get("falsy", []))
+    insensitive = flags.get("insensitive", True)
+
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        cmp = pc.utf8_lower(arr) if insensitive else arr
+        t_set = [str(v).lower() if insensitive else str(v) for v in truthy + ["true"]]
+        f_set = [str(v).lower() if insensitive else str(v) for v in falsy + ["false"]]
+        is_t = as_bool_np(pc.is_in(cmp, value_set=pa.array(t_set)), n)
+        is_f = as_bool_np(pc.is_in(cmp, value_set=pa.array(f_set)), n)
+    elif pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type):
+        t_num = [v for v in truthy if isinstance(v, (int, float))]
+        f_num = [v for v in falsy if isinstance(v, (int, float))]
+        is_t = as_bool_np(pc.is_in(arr, value_set=pa.array(t_num, type=arr.type)), n) if t_num else np.zeros(n, bool)
+        is_f = as_bool_np(pc.is_in(arr, value_set=pa.array(f_num, type=arr.type)), n) if f_num else np.zeros(n, bool)
+    else:
+        return arr, ~as_bool_np(pc.is_null(arr), n)
+
+    was_null = as_bool_np(pc.is_null(arr), n)
+    fail = ~(is_t | is_f) & ~was_null
+    vals = np.where(is_t, True, False)
+    out = pa.array(vals, type=pa.bool_(), mask=(was_null | fail))
+    return out, fail
+
+
+# --------------------------------------------------------------------------
+# date
+
+
+def coerce_date(arr: pa.Array, env: Env, flags: dict):
+    """number/string -> timestamp[ms] honoring the format flag
+    (iso / 'ms' javascript epoch / 's' unix epoch — ``date.js:172-215``)."""
+    import pandas as pd
+
+    n = len(arr)
+    ts = pa.timestamp("ms")
+    if pa.types.is_timestamp(arr.type):
+        return pc.cast(arr, ts, safe=False), np.zeros(n, dtype=bool)
+    if pa.types.is_date(arr.type):
+        return pc.cast(arr, ts), np.zeros(n, dtype=bool)
+    if not env.convert:
+        return arr, ~as_bool_np(pc.is_null(arr), n)
+    fmt = flags.get("format")
+    was_null = as_bool_np(pc.is_null(arr), n)
+    if pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type):
+        unit_mult = 1000 if fmt == "s" else 1
+        ms = pc.multiply(pc.cast(arr, pa.int64(), safe=False), unit_mult)
+        out = pc.cast(ms, ts)
+        return out, np.zeros(n, dtype=bool)
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        parsed = pd.to_datetime(arr.to_pandas(), errors="coerce", utc=True, format="ISO8601")
+        try:
+            parsed = parsed.dt.tz_localize(None)
+        except (TypeError, AttributeError):
+            pass
+        out = pa.Array.from_pandas(parsed.astype("datetime64[ms]"), type=ts)
+        fail = as_bool_np(pc.is_null(out), n) & ~was_null
+        return out, fail
+    return arr, ~was_null
+
+
+def _date_limit(limit, env: Env):
+    import pandas as pd
+
+    if limit == "now":
+        return env.prefs.get("now_ms", 0), {"limit": "now"}
+    if hasattr(limit, "kind"):  # Ref
+        return limit, {"limit": f"ref:{limit.path}"}
+    if isinstance(limit, str):
+        return int(pd.Timestamp(limit).value // 10**6), {"limit": limit}
+    return int(limit), {"limit": limit}
+
+
+def make_date_compare(op: str):
+    def factory(args):
+        limit = args["limit"]
+
+        def kernel(arr, env: Env) -> RuleOut:
+            lim, ctx = _date_limit(limit, env)
+            ints = pc.cast(arr, pa.int64())
+            if hasattr(lim, "kind"):
+                ok, _ = cmp_mask(arr, op, lim, env)
+            else:
+                ok, _ = cmp_mask(ints, op, lim, env)
+            return RuleOut(ok=ok, context=ctx)
+
+        return kernel
+
+    return factory
+
+
+DATE_FACTORIES = {
+    "min": make_date_compare("ge"),
+    "max": make_date_compare("le"),
+    "greater": make_date_compare("gt"),
+    "less": make_date_compare("lt"),
+}
+
+
+# --------------------------------------------------------------------------
+# binary
+
+
+def coerce_binary(arr: pa.Array, env: Env, flags: dict):
+    """string -> bytes with the encoding flag (utf-8 zero-ish-copy cast;
+    base64 / hex decoded per cell — ``binary.js:18-27,41-48``)."""
+    n = len(arr)
+    if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type) or pa.types.is_fixed_size_binary(arr.type):
+        return arr, np.zeros(n, dtype=bool)
+    if not env.convert:
+        return arr, ~as_bool_np(pc.is_null(arr), n)
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        enc = flags.get("encoding", "utf-8")
+        if enc in ("utf-8", "utf8"):
+            return pc.cast(arr, pa.binary()), np.zeros(n, dtype=bool)
+        import base64 as b64mod
+
+        decode = (lambda s: b64mod.b64decode(s, validate=True)) if enc == "base64" else bytes.fromhex
+        vals, fail = [], np.zeros(n, dtype=bool)
+        py = arr.to_pylist()
+        for i, s in enumerate(py):
+            if s is None:
+                vals.append(None)
+                continue
+            try:
+                vals.append(decode(s))
+            except Exception:
+                vals.append(None)
+                fail[i] = True
+        return pa.array(vals, type=pa.binary()), fail
+    return arr, ~as_bool_np(pc.is_null(arr), n)
+
+
+def make_binary_compare(op: str, eq: bool = False):
+    def factory(args):
+        limit = args["limit"]
+
+        def kernel(arr, env: Env) -> RuleOut:
+            ok, ctx = cmp_mask(pc.binary_length(arr), "eq" if eq else op, limit, env)
+            return RuleOut(ok=ok, context=ctx)
+
+        return kernel
+
+    return factory
+
+
+BINARY_FACTORIES = {
+    "min": make_binary_compare("ge"),
+    "max": make_binary_compare("le"),
+    "length": make_binary_compare("eq", eq=True),
+}

@@ -1,0 +1,813 @@
+"""Schema IR and fluent builder.
+
+The IR is a plain-JSON "description" isomorphic to the reference's manifest
+format (``/root/reference/lib/manifest.js:16-154`` — ``describe()`` emits
+``{type, flags, rules[{name,args}], allow, invalid, keys, items, matches,
+...}`` and ``Joi.build(desc)`` reconstructs the schema).  Our builder mirrors
+joi's fluent immutable API (``/root/reference/lib/base.js:380-384`` — every
+fluent call clones) but compiles to vectorized Arrow predicates instead of a
+per-value recursive-descent interpreter.
+
+Nothing in this module touches Ray; it is pure metadata manipulation and is
+safe to pickle into map_batches closures / actor constructors.
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+from typing import Any
+
+
+class Ref:
+    """Cross-field reference (reference: ``/root/reference/lib/ref.js:22-72``).
+
+    ``Ref("peer")`` resolves a sibling column at the same nesting level;
+    ``Ref("...name")``-style ancestor prefixes are restricted to ``..`` (one
+    level up) since our tables are fixed-depth.  ``Ref("$name")`` resolves to
+    ``prefs.context[name]`` bound once at compile time (a job parameter).
+    """
+
+    __slots__ = ("path", "kind")
+
+    def __init__(self, path: str):
+        if path.startswith("$"):
+            self.kind = "context"
+            self.path = path[1:]
+        elif path.startswith(".."):
+            self.kind = "ancestor"
+            self.path = path[2:].lstrip(".")
+        else:
+            self.kind = "sibling"
+            self.path = path
+
+    def describe(self) -> dict:
+        prefix = {"context": "$", "ancestor": "..", "sibling": ""}[self.kind]
+        return {"ref": prefix + self.path}
+
+    def __repr__(self):  # pragma: no cover
+        return f"Ref({self.describe()['ref']!r})"
+
+    def __eq__(self, other):
+        return isinstance(other, Ref) and other.kind == self.kind and other.path == self.path
+
+    def __hash__(self):
+        return hash((self.kind, self.path))
+
+
+def ref(path: str) -> Ref:
+    return Ref(path)
+
+
+def _encode(v: Any) -> Any:
+    """JSON-encode rule args: Refs and bytes get marker wrappers."""
+    if isinstance(v, Ref):
+        return v.describe()
+    if isinstance(v, bytes):
+        import base64
+
+        return {"__bytes__": base64.b64encode(v).decode()}
+    if isinstance(v, Schema):
+        return {"__schema__": v.describe()}
+    if isinstance(v, dict):
+        return {k: _encode(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_encode(x) for x in v]
+    return v
+
+
+def _decode(v: Any) -> Any:
+    if isinstance(v, dict):
+        if set(v) == {"ref"}:
+            return Ref(v["ref"])
+        if set(v) == {"__bytes__"}:
+            import base64
+
+            return base64.b64decode(v["__bytes__"])
+        if set(v) == {"__schema__"}:
+            return build(v["__schema__"])
+        return {k: _decode(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_decode(x) for x in v]
+    return v
+
+
+class Schema:
+    """Immutable schema node.  Every fluent method returns a clone.
+
+    Internal shape mirrors joi's Base (``/root/reference/lib/base.js:21-51``):
+    ``type``, ``flags`` (presence/default/label/only/...), ``rules`` (ordered
+    list of {name, args, keep, message, warn}), ``allow``/``invalid`` value
+    sets, and per-type ``terms`` (object keys, array items, alternatives
+    matches, boolean truthy/falsy, ...).
+    """
+
+    def __init__(self, type_: str):
+        self.type = type_
+        self.flags: dict[str, Any] = {}
+        self.rules: list[dict] = []
+        self.allow_vals: list[Any] = []
+        self.invalid_vals: list[Any] = []
+        self.terms: dict[str, Any] = {}
+        self.prefs: dict[str, Any] = {}
+        self.metas: dict[str, Any] = {}
+
+    # -- cloning ----------------------------------------------------------
+    def _clone(self) -> "Schema":
+        s = self.__class__.__new__(self.__class__)
+        s.type = self.type
+        s.flags = dict(self.flags)
+        s.rules = [dict(r) for r in self.rules]
+        s.allow_vals = list(self.allow_vals)
+        s.invalid_vals = list(self.invalid_vals)
+        s.terms = copy.deepcopy(self.terms)
+        s.prefs = dict(self.prefs)
+        s.metas = dict(self.metas)
+        return s
+
+    def _flag(self, name: str, value: Any) -> "Schema":
+        s = self._clone()
+        if value is None:
+            s.flags.pop(name, None)
+        else:
+            s.flags[name] = value
+        return s
+
+    def _rule(self, name: str, args: dict | None = None, *, single: bool = False) -> "Schema":
+        s = self._clone()
+        if single:
+            # non-multi rules replace a prior instance (lib/base.js:617-622)
+            s.rules = [r for r in s.rules if r["name"] != name]
+        s.rules.append({"name": name, "args": args or {}})
+        return s
+
+    # -- any: presence & value sets ---------------------------------------
+    def required(self) -> "Schema":
+        return self._flag("presence", "required")
+
+    def optional(self) -> "Schema":
+        return self._flag("presence", "optional")
+
+    def forbidden(self) -> "Schema":
+        return self._flag("presence", "forbidden")
+
+    def presence(self, mode: str) -> "Schema":
+        assert mode in ("required", "optional", "forbidden")
+        return self._flag("presence", mode)
+
+    exist = required
+
+    def allow(self, *values) -> "Schema":
+        s = self._clone()
+        s.allow_vals.extend(values)
+        return s
+
+    def valid(self, *values) -> "Schema":
+        s = self.allow(*values)
+        s.flags["only"] = True
+        return s
+
+    equal = valid
+
+    def invalid(self, *values) -> "Schema":
+        s = self._clone()
+        s.invalid_vals.extend(values)
+        return s
+
+    disallow = invalid
+    deny = invalid
+    not_ = invalid
+
+    def only(self, enabled: bool = True) -> "Schema":
+        return self._flag("only", True if enabled else None)
+
+    def insensitive(self) -> "Schema":
+        return self._flag("insensitive", True)
+
+    # -- any: value shaping ------------------------------------------------
+    def default(self, value) -> "Schema":
+        return self._flag("default", value)
+
+    def failover(self, value) -> "Schema":
+        return self._flag("failover", value)
+
+    def empty(self, *values) -> "Schema":
+        s = self._clone()
+        s.flags["empty"] = list(values)
+        return s
+
+    def strip(self, enabled: bool = True) -> "Schema":
+        return self._flag("strip", True if enabled else None)
+
+    def raw(self, enabled: bool = True) -> "Schema":
+        return self._flag("raw", True if enabled else None)
+
+    def cast(self, to: str) -> "Schema":
+        return self._flag("cast", to)
+
+    def label(self, name: str) -> "Schema":
+        return self._flag("label", name)
+
+    def strict(self, enabled: bool = True) -> "Schema":
+        s = self._clone()
+        s.prefs["convert"] = not enabled
+        return s
+
+    def preferences(self, **opts) -> "Schema":
+        s = self._clone()
+        s.prefs.update(opts)
+        return s
+
+    prefs_ = preferences
+    options = preferences
+
+    def description(self, text: str) -> "Schema":
+        s = self._clone()
+        s.metas["description"] = text
+        return s
+
+    def meta(self, **kv) -> "Schema":
+        s = self._clone()
+        s.metas.update(kv)
+        return s
+
+    # -- rule tail modifiers (lib/base.js:513-549) -------------------------
+    def message(self, template: str) -> "Schema":
+        """Custom message for the most recently added rule."""
+        s = self._clone()
+        if not s.rules:
+            s.flags["message"] = template
+        else:
+            s.rules[-1]["message"] = template
+        return s
+
+    def warn(self) -> "Schema":
+        """Route the most recent rule's failures to warnings, not errors
+        (``/root/reference/lib/validator.js:303-306``)."""
+        s = self._clone()
+        if s.rules:
+            s.rules[-1]["warn"] = True
+        return s
+
+    def warning(self, code: str, context: dict | None = None) -> "Schema":
+        """Unconditional warning rule (``/root/reference/lib/types/any.js:17-32``)."""
+        return self._rule("warning", {"code": code, "context": context or {}})
+
+    # -- conditionals ------------------------------------------------------
+    def when(self, condition, *, is_=None, then=None, otherwise=None, switch=None) -> "Schema":
+        """Conditional schema (``/root/reference/lib/base.js:319-365``).
+
+        ``condition`` is a Ref/column name; per row, if ``is_`` matches the
+        referenced value then ``then`` applies, else ``otherwise``.
+        ``switch`` is a list of {"is": ..., "then": ...} entries.
+        """
+        s = self._clone()
+        cond = condition if isinstance(condition, Ref) else Ref(condition)
+        entry: dict[str, Any] = {"ref": cond}
+        if switch is not None:
+            entry["switch"] = [
+                {"is": c["is"], "then": c["then"], **({"otherwise": c["otherwise"]} if "otherwise" in c else {})}
+                for c in switch
+            ]
+        else:
+            entry["is"] = is_
+            if then is not None:
+                entry["then"] = then
+            if otherwise is not None:
+                entry["otherwise"] = otherwise
+        s.terms.setdefault("whens", []).append(entry)
+        return s
+
+    # -- concat (lib/base.js:386-481) --------------------------------------
+    def concat(self, other: "Schema") -> "Schema":
+        if other.type not in ("any", self.type) and self.type != "any":
+            raise ValueError(f"cannot concat {other.type} onto {self.type}")
+        s = self._clone()
+        if s.type == "any":
+            s.type = other.type
+        s.flags.update(other.flags)
+        s.rules.extend(copy.deepcopy(other.rules))
+        s.allow_vals.extend(other.allow_vals)
+        s.invalid_vals.extend(other.invalid_vals)
+        s.prefs.update(other.prefs)
+        for k, v in other.terms.items():
+            if k == "keys" and "keys" in s.terms:
+                s.terms["keys"].update(copy.deepcopy(v))
+            elif isinstance(v, list) and isinstance(s.terms.get(k), list):
+                s.terms[k] = s.terms[k] + copy.deepcopy(v)
+            else:
+                s.terms[k] = copy.deepcopy(v)
+        return s
+
+    # -- describe / serialize ---------------------------------------------
+    def describe(self) -> dict:
+        """Plain-JSON manifest (isomorphic to ``lib/manifest.js:16-154``)."""
+        d: dict[str, Any] = {"type": self.type}
+        if self.flags:
+            d["flags"] = _encode(self.flags)
+        if self.rules:
+            d["rules"] = [
+                {k: (_encode(v) if k == "args" else v) for k, v in r.items()} for r in self.rules
+            ]
+        if self.allow_vals:
+            d["allow"] = _encode(self.allow_vals)
+        if self.invalid_vals:
+            d["invalid"] = _encode(self.invalid_vals)
+        if self.prefs:
+            d["preferences"] = dict(self.prefs)
+        if self.metas:
+            d["metas"] = dict(self.metas)
+        for name, term in self.terms.items():
+            if name == "keys":
+                d["keys"] = {k: v.describe() for k, v in term.items()}
+            elif name in ("items", "ordered", "matches"):
+                d[name] = [v.describe() for v in term]
+            elif name == "whens":
+                d["whens"] = [
+                    {
+                        k: (
+                            v.describe()
+                            if isinstance(v, (Schema, Ref))
+                            else (
+                                [
+                                    {
+                                        kk: (vv.describe() if isinstance(vv, (Schema, Ref)) else _encode(vv))
+                                        for kk, vv in sw.items()
+                                    }
+                                    for sw in v
+                                ]
+                                if k == "switch"
+                                else _encode(v)
+                            )
+                        )
+                        for k, v in w.items()
+                    }
+                    for w in term
+                ]
+            elif name == "dependencies":
+                d["dependencies"] = _encode(term)
+            else:
+                d[name] = _encode(term)
+        return d
+
+    def to_json(self) -> str:
+        return json.dumps(self.describe(), sort_keys=True)
+
+    def __repr__(self):  # pragma: no cover
+        return f"Schema<{self.type}>({json.dumps(self.describe(), default=str)[:120]})"
+
+    def __eq__(self, other):
+        return isinstance(other, Schema) and self.describe() == other.describe()
+
+
+# ---------------------------------------------------------------------------
+# typed builders
+
+
+class StringSchema(Schema):
+    def __init__(self):
+        super().__init__("string")
+
+    def min(self, limit) -> "StringSchema":
+        return self._rule("min", {"limit": limit}, single=True)
+
+    def max(self, limit) -> "StringSchema":
+        return self._rule("max", {"limit": limit}, single=True)
+
+    def length(self, limit) -> "StringSchema":
+        return self._rule("length", {"limit": limit}, single=True)
+
+    def pattern(self, regex: str, *, invert: bool = False, name: str | None = None) -> "StringSchema":
+        return self._rule("pattern", {"regex": regex, "invert": invert, "name": name})
+
+    regex = pattern
+
+    def alphanum(self) -> "StringSchema":
+        return self._rule("alphanum", single=True)
+
+    def token(self) -> "StringSchema":
+        return self._rule("token", single=True)
+
+    def hex(self) -> "StringSchema":
+        return self._rule("hex", single=True)
+
+    def base64(self, *, padding_required: bool = True, url_safe: bool = False) -> "StringSchema":
+        return self._rule(
+            "base64", {"paddingRequired": padding_required, "urlSafe": url_safe}, single=True
+        )
+
+    def data_uri(self, *, padding_required: bool = True) -> "StringSchema":
+        return self._rule("dataUri", {"paddingRequired": padding_required}, single=True)
+
+    def email(self, *, tlds: list[str] | None = None, multiple: bool = False, separator: str = ",") -> "StringSchema":
+        return self._rule(
+            "email", {"tlds": tlds, "multiple": multiple, "separator": separator}, single=True
+        )
+
+    def domain(self) -> "StringSchema":
+        return self._rule("domain", single=True)
+
+    def hostname(self) -> "StringSchema":
+        return self._rule("hostname", single=True)
+
+    def guid(self, *, version: list[int] | None = None) -> "StringSchema":
+        return self._rule("guid", {"version": version}, single=True)
+
+    uuid = guid
+
+    def ip(self, *, version: list[str] | None = None, cidr: str = "optional") -> "StringSchema":
+        return self._rule("ip", {"version": version, "cidr": cidr}, single=True)
+
+    def uri(
+        self,
+        *,
+        scheme: list[str] | None = None,
+        allow_relative: bool = False,
+        relative_only: bool = False,
+    ) -> "StringSchema":
+        return self._rule(
+            "uri",
+            {"scheme": scheme, "allowRelative": allow_relative, "relativeOnly": relative_only},
+            single=True,
+        )
+
+    def iso_date(self) -> "StringSchema":
+        return self._rule("isoDate", single=True)
+
+    def iso_duration(self) -> "StringSchema":
+        return self._rule("isoDuration", single=True)
+
+    def credit_card(self) -> "StringSchema":
+        return self._rule("creditCard", single=True)
+
+    def lowercase(self) -> "StringSchema":
+        return self._rule("case", {"direction": "lower"}, single=True)
+
+    def uppercase(self) -> "StringSchema":
+        return self._rule("case", {"direction": "upper"}, single=True)
+
+    def case(self, direction: str) -> "StringSchema":
+        return self._rule("case", {"direction": direction}, single=True)
+
+    def trim(self, enabled: bool = True) -> "StringSchema":
+        return self._rule("trim", {"enabled": enabled}, single=True)
+
+    def normalize(self, form: str = "NFC") -> "StringSchema":
+        return self._rule("normalize", {"form": form}, single=True)
+
+    def truncate(self, enabled: bool = True) -> "StringSchema":
+        return self._flag("truncate", True if enabled else None)
+
+    def replace(self, pattern: str, replacement: str) -> "StringSchema":
+        s = self._clone()
+        s.terms.setdefault("replacements", []).append({"pattern": pattern, "replacement": replacement})
+        return s
+
+
+class NumberSchema(Schema):
+    def __init__(self):
+        super().__init__("number")
+
+    def min(self, limit) -> "NumberSchema":
+        return self._rule("min", {"limit": limit}, single=True)
+
+    def max(self, limit) -> "NumberSchema":
+        return self._rule("max", {"limit": limit}, single=True)
+
+    def greater(self, limit) -> "NumberSchema":
+        return self._rule("greater", {"limit": limit}, single=True)
+
+    def less(self, limit) -> "NumberSchema":
+        return self._rule("less", {"limit": limit}, single=True)
+
+    def integer(self) -> "NumberSchema":
+        return self._rule("integer", single=True)
+
+    def multiple(self, base) -> "NumberSchema":
+        return self._rule("multiple", {"base": base})  # multi rule (lib/types/number.js:165-187)
+
+    def port(self) -> "NumberSchema":
+        return self._rule("port", single=True)
+
+    def positive(self) -> "NumberSchema":
+        return self._rule("sign", {"sign": "positive"}, single=True)
+
+    def negative(self) -> "NumberSchema":
+        return self._rule("sign", {"sign": "negative"}, single=True)
+
+    def precision(self, limit: int) -> "NumberSchema":
+        return self._rule("precision", {"limit": limit}, single=True)
+
+    def unsafe(self, enabled: bool = True) -> "NumberSchema":
+        return self._flag("unsafe", True if enabled else None)
+
+
+class BooleanSchema(Schema):
+    def __init__(self):
+        super().__init__("boolean")
+
+    def truthy(self, *values) -> "BooleanSchema":
+        s = self._clone()
+        s.terms.setdefault("truthy", []).extend(values)
+        return s
+
+    def falsy(self, *values) -> "BooleanSchema":
+        s = self._clone()
+        s.terms.setdefault("falsy", []).extend(values)
+        return s
+
+
+class DateSchema(Schema):
+    def __init__(self):
+        super().__init__("date")
+
+    def min(self, limit) -> "DateSchema":
+        return self._rule("min", {"limit": limit}, single=True)
+
+    def max(self, limit) -> "DateSchema":
+        return self._rule("max", {"limit": limit}, single=True)
+
+    def greater(self, limit) -> "DateSchema":
+        return self._rule("greater", {"limit": limit}, single=True)
+
+    def less(self, limit) -> "DateSchema":
+        return self._rule("less", {"limit": limit}, single=True)
+
+    def iso(self) -> "DateSchema":
+        return self._flag("format", "iso")
+
+    def timestamp(self, unit: str = "javascript") -> "DateSchema":
+        return self._flag("format", {"javascript": "ms", "unix": "s"}.get(unit, unit))
+
+
+class BinarySchema(Schema):
+    def __init__(self):
+        super().__init__("binary")
+
+    def min(self, limit) -> "BinarySchema":
+        return self._rule("min", {"limit": limit}, single=True)
+
+    def max(self, limit) -> "BinarySchema":
+        return self._rule("max", {"limit": limit}, single=True)
+
+    def length(self, limit) -> "BinarySchema":
+        return self._rule("length", {"limit": limit}, single=True)
+
+    def encoding(self, enc: str) -> "BinarySchema":
+        return self._flag("encoding", enc)
+
+
+class ArraySchema(Schema):
+    def __init__(self):
+        super().__init__("array")
+
+    def items(self, *schemas: Schema) -> "ArraySchema":
+        s = self._clone()
+        s.terms.setdefault("items", []).extend(schemas)
+        return s
+
+    def ordered(self, *schemas: Schema) -> "ArraySchema":
+        s = self._clone()
+        s.terms.setdefault("ordered", []).extend(schemas)
+        return s
+
+    def min(self, limit) -> "ArraySchema":
+        return self._rule("min", {"limit": limit}, single=True)
+
+    def max(self, limit) -> "ArraySchema":
+        return self._rule("max", {"limit": limit}, single=True)
+
+    def length(self, limit) -> "ArraySchema":
+        return self._rule("length", {"limit": limit}, single=True)
+
+    def unique(self, by: str | None = None) -> "ArraySchema":
+        """Within-row uniqueness of list items (``lib/types/array.js:468-558``).
+        ``by`` is a struct-field path for list<struct> columns.  Dataset-level
+        uniqueness is a pipeline stage, not a schema rule."""
+        return self._rule("unique", {"by": by}, single=True)
+
+    def sparse(self, enabled: bool = True) -> "ArraySchema":
+        return self._flag("sparse", True if enabled else None)
+
+    def single(self, enabled: bool = True) -> "ArraySchema":
+        return self._flag("single", True if enabled else None)
+
+    def has(self, schema: Schema) -> "ArraySchema":
+        return self._rule("has", {"schema": schema})
+
+    def sort(self, *, order: str = "ascending", by: str | None = None) -> "ArraySchema":
+        return self._rule("sort", {"order": order, "by": by}, single=True)
+
+
+class ObjectSchema(Schema):
+    def __init__(self, keys: dict[str, Schema] | None = None):
+        super().__init__("object")
+        if keys:
+            self.terms["keys"] = dict(keys)
+
+    def keys(self, keys: dict[str, Schema]) -> "ObjectSchema":
+        s = self._clone()
+        s.terms.setdefault("keys", {}).update(keys)
+        return s
+
+    def append(self, keys: dict[str, Schema]) -> "ObjectSchema":
+        return self.keys(keys)
+
+    def _dep(self, rel: str, peers, **opts) -> "ObjectSchema":
+        s = self._clone()
+        s.terms.setdefault("dependencies", []).append({"rel": rel, "peers": list(peers), **opts})
+        return s
+
+    # dependency rules (lib/types/object.js:722-873)
+    def and_(self, *peers) -> "ObjectSchema":
+        return self._dep("and", peers)
+
+    def nand(self, *peers) -> "ObjectSchema":
+        return self._dep("nand", peers)
+
+    def or_(self, *peers) -> "ObjectSchema":
+        return self._dep("or", peers)
+
+    def xor(self, *peers) -> "ObjectSchema":
+        return self._dep("xor", peers)
+
+    def oxor(self, *peers) -> "ObjectSchema":
+        return self._dep("oxor", peers)
+
+    def with_(self, key: str, *peers) -> "ObjectSchema":
+        return self._dep("with", peers, key=key)
+
+    def without(self, key: str, *peers) -> "ObjectSchema":
+        return self._dep("without", peers, key=key)
+
+    def assert_(self, subject, schema: Schema, message: str | None = None) -> "ObjectSchema":
+        r = subject if isinstance(subject, Ref) else Ref(subject)
+        return self._rule("assert", {"ref": r, "schema": schema, "message": message})
+
+    def min(self, limit: int) -> "ObjectSchema":
+        return self._rule("min", {"limit": limit}, single=True)
+
+    def max(self, limit: int) -> "ObjectSchema":
+        return self._rule("max", {"limit": limit}, single=True)
+
+    def length(self, limit: int) -> "ObjectSchema":
+        return self._rule("length", {"limit": limit}, single=True)
+
+    def rename(self, from_: str, to: str) -> "ObjectSchema":
+        s = self._clone()
+        s.terms.setdefault("renames", []).append({"from": from_, "to": to})
+        return s
+
+    def unknown(self, allow: bool = True) -> "ObjectSchema":
+        return self._flag("unknown", allow)
+
+
+class AlternativesSchema(Schema):
+    def __init__(self):
+        super().__init__("alternatives")
+
+    def try_(self, *schemas: Schema) -> "AlternativesSchema":
+        s = self._clone()
+        s.terms.setdefault("matches", []).extend(schemas)
+        return s
+
+    def conditional(self, condition, *, is_=None, then=None, otherwise=None, switch=None) -> "AlternativesSchema":
+        return self.when(condition, is_=is_, then=then, otherwise=otherwise, switch=switch)
+
+
+class AnySchema(Schema):
+    def __init__(self):
+        super().__init__("any")
+
+
+# ---------------------------------------------------------------------------
+# module-level constructors (the `jr.string()` surface)
+
+
+def any_() -> AnySchema:
+    return AnySchema()
+
+
+def string() -> StringSchema:
+    return StringSchema()
+
+
+def number() -> NumberSchema:
+    return NumberSchema()
+
+
+def boolean() -> BooleanSchema:
+    return BooleanSchema()
+
+
+def date() -> DateSchema:
+    return DateSchema()
+
+
+def binary() -> BinarySchema:
+    return BinarySchema()
+
+
+def array() -> ArraySchema:
+    return ArraySchema()
+
+
+def object(keys: dict[str, Schema] | None = None) -> ObjectSchema:
+    return ObjectSchema(keys)
+
+
+def alternatives(*schemas: Schema) -> AlternativesSchema:
+    s = AlternativesSchema()
+    if schemas:
+        s = s.try_(*schemas)
+    return s
+
+
+_BUILDERS = {
+    "any": AnySchema,
+    "string": StringSchema,
+    "number": NumberSchema,
+    "boolean": BooleanSchema,
+    "date": DateSchema,
+    "binary": BinarySchema,
+    "array": ArraySchema,
+    "object": ObjectSchema,
+    "alternatives": AlternativesSchema,
+}
+
+
+def compile_literal(value) -> Schema:
+    """Literal sugar (``/root/reference/lib/compile.js:31-77``): a plain dict
+    becomes object().keys, a list of schemas alternatives().try, a scalar a
+    typed valid(x)."""
+    if isinstance(value, Schema):
+        return value
+    if isinstance(value, dict):
+        return ObjectSchema({k: compile_literal(v) for k, v in value.items()})
+    if isinstance(value, (list, tuple)):
+        return alternatives(*[compile_literal(v) for v in value])
+    if isinstance(value, str):
+        return string().valid(value)
+    if isinstance(value, bool):
+        return boolean().valid(value)
+    if isinstance(value, (int, float)):
+        return number().valid(value)
+    raise TypeError(f"cannot compile literal of type {type(value)}")
+
+
+def build(desc: dict) -> Schema:
+    """Reconstruct a Schema from its description — the ``Joi.build`` analog
+    (``/root/reference/lib/manifest.js:217-366``).  Round-trip invariant
+    ``build(s.describe()) == s`` is asserted throughout the test suite,
+    mirroring ``/root/reference/test/helper.js:25-27``."""
+    cls = _BUILDERS.get(desc["type"])
+    if cls is None:
+        raise ValueError(f"unknown type {desc['type']!r}")
+    s = cls() if cls is not ObjectSchema else ObjectSchema()
+    s.flags = _decode(desc.get("flags", {}))
+    s.rules = [
+        {**r, "args": _decode(r.get("args", {}))} for r in desc.get("rules", [])
+    ]
+    s.allow_vals = _decode(desc.get("allow", []))
+    s.invalid_vals = _decode(desc.get("invalid", []))
+    s.prefs = dict(desc.get("preferences", {}))
+    s.metas = dict(desc.get("metas", {}))
+    for name in ("items", "ordered", "matches"):
+        if name in desc:
+            s.terms[name] = [build(d) for d in desc[name]]
+    if "keys" in desc:
+        s.terms["keys"] = {k: build(v) for k, v in desc["keys"].items()}
+    if "whens" in desc:
+        s.terms["whens"] = [
+            {
+                k: (
+                    Ref(v["ref"])
+                    if k == "ref"
+                    else (
+                        build(v)
+                        if k in ("then", "otherwise") and isinstance(v, dict) and "type" in v
+                        else (
+                            [
+                                {
+                                    kk: (build(vv) if kk in ("then", "otherwise") else _decode(vv))
+                                    for kk, vv in sw.items()
+                                }
+                                for sw in v
+                            ]
+                            if k == "switch"
+                            else _decode(v)
+                        )
+                    )
+                )
+                for k, v in w.items()
+            }
+            for w in desc["whens"]
+        ]
+    for name in ("dependencies", "renames", "replacements", "truthy", "falsy"):
+        if name in desc:
+            s.terms[name] = _decode(desc[name])
+    return s
+
+
+def from_json(text: str) -> Schema:
+    return build(json.loads(text))
