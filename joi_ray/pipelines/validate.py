@@ -1,0 +1,511 @@
+"""Full validation pipeline over a Ray Dataset of documents.
+
+Design (SURVEY.md §3.4, §7) — Ray-Data-first, one expensive pass:
+
+    read (column-pruned) ──► ValidatorStage actor pool (map_batches, Arrow)
+        │   each batch -> violation rows
+        │              + one __stats__ row   (rows/failed counts)
+        │              + __sketch__ rows     (serialized ColumnStats partials)
+        │              + __catcounts__ rows  (categorical value counts)
+        ▼
+    write shard parquet (streaming) ──► driver finalize: split violations /
+    merge sketches, write summary.json, atomic rename, manifest mark
+
+    separate cheap passes:
+      uniqueness: id-column-only read -> per-batch partial counts
+                  -> groupby(key).sum -> filter >1        [the only shuffle]
+      referential: broadcast asset catalog (ray.put once, read per actor)
+                  checked inside the SAME main pass — no shuffle join
+
+Everything streams with backpressure; nothing materializes the input.  The
+per-batch partial count before the uniqueness groupby is the salting
+equivalent for hot keys: each batch contributes at most one row per key, so
+group sizes are bounded by the number of batches, not row counts.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..engine import VIOLATION_SCHEMA, CompiledSchema
+from ..kernels.util import as_bool_np
+from ..sketches import ColumnStats, TDigest, categorical_psi, hash64, ks_statistic, psi
+from ..spec import Schema, build
+from ..state.checkpoint import RunManifest
+
+META_SCHEMA = VIOLATION_SCHEMA  # meta rows reuse the violation layout
+
+
+def _extract_stat_values(tbl: pa.Table, path: str):
+    """Resolve a stats path: 'col', 'col.len' (list length), or
+    'listcol.field' (flattened struct field)."""
+    if path.endswith(".len"):
+        col = tbl[path[:-4]].combine_chunks()
+        return pc.list_value_length(col), True
+    if "." in path:
+        col_name, fld = path.split(".", 1)
+        col = tbl[col_name].combine_chunks()
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            flat = pc.list_flatten(col)
+            for part in fld.split("."):
+                flat = pc.struct_field(flat, part)
+            return flat, pa.types.is_integer(flat.type) or pa.types.is_floating(flat.type)
+        out = col
+        for part in fld.split("."):
+            out = pc.struct_field(out, part)
+        return out, pa.types.is_integer(out.type) or pa.types.is_floating(out.type)
+    col = tbl[path].combine_chunks()
+    return col, pa.types.is_integer(col.type) or pa.types.is_floating(col.type)
+
+
+def _meta_row(path: str, code: str, context: str) -> dict:
+    return {
+        "doc_id": None,
+        "row": -1,
+        "path": path,
+        "item_index": -1,
+        "code": code,
+        "message": "",
+        "context": context,
+        "severity": "meta",
+    }
+
+
+class ValidatorStage:
+    """Actor-pool stage: compiled schema + broadcast catalog held per actor
+    (setup once in ``__init__`` — the analog of joi precompiling regexes at
+    schema build, ``/root/reference/lib/types/string/index.js:298-300``).
+
+    Output per batch: violation rows + meta rows (stats / sketches)."""
+
+    def __init__(
+        self,
+        spec_json: str,
+        prefs: dict,
+        id_column: str,
+        catalog_ref=None,
+        ref_path: str | None = None,
+        stats_numeric: list[str] | None = None,
+        stats_categorical: list[str] | None = None,
+        stats_id: list[str] | None = None,
+    ):
+        import ray
+
+        self.compiled = CompiledSchema(json.loads(spec_json), prefs, id_column)
+        self.id_column = id_column
+        self.ref_path = ref_path
+        self.catalog = None
+        if catalog_ref is not None:
+            cat = ray.get(catalog_ref)
+            self.catalog = cat.combine_chunks() if isinstance(cat, pa.ChunkedArray) else cat
+        self.stats_numeric = stats_numeric or []
+        self.stats_categorical = stats_categorical or []
+        self.stats_id = stats_id or []
+
+    def _referential(self, tbl: pa.Table, failed: np.ndarray) -> pa.Table | None:
+        """Broadcast semi-anti-join: flatten the ref path, ``pc.is_in``
+        against the catalog array — no shuffle."""
+        if self.catalog is None or self.ref_path is None:
+            return None
+        col_name, fld = self.ref_path.split(".", 1)
+        col = tbl[col_name].combine_chunks()
+        flat = pc.list_flatten(col)
+        for part in fld.split("."):
+            flat = pc.struct_field(flat, part)
+        parents = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+        present = pc.is_valid(flat)
+        known = pc.is_in(flat, value_set=self.catalog)
+        missing = as_bool_np(pc.and_(present, pc.invert(known)), len(flat))
+        if not missing.any():
+            return None
+        rows = parents[missing]
+        failed[rows] = True
+        if len(parents):
+            change = np.r_[True, parents[1:] != parents[:-1]]
+            grp_start = np.maximum.accumulate(np.where(change, np.arange(len(parents)), 0))
+            positions = (np.arange(len(parents)) - grp_start).astype(np.int32)
+        else:
+            positions = parents.astype(np.int32)
+        ids = tbl[self.id_column].combine_chunks()
+        if not pa.types.is_string(ids.type):
+            ids = pc.cast(ids, pa.string())
+        k = int(missing.sum())
+        return pa.table(
+            {
+                "doc_id": ids.take(pa.array(rows)),
+                "row": pa.array(rows.astype(np.int64)),
+                "path": pa.array([self.ref_path] * k),
+                "item_index": pa.array(positions[missing]),
+                "code": pa.array(["referential.missing"] * k),
+                "message": pa.array([f'"{self.ref_path}" references an asset missing from the catalog'] * k),
+                "context": pa.array(["{}"] * k),
+                "severity": pa.array(["error"] * k),
+            },
+            schema=VIOLATION_SCHEMA,
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        res = self.compiled.validate_table(batch)
+        failed = ~res.ok
+        parts = [res.violations] if res.violations.num_rows else []
+        ref_viol = self._referential(batch, failed)
+        if ref_viol is not None:
+            parts.append(ref_viol)
+
+        meta: list[dict] = []
+        meta.append(
+            _meta_row(
+                "__stats__",
+                "__stats__",
+                json.dumps({"rows": batch.num_rows, "failed": int(failed.sum())}),
+            )
+        )
+        for path in self.stats_numeric:
+            vals, _ = _extract_stat_values(batch, path)
+            cs = ColumnStats()
+            v = vals.to_numpy(zero_copy_only=False).astype(np.float64)
+            cs.update(vals.to_pandas(), numeric_values=v)
+            meta.append(_meta_row(path, "__sketch__", cs.to_bytes().decode()))
+        for path in self.stats_id:
+            vals, _ = _extract_stat_values(batch, path)
+            cs = ColumnStats()
+            cs.update(vals.to_pandas())
+            meta.append(_meta_row(path, "__sketch__", cs.to_bytes().decode()))
+        for path in self.stats_categorical:
+            vals, _ = _extract_stat_values(batch, path)
+            counts = pc.value_counts(vals)
+            d = {
+                str(v): int(c)
+                for v, c in zip(counts.field("values").to_pylist(), counts.field("counts").to_pylist())
+            }
+            meta.append(_meta_row(path, "__catcounts__", json.dumps(d, sort_keys=True)))
+        parts.append(pa.Table.from_pylist(meta, schema=META_SCHEMA))
+        return pa.concat_tables(parts)
+
+
+# ==========================================================================
+# uniqueness: the one legitimate shuffle
+
+
+def uniqueness_pass(ds, key: str = "doc_id"):
+    """Dataset-level duplicate detection: per-batch partial counts (the
+    hot-key salting equivalent — each batch emits ≤1 row per key) followed by
+    a small groupby-sum shuffle; returns a Dataset of (key, n) with n>1.
+
+    SURVEY.md §7.3: shuffle key = hash(doc_id); two-phase aggregation."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        col = batch[key].combine_chunks()
+        vc = pc.value_counts(pc.fill_null(col, "\x00__null__"))
+        return pa.table(
+            {
+                key: vc.field("values"),
+                "partial_n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_counts, batch_format="pyarrow")
+    totals = partials.groupby(key).aggregate(Sum("partial_n", alias_name="n"))
+    dups = totals.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
+    )
+    return dups
+
+
+# ==========================================================================
+# driver-side orchestration
+
+
+@dataclass
+class ValidationReport:
+    out_dir: str
+    rows: int = 0
+    failed: int = 0
+    codes: dict = field(default_factory=dict)
+    shards: int = 0
+    duplicates: int = 0
+    duplicate_rows_excess: int = 0
+    snapshot: dict = field(default_factory=dict)
+    drift: dict = field(default_factory=dict)
+    passed: bool = True
+    wall_s: float = 0.0
+
+    def to_dict(self) -> dict:
+        return {
+            "rows": self.rows,
+            "failed": self.failed,
+            "codes": self.codes,
+            "shards": self.shards,
+            "duplicates": self.duplicates,
+            "duplicate_rows_excess": self.duplicate_rows_excess,
+            "drift": self.drift,
+            "passed": self.passed,
+            "wall_s": round(self.wall_s, 3),
+        }
+
+
+def _finalize_shard(tmp_out: str, shard_dir_tmp: str):
+    """Split the mixed (violations + meta) parquet written by the streaming
+    pass into violations.parquet (deterministically sorted) + summary.json."""
+    import duckdb
+
+    os.makedirs(shard_dir_tmp, exist_ok=True)
+    con = duckdb.connect()
+    files = os.path.join(tmp_out, "*.parquet")
+    con.sql(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{files}')
+          WHERE severity != 'meta'
+          ORDER BY doc_id NULLS FIRST, path, code, item_index, row
+        ) TO '{shard_dir_tmp}/violations.parquet' (FORMAT PARQUET)
+        """
+    )
+    stats_rows = con.sql(
+        f"SELECT path, code, context FROM read_parquet('{files}') WHERE severity = 'meta'"
+    ).fetchall()
+    rows = failed = 0
+    sketches: dict[str, ColumnStats] = {}
+    catcounts: dict[str, dict] = {}
+    for path, code, context in stats_rows:
+        if code == "__stats__":
+            d = json.loads(context)
+            rows += d["rows"]
+            failed += d["failed"]
+        elif code == "__sketch__":
+            cs = ColumnStats.from_bytes(context.encode())
+            sketches[path] = sketches[path].merge(cs) if path in sketches else cs
+        elif code == "__catcounts__":
+            d = json.loads(context)
+            agg = catcounts.setdefault(path, {})
+            for k, v in d.items():
+                agg[k] = agg.get(k, 0) + v
+    code_counts = {
+        c: int(n)
+        for c, n in con.sql(
+            f"SELECT code, count(*) FROM read_parquet('{files}') WHERE severity != 'meta' GROUP BY code ORDER BY code"
+        ).fetchall()
+    }
+    con.close()
+    summary = {
+        "rows": rows,
+        "failed": failed,
+        "codes": code_counts,
+        "sketches": {p: s.to_dict() for p, s in sketches.items()},
+        "catcounts": catcounts,
+    }
+    with open(os.path.join(shard_dir_tmp, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1, sort_keys=True)
+    return summary
+
+
+def validate_dataset(
+    shard_factories: list[Callable[[], "ray.data.Dataset"]] | None = None,
+    *,
+    schema: Schema | dict,
+    out_dir: str,
+    id_column: str = "doc_id",
+    prefs: dict | None = None,
+    catalog: pa.Table | None = None,
+    catalog_key: str = "media_ref",
+    ref_path: str | None = None,
+    stats_numeric: list[str] | None = None,
+    stats_categorical: list[str] | None = None,
+    stats_id: list[str] | None = None,
+    unique_key: str | None = "doc_id",
+    unique_ds_factory: Optional[Callable[[], "ray.data.Dataset"]] = None,
+    baseline_snapshot: dict | None = None,
+    drift_thresholds: dict | None = None,
+    resume: bool = True,
+    concurrency: int | tuple | None = None,
+    batch_size: int = 8192,
+    num_cpus: float = 1.0,
+) -> ValidationReport:
+    """Run the full pass (schema + referential + stats sketches) shard by
+    shard with checkpoint/resume, then uniqueness, then drift; write
+    violations + summaries + snapshot + report under ``out_dir``."""
+    import ray
+
+    t0 = time.time()
+    if isinstance(schema, Schema):
+        spec_json = schema.to_json()
+    else:
+        spec_json = json.dumps(schema)
+    eff_prefs = {"abort_early": False, **(prefs or {})}
+    manifest = RunManifest(out_dir)
+    if not resume:
+        manifest.reset()
+
+    catalog_ref = None
+    if catalog is not None:
+        cat_col = catalog[catalog_key].combine_chunks() if isinstance(catalog, pa.Table) else catalog
+        catalog_ref = ray.put(cat_col)  # broadcast once; actors ray.get in __init__
+
+    if concurrency is None:
+        total_cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(2, int(total_cpus - 2))
+
+    report = ValidationReport(out_dir=out_dir)
+    fn_kwargs = dict(
+        spec_json=spec_json,
+        prefs=eff_prefs,
+        id_column=id_column,
+        catalog_ref=catalog_ref,
+        ref_path=ref_path,
+        stats_numeric=stats_numeric,
+        stats_categorical=stats_categorical,
+        stats_id=stats_id,
+    )
+
+    for shard_id, factory in enumerate(shard_factories):
+        if manifest.shard_done(shard_id):
+            continue
+        ds = factory()
+        out = ds.map_batches(
+            ValidatorStage,
+            fn_constructor_kwargs=fn_kwargs,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=num_cpus,
+        )
+        tmp_stream = os.path.join(out_dir, f".stream-{shard_id:04d}")
+        if os.path.exists(tmp_stream):
+            import shutil
+
+            shutil.rmtree(tmp_stream)
+        out.write_parquet(tmp_stream)
+        shard_tmp = manifest.shard_dir(shard_id) + ".tmp"
+        summary = _finalize_shard(tmp_stream, shard_tmp)
+        manifest.finalize_shard_dir(shard_id, shard_tmp)
+        import shutil
+
+        shutil.rmtree(tmp_stream, ignore_errors=True)
+        manifest.mark_shard(
+            shard_id,
+            inputs=[],
+            metrics={"rows": summary["rows"], "failed": summary["failed"]},
+        )
+
+    # merge shard summaries
+    merged_sketches: dict[str, ColumnStats] = {}
+    merged_cats: dict[str, dict] = {}
+    for shard_id in manifest.completed_shards():
+        with open(os.path.join(manifest.shard_dir(shard_id), "summary.json")) as f:
+            s = json.load(f)
+        report.rows += s["rows"]
+        report.failed += s["failed"]
+        for c, n in s["codes"].items():
+            report.codes[c] = report.codes.get(c, 0) + n
+        for p, d in s.get("sketches", {}).items():
+            cs = ColumnStats.from_dict(d)
+            merged_sketches[p] = merged_sketches[p].merge(cs) if p in merged_sketches else cs
+        for p, d in s.get("catcounts", {}).items():
+            agg = merged_cats.setdefault(p, {})
+            for k, v in d.items():
+                agg[k] = agg.get(k, 0) + v
+    report.shards = len(manifest.completed_shards())
+
+    # uniqueness shuffle
+    if unique_key and unique_ds_factory is not None:
+        dup_dir = os.path.join(out_dir, "uniqueness")
+        if not manifest.stage_done("uniqueness"):
+            dups = uniqueness_pass(unique_ds_factory(), unique_key)
+            os.makedirs(dup_dir, exist_ok=True)
+            dups.write_parquet(dup_dir)
+            manifest.mark_stage("uniqueness", {})
+        import duckdb
+
+        con = duckdb.connect()
+        dup_files = os.path.join(dup_dir, "*.parquet")
+        try:
+            k, excess = con.sql(
+                f"SELECT count(*), coalesce(sum(n-1),0) FROM read_parquet('{dup_files}')"
+            ).fetchone()
+        except duckdb.IOException:
+            k, excess = 0, 0
+        con.close()
+        report.duplicates = int(k)
+        report.duplicate_rows_excess = int(excess)
+        if k:
+            report.codes["unique.duplicate"] = int(excess)
+
+    # snapshot + drift
+    snapshot = {
+        "columns": {p: s.to_dict() for p, s in merged_sketches.items()},
+        "categorical": merged_cats,
+        "rows": report.rows,
+    }
+    with open(os.path.join(out_dir, "snapshot.json"), "w") as f:
+        json.dump(snapshot, f, indent=1, sort_keys=True)
+    report.snapshot = snapshot
+
+    thresholds = {"ks": 0.15, "psi": 0.2, **(drift_thresholds or {})}
+    if baseline_snapshot:
+        drift = {}
+        base_cols = baseline_snapshot.get("columns", {})
+        for p, s in merged_sketches.items():
+            if p in base_cols and base_cols[p].get("tdigest_b64") and s.numeric:
+                base_td = TDigest.from_bytes(
+                    __import__("base64").b64decode(base_cols[p]["tdigest_b64"])
+                )
+                drift[p] = {
+                    "ks": round(ks_statistic(base_td, s.tdigest), 5),
+                    "psi": round(psi(base_td, s.tdigest), 5),
+                }
+        for p, counts in merged_cats.items():
+            base = baseline_snapshot.get("categorical", {}).get(p)
+            if base:
+                drift[p] = {"psi": round(categorical_psi(base, counts), 5)}
+        report.drift = drift
+        for p, d in drift.items():
+            if d.get("ks", 0) > thresholds["ks"] or d.get("psi", 0) > thresholds["psi"]:
+                report.codes[f"drift.{p}"] = report.codes.get(f"drift.{p}", 0) + 1
+
+    report.passed = report.failed == 0 and report.duplicates == 0 and not any(
+        k.startswith("drift.") for k in report.codes
+    )
+    report.wall_s = time.time() - t0
+    with open(os.path.join(out_dir, "report.json"), "w") as f:
+        json.dump(report.to_dict(), f, indent=1, sort_keys=True)
+    return report
+
+
+def validate_ds(ds, schema, *, id_column="doc_id", prefs=None, catalog=None, ref_path=None,
+                concurrency=4, batch_size=8192):
+    """Streaming one-shot convenience: returns the violations Dataset
+    (meta rows filtered out) without writing anything — for tests and
+    ``queries()`` entries."""
+    import ray
+
+    spec_json = schema.to_json() if isinstance(schema, Schema) else json.dumps(schema)
+    catalog_ref = None
+    if catalog is not None:
+        col = catalog if isinstance(catalog, (pa.Array, pa.ChunkedArray)) else catalog["media_ref"].combine_chunks()
+        catalog_ref = ray.put(col)
+    out = ds.map_batches(
+        ValidatorStage,
+        fn_constructor_kwargs=dict(
+            spec_json=spec_json,
+            prefs={"abort_early": False, **(prefs or {})},
+            id_column=id_column,
+            catalog_ref=catalog_ref,
+            ref_path=ref_path,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return out.map_batches(
+        lambda t: t.filter(pc.not_equal(t["severity"], "meta")), batch_format="pyarrow"
+    )
