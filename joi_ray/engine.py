@@ -259,8 +259,16 @@ def _coerce(node: CNode, arr: pa.Array, env: Env):
         return k_scalars.coerce_binary(arr, env, node.flags)
     if t == "string":
         if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type) or pa.types.is_null(arr.type):
-            if node.replacements and env.convert and not pa.types.is_null(arr.type):
-                arr = k_strings.apply_replacements(arr, node.replacements)
+            if env.convert and not pa.types.is_null(arr.type):
+                if node.replacements:
+                    arr = k_strings.apply_replacements(arr, node.replacements)
+                if node.flags.get("truncate"):
+                    # truncate runs at coerce time, before max checks
+                    # (string/index.js:68-135 pipeline order)
+                    for r in node.schema.rules:
+                        if r["name"] == "max" and not hasattr(r["args"]["limit"], "kind"):
+                            arr = k_strings.truncate_to(arr, int(r["args"]["limit"]))
+                            break
             return arr, zeros
         return arr, ~null_mask(arr)
     if t == "array":
@@ -268,11 +276,15 @@ def _coerce(node: CNode, arr: pa.Array, env: Env):
             return arr, zeros
         if node.flags.get("single") and not pa.types.is_list(arr.type):
             # wrap scalars into 1-item lists (array.js:66-85 `single`)
-            lengths = np.where(null_mask(arr), 0, 1).astype(np.int32)
-            offsets = np.zeros(n + 1, dtype=np.int32)
+            nulls = null_mask(arr)
+            lengths = np.where(nulls, 0, 1).astype(np.int32)
+            offsets = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(lengths, out=offsets[1:])
             values = arr.filter(pc.is_valid(arr))
-            out = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), values)
+            # null offset entries -> null list rows (preserves missingness)
+            off_list = offsets[:-1].tolist()
+            off_py = [None if nulls[i] else int(off_list[i]) for i in range(n)] + [int(offsets[-1])]
+            out = pa.ListArray.from_arrays(pa.array(off_py, type=pa.int32()), values)
             return out, zeros
         return arr, ~null_mask(arr)
     if t == "object":
@@ -296,6 +308,10 @@ def eval_node(
     n = len(arr)
     if scope is None:
         scope = np.ones(n, dtype=bool)
+
+    # schema-local prefs override call prefs (lib/validator.js:116-118,433-448)
+    if node.schema.prefs:
+        env = Env({**env.prefs, **node.schema.prefs}, env._resolve_sibling, env.ancestors)
 
     # ---- conditionals: branch per row, each branch = base.concat(branch)
     if node.whens:
@@ -350,6 +366,8 @@ def eval_node(
     def add_err(code, mask, ctx=None, seq=10_000, warn=False, message=None, item_rows=None, item_index=None, path_override=None):
         mask = mask & scope
         p = path_override if path_override is not None else path
+        if "label" in node.flags and path_override is None:
+            ctx = {**(ctx or {}), "label": node.flags["label"]}
         if item_rows is not None:
             keep = scope[item_rows]
             item_rows, item_index = item_rows[keep], item_index[keep]
@@ -408,6 +426,12 @@ def eval_node(
     # ---- base type errors from coercion
     add_err(f"{node.type}.base", base_fail & ~resolved, seq=-1)
 
+    # ---- number base checks: NaN / Infinity / unsafe magnitude
+    if node.type == "number" and (pa.types.is_floating(arr.type) or pa.types.is_integer(arr.type)):
+        arr, base_errs = k_numbers.base_check(arr, env, node.flags)
+        for code, mask, ctx in base_errs:
+            add_err(code, mask & ~missing & ~resolved, ctx, seq=-1)
+
     # ---- string base: empty string is an error (string/index.js:139-148)
     if node.type == "string" and (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
         allow_empty = any(v == "" for v in node.allow_static)
@@ -442,11 +466,6 @@ def eval_node(
         add_err(cr.code, bad, out.context, seq=cr.seq, warn=cr.warn, message=cr.message)
 
     # ---- finalize (lib/validator.js:351-430)
-    if node.flags.get("truncate") and node.type == "string":
-        for cr in node.rules:
-            if cr.name == "max" and env.convert:
-                arr = k_strings.truncate_to(arr, int(node.schema.rules[cr.seq]["args"]["limit"]))
-                break
     if "default" in node.flags and presence != "required":
         dv = node.flags["default"]
         fill_mask = missing & scope

@@ -1,0 +1,97 @@
+"""any-type base modifiers: presence, value sets, default/failover, empty,
+strip/raw, warnings, custom messages
+(reference: /root/reference/test/base.js, ~178 cases)."""
+
+import pyarrow as pa
+
+import joi_ray as jr
+from helper import check
+from joi_ray import compile_schema, object as obj
+
+
+def test_presence():
+    check(jr.string().required(), [("x", True), (None, False, "any.required")])
+    check(jr.string().optional(), [(None, True), ("x", True)])
+    check(jr.string().forbidden(), [(None, True), ("x", False, "any.unknown")])
+    # aliases
+    assert jr.string().exist().flags["presence"] == "required"
+
+
+def test_allow_valid_invalid():
+    check(jr.string().allow("z").min(5), [("z", True), ("abc", False, "string.min")])
+    check(jr.string().valid("a", "b"), [("a", True), ("c", False, "any.only")])
+    check(jr.string().invalid("bad"), [("bad", False, "any.invalid"), ("ok", True)])
+    # allow(None) permits missing even under required
+    check(jr.string().required().allow(None), [(None, True), ("x", True)])
+
+
+def test_default_failover():
+    res = check(jr.string().default("dflt"), [(None, True), ("x", True)])
+    assert res.value["x"].to_pylist() == ["dflt", "x"]
+    res = check(jr.number().min(10).failover(0), [(5.0, True), (11.0, True)])
+    assert res.value["x"].to_pylist() == [0.0, 11.0]  # failed row replaced, error cleared
+
+
+def test_empty():
+    check(jr.string().empty("").required(), [("", False, "any.required"), ("x", True)])
+    res = check(jr.string().empty("N/A").default("?"), [("N/A", True)])
+    assert res.value["x"].to_pylist() == ["?"]
+
+
+def test_strip_raw():
+    schema = obj({"a": jr.string().strip(), "b": jr.string().lowercase().raw()})
+    res = compile_schema(schema).validate_table(pa.table({"a": ["x"], "b": ["ABC"]}))
+    assert res.value.column_names == ["b"]
+    assert res.value["b"].to_pylist() == ["ABC"]  # raw: original, though validated lowercased
+
+
+def test_warnings_channel():
+    res = check(jr.string().min(3).warn(), [("ab", True)])  # warn -> row still ok
+    v = res.violations.to_pylist()
+    assert v and v[0]["severity"] == "warn" and v[0]["code"] == "string.min"
+    res = check(jr.string().warning("custom.note"), [("x", True)])
+    assert res.violations.to_pylist()[0]["code"] == "custom.note"
+
+
+def test_custom_message_and_label():
+    res = check(jr.string().min(5).message("too short!"), [("ab", False, "string.min")])
+    assert res.violations.to_pylist()[0]["message"] == "too short!"
+    res = check(jr.string().min(5).label("Name"), [("ab", False)])
+    assert '"Name"' in res.violations.to_pylist()[0]["message"]
+
+
+def test_concat_and_literal_sugar():
+    a = jr.string().min(2)
+    b = jr.string().max(4)
+    check(a.concat(b), [("abc", True), ("a", False, "string.min"), ("abcde", False, "string.max")])
+    lit = jr.compile_literal({"k": "fixed"})
+    assert lit.type == "object"
+    check(lit.terms["keys"]["k"], [("fixed", True), ("other", False, "any.only")])
+
+
+def test_context_ref():
+    check(
+        jr.number().min(jr.ref("$floor")),
+        [(5.0, True), (1.0, False, "number.min")],
+        prefs={"context": {"floor": 3}},
+    )
+
+
+def test_strict_prefs_on_node():
+    # schema-local prefs override call prefs (lib/validator.js:116-118)
+    check(jr.number().strict(), [("5", False, "number.base")])
+
+
+def test_cast():
+    res = check(jr.number().cast("string"), [(5.0, True)])
+    assert res.value["x"].to_pylist() == ["5"]
+    res = check(jr.boolean().cast("number"), [("true", True), ("false", True)])
+    assert res.value["x"].to_pylist() == [1, 0]
+
+
+def test_abort_early_row_semantics():
+    # abort_early=True (joi default): only the first error per row
+    res = check(jr.string().min(5).pattern(r"^\d+$"), [("ab", False, "string.min")], abort_early=True)
+    assert len(res.violations) == 1
+    res2 = check(jr.string().min(5).pattern(r"^\d+$"), [("ab", False, "string.min")], abort_early=False)
+    assert len(res2.violations) == 2

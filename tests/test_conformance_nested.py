@@ -1,0 +1,204 @@
+"""Array / object / alternatives / when conformance
+(reference: /root/reference/test/types/{array,object,alternatives}.js)."""
+
+import numpy as np
+import pyarrow as pa
+
+import joi_ray as jr
+from joi_ray import compile_schema, object as obj
+
+LIST_I64 = pa.list_(pa.int64())
+LIST_STR = pa.list_(pa.string())
+
+
+def vcheck(schema_root, tbl, expected_ok, prefs=None):
+    cs = compile_schema(schema_root, prefs={"abort_early": False, **(prefs or {})})
+    res = cs.validate_table(tbl)
+    assert list(res.ok) == expected_ok, res.violations.to_pylist()
+    return res
+
+
+# ---------------------------------------------------------------- array
+def test_array_length_rules():
+    t = pa.table({"x": pa.array([[1, 2], [1], [], None, [1, 2, 3]], type=LIST_I64)})
+    res = vcheck(obj({"x": jr.array().min(1).max(2)}), t, [True, True, False, True, False])
+    codes = {(v["row"], v["code"]) for v in res.violations.to_pylist()}
+    assert (2, "array.min") in codes and (4, "array.max") in codes
+
+
+def test_array_items_scalar():
+    t = pa.table({"x": pa.array([[1, 2], [1, -5], None], type=LIST_I64)})
+    res = vcheck(obj({"x": jr.array().items(jr.number().min(0))}), t, [True, False, True])
+    v = res.violations.to_pylist()[0]
+    assert v["code"] == "number.min" and v["item_index"] == 1
+
+
+def test_array_multi_items_first_match():
+    # each item must match one of the schemas
+    t = pa.table({"x": pa.array([["a", "1"], ["zzz"]], type=LIST_STR)})
+    schema = jr.array().items(jr.string().max(1), jr.string().pattern(r"^\d+$"))
+    res = vcheck(obj({"x": schema}), t, [True, False])
+    assert res.violations.to_pylist()[0]["code"] == "array.includes"
+
+
+def test_array_required_items():
+    # a required item schema must match at least once (array.includesRequiredUnknowns)
+    t = pa.table({"x": pa.array([["go", "stop"], ["x"]], type=LIST_STR)})
+    schema = jr.array().items(jr.string().valid("go").required(), jr.string())
+    vcheck(obj({"x": schema}), t, [True, False])
+
+
+def test_array_unique_within_row():
+    t = pa.table({"x": pa.array([[1, 2, 3], [1, 2, 1]], type=LIST_I64)})
+    res = vcheck(obj({"x": jr.array().unique()}), t, [True, False])
+    assert res.violations.to_pylist()[0]["code"] == "array.unique"
+
+
+def test_array_sparse_and_sort():
+    t = pa.table({"x": pa.array([[1, None, 2], [1, 2]], type=LIST_I64)})
+    vcheck(obj({"x": jr.array()}), t, [False, True])          # sparse forbidden by default
+    vcheck(obj({"x": jr.array().sparse()}), t, [True, True])  # allowed with flag
+    t2 = pa.table({"x": pa.array([[1, 2, 3], [3, 1, 2]], type=LIST_I64)})
+    res = vcheck(obj({"x": jr.array().sort()}), t2, [True, False])
+    assert res.violations.to_pylist()[0]["code"] == "array.sort"
+    vcheck(obj({"x": jr.array().sort(order="descending")}), t2, [False, False])
+
+
+def test_array_has_and_ordered():
+    t = pa.table({"x": pa.array([["a", "GO"], ["a", "b"]], type=LIST_STR)})
+    res = vcheck(obj({"x": jr.array().has(jr.string().valid("GO"))}), t, [True, False])
+    assert res.violations.to_pylist()[0]["code"] == "array.hasUnknown"
+    t2 = pa.table({"x": pa.array([["a", "1"], ["1", "a"]], type=LIST_STR)})
+    schema = jr.array().ordered(jr.string().pattern(r"^[a-z]$"), jr.string().pattern(r"^\d$"))
+    vcheck(obj({"x": schema}), t2, [True, False])
+    # beyond ordered length without items -> error
+    t3 = pa.table({"x": pa.array([["a", "1", "extra"]], type=LIST_STR)})
+    res = vcheck(obj({"x": schema}), t3, [False])
+    assert res.violations.to_pylist()[0]["code"] == "array.orderedLength"
+
+
+def test_array_single_wrap():
+    t = pa.table({"x": pa.array([1, 2, None], type=pa.int64())})
+    res = vcheck(obj({"x": jr.array().single().items(jr.number().min(2))}), t, [False, True, True])
+    assert res.value["x"].to_pylist() == [[1], [2], None]
+
+
+# ---------------------------------------------------------------- object (struct)
+STRUCT = pa.struct([("a", pa.string()), ("b", pa.int64())])
+
+
+def test_struct_keys():
+    t = pa.table({"x": pa.array([{"a": "hi", "b": 1}, {"a": None, "b": -1}, None], type=STRUCT)})
+    schema = jr.object({"a": jr.string().required(), "b": jr.number().min(0)})
+    res = vcheck(obj({"x": schema}), t, [True, False, True])
+    codes = sorted(v["code"] for v in res.violations.to_pylist())
+    assert codes == ["any.required", "number.min"]
+    paths = sorted(v["path"] for v in res.violations.to_pylist())
+    assert paths == ["x.a", "x.b"]
+
+
+def test_struct_required_object_itself():
+    t = pa.table({"x": pa.array([None, {"a": "v", "b": 0}], type=STRUCT)})
+    vcheck(obj({"x": jr.object({"a": jr.string()}).required()}), t, [False, True], prefs={"allow_unknown": True})
+
+
+def test_dependencies_top_level():
+    t = pa.table({"a": ["x", None, "x", None], "b": ["y", "y", None, None]})
+    vcheck(obj({"a": jr.string(), "b": jr.string()}).and_("a", "b"), t, [True, False, False, True])
+    vcheck(obj({"a": jr.string(), "b": jr.string()}).or_("a", "b"), t, [True, True, True, False])
+    vcheck(obj({"a": jr.string(), "b": jr.string()}).xor("a", "b"), t, [False, True, True, False])
+    vcheck(obj({"a": jr.string(), "b": jr.string()}).oxor("a", "b"), t, [False, True, True, True])
+    vcheck(obj({"a": jr.string(), "b": jr.string()}).nand("a", "b"), t, [False, True, True, True])
+    vcheck(obj({"a": jr.string(), "b": jr.string()}).with_("a", "b"), t, [True, True, False, True])
+    vcheck(obj({"a": jr.string(), "b": jr.string()}).without("a", "b"), t, [False, True, True, True])
+
+
+def test_object_assert_and_counts():
+    t = pa.table({"a": [5.0, 1.0], "b": [3.0, 3.0]})
+    root = obj({"a": jr.number(), "b": jr.number()}).assert_("a", jr.number().min(jr.ref("b")))
+    # NOTE: assert ref resolves 'a' against siblings; a >= b
+    res = compile_schema(root, prefs={"abort_early": False}).validate_table(t)
+    assert list(res.ok) == [True, False]
+    # key-count rules on a struct column
+    t2 = pa.table({"x": pa.array([{"a": "1", "b": 2}, {"a": None, "b": 2}], type=STRUCT)})
+    vcheck(obj({"x": jr.object({"a": jr.string(), "b": jr.number()}).min(2)}), t2, [True, False])
+
+
+def test_rename_and_unknown():
+    t = pa.table({"old": ["v"], "keep": [1.0]})
+    root = obj({"new": jr.string().required(), "keep": jr.number()}).rename("old", "new")
+    res = compile_schema(root).validate_table(t)
+    assert list(res.ok) == [True]
+    assert "new" in res.value.column_names
+
+
+# ---------------------------------------------------------------- alternatives / when
+def test_alternatives_try():
+    t = pa.table({"x": ["abc", "zz", "abcdef"]})
+    root = obj({"x": jr.alternatives(jr.string().length(3), jr.string().min(5))})
+    res = compile_schema(root, prefs={"abort_early": False}).validate_table(t)
+    assert list(res.ok) == [True, False, True]
+    assert res.violations.to_pylist()[0]["code"] == "alternatives.any"
+
+
+def test_when_switch():
+    t = pa.table({"kind": ["a", "b", "c", "a"], "v": ["1", "xx", "anything", "nope"]})
+    v_schema = jr.string().when(
+        "kind",
+        switch=[
+            {"is": "a", "then": jr.string().pattern(r"^\d+$")},
+            {"is": "b", "then": jr.string().length(2)},
+        ],
+    )
+    root = obj({"kind": jr.string(), "v": v_schema})
+    res = compile_schema(root, prefs={"abort_early": False}).validate_table(t)
+    assert list(res.ok) == [True, True, True, False]
+
+
+def test_when_is_schema_condition():
+    t = pa.table({"n": [5.0, 50.0], "v": [None, None]})
+    v_schema = jr.string().when("n", is_=jr.number().min(10), then=jr.string().required())
+    root = obj({"n": jr.number(), "v": v_schema})
+    res = compile_schema(root, prefs={"abort_early": False}).validate_table(t)
+    assert list(res.ok) == [True, False]
+
+
+def test_nested_list_of_struct_with_sibling_when():
+    span_t = pa.list_(pa.struct([("kind", pa.string()), ("text", pa.string())]))
+    t = pa.table(
+        {
+            "spans": pa.array(
+                [
+                    [{"kind": "text", "text": "hi"}],
+                    [{"kind": "text", "text": None}],
+                    [{"kind": "image", "text": None}],
+                    [{"kind": "image", "text": "bad"}],
+                ],
+                type=span_t,
+            )
+        }
+    )
+    span = jr.object(
+        {
+            "kind": jr.string().required(),
+            "text": jr.string().when("kind", is_="text", then=jr.string().required(), otherwise=jr.string().forbidden()),
+        }
+    )
+    res = compile_schema(obj({"spans": jr.array().items(span)}), prefs={"abort_early": False}).validate_table(t)
+    assert list(res.ok) == [True, False, True, False]
+
+
+def test_deterministic_violations_across_row_order():
+    rng = np.random.default_rng(7)
+    n = 200
+    vals = [f"v{i}" if i % 5 else "" for i in range(n)]
+    ids = [f"id{i:04d}" for i in range(n)]
+    t = pa.table({"id": ids, "x": vals})
+    root = obj({"id": jr.string(), "x": jr.string().min(1)})
+    cs = compile_schema(root, prefs={"abort_early": False}, id_column="id")
+    base = cs.validate_table(t).violations.to_pylist()
+    perm = rng.permutation(n)
+    t2 = t.take(pa.array(perm))
+    shuf = cs.validate_table(t2).violations.to_pylist()
+    key = lambda v: (v["doc_id"], v["path"], v["code"], v["item_index"])
+    assert sorted(map(key, base)) == sorted(map(key, shuf))
