@@ -1,44 +1,691 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the joi_ray validation engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship interleaved-document validation on sf0.001.
+``queries()`` exposes one entry per operator family from SURVEY.md §2 plus
+the training-data ops; ``oracle_sql()`` gives the DuckDB-equivalent SQL for
+every SQL-expressible query (same column names, rounded floats).  Ray is
+initialised by the driver — nothing here calls ray.init/shutdown.
 """
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+# --------------------------------------------------------------------------
+# helpers
+
+
+def _py_round(tbl: pa.Table, cols: dict[str, int]) -> pa.Table:
+    """Exact decimal rounding via Python round() on small final tables —
+    pc.round/np.round produce different nearest-doubles than DuckDB's ROUND,
+    which breaks the driver's value-hash compare."""
+    out = {}
+    for name in tbl.column_names:
+        if name in cols:
+            out[name] = pa.array(
+                [None if v is None else round(v, cols[name]) for v in tbl[name].to_pylist()],
+                pa.float64(),
+            )
+        else:
+            out[name] = tbl[name]
+    return pa.table(out)
+
+
+def _docs_ds(sf_dir: str, repeat: int = 1):
+    from joi_ray.sources.interleaved import read_interleaved
+
+    return read_interleaved(sf_dir, repeat=repeat)
+
+
+def _violations(sf_dir: str):
+    from joi_ray.pipelines.docs import document_schema
+    from joi_ray.pipelines.validate import validate_ds
+    from joi_ray.sources.interleaved import asset_catalog
+
+    return validate_ds(
+        _docs_ds(sf_dir),
+        document_schema(),
+        catalog=asset_catalog(),
+        ref_path="spans.media_ref",
+        concurrency=2,
+        batch_size=4096,
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full schema + referential validation of the interleaved
+    documents derived from sf0.001; returns the violations Dataset."""
+    return _violations("/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------
+# queries
+
+
+def _q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style grouped aggregate: per-batch partials -> small groupby
+    (SURVEY.md §2.6 aggregation mapping)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("disc_price", disc)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("disc_price", "sum"), ("l_quantity", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "p_qty", "p_base", "p_disc", "p_n"]
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("p_qty", alias_name="s_qty"),
+            Sum("p_base", alias_name="s_base"),
+            Sum("p_disc", alias_name="s_disc"),
+            Sum("p_n", alias_name="n"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": t["s_qty"],
+                "sum_base_price": t["s_base"],
+                "sum_disc_price": t["s_disc"],
+                "count_order": pc.cast(t["n"], pa.int64()),
+            }
+        )
+        return _py_round(out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _val_counts(sf_dir: str, table: str, schema, columns: list[str]):
+    """Validate a testdata table against a column schema -> (path, code, n)."""
+    import ray.data as rd
+
+    from joi_ray.pipelines.validate import validate_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    viol = validate_ds(ds, schema, id_column=None, concurrency=2)
+    df = viol.to_pandas()
+    df = df[df["severity"] == "error"]
+    out = df.groupby(["path", "code"], as_index=False).size().rename(columns={"size": "n"})
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out[["path", "code", "n"]], preserve_index=False)
+
+
+def _q_val_lineitem(sf_dir: str):
+    import joi_ray as jr
+
+    schema = jr.object(
+        {
+            "l_quantity": jr.number().required().min(2).max(49),
+            "l_discount": jr.number().required().min(0).max(0.08),
+            "l_shipdate": jr.date().required().max("1998-12-31"),
+        }
+    )
+    return _val_counts(sf_dir, "lineitem", schema, ["l_quantity", "l_discount", "l_shipdate"])
+
+
+def _q_val_documents(sf_dir: str):
+    import joi_ray as jr
+
+    schema = jr.object(
+        {
+            "doc_id": jr.number().required(),
+            "text": jr.string().required().min(50).max(520),
+            "lang": jr.string().required().valid("en", "zh", "es", "de", "fr"),
+            "source": jr.string().required().pattern(r"^src\d+$"),
+        }
+    )
+    return _val_counts(sf_dir, "documents", schema, ["doc_id", "text", "lang", "source"])
+
+
+def _q_uniqueness(sf_dir: str):
+    from joi_ray.pipelines.validate import uniqueness_pass
+
+    dups = uniqueness_pass(_docs_ds(sf_dir).select_columns(["doc_id"]))
+    return dups
+
+
+def _q_violation_counts(sf_dir: str):
+    df = _violations(sf_dir).to_pandas()
+    df = df[df["severity"] == "error"]
+    out = df.groupby("code", as_index=False).size().rename(columns={"size": "n"})
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out[["code", "n"]], preserve_index=False)
+
+
+def _q_span_stats(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = _docs_ds(sf_dir)
+
+    def partials(t: pa.Table) -> pa.Table:
+        lens = pc.list_value_length(t["spans"].combine_chunks())
+        return pa.table(
+            {
+                "p_total": pa.array([pc.sum(lens).as_py() or 0], type=pa.int64()),
+                "p_rows": pa.array([t.num_rows], type=pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partials, batch_format="pyarrow").aggregate(
+        Sum("p_total", alias_name="total"), Sum("p_rows", alias_name="rows")
+    )
+    total, rows = int(agg["total"]), int(agg["rows"])
+    return pa.table(
+        {
+            "total_spans": pa.array([total], pa.int64()),
+            "n_docs": pa.array([rows], pa.int64()),
+            "avg_spans": pa.array([round(total / rows, 4)], pa.float64()),
+        }
+    )
+
+
+def _q_referential(sf_dir: str):
+    """Broadcast anti-join counts: orders.o_custkey vs customer,
+    lineitem.l_partkey vs part."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])["c_custkey"]
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])["p_partkey"]
+    cust_ref, part_ref = ray.put(cust.combine_chunks()), ray.put(part.combine_chunks())
+
+    def miss_counts(t: pa.Table, ref, col) -> int:
+        keys = ray.get(ref)
+        known = pc.is_in(t[col].combine_chunks(), value_set=keys)
+        return int(pc.sum(pc.invert(known)).as_py() or 0)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    mo = orders.map_batches(
+        lambda t: pa.table({"m": pa.array([miss_counts(t, cust_ref, "o_custkey")], pa.int64())}),
+        batch_format="pyarrow",
+    ).aggregate(Sum("m", alias_name="s"))
+    mp = li.map_batches(
+        lambda t: pa.table({"m": pa.array([miss_counts(t, part_ref, "l_partkey")], pa.int64())}),
+        batch_format="pyarrow",
+    ).aggregate(Sum("m", alias_name="s"))
+    return pa.table(
+        {
+            "missing_customers": pa.array([int(mo["s"])], pa.int64()),
+            "missing_parts": pa.array([int(mp["s"])], pa.int64()),
+        }
+    )
+
+
+def _q_events_window(sf_dir: str):
+    """Tumbling 1-day windows per event_type (streaming-shaped workload)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def window_key(t: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(t["ts"].combine_chunks(), unit="day"), format="%Y-%m-%d")
+        return pa.table({"event_type": t["event_type"], "day": day, "value": t["value"]})
+
+    agg = (
+        ds.map_batches(window_key, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sv"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "event_type": t["event_type"],
+                "day": t["day"],
+                "n": pc.cast(t["n"], pa.int64()),
+                "sum_value": t["sv"],
+            }
+        )
+        return _py_round(out, {"sum_value": 2})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_join_mktsegment(sf_dir: str):
+    """Broadcast hash join (small side shipped once) + grouped aggregate."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    ref = ray.put(cust)
+
+    class JoinStage:
+        def __init__(self):
+            c = ray.get(ref)
+            self.seg = dict(zip(c["c_custkey"].to_pylist(), c["c_mktsegment"].to_pylist()))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["o_custkey"].to_pylist()
+            seg = pa.array([self.seg.get(k) for k in keys], pa.string())
+            g = (
+                t.append_column("c_mktsegment", seg)
+                .group_by("c_mktsegment")
+                .aggregate([("o_totalprice", "sum"), ("o_orderkey", "count")])
+            )
+            return g.rename_columns(["c_mktsegment", "p_rev", "p_n"])
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice", "o_orderkey"])
+    agg = (
+        orders.map_batches(JoinStage, batch_format="pyarrow", concurrency=2)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("p_rev", alias_name="s_rev"), Sum("p_n", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "revenue": t["s_rev"],
+                "n_orders": pc.cast(t["n"], pa.int64()),
+            }
+        )
+        return _py_round(out, {"revenue": 2})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_token_counts(sf_dir: str):
+    import ray.data as rd
+
+    from joi_ray.ops.text import token_count_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(token_count_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "ws_tokens"])
+
+
+def _q_ann_top5(sf_dir: str):
+    import ray.data as rd
+
+    from joi_ray.ops.similarity import ann_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    by_id = {v: i for i, v in enumerate(emb["vec_id"].to_pylist())}
+    qids = [0, 5]
+    queries = np.stack([np.asarray(emb["embedding"][by_id[q]].as_py(), dtype=np.float64) for q in qids])
+    ds = rd.from_arrow(emb)
+    top = ann_topk(ds, queries, k=5, concurrency=2).to_pandas()
+    top["query_id"] = top["query_id"].map(lambda i: qids[i]).astype("int64")
+    top["score"] = top["score"].round(4)
+    top = top.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+    return pa.Table.from_pandas(top[["query_id", "vec_id", "score"]], preserve_index=False)
+
+
+def _q_embedding_norms(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"])
+
+    def norms(t: pa.Table) -> pa.Table:
+        v = np.stack(t["embedding"].combine_chunks().to_numpy(zero_copy_only=False)).astype(np.float64)
+        return pa.table({"label": t["label"], "nrm": pa.array(np.linalg.norm(v, axis=1))})
+
+    agg = (
+        ds.map_batches(norms, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("nrm", alias_name="s"), Count(alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "label": pc.cast(t["label"], pa.int64()),
+                "avg_norm": pc.divide(t["s"], pc.cast(t["n"], pa.float64())),
+                "n": pc.cast(t["n"], pa.int64()),
+            }
+        )
+        return _py_round(out, {"avg_norm": 4})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_dedup_exact(sf_dir: str):
+    import ray.data as rd
+
+    from joi_ray.ops.dedup import exact_duplicate_groups
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    groups = exact_duplicate_groups(ds, "text", "doc_id")
+    t = pa.Table.from_pandas(groups.to_pandas(), preserve_index=False)
+    if t.num_rows == 0:
+        return pa.table({"keep_id": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+    return pa.table({"keep_id": pc.cast(t["keep_id"], pa.int64()), "n": pc.cast(t["n"], pa.int64())})
+
+
+def _q_stats_quantity(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["l_quantity"].combine_chunks()
+        u = pc.unique(col)
+        return pa.table(
+            {
+                "p_n": pa.array([len(col)], pa.int64()),
+                "p_nulls": pa.array([col.null_count], pa.int64()),
+                "p_min": pa.array([pc.min(col).as_py()], pa.float64()),
+                "p_max": pa.array([pc.max(col).as_py()], pa.float64()),
+                "p_sum": pa.array([pc.sum(col).as_py()], pa.float64()),
+                "p_uniq": pa.array([json.dumps(sorted(u.to_pylist()))], pa.string()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    uniq: set = set()
+    for p in parts:
+        uniq.update(json.loads(p["p_uniq"]))
+    n = sum(p["p_n"] for p in parts)
+    s = sum(p["p_sum"] for p in parts)
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "nulls": pa.array([sum(p["p_nulls"] for p in parts)], pa.int64()),
+            "min_q": pa.array([min(p["p_min"] for p in parts)], pa.float64()),
+            "max_q": pa.array([max(p["p_max"] for p in parts)], pa.float64()),
+            "sum_q": pa.array([round(s, 2)], pa.float64()),
+            "ndv_q": pa.array([len(uniq)], pa.int64()),
+        }
+    )
+
+
+def _q_quality_by_lang(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from joi_ray.ops.text import quality_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    scored = ds.map_batches(quality_batch, batch_format="pyarrow")
+    agg = scored.groupby("lang").aggregate(Sum("n_words", alias_name="sw"), Count(alias_name="n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n": pc.cast(t["n"], pa.int64()),
+                "sum_words": pc.cast(t["sw"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---- rows-only (non-SQL-expressible) queries
+
+
+def _q_flagship(sf_dir: str):
+    return _violations(sf_dir)
+
+
+def _q_minhash_pairs(sf_dir: str):
+    """Near-dup families: repeat-expanded docs share base text -> pairs."""
+    import ray.data as rd
+
+    from joi_ray.ops.dedup import minhash_duplicate_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out_i, out_t = [], []
+        for i, txt in zip(ids, texts):
+            for r in range(4):
+                out_i.append(f"{i}-r{r}")
+                out_t.append((txt or "") + f" tail variant {r}")
+        return pa.table({"doc_id": pa.array(out_i, pa.string()), "text": pa.array(out_t, pa.string())})
+
+    pairs = minhash_duplicate_pairs(ds.map_batches(expand, batch_format="pyarrow"), "text", "doc_id",
+                                    threshold=0.5, concurrency=2)
+    df = pairs.to_pandas()
+    return pa.table(
+        {
+            "n_pairs": pa.array([len(df)], pa.int64()),
+            "avg_est_jaccard": pa.array([round(float(df["est_jaccard"].mean()), 3) if len(df) else 0.0], pa.float64()),
+        }
+    )
+
+
+def _q_simhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from joi_ray.ops.dedup import simhash_duplicate_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        ids = [f"{i}-{r}" for i in t["doc_id"].to_pylist() for r in range(2)]
+        texts = [txt for txt in t["text"].to_pylist() for _ in range(2)]
+        return pa.table({"doc_id": pa.array(ids, pa.string()), "text": pa.array(texts, pa.string())})
+
+    pairs = simhash_duplicate_pairs(ds.map_batches(expand, batch_format="pyarrow"), "text", "doc_id", concurrency=2)
+    return pa.table({"n_pairs": pa.array([pairs.count()], pa.int64())})
+
+
+def _q_lang_distribution(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from joi_ray.ops.text import LangIdStage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    pred = ds.map_batches(LangIdStage, fn_constructor_kwargs={}, batch_format="pyarrow", concurrency=2)
+    return pred.groupby("lang_pred").aggregate(Count(alias_name="n"))
+
+
+def _q_drift(sf_dir: str):
+    """KS/PSI of doc length distributions: first half vs second half."""
+    import ray.data as rd
+
+    from joi_ray.sketches import TDigest, ks_statistic, psi
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    n = t.num_rows
+    a = TDigest().add(t["n_chars"].to_numpy()[: n // 2].astype(float))
+    b = TDigest().add(t["n_chars"].to_numpy()[n // 2 :].astype(float))
+    return pa.table(
+        {
+            "column": pa.array(["n_chars"], pa.string()),
+            "ks": pa.array([round(ks_statistic(a, b), 4)], pa.float64()),
+            "psi": pa.array([round(psi(a, b), 4)], pa.float64()),
+        }
+    )
+
+
+def _q_media_features(sf_dir: str):
+    from joi_ray.ops.multimodal import media_pipeline
+
+    media = media_pipeline(_docs_ds(sf_dir), concurrency=2, batch_size=512)
+    n = media.count()
+    return pa.table({"n_media": pa.array([n], pa.int64()), "feat_dim": pa.array([32], pa.int64())})
+
+
+def _q_embedding_dups(sf_dir: str):
+    import ray.data as rd
+
+    from joi_ray.ops.dedup import embedding_duplicate_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pairs = embedding_duplicate_pairs(ds, "embedding", "vec_id", threshold=0.99, concurrency=2)
+    return pa.table({"n_pairs": pa.array([pairs.count()], pa.int64())})
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "pricing_summary": _q_pricing_summary,
+        "val_lineitem_rules": _q_val_lineitem,
+        "val_document_rules": _q_val_documents,
+        "uniqueness_doc_id": _q_uniqueness,
+        "violation_counts": _q_violation_counts,
+        "span_stats": _q_span_stats,
+        "referential_keys": _q_referential,
+        "events_window": _q_events_window,
+        "join_mktsegment": _q_join_mktsegment,
+        "token_counts": _q_token_counts,
+        "ann_top5": _q_ann_top5,
+        "embedding_norms": _q_embedding_norms,
+        "dedup_exact": _q_dedup_exact,
+        "stats_quantity": _q_stats_quantity,
+        "quality_by_lang": _q_quality_by_lang,
+        # rows-only (non-SQL-expressible)
+        "flagship_validation": _q_flagship,
+        "minhash_near_dups": _q_minhash_pairs,
+        "simhash_near_dups": _q_simhash_pairs,
+        "lang_id_distribution": _q_lang_distribution,
+        "drift_halves": _q_drift,
+        "media_features": _q_media_features,
+        "embedding_near_dups": _q_embedding_dups,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_DOC_ID_SQL = """
+  CASE
+    WHEN doc_id % 1000 = 7 THEN NULL
+    WHEN doc_id % 1000 = 13 THEN 'DOC_' || CAST(doc_id AS VARCHAR)
+    WHEN doc_id % 100 = 99 THEN 'doc-ffffffff'
+    WHEN doc_id % 1000 = 21 THEN 'doc-' || lpad(lower(to_hex(doc_id - 1)), 8, '0')
+    ELSE 'doc-' || lpad(lower(to_hex(doc_id)), 8, '0')
+  END
+"""
+
+_N_SPANS_SQL = "CASE WHEN doc_id % 1000 = 29 THEN 0 ELSE 2 + (doc_id % 5) END"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "val_lineitem_rules": """
+            SELECT * FROM (
+              SELECT 'l_quantity' AS path, 'number.min' AS code, count(*) AS n FROM lineitem WHERE l_quantity < 2
+              UNION ALL SELECT 'l_quantity', 'number.max', count(*) FROM lineitem WHERE l_quantity > 49
+              UNION ALL SELECT 'l_discount', 'number.min', count(*) FROM lineitem WHERE l_discount < 0
+              UNION ALL SELECT 'l_discount', 'number.max', count(*) FROM lineitem WHERE l_discount > 0.08
+              UNION ALL SELECT 'l_shipdate', 'date.max', count(*) FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-12-31'
+            ) WHERE n > 0
+        """,
+        "val_document_rules": """
+            SELECT * FROM (
+              SELECT 'text' AS path, 'string.min' AS code, count(*) AS n FROM documents WHERE length(text) < 50
+              UNION ALL SELECT 'text', 'string.max', count(*) FROM documents WHERE length(text) > 520
+              UNION ALL SELECT 'lang', 'any.only', count(*) FROM documents WHERE lang NOT IN ('en','zh','es','de','fr')
+              UNION ALL SELECT 'source', 'string.pattern.base', count(*) FROM documents WHERE NOT regexp_matches(source, '^src[0-9]+$')
+            ) WHERE n > 0
+        """,
+        "uniqueness_doc_id": f"""
+            WITH did AS (SELECT {_DOC_ID_SQL} AS doc_id FROM documents)
+            SELECT doc_id, count(*) AS n FROM did WHERE doc_id IS NOT NULL
+            GROUP BY doc_id HAVING count(*) > 1
+        """,
+        "violation_counts": """
+            WITH m AS (SELECT doc_id % 1000 AS r FROM documents)
+            SELECT code, n FROM (
+              SELECT 'any.required' AS code,
+                     (SELECT count(*) FROM m WHERE r = 7) + (SELECT count(*) FROM m WHERE r = 35) AS n
+              UNION ALL SELECT 'string.pattern.base', (SELECT count(*) FROM m WHERE r = 13)
+              UNION ALL SELECT 'array.min', (SELECT count(*) FROM m WHERE r = 29)
+              UNION ALL SELECT 'any.only', (SELECT count(*) FROM m WHERE r = 35)
+              UNION ALL SELECT 'any.unknown', (SELECT count(*) FROM m WHERE r = 35)
+              UNION ALL SELECT 'string.empty', (SELECT count(*) FROM m WHERE r = 41)
+              UNION ALL SELECT 'string.min', (SELECT count(*) FROM m WHERE r = 41)
+              UNION ALL SELECT 'array.sort', (SELECT count(*) FROM m WHERE r = 53)
+              UNION ALL SELECT 'referential.missing', (SELECT count(*) FROM m WHERE r = 47)
+            ) WHERE n > 0
+        """,
+        "span_stats": f"""
+            SELECT sum(ns)::BIGINT AS total_spans, count(*)::BIGINT AS n_docs,
+                   round(sum(ns) / count(*), 4) AS avg_spans
+            FROM (SELECT {_N_SPANS_SQL} AS ns FROM documents)
+        """,
+        "referential_keys": """
+            SELECT
+              (SELECT count(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                WHERE c.c_custkey IS NULL)::BIGINT AS missing_customers,
+              (SELECT count(*) FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_partkey IS NULL)::BIGINT AS missing_parts
+        """,
+        "events_window": """
+            SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type, day
+        """,
+        "join_mktsegment": """
+            SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens
+            FROM documents
+        """,
+        "ann_top5": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0, 5))
+            SELECT query_id, e.vec_id,
+                   round(CAST(list_cosine_similarity(qe, e.embedding) AS DOUBLE), 4) AS score
+            FROM q CROSS JOIN embeddings e
+            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(qe, e.embedding) DESC, e.vec_id) <= 5
+        """,
+        "embedding_norms": """
+            SELECT label::BIGINT AS label,
+                   round(avg(sqrt(list_aggregate(list_transform(embedding, x -> x * x), 'sum'))), 4) AS avg_norm,
+                   count(*) AS n
+            FROM embeddings GROUP BY label
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS keep_id, count(*) AS n
+            FROM documents GROUP BY text HAVING count(*) > 1
+        """,
+        "stats_quantity": """
+            SELECT count(*) AS n,
+                   (count(*) - count(l_quantity))::BIGINT AS nulls,
+                   min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+                   round(sum(l_quantity), 2) AS sum_q,
+                   count(DISTINCT l_quantity) AS ndv_q
+            FROM lineitem
+        """,
+        "quality_by_lang": """
+            SELECT lang, count(*) AS n,
+                   sum(len(regexp_extract_all(text, '\\w+')))::BIGINT AS sum_words
+            FROM documents GROUP BY lang
+        """,
+    }

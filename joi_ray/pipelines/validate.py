@@ -206,7 +206,8 @@ def uniqueness_pass(ds, key: str = "doc_id"):
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         col = batch[key].combine_chunks()
-        vc = pc.value_counts(pc.fill_null(col, "\x00__null__"))
+        col = col.filter(pc.is_valid(col))  # null ids are presence errors, not duplicates
+        vc = pc.value_counts(col)
         return pa.table(
             {
                 key: vc.field("values"),

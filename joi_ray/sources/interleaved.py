@@ -67,14 +67,22 @@ def asset_catalog(missing_fraction: float = 0.0) -> pa.Table:
     return pa.table({"media_ref": _POOL, "kind": kinds, "size": sizes})
 
 
-def interleave_batch(batch: pa.Table) -> pa.Table:
+def interleave_batch(batch: pa.Table, repeat: int = 1) -> pa.Table:
     """Flat (doc_id:int64, text:string) -> interleaved (doc_id:string, spans).
 
     Fully vectorized: numpy index arithmetic builds the flat span arrays and
     a single ListArray.from_arrays assembles the column — no per-row Python.
+
+    ``repeat`` expands each flat row into ``repeat`` documents with distinct
+    ids (``id*repeat + r``) — the deterministic scale-up used by bench.py to
+    simulate large corpora from the small fixture (dirt rules apply to the
+    expanded id, so dirty fractions stay constant).
     """
     ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
     text = pc.fill_null(batch["text"].combine_chunks(), "")
+    if repeat > 1:
+        ids = (ids[:, None] * repeat + np.arange(repeat, dtype=np.int64)).reshape(-1)
+        text = text.take(pa.array(np.repeat(np.arange(len(batch), dtype=np.int64), repeat)))
     n = len(ids)
     m = ids % 1000
 
@@ -146,35 +154,46 @@ def interleave_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": pa.array(doc_id, type=pa.string()), "spans": spans})
 
 
-def read_interleaved(sf_dir: str, *, columns: list[str] | None = None, dirty: bool = True):
+def read_interleaved(sf_dir: str, *, columns: list[str] | None = None, repeat: int = 1,
+                     override_num_blocks: int | None = None):
     """Ray Dataset of interleaved documents derived from the flat testdata
     table.  ``columns`` prunes the *output* (doc_id-only reads skip span
     construction entirely — the analog of column pruning on a real table)."""
     import ray.data as rd
 
     src_cols = ["doc_id"] if columns == ["doc_id"] else ["doc_id", "text"]
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=src_cols)
+    kw = {"override_num_blocks": override_num_blocks} if override_num_blocks else {}
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=src_cols, **kw)
     if columns == ["doc_id"]:
 
         def ids_only(batch: pa.Table) -> pa.Table:
-            full = interleave_batch(
-                pa.table({"doc_id": batch["doc_id"], "text": pa.nulls(batch.num_rows, pa.string())})
-            )
-            return full.select(["doc_id"])
+            ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            if repeat > 1:
+                ids = (ids[:, None] * repeat + np.arange(repeat, dtype=np.int64)).reshape(-1)
+            m = ids % 1000
+            doc_id = np.array([f"doc-{int(i):08x}" for i in ids], dtype=object)
+            doc_id[m == 13] = np.array([f"DOC_{int(i)}" for i in ids[m == 13]], dtype=object)
+            dup = m == 21
+            doc_id[dup] = np.array([f"doc-{int(i - 1):08x}" for i in ids[dup]], dtype=object)
+            doc_id[ids % 100 == 99] = HOT_KEY
+            doc_id[m == 7] = None
+            return pa.table({"doc_id": pa.array(doc_id, type=pa.string())})
 
         return ds.map_batches(ids_only, batch_format="pyarrow")
-    out = ds.map_batches(interleave_batch, batch_format="pyarrow")
+    out = ds.map_batches(lambda b: interleave_batch(b, repeat), batch_format="pyarrow")
     if columns:
         out = out.select_columns(columns)
     return out
 
 
-def expected_dirty_counts(sf_dir: str) -> dict:
+def expected_dirty_counts(sf_dir: str, repeat: int = 1) -> dict:
     """Driver-side oracle: exact dirty-row counts by rule, computed from the
     flat id column only (cheap, duckdb-friendly)."""
     import pyarrow.parquet as pq
 
     ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy()
+    if repeat > 1:
+        ids = (ids[:, None] * repeat + np.arange(repeat, dtype=np.int64)).reshape(-1)
     m = ids % 1000
     return {
         "null_doc_id": int((m == 7).sum()),
