@@ -1,0 +1,210 @@
+"""Benchmark: headline pipelines over $GRAFT_SF_DIR (default sf0.1).
+
+Headline = the north-rule metric: validated docs/sec end-to-end (schema +
+referential + stats sketches + uniqueness) over the interleaved documents
+table, scaled up deterministically via the repeat factor (REPEAT env,
+default sized so sf0.1 -> ~600k docs / ~2.4M spans).
+
+Prints ONE JSON line:
+  {"metric": "validate_docs_per_sec", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ..., "rows": ...}
+
+--scaling: runs the headline twice in fresh processes (num_cpus=8 vs 32)
+on the same input and reports throughput at both + scaling efficiency
+(the in-sandbox evidence for the N->4N criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeat = int(os.environ.get("GRAFT_REPEAT", "120"))
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from joi_ray.pipelines.docs import DEFAULT_STATS, document_schema
+    from joi_ray.pipelines.validate import ValidatorStage, uniqueness_pass, validate_ds
+    from joi_ray.sources.interleaved import asset_catalog, read_interleaved
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows * repeat
+    queries: dict[str, float] = {}
+    # warm the page cache so we measure compute, not first-touch disk I/O
+    pq.read_table(f"{sf_dir}/documents.parquet")
+
+    # concurrency: leave headroom for read/reduce tasks
+    pool = max(2, num_cpus - 2)
+
+    # ---- headline: full validation pass (schema + referential + sketches)
+    t0 = time.time()
+    ds = read_interleaved(sf_dir, repeat=repeat, override_num_blocks=num_cpus * 4)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    from joi_ray.pipelines.validate import validator_fn
+
+    cat_ref = _ray.put(asset_catalog()["media_ref"].combine_chunks())
+    out = ds.map_batches(
+        validator_fn,
+        fn_kwargs=dict(
+            spec_json=document_schema().to_json(),
+            prefs={"abort_early": False},
+            id_column="doc_id",
+            catalog_ref=cat_ref,
+            ref_path="spans.media_ref",
+            stats_numeric=DEFAULT_STATS["numeric"],
+            stats_categorical=DEFAULT_STATS["categorical"],
+            stats_id=DEFAULT_STATS["id"],
+        ),
+        batch_format="pyarrow",
+        batch_size=8192,
+    )
+    total_viol = out.count()
+    t_validate = time.time() - t0
+    queries["validate_full"] = round(t_validate, 3)
+
+    # ---- uniqueness (hashed two-phase: int64 shuffle + exact verify)
+    t0 = time.time()
+    from joi_ray.pipelines.validate import uniqueness_pass_hashed
+
+    def ids_factory():
+        return read_interleaved(sf_dir, columns=["doc_id"], repeat=repeat, override_num_blocks=num_cpus * 4)
+
+    dups = uniqueness_pass_hashed(ids_factory)
+    n_dups = dups.count() if hasattr(dups, "count") else dups.num_rows
+    queries["uniqueness"] = round(time.time() - t0, 3)
+
+    # ---- text analysis sweep (langid + quality + tokens + fingerprint)
+    t0 = time.time()
+    import ray.data as rd
+
+    from joi_ray.ops.text import LangIdStage, fingerprint_batch, quality_batch, token_count_batch
+
+    flat = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        k = max(repeat // 10, 1)
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), k)
+        return t.take(pa.array(idx))
+
+    txt = flat.map_batches(expand, batch_format="pyarrow")
+    txt = txt.map_batches(LangIdStage, fn_constructor_kwargs={}, batch_format="pyarrow", concurrency=pool)
+    txt = txt.map_batches(quality_batch, batch_format="pyarrow")
+    txt = txt.map_batches(token_count_batch, batch_format="pyarrow")
+    txt = txt.map_batches(fingerprint_batch, batch_format="pyarrow")
+    n_txt = txt.count()
+    queries["text_analysis"] = round(time.time() - t0, 3)
+
+    # ---- ANN brute-force top-k over expanded embeddings
+    t0 = time.time()
+    from joi_ray.ops.similarity import ann_topk
+
+    emb_t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = np.stack([np.asarray(emb_t["embedding"][i].as_py()) for i in range(8)])
+    emb = rd.from_arrow(emb_t).map_batches(expand, batch_format="pyarrow")
+    topk = ann_topk(emb, q, k=10, concurrency=pool, batch_size=4096)
+    topk.count()
+    queries["ann_topk"] = round(time.time() - t0, 3)
+
+    # ---- MinHash near-dup sweep: canonical assignment (scalable path —
+    # O(docs x bands) rows, no quadratic pair materialization)
+    t0 = time.time()
+    from joi_ray.ops.dedup import minhash_canonical
+
+    def expand_uid(t: pa.Table) -> pa.Table:
+        # globally-unique replica ids: original id * k + replica ordinal
+        k = max(repeat // 10, 1)
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), k)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[idx] * k + (
+            np.arange(t.num_rows * k, dtype=np.int64) % k
+        )
+        out = t.take(pa.array(idx))
+        return out.set_column(0, "doc_id", pa.array(ids))
+
+    mh = minhash_canonical(
+        flat.map_batches(expand_uid, batch_format="pyarrow"),
+        "text",
+        "doc_id",
+        concurrency=pool,
+    )
+    mh.count()
+    queries["minhash_dedup"] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "validate_docs_per_sec",
+        "value": round(t_validate, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "repeat": repeat,
+        "rows": n_docs,
+        "docs_per_sec": round(n_docs / t_validate, 1),
+        "violations": int(total_viol),
+        "duplicate_keys": int(n_dups),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_subprocess(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True, check=True
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main():
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = run_subprocess(lo)
+        r_hi = run_subprocess(hi)
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "num_cpus_lo": lo,
+                    "num_cpus_hi": hi,
+                    "sec_lo": r_lo["value"],
+                    "sec_hi": r_hi["value"],
+                    "docs_per_sec_lo": r_lo["docs_per_sec"],
+                    "docs_per_sec_hi": r_hi["docs_per_sec"],
+                    "scaling_efficiency": round(eff, 3),
+                    "rows": r_lo["rows"],
+                }
+            )
+        )
+        return
+    print(json.dumps(run_bench()))
+
+
+if __name__ == "__main__":
+    main()

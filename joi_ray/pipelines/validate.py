@@ -192,6 +192,23 @@ class ValidatorStage:
         return pa.concat_tables(parts)
 
 
+# Stateless-task variant: same per-batch work, but compiled state lives in a
+# per-worker-process cache instead of an actor, so Ray can schedule batches
+# on any idle worker (no fixed pool to size, no actor-startup serialization).
+# The cache is warmed once per worker process — equivalent amortization to an
+# actor __init__ at steady state.
+_STAGE_CACHE: dict = {}
+
+
+def validator_fn(batch: pa.Table, **kwargs) -> pa.Table:
+    key = (kwargs["spec_json"], json.dumps(kwargs["prefs"], sort_keys=True), kwargs.get("ref_path"))
+    stage = _STAGE_CACHE.get(key)
+    if stage is None:
+        stage = ValidatorStage(**kwargs)
+        _STAGE_CACHE[key] = stage
+    return stage(batch)
+
+
 # ==========================================================================
 # uniqueness: the one legitimate shuffle
 
@@ -220,6 +237,51 @@ def uniqueness_pass(ds, key: str = "doc_id"):
     dups = totals.map_batches(
         lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
     )
+    return dups
+
+
+def uniqueness_pass_hashed(ds_factory, key: str = "doc_id"):
+    """Scale-path duplicate detection: shuffle 64-bit key hashes instead of
+    strings (phase 1), then verify only candidate hashes exactly (phase 2 —
+    a second column-pruned scan filtered to the tiny candidate set).  The
+    candidate set is proportional to the duplicate rate, not the corpus.
+
+    ``ds_factory`` is called twice (lazy datasets re-execute per
+    consumption); at scale both passes are column-pruned reads."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    def hash_partials(batch: pa.Table) -> pa.Table:
+        col = batch[key].combine_chunks()
+        col = col.filter(pc.is_valid(col))
+        h = pd.util.hash_pandas_object(col.to_pandas(), index=False).to_numpy(dtype=np.uint64)
+        hv, counts = np.unique(h, return_counts=True)
+        return pa.table(
+            {"h": pa.array(hv.astype(np.int64)), "partial_n": pa.array(counts.astype(np.int64))}
+        )
+
+    phase1 = ds_factory().map_batches(hash_partials, batch_format="pyarrow")
+    totals = phase1.groupby("h").aggregate(Sum("partial_n", alias_name="n"))
+    cand = totals.map_batches(lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow")
+    cand_hashes = set(cand.to_pandas()["h"].to_numpy())
+    if not cand_hashes:
+        return pa.table({key: pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    cref = ray.put(np.array(sorted(cand_hashes), dtype=np.int64))
+
+    def exact_counts(batch: pa.Table) -> pa.Table:
+        cands = ray.get(cref)
+        col = batch[key].combine_chunks()
+        col = col.filter(pc.is_valid(col))
+        h = pd.util.hash_pandas_object(col.to_pandas(), index=False).to_numpy(dtype=np.int64)
+        keep = np.isin(h, cands)
+        sub = col.filter(pa.array(keep))
+        vc = pc.value_counts(sub)
+        return pa.table({key: vc.field("values"), "partial_n": pc.cast(vc.field("counts"), pa.int64())})
+
+    phase2 = ds_factory().map_batches(exact_counts, batch_format="pyarrow")
+    exact = phase2.groupby(key).aggregate(Sum("partial_n", alias_name="n"))
+    dups = exact.map_batches(lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow")
     return dups
 
 

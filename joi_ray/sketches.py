@@ -83,7 +83,7 @@ class HLL:
 
 class TDigest:
     DELTA = 100
-    BUFFER = 4096
+    BUFFER = 65536
 
     def __init__(self, means: np.ndarray | None = None, weights: np.ndarray | None = None):
         self.means = means if means is not None else np.empty(0, dtype=np.float64)
@@ -111,32 +111,23 @@ class TDigest:
         return self
 
     def _compress(self):
-        if len(self.means) == 0:
+        """Vectorized k1-scale compression: sort, map each point's quantile
+        through k(q) = δ/(2π)·asin(2q−1), bucket by floor(k), and reduce each
+        bucket to one centroid with reduceat — no Python loop."""
+        if len(self.means) <= 1:
             return
         order = np.argsort(self.means, kind="stable")
         m, w = self.means[order], self.weights[order]
         total = w.sum()
-        out_m, out_w = [], []
-        # k1 scale: k(q) = delta/(2pi) * asin(2q-1); merge while k(q1)-k(q0) <= 1
-        cum = 0.0
-        cur_m, cur_w = m[0], w[0]
-        k = lambda q: self.DELTA / (2 * np.pi) * np.arcsin(np.clip(2 * q - 1, -1, 1))
-        k0 = k(0.0)
-        for i in range(1, len(m)):
-            q_new = (cum + cur_w + w[i]) / total
-            if k(q_new) - k0 <= 1.0:
-                cur_m = (cur_m * cur_w + m[i] * w[i]) / (cur_w + w[i])
-                cur_w += w[i]
-            else:
-                out_m.append(cur_m)
-                out_w.append(cur_w)
-                cum += cur_w
-                k0 = k(cum / total)
-                cur_m, cur_w = m[i], w[i]
-        out_m.append(cur_m)
-        out_w.append(cur_w)
-        self.means = np.asarray(out_m)
-        self.weights = np.asarray(out_w)
+        cum = np.cumsum(w)
+        q_mid = (cum - w / 2) / total
+        k = self.DELTA / (2 * np.pi) * np.arcsin(np.clip(2 * q_mid - 1, -1, 1))
+        cid = np.floor(k).astype(np.int64)
+        starts = np.r_[0, np.nonzero(np.diff(cid))[0] + 1]
+        new_w = np.add.reduceat(w, starts)
+        new_m = np.add.reduceat(m * w, starts) / new_w
+        self.means = new_m
+        self.weights = new_w
 
     def cdf(self, x: float) -> float:
         self._compress()
@@ -194,7 +185,12 @@ class ColumnStats:
         nn = s.notna()
         self.nulls += int((~nn).sum())
         if hashes is None:
-            hashes = hash64(s[nn].astype(str)) if nn.any() else np.empty(0, np.uint64)
+            # hash numerics directly (no per-value str conversion)
+            sub = s[nn]
+            if nn.any():
+                hashes = pd.util.hash_pandas_object(sub, index=False).to_numpy(dtype=np.uint64)
+            else:
+                hashes = np.empty(0, np.uint64)
         self.hll.add_hashes(hashes)
         if numeric_values is not None:
             v = np.asarray(numeric_values, dtype=np.float64)

@@ -55,6 +55,8 @@ def _pool_refs() -> np.ndarray:
 
 
 _POOL = _pool_refs()
+_POOL_ARR = pa.array(_POOL, type=pa.string())
+_MEDIA_KINDS_ARR = pa.array(MEDIA_KINDS, type=pa.string())
 
 
 def asset_catalog(missing_fraction: float = 0.0) -> pa.Table:
@@ -98,34 +100,36 @@ def interleave_batch(batch: pa.Table, repeat: int = 1) -> pa.Table:
     rep_m = rep_id % 1000
     pos = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], n_spans)
 
-    # interleave: even positions text, odd positions media
+    # interleave: even positions text, odd positions media (Arrow kernels)
     is_text = (pos % 2) == 0
-    kind = np.where(
-        is_text, "text", MEDIA_KINDS[((rep_id >> np.int64(2)) + pos) % 3]
-    ).astype(object)
+    kind_arr = pc.if_else(
+        pa.array(is_text),
+        pa.scalar("text"),
+        _MEDIA_KINDS_ARR.take(pa.array(((rep_id >> np.int64(2)) + pos) % 3)),
+    )
     # dirt: bogus kind on first span
-    kind[(rep_m == 35) & (pos == 0)] = "bogus"
+    kind_arr = pc.if_else(pa.array((rep_m == 35) & (pos == 0)), pa.scalar("bogus"), kind_arr)
 
-    # text content: prefix of the source text + span ordinal (vectorized)
-    prefix = pc.utf8_slice_codeunits(text, 0, 48).to_numpy(zero_copy_only=False)
-    rep_prefix = np.repeat(prefix, n_spans).astype(object)
-    span_text = np.char.add(
-        np.char.add(rep_prefix.astype(str), " #"), pos.astype(str)
-    ).astype(object)
-    span_text[~is_text] = None
-    # dirt: empty text on first (text) span
-    span_text[(rep_m == 41) & (pos == 0)] = ""
+    # text content: prefix of the source text + span ordinal — all Arrow C++
+    # kernels (np.char.* are hidden Python loops; avoid in the hot path)
+    prefix = pc.utf8_slice_codeunits(text, 0, 48)
+    rep_prefix = prefix.take(pa.array(np.repeat(np.arange(len(prefix), dtype=np.int64), n_spans)))
+    pos_str = pc.cast(pa.array(pos), pa.string())
+    span_text_arr = pc.binary_join_element_wise(rep_prefix, pos_str, " #")
+    # null out media positions; empty-text dirt on first span of m==41 rows
+    empty_dirt = (rep_m == 41) & (pos == 0)
+    span_text_arr = pc.if_else(pa.array(empty_dirt), pa.scalar(""), span_text_arr)
+    span_text_arr = pc.if_else(pa.array(is_text | empty_dirt), span_text_arr, pa.nulls(total, pa.string()))
 
-    # media refs from the closed pool
+    # media refs from the closed pool (Arrow take on a prebuilt pool array)
     pool_idx = ((rep_id * 7 + pos * 13) % ASSET_POOL_SIZE).astype(np.int64)
-    media_ref = _POOL[pool_idx].astype(object)
-    media_ref[is_text] = None
+    media_ref_arr = _POOL_ARR.take(pa.array(pool_idx))
+    media_ref_arr = pc.if_else(pa.array(is_text), pa.nulls(total, pa.string()), media_ref_arr)
     # dirt: out-of-catalog ref on the first media span (pos==1)
     dangling = (rep_m == 47) & (pos == 1)
     if dangling.any():
-        media_ref[dangling] = np.array(
-            [f"asset://dead{int(i):012x}" for i in rep_id[dangling]], dtype=object
-        )
+        repl = pa.array([f"asset://dead{int(i):012x}" for i in rep_id[dangling]], type=pa.string())
+        media_ref_arr = pc.replace_with_mask(media_ref_arr, pa.array(dangling), repl)
 
     # offsets: monotonically increasing within a row
     off = (pos * 17 + (rep_id % 7)).astype(np.int32)
@@ -134,9 +138,9 @@ def interleave_batch(batch: pa.Table, repeat: int = 1) -> pa.Table:
 
     flat = pa.StructArray.from_arrays(
         [
-            pa.array(kind, type=pa.string()),
-            pa.array(span_text, type=pa.string()),
-            pa.array(media_ref, type=pa.string()),
+            kind_arr.combine_chunks() if isinstance(kind_arr, pa.ChunkedArray) else kind_arr,
+            span_text_arr.combine_chunks() if isinstance(span_text_arr, pa.ChunkedArray) else span_text_arr,
+            media_ref_arr.combine_chunks() if isinstance(media_ref_arr, pa.ChunkedArray) else media_ref_arr,
             pa.array(off, type=pa.int32()),
         ],
         fields=list(SPAN_TYPE),
