@@ -127,7 +127,17 @@ class CNode:
                 self.rules.append(CompiledRule(name, ("structural", args), f"{self.type}.{name}", seq, warn=r.get("warn", False), message=r.get("message")))
                 continue
             if name not in factories:
-                raise ValueError(f"unknown rule {self.type}.{name}")
+                from .extend import lookup_rule
+
+                hit = lookup_rule(self.type, name)
+                if hit is None:
+                    raise ValueError(f"unknown rule {self.type}.{name}")
+                custom_factory, code = hit
+                self.rules.append(
+                    CompiledRule(name, custom_factory(args), code, seq,
+                                 warn=r.get("warn", False), message=r.get("message"))
+                )
+                continue
             fn = factories[name](args)
             code_fn = _RULE_CODES.get(self.type, {}).get(name)
             code = code_fn(args) if code_fn else f"{self.type}.{name}"
@@ -157,6 +167,11 @@ class CNode:
         self.dependencies = list(t.get("dependencies", []))
         self.renames = list(t.get("renames", []))
         self.replacements = list(t.get("replacements", []))
+        import re as _re
+
+        self.patterns = [
+            (_re.compile(p["regex"]), CNode(p["schema"], prefs)) for p in t.get("patterns", [])
+        ]
         self.terms = t
 
         # --- whens desugared at compile time via concat (lib/base.js:364:
@@ -746,8 +761,21 @@ def _eval_object(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fa
         if sub.failed is not None:
             np.logical_or(failed, sub.failed, out=failed)
 
-    # unknown fields
+    # unknown fields (pattern-matched fields validate with the pattern schema)
     unknown = [f for f in field_names if f not in node.keys]
+    if node.patterns:
+        still = []
+        for f in unknown:
+            pnode = next((pn for rx, pn in node.patterns if rx.search(f)), None)
+            if pnode is None:
+                still.append(f)
+                continue
+            sub = eval_node(pnode, children[f], child_env, f"{path}.{f}" if path else f, scope=kscope)
+            results[f] = sub
+            errors.extend(sub.errors)
+            if sub.failed is not None:
+                np.logical_or(failed, sub.failed, out=failed)
+        unknown = still
     allow_unknown = node.flags.get("unknown", env.prefs.get("allow_unknown", False))
     strip_unknown = env.prefs.get("strip_unknown", False)
     if unknown and not allow_unknown and not strip_unknown and node.keys:
@@ -932,8 +960,22 @@ class CompiledSchema:
             if res.failed is not None:
                 np.logical_or(failed, res.failed, out=failed)
 
-        # unknown columns
+        # unknown columns: pattern-matched ones validate with the pattern
+        # schema (object.js:340-369); the rest error / strip / pass through
         unknown = [c for c in tbl.column_names if c not in self.root.keys]
+        if self.root.patterns:
+            still_unknown = []
+            for c in unknown:
+                pnode = next((pn for rx, pn in self.root.patterns if rx.search(c)), None)
+                if pnode is None:
+                    still_unknown.append(c)
+                    continue
+                res = eval_node(pnode, columns[c], env, c, scope=scope)
+                results[c] = res
+                errors.extend(res.errors)
+                if res.failed is not None:
+                    np.logical_or(failed, res.failed, out=failed)
+            unknown = still_unknown
         allow_unknown = self.root.flags.get("unknown", self.prefs.get("allow_unknown", False))
         strip_unknown = self.prefs.get("strip_unknown", False)
         if unknown and not allow_unknown and not strip_unknown:
@@ -974,6 +1016,10 @@ class CompiledSchema:
             if key in results and not results[key].strip:
                 out_names.append(key)
                 out_cols.append(results[key].value)
+        for c in results:  # pattern-matched columns
+            if c not in self.root.keys and not results[c].strip:
+                out_names.append(c)
+                out_cols.append(results[c].value)
         for c in unknown:
             if not strip_unknown:
                 out_names.append(c)

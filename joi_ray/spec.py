@@ -253,6 +253,16 @@ class Schema:
         """Unconditional warning rule (``/root/reference/lib/types/any.js:17-32``)."""
         return self._rule("warning", {"code": code, "context": context or {}})
 
+    def external(self, fn_path: str) -> "Schema":
+        """Per-batch user hook (the ``validateAsync`` external analog,
+        ``/root/reference/lib/base.js:152-157``): ``fn_path`` is an
+        importable "module:callable" applied to the coerced column."""
+        return self._rule("external", {"fn": fn_path})
+
+    def rule_(self, name: str, **args) -> "Schema":
+        """Attach a custom rule registered via ``joi_ray.extend.register_rule``."""
+        return self._rule(name, args)
+
     # -- conditionals ------------------------------------------------------
     def when(self, condition, *, is_=None, then=None, otherwise=None, switch=None) -> "Schema":
         """Conditional schema (``/root/reference/lib/base.js:319-365``).
@@ -297,6 +307,59 @@ class Schema:
                 s.terms[k] = s.terms[k] + copy.deepcopy(v)
             else:
                 s.terms[k] = copy.deepcopy(v)
+        return s
+
+    # -- modify API (lib/modify.js:12-142) --------------------------------
+    def id_(self, name: str) -> "Schema":
+        return self._flag("id", name)
+
+    def extract(self, path: str) -> "Schema":
+        """Reach a subschema by dotted key path (``lib/base.js:488-506``)."""
+        node = self
+        for part in path.split("."):
+            keys = node.terms.get("keys", {})
+            if part not in keys:
+                raise KeyError(f"no subschema at {path!r} (missing {part!r})")
+            node = keys[part]
+        return node
+
+    def fork(self, paths, adjuster) -> "Schema":
+        """Return a clone with the subschemas at ``paths`` rewritten by
+        ``adjuster(schema) -> schema`` (``lib/modify.js:12-142``)."""
+        if isinstance(paths, str):
+            paths = [paths]
+        s = self._clone()
+        for path in paths:
+            parts = path.split(".")
+            def rewrite(node: "Schema", parts: list[str]) -> "Schema":
+                if not parts:
+                    return adjuster(node)
+                n = node._clone()
+                keys = dict(n.terms.get("keys", {}))
+                if parts[0] not in keys:
+                    raise KeyError(f"no subschema at {path!r}")
+                keys[parts[0]] = rewrite(keys[parts[0]], parts[1:])
+                n.terms["keys"] = keys
+                return n
+            s = rewrite(s, parts)
+        return s
+
+    def alter(self, targets: dict) -> "Schema":
+        """Register named variants (``lib/base.js:88-103``): ``targets`` maps
+        name -> adjuster fn, applied on demand by ``tailor``."""
+        s = self._clone()
+        s.metas.setdefault("alterations", {}).update(targets)
+        return s
+
+    def tailor(self, target: str) -> "Schema":
+        """Apply the named alteration(s) recursively (``lib/base.js:551-571``)."""
+        s = self
+        alt = s.metas.get("alterations", {})
+        if target in alt:
+            s = alt[target](s)
+        if "keys" in s.terms:
+            s = s._clone()
+            s.terms["keys"] = {k: v.tailor(target) for k, v in s.terms["keys"].items()}
         return s
 
     # -- describe / serialize ---------------------------------------------
@@ -658,6 +721,16 @@ class ObjectSchema(Schema):
         s.terms.setdefault("renames", []).append({"from": from_, "to": to})
         return s
 
+    def pattern(self, regex: str, schema: Schema) -> "ObjectSchema":
+        """Unknown keys matching ``regex`` validate against ``schema``
+        (``/root/reference/lib/types/object.js:340-369``).  In columnar form
+        this is a compile-time concern: struct fields / columns not in
+        ``keys`` but matching the pattern get the pattern schema instead of
+        an object.unknown error."""
+        s = self._clone()
+        s.terms.setdefault("patterns", []).append({"regex": regex, "schema": schema})
+        return s
+
     def unknown(self, allow: bool = True) -> "ObjectSchema":
         return self._flag("unknown", allow)
 
@@ -803,7 +876,7 @@ def build(desc: dict) -> Schema:
             }
             for w in desc["whens"]
         ]
-    for name in ("dependencies", "renames", "replacements", "truthy", "falsy"):
+    for name in ("dependencies", "renames", "replacements", "truthy", "falsy", "patterns"):
         if name in desc:
             s.terms[name] = _decode(desc[name])
     return s

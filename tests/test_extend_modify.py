@@ -1,0 +1,88 @@
+"""Extension protocol, object patterns, external hooks, modify API, io."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import joi_ray as jr
+from joi_ray import build, compile_schema
+from joi_ray.extend import register_rule
+from joi_ray.kernels.util import RuleOut
+
+
+def test_object_pattern_columns():
+    s = jr.object({"fixed": jr.number()}).pattern(r"^meta_", jr.string().min(2))
+    t = pa.table({"fixed": [1.0], "meta_a": ["ok"], "meta_b": ["x"], "other": ["?"]})
+    res = compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    codes = {(v["path"], v["code"]) for v in res.violations.to_pylist()}
+    assert ("meta_b", "string.min") in codes
+    assert ("other", "object.unknown") in codes
+    assert ("meta_a", "string.min") not in codes
+    assert set(res.value.column_names) == {"fixed", "meta_a", "meta_b", "other"}
+    assert build(s.describe()) == s
+
+
+def test_object_pattern_struct_fields():
+    st = pa.struct([("meta_x", pa.string()), ("zz", pa.int64())])
+    t = pa.table({"o": pa.array([{"meta_x": "a", "zz": 1}], type=st)})
+    s = jr.object({"o": jr.object({}).pattern(r"^meta_", jr.string().min(3)).unknown()})
+    res = compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    assert [v["path"] for v in res.violations.to_pylist()] == ["o.meta_x"]
+
+
+def test_custom_rule_registration():
+    def make_even(args):
+        def kernel(arr, env):
+            v = arr.to_numpy(zero_copy_only=False)
+            with np.errstate(invalid="ignore"):
+                ok = np.nan_to_num(v % 2, nan=0.0) == 0
+            return RuleOut(ok=ok)
+
+        return kernel
+
+    register_rule("number", "even", make_even)
+    s = jr.object({"x": jr.number().rule_("even")})
+    res = compile_schema(s).validate_table(pa.table({"x": [2.0, 3.0, None]}))
+    assert list(res.ok) == [True, False, True]
+    assert res.violations.to_pylist()[0]["code"] == "number.even"
+
+
+def test_unknown_rule_still_raises():
+    with pytest.raises(ValueError, match="unknown rule"):
+        compile_schema(jr.object({"x": jr.string().rule_("nope_never_registered")}))
+
+
+def test_external_hook():
+    s = jr.object({"x": jr.number().external("numpy:isfinite")})
+    res = compile_schema(s).validate_table(pa.table({"x": [1.0, float("nan")]}))
+    # NaN fails the number base check before the external hook even runs
+    assert list(res.ok) == [True, False]
+
+
+def test_modify_api():
+    s = jr.object({"a": jr.object({"b": jr.string()}), "c": jr.number()})
+    assert s.extract("a.b").type == "string"
+    s2 = s.fork("a.b", lambda n: n.required())
+    assert s2.extract("a.b").flags.get("presence") == "required"
+    assert "presence" not in s.extract("a.b").flags
+    s3 = jr.object({"x": jr.string().alter({"post": lambda n: n.required()})})
+    assert s3.tailor("post").extract("x").flags.get("presence") == "required"
+
+
+def test_io_sources(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from joi_ray.sources.io import read_documents, read_table, write_violations
+
+    t = pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(t, p)
+    assert read_documents(p, columns=["a"]).take_all() == [{"a": 1}, {"a": 2}, {"a": 3}]
+    import ray.data as rd
+
+    out = str(tmp_path / "sink")
+    write_violations(rd.from_arrow(t), out)
+    assert pq.read_table(out).num_rows == 3
+    csv = str(tmp_path / "t.csv")
+    open(csv, "w").write("a,b\n1,x\n2,y\n")
+    assert read_table(csv).count() == 2
