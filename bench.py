@@ -92,7 +92,7 @@ def run_bench() -> dict:
             stats_id=DEFAULT_STATS["id"],
         ),
         batch_format="pyarrow",
-        batch_size=8192,
+        batch_size=None,  # source blocks are already ~8k docs; rebatching would coalesce tasks
     )
     total_viol = out.count()
     t_validate = time.time() - t0
@@ -134,12 +134,14 @@ def run_bench() -> dict:
 
     flat = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
+    k_exp = max(repeat // 10, 1)
+
     def expand(t: pa.Table) -> pa.Table:
-        k = max(repeat // 10, 1)
-        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), k)
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), k_exp)
         return t.take(pa.array(idx))
 
-    txt = flat.map_batches(expand, batch_format="pyarrow")
+    exp_bs = max(16, 8192 // k_exp)  # flat-row batching unit (see read_interleaved)
+    txt = flat.map_batches(expand, batch_format="pyarrow", batch_size=exp_bs)
     txt = txt.map_batches(LangIdStage, fn_constructor_kwargs={}, batch_format="pyarrow", concurrency=pool)
     txt = txt.map_batches(quality_batch, batch_format="pyarrow")
     txt = txt.map_batches(token_count_batch, batch_format="pyarrow")
@@ -153,7 +155,7 @@ def run_bench() -> dict:
 
     emb_t = pq.read_table(f"{sf_dir}/embeddings.parquet")
     q = np.stack([np.asarray(emb_t["embedding"][i].as_py()) for i in range(8)])
-    emb = rd.from_arrow(emb_t).map_batches(expand, batch_format="pyarrow")
+    emb = rd.from_arrow(emb_t).map_batches(expand, batch_format="pyarrow", batch_size=exp_bs)
     topk = ann_topk(emb, q, k=10, concurrency=pool, batch_size=4096)
     topk.count()
     queries["ann_topk"] = round(time.time() - t0, 3)
@@ -165,21 +167,20 @@ def run_bench() -> dict:
 
     def expand_uid(t: pa.Table) -> pa.Table:
         # globally-unique replica ids: original id * k + replica ordinal
-        k = max(repeat // 10, 1)
-        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), k)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)[idx] * k + (
-            np.arange(t.num_rows * k, dtype=np.int64) % k
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), k_exp)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[idx] * k_exp + (
+            np.arange(t.num_rows * k_exp, dtype=np.int64) % k_exp
         )
         out = t.take(pa.array(idx))
         return out.set_column(0, "doc_id", pa.array(ids))
 
     mh = minhash_canonical(
-        flat.map_batches(expand_uid, batch_format="pyarrow"),
+        flat.map_batches(expand_uid, batch_format="pyarrow", batch_size=exp_bs),
         "text",
         "doc_id",
         concurrency=pool,
     )
-    mh.count()
+    n_mh = len(mh)  # minhash_canonical returns a small pandas DataFrame
     queries["minhash_dedup"] = round(time.time() - t0, 3)
 
     result = {

@@ -24,6 +24,8 @@ from .spec import (
     object,
     ref,
     string,
+    symbol,
+    function_,
 )
 from .engine import BatchResult, CompiledSchema, compile_schema, DEFAULT_PREFS, VIOLATION_SCHEMA
 

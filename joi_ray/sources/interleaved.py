@@ -159,14 +159,20 @@ def interleave_batch(batch: pa.Table, repeat: int = 1) -> pa.Table:
 
 
 def read_interleaved(sf_dir: str, *, columns: list[str] | None = None, repeat: int = 1,
-                     override_num_blocks: int | None = None):
+                     override_num_blocks: int | None = None, docs_per_batch: int = 8192):
     """Ray Dataset of interleaved documents derived from the flat testdata
     table.  ``columns`` prunes the *output* (doc_id-only reads skip span
-    construction entirely — the analog of column pruning on a real table)."""
+    construction entirely — the analog of column pruning on a real table).
+
+    IMPORTANT batching unit: map_batches counts *flat input* rows, and each
+    flat row expands to ``repeat`` documents — so the map batch_size is
+    ``docs_per_batch/repeat`` flat rows, or one task would bundle the whole
+    table and serialize the pipeline."""
     import ray.data as rd
 
     src_cols = ["doc_id"] if columns == ["doc_id"] else ["doc_id", "text"]
     kw = {"override_num_blocks": override_num_blocks} if override_num_blocks else {}
+    bs = max(16, docs_per_batch // max(repeat, 1))
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=src_cols, **kw)
     if columns == ["doc_id"]:
 
@@ -183,8 +189,8 @@ def read_interleaved(sf_dir: str, *, columns: list[str] | None = None, repeat: i
             doc_id[m == 7] = None
             return pa.table({"doc_id": pa.array(doc_id, type=pa.string())})
 
-        return ds.map_batches(ids_only, batch_format="pyarrow")
-    out = ds.map_batches(lambda b: interleave_batch(b, repeat), batch_format="pyarrow")
+        return ds.map_batches(ids_only, batch_format="pyarrow", batch_size=bs)
+    out = ds.map_batches(lambda b: interleave_batch(b, repeat), batch_format="pyarrow", batch_size=bs)
     if columns:
         out = out.select_columns(columns)
     return out

@@ -796,6 +796,22 @@ def alternatives(*schemas: Schema) -> AlternativesSchema:
     return s
 
 
+def symbol():
+    """JS-runtime-only type (``/root/reference/lib/types/symbol.js``):
+    no Arrow equivalent — N/A-by-design per SURVEY.md §2.3."""
+    raise NotImplementedError(
+        "symbol() is JS-runtime-specific (N/A-by-design for columnar data; SURVEY.md §2.3)"
+    )
+
+
+def function_():
+    """JS-runtime-only type (``/root/reference/lib/types/function.js``):
+    no Arrow equivalent — N/A-by-design per SURVEY.md §2.3."""
+    raise NotImplementedError(
+        "function() is JS-runtime-specific (N/A-by-design for columnar data; SURVEY.md §2.3)"
+    )
+
+
 _BUILDERS = {
     "any": AnySchema,
     "string": StringSchema,
