@@ -92,6 +92,16 @@ _STRUCTURAL_RULES = {
 }
 _STRING_CONVERT_RULES = set(k_strings.CONVERT_ORDER)
 
+# rules that never rewrite the column: safe to evaluate on the active-row
+# subset only (branch scopes from when() often cover ~half the rows; regex
+# and compare kernels then touch half the bytes)
+_PURE_CHECK_RULES = {
+    "min", "max", "length", "greater", "less", "pattern", "alphanum", "token",
+    "hex", "base64", "dataUri", "email", "domain", "hostname", "guid", "ip",
+    "uri", "isoDate", "isoDuration", "creditCard", "integer", "multiple",
+    "port", "sign", "unique", "sort",
+}
+
 
 class CNode:
     """One compiled schema node: kernels constructed, children compiled,
@@ -220,6 +230,21 @@ class CNode:
 
 # ==========================================================================
 # evaluation
+
+
+class _TakeEnv(Env):
+    """Env view over a row subset: sibling/ancestor refs are taken with the
+    same index array so column-vs-column compares stay aligned."""
+
+    def __init__(self, base: Env, idx_arr):
+        super().__init__(base.prefs, base._resolve_sibling, base.ancestors)
+        self._idx = idx_arr
+
+    def resolve_ref(self, r, n):
+        v = super().resolve_ref(r, len(self._idx))
+        if isinstance(v, (pa.Array, pa.ChunkedArray)):
+            return combine(v).take(self._idx)
+        return v
 
 
 def _set_membership(arr: pa.Array, values: list, refs: list[Ref], insensitive: bool, env: Env) -> np.ndarray:
@@ -473,6 +498,21 @@ def eval_node(
         if env.abort_early:
             active = active & ~failed
         if not active.any() and cr.convert_phase is False:
+            continue
+        n_active = int(active.sum())
+        if (
+            cr.name in _PURE_CHECK_RULES
+            and env.prefs.get("scoped_eval", True)
+            and 0 < n_active < int(0.7 * n)
+            and node.type != "array"  # list kernels need full offsets
+        ):
+            idx = np.nonzero(active)[0]
+            idx_arr = pa.array(idx)
+            sub_env = _TakeEnv(env, idx_arr)
+            out = cr.fn(arr.take(idx_arr), sub_env)
+            bad = np.zeros(n, dtype=bool)
+            bad[idx[~out.ok]] = True
+            add_err(cr.code, bad, out.context, seq=cr.seq, warn=cr.warn, message=cr.message)
             continue
         out = cr.fn(arr, env)
         if out.new_value is not None:

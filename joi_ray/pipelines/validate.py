@@ -100,6 +100,15 @@ class ValidatorStage:
     ):
         import ray
 
+        # one Arrow thread per worker: each Ray worker is already one core of
+        # the pool; Arrow's own cpu_count-sized pool in every worker thrashes
+        # at high parallelism (32 workers x 32 threads)
+        try:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(2)
+        except Exception:
+            pass
+
         self.compiled = CompiledSchema(json.loads(spec_json), prefs, id_column)
         self.id_column = id_column
         self.ref_path = ref_path
@@ -434,13 +443,13 @@ def validate_dataset(
         if manifest.shard_done(shard_id):
             continue
         ds = factory()
+        # stateless tasks + per-worker compile cache: no per-shard actor
+        # pool startup, elastic scheduling across shards
         out = ds.map_batches(
-            ValidatorStage,
-            fn_constructor_kwargs=fn_kwargs,
+            validator_fn,
+            fn_kwargs=fn_kwargs,
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=concurrency,
-            num_cpus=num_cpus,
         )
         tmp_stream = os.path.join(out_dir, f".stream-{shard_id:04d}")
         if os.path.exists(tmp_stream):
@@ -456,7 +465,7 @@ def validate_dataset(
         shutil.rmtree(tmp_stream, ignore_errors=True)
         manifest.mark_shard(
             shard_id,
-            inputs=[],
+            inputs=getattr(factory, "inputs", None) or [getattr(factory, "__name__", f"shard-{shard_id}")],
             metrics={"rows": summary["rows"], "failed": summary["failed"]},
         )
 
