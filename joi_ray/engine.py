@@ -185,11 +185,18 @@ class CNode:
         self.terms = t
 
         # --- whens desugared at compile time via concat (lib/base.js:364:
-        # when() lifts into alternatives; we keep base+branch merged chains)
+        # when() lifts into alternatives; we keep base+branch merged chains).
+        # Multiple when()s apply successively: each branch keeps the
+        # remaining whens, which recurse at CNode construction (2^K combos
+        # worst case, K is small in practice).
         self.whens = []
-        for w in t.get("whens", []):
+        all_whens = t.get("whens", [])
+        for w in all_whens[:1]:
+            rest = all_whens[1:]
             base = schema._clone()
             base.terms = {k: v for k, v in base.terms.items() if k != "whens"}
+            if rest:
+                base.terms["whens"] = rest
             entry = {"ref": w["ref"]}
             if "switch" in w:
                 cases = []
@@ -208,11 +215,6 @@ class CNode:
                     CNode(base.concat(w["otherwise"]), prefs) if w.get("otherwise") else CNode(base, prefs)
                 )
             self.whens.append(entry)
-        if len(self.whens) > 1:
-            raise NotImplementedError("multiple when() conditions on one node")
-        self.base_no_whens = CNode(
-            self._strip_whens(schema), prefs
-        ) if self.whens else None
 
     @staticmethod
     def _strip_whens(schema: Schema) -> Schema:

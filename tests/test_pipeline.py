@@ -125,6 +125,25 @@ def test_full_run_resume_and_drift(ray_session, shard_files, tmp_path):
     assert rep4.drift and all(d.get("ks", 0) < 0.1 and d.get("psi", 0) < 0.1 for d in rep4.drift.values())
 
 
+def test_uniqueness_pass_hashed_matches_exact(ray_session):
+    import ray.data as rd
+
+    from joi_ray.pipelines.validate import uniqueness_pass, uniqueness_pass_hashed
+
+    def factory():
+        return (
+            rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+            .map_batches(interleave_batch, batch_format="pyarrow")
+            .select_columns(["doc_id"])
+        )
+
+    exact = {(d["doc_id"], d["n"]) for d in uniqueness_pass(factory()).take_all()}
+    hashed_res = uniqueness_pass_hashed(factory)
+    rows = hashed_res.take_all() if hasattr(hashed_res, "take_all") else hashed_res.to_pylist()
+    hashed = {(d["doc_id"], d["n"]) for d in rows}
+    assert exact == hashed and len(exact) >= 2
+
+
 def test_uniqueness_pass_exact(ray_session):
     import ray.data as rd
 
