@@ -787,7 +787,7 @@ def _eval_object(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fa
             return results[name].value
         if name in children:
             return children[name]
-        raise KeyError(name)
+        return pa.nulls(n)  # refs to absent keys resolve undefined (lib/ref.js)
 
     child_env = env.child(resolve_sibling)
     kscope = scope & parent_present
@@ -988,7 +988,7 @@ class CompiledSchema:
                 return results[name].value
             if name in columns:
                 return columns[name]
-            raise KeyError(name)
+            return pa.nulls(n)  # refs to absent columns resolve undefined
 
         env = Env(self.prefs, resolve_sibling)
         scope = np.ones(n, dtype=bool)
@@ -1097,7 +1097,9 @@ class CompiledSchema:
             rows_l.append(rows.astype(np.int64))
             item_l.append(items.astype(np.int32))
             ctx_json = json.dumps(rec.context, default=str, sort_keys=True) if rec.context else "{}"
-            msg = render(rec.code, rec.path, rec.context, rec.message)
+            # message priority: per-rule override > prefs.messages map > catalog
+            override = rec.message or self.prefs.get("messages", {}).get(rec.code)
+            msg = render(rec.code, rec.path, rec.context, override)
             path_l.extend([rec.path] * k)
             code_l.extend([rec.code] * k)
             msg_l.extend([msg] * k)
