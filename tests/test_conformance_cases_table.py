@@ -1,0 +1,140 @@
+"""FIXTURES.md §4: the reference's test semantics as *data* — a
+``joi_conformance_cases`` table (case_id, suite, schema_json, input_json,
+prefs_json, should_validate, expected_error_type) executed by one generic
+runner, mirroring ``/root/reference/test/helper.js``'s quadruple format.
+Cases are grouped by (schema, prefs) and validated as single Arrow columns.
+"""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+import joi_ray as jr
+from joi_ray import compile_schema, from_json, object as jr_object
+
+S = lambda s: s.to_json()  # noqa: E731
+
+CASES = [
+    # case_id, suite, schema_json, input(py), prefs, should_validate, expected_code
+    ("any.required.0", "any", S(jr.string().required()), "x", {}, True, None),
+    ("any.required.1", "any", S(jr.string().required()), None, {}, False, "any.required"),
+    ("any.forbidden.0", "any", S(jr.string().forbidden()), "x", {}, False, "any.unknown"),
+    ("any.valid.0", "any", S(jr.string().valid("a", "b")), "b", {}, True, None),
+    ("any.valid.1", "any", S(jr.string().valid("a", "b")), "c", {}, False, "any.only"),
+    ("any.invalid.0", "any", S(jr.string().invalid("x")), "x", {}, False, "any.invalid"),
+    ("string.min.0", "string", S(jr.string().min(3)), "abc", {}, True, None),
+    ("string.min.1", "string", S(jr.string().min(3)), "ab", {}, False, "string.min"),
+    ("string.empty.0", "string", S(jr.string()), "", {}, False, "string.empty"),
+    ("string.email.0", "string", S(jr.string().email()), "a@b.io", {}, True, None),
+    ("string.email.1", "string", S(jr.string().email()), "nope", {}, False, "string.email"),
+    ("string.uuid.0", "string", S(jr.string().guid()), "550e8400-e29b-41d4-a716-446655440000", {}, True, None),
+    ("string.uuid.1", "string", S(jr.string().guid()), "not-a-uuid", {}, False, "string.guid"),
+    ("string.ip.0", "string", S(jr.string().ip()), "127.0.0.1", {}, True, None),
+    ("string.ip.1", "string", S(jr.string().ip()), "999.0.0.1", {}, False, "string.ip"),
+    ("string.uri.0", "string", S(jr.string().uri()), "https://x.io/p", {}, True, None),
+    ("string.pattern.0", "string", S(jr.string().pattern(r"^\d+$")), "123", {}, True, None),
+    ("string.pattern.1", "string", S(jr.string().pattern(r"^\d+$")), "12a", {}, False, "string.pattern.base"),
+    ("string.alphanum.0", "string", S(jr.string().alphanum()), "a1", {}, True, None),
+    ("string.alphanum.1", "string", S(jr.string().alphanum()), "a 1", {}, False, "string.alphanum"),
+    ("string.isoDate.0", "string", S(jr.string().iso_date()), "2024-06-01", {}, True, None),
+    ("string.isoDate.1", "string", S(jr.string().iso_date()), "06/01/2024", {}, False, "string.isoDate"),
+    ("number.base.0", "number", S(jr.number()), "12.5", {}, True, None),
+    ("number.base.1", "number", S(jr.number()), "abc", {}, False, "number.base"),
+    ("number.base.2", "number", S(jr.number()), "12.5", {"convert": False}, False, "number.base"),
+    ("number.min.0", "number", S(jr.number().min(5)), 5, {}, True, None),
+    ("number.min.1", "number", S(jr.number().min(5)), 4, {}, False, "number.min"),
+    ("number.integer.0", "number", S(jr.number().integer()), 4.5, {}, False, "number.integer"),
+    ("number.port.0", "number", S(jr.number().port()), 8080, {}, True, None),
+    ("number.port.1", "number", S(jr.number().port()), 70000, {}, False, "number.port"),
+    ("number.multiple.0", "number", S(jr.number().multiple(4)), 12, {}, True, None),
+    ("number.multiple.1", "number", S(jr.number().multiple(4)), 13, {}, False, "number.multiple"),
+    ("boolean.coerce.0", "boolean", S(jr.boolean()), "true", {}, True, None),
+    ("boolean.coerce.1", "boolean", S(jr.boolean()), "banana", {}, False, "boolean.base"),
+    ("boolean.truthy.0", "boolean", S(jr.boolean().truthy("Y")), "Y", {}, True, None),
+    ("date.min.0", "date", S(jr.date().min("2020-01-01")), "2021-01-01", {}, True, None),
+    ("date.min.1", "date", S(jr.date().min("2020-01-01")), "2019-01-01", {}, False, "date.min"),
+    ("date.base.0", "date", S(jr.date()), "not a date", {}, False, "date.base"),
+]
+
+NESTED_CASES = [
+    # (case_id, schema, column(pyarrow), expected_ok_list, expected_codes)
+    (
+        "array.items",
+        jr.array().items(jr.number().min(0)),
+        pa.array([[1, 2], [-1]], type=pa.list_(pa.int64())),
+        [True, False],
+        {"number.min"},
+    ),
+    (
+        "array.unique",
+        jr.array().unique(),
+        pa.array([[1, 2], [2, 2]], type=pa.list_(pa.int64())),
+        [True, False],
+        {"array.unique"},
+    ),
+    (
+        "object.keys",
+        jr.object({"a": jr.string().required()}),
+        pa.array([{"a": "x"}, {"a": None}], type=pa.struct([("a", pa.string())])),
+        [True, False],
+        {"any.required"},
+    ),
+    (
+        "alternatives.try",
+        jr.alternatives(jr.string().length(1), jr.string().min(5)),
+        pa.array(["a", "abc", "abcdef"]),
+        [True, False, True],
+        {"alternatives.any"},
+    ),
+]
+
+
+def conformance_table() -> pa.Table:
+    """The FIXTURES.md §4 table itself (available to external runners)."""
+    return pa.table(
+        {
+            "case_id": pa.array([c[0] for c in CASES]),
+            "suite": pa.array([c[1] for c in CASES]),
+            "schema_json": pa.array([c[2] for c in CASES]),
+            "input_json": pa.array([json.dumps(c[3]) for c in CASES]),
+            "prefs_json": pa.array([json.dumps(c[4]) for c in CASES]),
+            "should_validate": pa.array([c[5] for c in CASES]),
+            "expected_error_type": pa.array([c[6] for c in CASES]),
+        }
+    )
+
+
+@pytest.mark.parametrize("case", CASES, ids=[c[0] for c in CASES])
+def test_conformance_case(case):
+    case_id, suite, schema_json, input_val, prefs, should, code = case
+    schema = from_json(schema_json)
+    # manifest round-trip invariant on every case (test/helper.js:25-27)
+    assert jr.build(schema.describe()) == schema
+    tbl = pa.table({"x": pa.array([input_val])})
+    cs = compile_schema(jr_object({"x": schema}), prefs={"abort_early": False, **prefs})
+    res = cs.validate_table(tbl)
+    assert bool(res.ok[0]) == should, res.violations.to_pylist()
+    if not should and code:
+        codes = [v["code"] for v in res.violations.to_pylist() if v["severity"] == "error"]
+        assert code in codes, codes
+
+
+@pytest.mark.parametrize("case", NESTED_CASES, ids=[c[0] for c in NESTED_CASES])
+def test_nested_conformance_case(case):
+    case_id, schema, col, expected_ok, expected_codes = case
+    res = compile_schema(jr_object({"x": schema}), prefs={"abort_early": False}).validate_table(
+        pa.table({"x": col})
+    )
+    assert list(res.ok) == expected_ok, res.violations.to_pylist()
+    got = {v["code"] for v in res.violations.to_pylist()}
+    assert expected_codes <= got
+
+
+def test_fixture_table_shape():
+    t = conformance_table()
+    assert t.num_rows == len(CASES)
+    assert set(t.column_names) == {
+        "case_id", "suite", "schema_json", "input_json", "prefs_json",
+        "should_validate", "expected_error_type",
+    }
