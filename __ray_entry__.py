@@ -442,6 +442,56 @@ def _q_quality_by_lang(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_dedup_ngram(sf_dir: str):
+    """Exact n-gram-Jaccard near-dup pairs: MinHash-LSH generates candidates
+    (32 bands x 2 rows -> recall ~1 at J>=0.4), each candidate verified with
+    the exact 7-gram Jaccard.  The oracle computes the same set exhaustively
+    in SQL, so this checks both candidate recall and the verifier."""
+    import ray.data as rd
+
+    from joi_ray.ops.dedup import MinHashStage, ngram_jaccard
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    banded = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs=dict(
+            text_col="text", id_col="doc_id", num_perm=64, bands=32, k=7, emit_sig=False
+        ),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    # band rows are skinny (24B) and candidates << corpus: self-merge on the
+    # driver instead of a 16k-tiny-group shuffle
+    bdf = banded.to_pandas()
+    j = bdf.merge(bdf, on=["band", "band_hash"], suffixes=("_a", "_b"))
+    j = j[j["doc_id_a"] < j["doc_id_b"]]
+    cands = j[["doc_id_a", "doc_id_b"]].drop_duplicates().rename(
+        columns={"doc_id_a": "id_a", "doc_id_b": "id_b"}
+    )
+    texts = dict(
+        zip(
+            pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).column(0).to_pylist(),
+            pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"]).column(0).to_pylist(),
+        )
+    )
+    out_a, out_b, out_j = [], [], []
+    for a, b in zip(cands["id_a"], cands["id_b"]):
+        j = ngram_jaccard(texts[a] or "", texts[b] or "", k=7)
+        if j >= 0.4:
+            out_a.append(int(a))
+            out_b.append(int(b))
+            out_j.append(round(j, 4))
+    t = pa.table(
+        {
+            "id_a": pa.array(out_a, pa.int64()),
+            "id_b": pa.array(out_b, pa.int64()),
+            "jaccard": pa.array(out_j, pa.float64()),
+        }
+    )
+    return t
+
+
 # ---- rows-only (non-SQL-expressible) queries
 
 
@@ -557,6 +607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_top5": _q_ann_top5,
         "embedding_norms": _q_embedding_norms,
         "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
         "stats_quantity": _q_stats_quantity,
         "quality_by_lang": _q_quality_by_lang,
         # rows-only (non-SQL-expressible)
@@ -674,6 +725,26 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS keep_id, count(*) AS n
             FROM documents GROUP BY text HAVING count(*) > 1
+        """,
+        "dedup_ngram_jaccard": """
+            WITH gs AS (SELECT unnest(generate_series(1, 4096)) AS i),
+            sh AS (
+              SELECT DISTINCT doc_id, substring(text, gs.i, 7) AS g
+              FROM documents CROSS JOIN gs
+              WHERE gs.i <= greatest(length(text) - 6, 1)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS m
+              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(m / (sa.n + sb.n - m), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE m / (sa.n + sb.n - m) >= 0.4
         """,
         "stats_quantity": """
             SELECT count(*) AS n,
