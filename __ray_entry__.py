@@ -269,6 +269,40 @@ def _q_events_window(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_events_sessions(sf_dir: str):
+    """Gap-based sessionization (streaming-shaped workload, ray_guide
+    pattern): partition by user, sort by ts within the group, count sessions
+    split at >30min gaps.  Ordering assumption: per-user event streams fit a
+    group (documented; at scale bucket users by hash first)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff().dt.total_seconds() > 1800
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "n_sessions": [int(gaps.sum()) + 1],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+                "n_sessions": pc.cast(t["n_sessions"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_join_mktsegment(sf_dir: str):
     """Broadcast hash join (small side shipped once) + grouped aggregate."""
     import ray
@@ -602,6 +636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_stats": _q_span_stats,
         "referential_keys": _q_referential,
         "events_window": _q_events_window,
+        "events_sessions": _q_events_sessions,
         "join_mktsegment": _q_join_mktsegment,
         "token_counts": _q_token_counts,
         "ann_top5": _q_ann_top5,
@@ -697,6 +732,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                    count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY event_type, day
+        """,
+        "events_sessions": """
+            WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+              FROM events
+            )
+            SELECT user_id, count(*) AS n_events,
+                   (sum(new_session) + 1)::BIGINT AS n_sessions
+            FROM marked GROUP BY user_id
         """,
         "join_mktsegment": """
             SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
