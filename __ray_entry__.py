@@ -10,6 +10,8 @@ initialised by the driver — nothing here calls ray.init/shutdown.
 from __future__ import annotations
 
 import json
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
@@ -18,6 +20,18 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+# Ray workers resolve joi_ray via the raylet's cwd; when the driver runs
+# from elsewhere, stage callables would fail to unpickle in workers.  This
+# fills joi_ray._env.REMOTE_KWARGS with a PYTHONPATH runtime_env that every
+# joi_ray map_batches call site spreads (no-op from the repo root).
+from joi_ray._env import ensure_importable
+
+ensure_importable()
 
 
 # --------------------------------------------------------------------------

@@ -205,6 +205,9 @@ def run_bench() -> dict:
     n_mh = len(mh)  # minhash_canonical returns a small pandas DataFrame
     queries["minhash_dedup"] = round(time.time() - t0, 3)
 
+    # north-rule end-to-end = schema+referential+sketches pass + uniqueness
+    # shuffle (drift is a driver-side merge of already-emitted sketches)
+    t_e2e = queries["validate_full"] + queries["uniqueness"]
     result = {
         "metric": "validate_docs_per_sec",
         "value": round(t_validate, 3),
@@ -215,6 +218,8 @@ def run_bench() -> dict:
         "repeat": repeat,
         "rows": n_docs,
         "docs_per_sec": round(n_docs / t_validate, 1),
+        "end_to_end_sec": round(t_e2e, 3),
+        "docs_per_sec_e2e": round(n_docs / t_e2e, 1),
         "violations": int(total_viol),
         "duplicate_keys": int(n_dups),
     }
@@ -237,8 +242,8 @@ def main():
         # past ~16 workers (throughput at 32 < at 16 despite 32 reported
         # cores), so 8->32 under-measures the engine's scaling; see
         # BASELINE.md for the full 2/4/8/16/32 curve.
-        lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
-        hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
+        lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
+        hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
         trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "2"))
         # scaling evidence needs a compute-bound corpus: 10x the default
         # repeat so per-worker fixed costs amortize (same input both levels)

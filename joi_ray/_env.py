@@ -1,0 +1,34 @@
+"""Worker-environment defaults for Ray stages.
+
+Ray workers inherit the raylet's cwd (set at ``ray.init``), and ``joi_ray``
+resolves via that cwd when the driver runs from the repo root.  When the
+driver's cwd is elsewhere, stage callables defined in ``joi_ray`` fail to
+unpickle in workers (ModuleNotFoundError) and actor pools retry forever.
+
+``ensure_importable()`` detects that case and fills ``REMOTE_KWARGS`` with a
+``runtime_env`` that prepends the repo to PYTHONPATH; every joi_ray
+``map_batches`` call site spreads ``**REMOTE_KWARGS``.  From the repo root
+this is a no-op (empty dict, no runtime-env agent involvement).
+"""
+
+from __future__ import annotations
+
+import os
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+REMOTE_KWARGS: dict = {}
+
+
+def ensure_importable() -> None:
+    """Call once per driver (idempotent) before building pipelines.
+
+    Mutates REMOTE_KWARGS in place — call sites hold direct references."""
+    try:
+        same = os.path.samefile(os.getcwd(), _REPO)
+    except OSError:
+        same = False
+    REMOTE_KWARGS.clear()
+    if not same:
+        path = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+        REMOTE_KWARGS["runtime_env"] = {"env_vars": {"PYTHONPATH": path}}

@@ -16,6 +16,7 @@ Scale design:
 
 from __future__ import annotations
 
+from .._env import REMOTE_KWARGS
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -47,11 +48,11 @@ def exact_duplicate_groups(ds, col: str, id_col: str):
             }
         )
 
-    p = ds.map_batches(partials, batch_format="pyarrow")
+    p = ds.map_batches(partials, batch_format="pyarrow", **REMOTE_KWARGS)
     agg = p.groupby("content_hash").aggregate(
         Sum("partial_n", alias_name="n"), Min("partial_min", alias_name="keep_id")
     )
-    return agg.map_batches(lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow")
+    return agg.map_batches(lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow", **REMOTE_KWARGS)
 
 
 def dedup_exact(ds, col: str, id_col: str):
@@ -61,7 +62,7 @@ def dedup_exact(ds, col: str, id_col: str):
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(id_col).head(1)
 
-    hashed = ds.map_batches(lambda b: content_hash_batch(b, col), batch_format="pyarrow")
+    hashed = ds.map_batches(lambda b: content_hash_batch(b, col), batch_format="pyarrow", **REMOTE_KWARGS)
     return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
 
 
@@ -194,8 +195,7 @@ def minhash_duplicate_pairs(ds, text_col: str, id_col: str, *, threshold: float 
         MinHashStage,
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, k=k),
         batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+        concurrency=concurrency, **REMOTE_KWARGS)
     cands = banded.groupby(["band", "band_hash"]).map_groups(pairs_of_group, batch_format="pandas")
 
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -229,13 +229,12 @@ def minhash_canonical(ds, text_col: str, id_col: str, *, num_perm: int = 64, ban
             text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, k=k, emit_sig=False
         ),
         batch_format="pyarrow",
-        concurrency=concurrency,
-    ).materialize()  # consumed twice below; skinny (24B/row)
+        concurrency=concurrency, **REMOTE_KWARGS).materialize()  # consumed twice below; skinny (24B/row)
 
     stats = banded.groupby(["band", "band_hash"]).aggregate(
         Min(id_col, alias_name="bmin"), Count(alias_name="bn")
     )
-    dup = stats.map_batches(lambda t: t.filter(pc.greater(t["bn"], 1)), batch_format="pyarrow")
+    dup = stats.map_batches(lambda t: t.filter(pc.greater(t["bn"], 1)), batch_format="pyarrow", **REMOTE_KWARGS)
     dup_df = dup.to_pandas()
     if len(dup_df) == 0:
         return pd.DataFrame({id_col: [], "canonical": []})
@@ -246,7 +245,7 @@ def minhash_canonical(ds, text_col: str, id_col: str, *, num_perm: int = 64, ban
         j = b.merge(small, on=["band", "band_hash"], how="inner")  # vectorized broadcast semi-join
         return j[[id_col, "bmin"]].rename(columns={"bmin": "bucket_min"})
 
-    mem = banded.map_batches(members, batch_format="pandas").to_pandas()
+    mem = banded.map_batches(members, batch_format="pandas", **REMOTE_KWARGS).to_pandas()
     out = mem.groupby(id_col, as_index=False)["bucket_min"].min().rename(columns={"bucket_min": "canonical"})
     return out
 
@@ -337,9 +336,8 @@ def simhash_duplicate_pairs(ds, text_col: str, id_col: str, *, max_hamming: int 
 
     sigs = ds.map_batches(
         SimHashStage, fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
-        batch_format="pyarrow", concurrency=concurrency,
-    )
-    banded = sigs.map_batches(explode_bands, batch_format="pyarrow")
+        batch_format="pyarrow", concurrency=concurrency, **REMOTE_KWARGS)
+    banded = sigs.map_batches(explode_bands, batch_format="pyarrow", **REMOTE_KWARGS)
     cands = banded.groupby(["band", "band_val"]).map_groups(pairs_of_group, batch_format="pandas")
     return cands.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
 
@@ -395,5 +393,5 @@ def embedding_duplicate_pairs(ds, emb_col: str, id_col: str, *, threshold: float
         keep = s >= threshold
         return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": s[keep]})
 
-    bucketed = ds.map_batches(BucketStage, batch_format="pyarrow", concurrency=concurrency)
+    bucketed = ds.map_batches(BucketStage, batch_format="pyarrow", concurrency=concurrency, **REMOTE_KWARGS)
     return bucketed.groupby("bucket").map_groups(pairs_of_group, batch_format="pandas")

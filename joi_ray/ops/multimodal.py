@@ -12,6 +12,7 @@ a real decoder is a one-function change.
 
 from __future__ import annotations
 
+from .._env import REMOTE_KWARGS
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -133,15 +134,13 @@ def media_pipeline(docs_ds, *, concurrency=2, batch_size=256):
         refs = refs.filter(keep)
         return pa.table({"doc_id": ids, "media_ref": refs, "payload": synth_media_payload(refs)})
 
-    media = docs_ds.map_batches(explode_media, batch_format="pyarrow", batch_size=batch_size)
+    media = docs_ds.map_batches(explode_media, batch_format="pyarrow", batch_size=batch_size, **REMOTE_KWARGS)
     # fractional num_cpus: two chained pools must not reserve every core or
     # the upstream read starves (fixed-size pools pre-reserve their CPUs)
     media = media.map_batches(
         MediaDecodeStage, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=0.5,
-    )
+        concurrency=concurrency, num_cpus=0.5, **REMOTE_KWARGS)
     media = media.map_batches(
         MediaFeatureStage, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=0.5,
-    )
+        concurrency=concurrency, num_cpus=0.5, **REMOTE_KWARGS)
     return media

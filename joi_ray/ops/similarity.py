@@ -10,6 +10,7 @@ batch vectors routed to their nearest centroid, queries probe only
 
 from __future__ import annotations
 
+from .._env import REMOTE_KWARGS
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -60,8 +61,7 @@ def ann_topk(ds, queries: np.ndarray, *, emb_col: str = "embedding", id_col: str
         fn_constructor_kwargs=dict(queries_ref=qref, emb_col=emb_col, id_col=id_col, k=k),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
-    )
+        concurrency=concurrency, **REMOTE_KWARGS)
 
     def global_topk(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["score", id_col], ascending=[False, True]).head(k)
@@ -140,8 +140,7 @@ def ann_topk_ivf(ds, queries: np.ndarray, *, emb_col="embedding", id_col="vec_id
         IVFTopK,
         fn_constructor_kwargs=dict(queries_ref=qref, centroids_ref=cref, emb_col=emb_col, id_col=id_col, k=k, nprobe=nprobe),
         batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+        concurrency=concurrency, **REMOTE_KWARGS)
 
     def global_topk(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["score", id_col], ascending=[False, True]).head(k)

@@ -32,6 +32,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
+from .._env import REMOTE_KWARGS
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -241,11 +242,10 @@ def uniqueness_pass(ds, key: str = "doc_id"):
             }
         )
 
-    partials = ds.map_batches(partial_counts, batch_format="pyarrow")
+    partials = ds.map_batches(partial_counts, batch_format="pyarrow", **REMOTE_KWARGS)
     totals = partials.groupby(key).aggregate(Sum("partial_n", alias_name="n"))
     dups = totals.map_batches(
-        lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
-    )
+        lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow", **REMOTE_KWARGS)
     return dups
 
 
@@ -270,9 +270,9 @@ def uniqueness_pass_hashed(ds_factory, key: str = "doc_id"):
             {"h": pa.array(hv.astype(np.int64)), "partial_n": pa.array(counts.astype(np.int64))}
         )
 
-    phase1 = ds_factory().map_batches(hash_partials, batch_format="pyarrow")
+    phase1 = ds_factory().map_batches(hash_partials, batch_format="pyarrow", **REMOTE_KWARGS)
     totals = phase1.groupby("h").aggregate(Sum("partial_n", alias_name="n"))
-    cand = totals.map_batches(lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow")
+    cand = totals.map_batches(lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow", **REMOTE_KWARGS)
     cand_hashes = set(cand.to_pandas()["h"].to_numpy())
     if not cand_hashes:
         return pa.table({key: pa.array([], pa.string()), "n": pa.array([], pa.int64())})
@@ -288,9 +288,9 @@ def uniqueness_pass_hashed(ds_factory, key: str = "doc_id"):
         vc = pc.value_counts(sub)
         return pa.table({key: vc.field("values"), "partial_n": pc.cast(vc.field("counts"), pa.int64())})
 
-    phase2 = ds_factory().map_batches(exact_counts, batch_format="pyarrow")
+    phase2 = ds_factory().map_batches(exact_counts, batch_format="pyarrow", **REMOTE_KWARGS)
     exact = phase2.groupby(key).aggregate(Sum("partial_n", alias_name="n"))
-    dups = exact.map_batches(lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow")
+    dups = exact.map_batches(lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow", **REMOTE_KWARGS)
     return dups
 
 
@@ -449,8 +449,7 @@ def validate_dataset(
             validator_fn,
             fn_kwargs=fn_kwargs,
             batch_format="pyarrow",
-            batch_size=batch_size,
-        )
+            batch_size=batch_size, **REMOTE_KWARGS)
         tmp_stream = os.path.join(out_dir, f".stream-{shard_id:04d}")
         if os.path.exists(tmp_stream):
             import shutil
@@ -576,8 +575,6 @@ def validate_ds(ds, schema, *, id_column="doc_id", prefs=None, catalog=None, ref
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
-    )
+        concurrency=concurrency, **REMOTE_KWARGS)
     return out.map_batches(
-        lambda t: t.filter(pc.not_equal(t["severity"], "meta")), batch_format="pyarrow"
-    )
+        lambda t: t.filter(pc.not_equal(t["severity"], "meta")), batch_format="pyarrow", **REMOTE_KWARGS)

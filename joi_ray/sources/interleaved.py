@@ -28,6 +28,7 @@ Dirt rules (id m = doc_id % 1000):
 
 from __future__ import annotations
 
+from .._env import REMOTE_KWARGS
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -189,8 +190,8 @@ def read_interleaved(sf_dir: str, *, columns: list[str] | None = None, repeat: i
             doc_id[m == 7] = None
             return pa.table({"doc_id": pa.array(doc_id, type=pa.string())})
 
-        return ds.map_batches(ids_only, batch_format="pyarrow", batch_size=bs)
-    out = ds.map_batches(lambda b: interleave_batch(b, repeat), batch_format="pyarrow", batch_size=bs)
+        return ds.map_batches(ids_only, batch_format="pyarrow", batch_size=bs, **REMOTE_KWARGS)
+    out = ds.map_batches(lambda b: interleave_batch(b, repeat), batch_format="pyarrow", batch_size=bs, **REMOTE_KWARGS)
     if columns:
         out = out.select_columns(columns)
     return out
