@@ -90,9 +90,25 @@ def sparse_check(arr: pa.Array) -> np.ndarray:
 def make_sort(args):
     order = args.get("order", "ascending")
     by = args.get("by")
+    do_convert = bool(args.get("convert"))
 
     def kernel(arr, env: Env) -> RuleOut:
         n = len(arr)
+        if do_convert and env.convert:
+            # joi convert-mode: rewrite each row's list in sorted order
+            # (array.js:420-452); vectorized lexsort within parents
+            flat_all, parents_all, _ = flatten_with_parents(arr)
+            keys, _, _ = _item_values(arr, by)
+            kv = keys.to_numpy(zero_copy_only=False)
+            if order == "descending":
+                kv = -kv if np.issubdtype(np.asarray(kv).dtype, np.number) else kv[::-1]
+            order_idx = np.lexsort((kv, parents_all))
+            new_flat = flat_all.take(pa.array(order_idx))
+            lengths = pc.list_value_length(arr).fill_null(0).to_numpy(zero_copy_only=False)
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lengths, out=offsets[1:])
+            rebuilt = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int64()).cast(pa.int32()), new_flat)
+            return RuleOut(ok=np.ones(n, dtype=bool), new_value=rebuilt, context={"order": order, "by": by or "value"})
         flat, parents, _ = _item_values(arr, by)
         ok = np.ones(n, dtype=bool)
         if len(parents) > 1:

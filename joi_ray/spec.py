@@ -658,8 +658,12 @@ class ArraySchema(Schema):
     def has(self, schema: Schema) -> "ArraySchema":
         return self._rule("has", {"schema": schema})
 
-    def sort(self, *, order: str = "ascending", by: str | None = None) -> "ArraySchema":
-        return self._rule("sort", {"order": order, "by": by}, single=True)
+    def sort(self, *, order: str = "ascending", by: str | None = None, convert: bool = False) -> "ArraySchema":
+        """Order check by default; ``convert=True`` rewrites each row's list
+        in sorted order (the reference's convert-mode behavior,
+        ``lib/types/array.js:420-452``).  Check-by-default is a documented
+        deviation: order violations are a first-class dataset check here."""
+        return self._rule("sort", {"order": order, "by": by, "convert": convert}, single=True)
 
 
 class ObjectSchema(Schema):
