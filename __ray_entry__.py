@@ -630,6 +630,65 @@ def _q_media_features(sf_dir: str):
     return pa.table({"n_media": pa.array([n], pa.int64()), "feat_dim": pa.array([32], pa.int64())})
 
 
+def _q_pipeline_report(sf_dir: str):
+    """Full resumable pipeline through the driver contract: two shards,
+    checkpoint manifest, uniqueness, snapshot — returns the report row.
+    Exercises validate_dataset exactly as a production run would."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from joi_ray.pipelines.docs import DEFAULT_STATS, document_schema
+    from joi_ray.pipelines.validate import validate_dataset
+    from joi_ray.sources.interleaved import asset_catalog, interleave_batch
+
+    out_dir = tempfile.mkdtemp(prefix="joiray_report_")
+    try:
+        src = f"{sf_dir}/documents.parquet"
+        n = pq.read_metadata(src).num_rows
+
+        def shard(offset, length):
+            def f():
+                t = pq.read_table(src, columns=["doc_id", "text"]).slice(offset, length)
+                return rd.from_arrow(t).map_batches(interleave_batch, batch_format="pyarrow")
+
+            return f
+
+        def uniq():
+            return (
+                rd.read_parquet(src, columns=["doc_id", "text"])
+                .map_batches(interleave_batch, batch_format="pyarrow")
+                .select_columns(["doc_id"])
+            )
+
+        rep = validate_dataset(
+            [shard(0, n // 2), shard(n // 2, n - n // 2)],
+            schema=document_schema(),
+            out_dir=out_dir,
+            catalog=asset_catalog(),
+            ref_path="spans.media_ref",
+            stats_numeric=DEFAULT_STATS["numeric"],
+            stats_categorical=DEFAULT_STATS["categorical"],
+            stats_id=DEFAULT_STATS["id"],
+            unique_ds_factory=uniq,
+            batch_size=2048,
+            resume=False,
+        )
+        return pa.table(
+            {
+                "rows": pa.array([rep.rows], pa.int64()),
+                "failed": pa.array([rep.failed], pa.int64()),
+                "shards": pa.array([rep.shards], pa.int64()),
+                "duplicates": pa.array([rep.duplicates], pa.int64()),
+                "duplicate_rows_excess": pa.array([rep.duplicate_rows_excess], pa.int64()),
+                "passed": pa.array([rep.passed], pa.bool_()),
+            }
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def _q_embedding_dups(sf_dir: str):
     import ray.data as rd
 
@@ -667,6 +726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_halves": _q_drift,
         "media_features": _q_media_features,
         "embedding_near_dups": _q_embedding_dups,
+        "pipeline_report": _q_pipeline_report,
     }
 
 
@@ -813,6 +873,20 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 2) AS sum_q,
                    count(DISTINCT l_quantity) AS ndv_q
             FROM lineitem
+        """,
+        "pipeline_report": """
+            WITH m AS (SELECT doc_id % 1000 AS r, doc_id % 100 AS h FROM documents)
+            SELECT
+              (SELECT count(*) FROM m)::BIGINT AS rows,
+              (SELECT count(*) FROM m WHERE r IN (7,13,29,35,41,47,53))::BIGINT AS failed,
+              2::BIGINT AS shards,
+              ((SELECT count(*) FROM m WHERE r = 21)
+                + CASE WHEN (SELECT count(*) FROM m WHERE h = 99) >= 2 THEN 1 ELSE 0 END)::BIGINT AS duplicates,
+              ((SELECT count(*) FROM m WHERE r = 21)
+                + greatest((SELECT count(*) FROM m WHERE h = 99) - 1, 0))::BIGINT AS duplicate_rows_excess,
+              ((SELECT count(*) FROM m WHERE r IN (7,13,29,35,41,47,53)) = 0
+                AND (SELECT count(*) FROM m WHERE r = 21) = 0
+                AND (SELECT count(*) FROM m WHERE h = 99) < 2) AS passed
         """,
         "quality_by_lang": """
             SELECT lang, count(*) AS n,

@@ -27,7 +27,15 @@ from .spec import (
     symbol,
     function_,
 )
-from .engine import BatchResult, CompiledSchema, compile_schema, DEFAULT_PREFS, VIOLATION_SCHEMA
+from .engine import (
+    BatchResult,
+    CompiledSchema,
+    DEFAULT_PREFS,
+    VIOLATION_SCHEMA,
+    ValidationFailure,
+    attempt,
+    compile_schema,
+)
 
 __all__ = [
     "Ref",

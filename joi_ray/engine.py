@@ -1134,3 +1134,21 @@ class CompiledSchema:
 
 def compile_schema(schema: Schema | dict, prefs: dict | None = None, id_column: str | None = None) -> CompiledSchema:
     return CompiledSchema(schema, prefs, id_column)
+
+
+class ValidationFailure(ValueError):
+    def __init__(self, violations: pa.Table):
+        self.violations = violations
+        first = violations.to_pylist()[:3]
+        super().__init__(f"{violations.num_rows} violation(s); first: {first}")
+
+
+def attempt(tbl: pa.Table, schema: Schema | dict, prefs: dict | None = None, id_column: str | None = None) -> pa.Table:
+    """Validate-or-raise convenience (the ``Joi.attempt`` analog,
+    ``/root/reference/lib/index.js:54-59``): returns the normalized table or
+    raises ``ValidationFailure`` carrying the violation rows."""
+    res = compile_schema(schema, prefs, id_column).validate_table(tbl)
+    errors = res.violations.filter(pc.equal(res.violations["severity"], "error"))
+    if errors.num_rows:
+        raise ValidationFailure(errors)
+    return res.value

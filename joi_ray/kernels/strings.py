@@ -113,28 +113,30 @@ def _regex_rule(pattern: str, code: str, ctx: dict | None = None):
     return factory
 
 
-def make_min(args):
-    def kernel(arr, env: Env) -> RuleOut:
-        ok, ctx = cmp_mask(_lengths(arr), "ge", args["limit"], env)
-        return RuleOut(ok=ok, context=ctx)
-
-    return kernel
-
-
-def make_max(args):
-    def kernel(arr, env: Env) -> RuleOut:
-        ok, ctx = cmp_mask(_lengths(arr), "le", args["limit"], env)
-        return RuleOut(ok=ok, context=ctx)
-
-    return kernel
+def _measure(arr: pa.Array, encoding: str | None):
+    """Char length by default; byte length when encoding='utf8'
+    (the reference's Buffer.byteLength path, string/index.js:510-556)."""
+    if encoding in ("utf8", "utf-8"):
+        return pc.binary_length(pc.cast(arr, pa.binary()))
+    return _lengths(arr)
 
 
-def make_length(args):
-    def kernel(arr, env: Env) -> RuleOut:
-        ok, ctx = cmp_mask(_lengths(arr), "eq", args["limit"], env)
-        return RuleOut(ok=ok, context=ctx)
+def _len_rule(op: str):
+    def factory(args):
+        enc = args.get("encoding")
 
-    return kernel
+        def kernel(arr, env: Env) -> RuleOut:
+            ok, ctx = cmp_mask(_measure(arr, enc), op, args["limit"], env)
+            return RuleOut(ok=ok, context=ctx)
+
+        return kernel
+
+    return factory
+
+
+make_min = _len_rule("ge")
+make_max = _len_rule("le")
+make_length = _len_rule("eq")
 
 
 def make_pattern(args):

@@ -431,14 +431,14 @@ class StringSchema(Schema):
     def __init__(self):
         super().__init__("string")
 
-    def min(self, limit) -> "StringSchema":
-        return self._rule("min", {"limit": limit}, single=True)
+    def min(self, limit, encoding: str | None = None) -> "StringSchema":
+        return self._rule("min", {"limit": limit, "encoding": encoding}, single=True)
 
-    def max(self, limit) -> "StringSchema":
-        return self._rule("max", {"limit": limit}, single=True)
+    def max(self, limit, encoding: str | None = None) -> "StringSchema":
+        return self._rule("max", {"limit": limit, "encoding": encoding}, single=True)
 
-    def length(self, limit) -> "StringSchema":
-        return self._rule("length", {"limit": limit}, single=True)
+    def length(self, limit, encoding: str | None = None) -> "StringSchema":
+        return self._rule("length", {"limit": limit, "encoding": encoding}, single=True)
 
     def pattern(self, regex: str, *, invert: bool = False, name: str | None = None) -> "StringSchema":
         return self._rule("pattern", {"regex": regex, "invert": invert, "name": name})
