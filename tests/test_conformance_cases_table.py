@@ -55,6 +55,55 @@ CASES = [
     ("date.min.0", "date", S(jr.date().min("2020-01-01")), "2021-01-01", {}, True, None),
     ("date.min.1", "date", S(jr.date().min("2020-01-01")), "2019-01-01", {}, False, "date.min"),
     ("date.base.0", "date", S(jr.date()), "not a date", {}, False, "date.base"),
+    # --- second tranche: strict modes, coercion rewrites, sets, shaping
+    ("string.max.0", "string", S(jr.string().max(3)), "abcd", {}, False, "string.max"),
+    ("string.length.0", "string", S(jr.string().length(3)), "abc", {}, True, None),
+    ("string.length.1", "string", S(jr.string().length(3)), "ab", {}, False, "string.length"),
+    ("string.token.0", "string", S(jr.string().token()), "ok_1", {}, True, None),
+    ("string.token.1", "string", S(jr.string().token()), "no way", {}, False, "string.token"),
+    ("string.hex.0", "string", S(jr.string().hex()), "0AfF", {}, True, None),
+    ("string.hex.1", "string", S(jr.string().hex()), "0xg", {}, False, "string.hex"),
+    ("string.hostname.0", "string", S(jr.string().hostname()), "srv-1.local", {}, True, None),
+    ("string.hostname.1", "string", S(jr.string().hostname()), "-bad-", {}, False, "string.hostname"),
+    ("string.domain.0", "string", S(jr.string().domain()), "sub.example.org", {}, True, None),
+    ("string.domain.1", "string", S(jr.string().domain()), "localhost", {}, False, "string.domain"),
+    ("string.b64.0", "string", S(jr.string().base64()), "YWJjZA==", {}, True, None),
+    ("string.b64.1", "string", S(jr.string().base64()), "YWJjZA", {}, False, "string.base64"),
+    ("string.duration.0", "string", S(jr.string().iso_duration()), "P3DT4H", {}, True, None),
+    ("string.duration.1", "string", S(jr.string().iso_duration()), "3 days", {}, False, "string.isoDuration"),
+    ("string.cc.0", "string", S(jr.string().credit_card()), "378282246310005", {}, True, None),
+    ("string.cc.1", "string", S(jr.string().credit_card()), "378282246310006", {}, False, "string.creditCard"),
+    ("string.trim.strict", "string", S(jr.string().trim()), " x ", {"convert": False}, False, "string.trim"),
+    ("string.lower.strict", "string", S(jr.string().lowercase()), "ABC", {"convert": False}, False, "string.lowercase"),
+    ("string.upper.strict", "string", S(jr.string().uppercase()), "abc", {"convert": False}, False, "string.uppercase"),
+    ("string.datauri.0", "string", S(jr.string().data_uri()), "data:text/plain;base64,aGk=", {}, True, None),
+    ("string.uri.rel", "string", S(jr.string().uri(relative_only=True)), "a/b", {}, True, None),
+    ("string.uri.rel.1", "string", S(jr.string().uri(relative_only=True)), "http://x.io", {}, False, "string.uriRelativeOnly"),
+    ("string.invalid.0", "string", S(jr.string().invalid("nope")), "nope", {}, False, "any.invalid"),
+    ("string.insensitive", "string", S(jr.string().valid("YES").insensitive()), "yes", {}, True, None),
+    ("number.greater.0", "number", S(jr.number().greater(0)), 0, {}, False, "number.greater"),
+    ("number.less.0", "number", S(jr.number().less(10)), 10, {}, False, "number.less"),
+    ("number.precision.strict", "number", S(jr.number().precision(1)), 1.25, {"convert": False}, False, "number.precision"),
+    ("number.negative.0", "number", S(jr.number().negative()), -2, {}, True, None),
+    ("number.negative.1", "number", S(jr.number().negative()), 2, {}, False, "number.negative"),
+    ("number.unsafe.0", "number", S(jr.number()), float(2**54), {}, False, "number.unsafe"),
+    ("number.unsafe.1", "number", S(jr.number().unsafe()), float(2**54), {}, True, None),
+    ("number.nan", "number", S(jr.number()), float("nan"), {}, False, "number.base"),
+    ("number.inf", "number", S(jr.number()), float("inf"), {}, False, "number.infinity"),
+    ("number.allow0", "number", S(jr.number().min(1).allow(0)), 0, {}, True, None),
+    ("boolean.strict", "boolean", S(jr.boolean()), "true", {"convert": False}, False, "boolean.base"),
+    ("boolean.falsy", "boolean", S(jr.boolean().falsy("off")), "off", {}, True, None),
+    ("date.greater.0", "date", S(jr.date().greater("2020-06-01")), "2020-06-01", {}, False, "date.greater"),
+    ("date.less.0", "date", S(jr.date().less("2020-06-01")), "2020-05-31", {}, True, None),
+    ("date.now", "date", S(jr.date().max("now")), "2090-01-01", {"now_ms": 1_700_000_000_000}, False, "date.max"),
+    ("binary.coerce", "binary", S(jr.binary().min(3)), "hello", {}, True, None),
+    ("binary.min", "binary", S(jr.binary().min(10)), "hi", {}, False, "binary.min"),
+    ("any.default", "any", S(jr.string().default("d")), None, {}, True, None),
+    ("any.empty", "any", S(jr.string().empty("-").required()), "-", {}, False, "any.required"),
+    ("any.failover", "any", S(jr.number().min(10).failover(0)), 3, {}, True, None),
+    ("any.forbidden.null", "any", S(jr.string().forbidden()), None, {}, True, None),
+    ("any.ctx", "any", S(jr.number().max(jr.ref("$cap"))), 11, {"context": {"cap": 10}}, False, "number.max"),
+    ("any.warn", "any", S(jr.string().min(9).warn()), "short", {}, True, None),
 ]
 
 NESTED_CASES = [
