@@ -317,6 +317,92 @@ def _q_events_sessions(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_events_sliding(sf_dir: str):
+    """Sliding windows (1h window, 30min hop): each event lands in the two
+    hops covering it — emitted per batch, then one grouped aggregate."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def hops(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks()
+        hop0 = pc.floor_temporal(ts, multiple=30, unit="minute")
+        hop1 = pc.subtract(hop0, pa.scalar(1_800_000_000, type=pa.duration("us")))
+        et = t["event_type"].combine_chunks()
+        return pa.table(
+            {
+                "event_type": pa.concat_arrays([et, et]),
+                "window_start": pa.concat_arrays(
+                    [pc.strftime(hop0, format="%Y-%m-%d %H:%M"), pc.strftime(hop1, format="%Y-%m-%d %H:%M")]
+                ),
+            }
+        )
+
+    agg = ds.map_batches(hops, batch_format="pyarrow").groupby(["event_type", "window_start"]).aggregate(
+        Count(alias_name="n")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"event_type": t["event_type"], "window_start": t["window_start"], "n": pc.cast(t["n"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_join_region(sf_dir: str):
+    """Three-hop broadcast join: orders -> customer -> nation -> region,
+    revenue per region.  All dimension tables ship once via ray.put."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    ref = ray.put((cust, nation, region))
+
+    class RegionJoin:
+        def __init__(self):
+            c, na, re_ = ray.get(ref)
+            n2r = dict(zip(na["n_nationkey"].to_pylist(), na["n_regionkey"].to_pylist()))
+            r2n = dict(zip(re_["r_regionkey"].to_pylist(), re_["r_name"].to_pylist()))
+            self.cust2region = {
+                ck: r2n.get(n2r.get(nk))
+                for ck, nk in zip(c["c_custkey"].to_pylist(), c["c_nationkey"].to_pylist())
+            }
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = pa.array(
+                [self.cust2region.get(k) for k in t["o_custkey"].to_pylist()], pa.string()
+            )
+            g = (
+                t.append_column("r_name", names)
+                .group_by("r_name")
+                .aggregate([("o_totalprice", "sum"), ("o_orderkey", "count")])
+            )
+            return g.rename_columns(["r_name", "p_rev", "p_n"])
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice", "o_orderkey"])
+    agg = (
+        orders.map_batches(RegionJoin, batch_format="pyarrow", concurrency=2)
+        .groupby("r_name")
+        .aggregate(Sum("p_rev", alias_name="s_rev"), Sum("p_n", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "r_name": t["r_name"],
+                "revenue": t["s_rev"],
+                "n_orders": pc.cast(t["n"], pa.int64()),
+            }
+        )
+        return _py_round(out, {"revenue": 2})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_join_mktsegment(sf_dir: str):
     """Broadcast hash join (small side shipped once) + grouped aggregate."""
     import ray
@@ -711,6 +797,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "events_sessions": _q_events_sessions,
         "join_mktsegment": _q_join_mktsegment,
+        "join_region_revenue": _q_join_region,
+        "events_sliding": _q_events_sliding,
         "token_counts": _q_token_counts,
         "ann_top5": _q_ann_top5,
         "embedding_norms": _q_embedding_norms,
@@ -822,6 +910,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "join_region_revenue": """
+            SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "events_sliding": """
+            WITH hops AS (
+              SELECT event_type,
+                     unnest([
+                       strftime(to_timestamp(floor(epoch(ts) / 1800) * 1800), '%Y-%m-%d %H:%M'),
+                       strftime(to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800), '%Y-%m-%d %H:%M')
+                     ]) AS window_start
+              FROM events
+            )
+            SELECT event_type, window_start, count(*) AS n
+            FROM hops GROUP BY event_type, window_start
         """,
         "token_counts": """
             SELECT doc_id,
