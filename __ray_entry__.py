@@ -447,6 +447,61 @@ def _q_join_mktsegment(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_union_distinct(sf_dir: str):
+    """Set ops: union of two projections + distinct (groupby-based)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    a = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag"]).map_batches(
+        lambda t: pa.table({"v": t["l_returnflag"]}), batch_format="pyarrow"
+    )
+    b = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_linestatus"]).map_batches(
+        lambda t: pa.table({"v": t["l_linestatus"]}), batch_format="pyarrow"
+    )
+
+    def partial_distinct(t: pa.Table) -> pa.Table:
+        return pa.table({"v": pc.unique(t["v"].combine_chunks())})
+
+    u = a.union(b).map_batches(partial_distinct, batch_format="pyarrow")
+    agg = u.groupby("v").aggregate(Count(alias_name="_n"))
+    return agg.map_batches(lambda t: pa.table({"v": t["v"]}), batch_format="pyarrow")
+
+
+def _q_systematic_sample(sf_dir: str):
+    """Deterministic systematic sample (doc_id % 7 == 3): count + sums —
+    the resumable-sampling pattern (same rows every run, SQL-checkable)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks()
+        mod = pc.subtract(ids, pc.multiply(pc.divide(ids, 7), 7))  # int64 x % 7
+        return t.filter(pc.equal(mod, 3))
+
+    picked = ds.map_batches(pick, batch_format="pyarrow")
+    agg = picked.aggregate(Count(alias_name="n"), Sum("n_chars", alias_name="sum_chars"))
+    return pa.table(
+        {
+            "n": pa.array([int(agg["n"])], pa.int64()),
+            "sum_chars": pa.array([int(agg["sum_chars"])], pa.int64()),
+        }
+    )
+
+
+def _q_top_orders(sf_dir: str):
+    """Global top-k through Ray's distributed sort + limit."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, True]).limit(10)
+    t = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    return _py_round(
+        pa.table({"o_orderkey": t["o_orderkey"], "o_totalprice": t["o_totalprice"]}),
+        {"o_totalprice": 2},
+    )
+
+
 def _q_token_counts(sf_dir: str):
     import ray.data as rd
 
@@ -800,6 +855,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_region_revenue": _q_join_region,
         "events_sliding": _q_events_sliding,
         "token_counts": _q_token_counts,
+        "union_distinct": _q_union_distinct,
+        "systematic_sample": _q_systematic_sample,
+        "top_orders": _q_top_orders,
         "ann_top5": _q_ann_top5,
         "embedding_norms": _q_embedding_norms,
         "dedup_exact": _q_dedup_exact,
@@ -930,6 +988,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, window_start, count(*) AS n
             FROM hops GROUP BY event_type, window_start
+        """,
+        "union_distinct": """
+            SELECT DISTINCT v FROM (
+              SELECT l_returnflag AS v FROM lineitem
+              UNION ALL SELECT l_linestatus FROM lineitem
+            )
+        """,
+        "systematic_sample": """
+            SELECT count(*) AS n, sum(n_chars)::BIGINT AS sum_chars
+            FROM documents WHERE doc_id % 7 = 3
+        """,
+        "top_orders": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 10
         """,
         "token_counts": """
             SELECT doc_id,
