@@ -49,7 +49,6 @@ def run_bench() -> dict:
     import pyarrow.parquet as pq
 
     from joi_ray.pipelines.docs import DEFAULT_STATS, document_schema
-    from joi_ray.pipelines.validate import ValidatorStage, uniqueness_pass, validate_ds
     from joi_ray.sources.interleaved import asset_catalog, read_interleaved
 
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows * repeat

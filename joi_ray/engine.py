@@ -217,12 +217,6 @@ class CNode:
             self.whens.append(entry)
 
     @staticmethod
-    def _strip_whens(schema: Schema) -> Schema:
-        s = schema._clone()
-        s.terms = {k: v for k, v in s.terms.items() if k != "whens"}
-        return s
-
-    @staticmethod
     def _compile_is(is_val, prefs) -> "CNode":
         s = compile_literal(is_val) if not isinstance(is_val, Schema) else is_val
         if "presence" not in s.flags:
