@@ -113,6 +113,13 @@ class Env:
                 raise KeyError(f"ancestor ref ..{r.path} with no ancestor scope")
             resolver = self.ancestors[-1]
             return resolver(r.path)
+        if r.kind == "root":
+            # /path: outermost (table-level) scope (lib/ref.js root prefix)
+            if self.ancestors:
+                return self.ancestors[0](r.path)
+            if self._resolve_sibling is not None:
+                return self._resolve_sibling(r.path)
+            raise KeyError(f"root ref /{r.path} outside any scope")
         if self._resolve_sibling is None:
             raise KeyError(f"sibling ref {r.path} outside an object scope")
         return self._resolve_sibling(r.path)

@@ -37,12 +37,15 @@ class Ref:
         elif path.startswith(".."):
             self.kind = "ancestor"
             self.path = path[2:].lstrip(".")
+        elif path.startswith("/"):
+            self.kind = "root"
+            self.path = path[1:]
         else:
             self.kind = "sibling"
             self.path = path
 
     def describe(self) -> dict:
-        prefix = {"context": "$", "ancestor": "..", "sibling": ""}[self.kind]
+        prefix = {"context": "$", "ancestor": "..", "sibling": "", "root": "/"}[self.kind]
         return {"ref": prefix + self.path}
 
     def __repr__(self):  # pragma: no cover
@@ -231,6 +234,42 @@ class Schema:
         s.metas.update(kv)
         return s
 
+    # metadata-only modifiers (lib/base.js:117-232) — carried in metas,
+    # no runtime effect, preserved through describe()/build()
+    def example(self, value) -> "Schema":
+        s = self._clone()
+        s.metas.setdefault("examples", []).append(value)
+        return s
+
+    def note(self, *texts: str) -> "Schema":
+        s = self._clone()
+        s.metas.setdefault("notes", []).extend(texts)
+        return s
+
+    def tag(self, *tags: str) -> "Schema":
+        s = self._clone()
+        s.metas.setdefault("tags", []).extend(tags)
+        return s
+
+    def unit(self, name: str) -> "Schema":
+        s = self._clone()
+        s.metas["unit"] = name
+        return s
+
+    def result(self, mode: str) -> "Schema":
+        """'raw' | 'strip' — alias for raw()/strip() (lib/base.js:292-295)."""
+        if mode == "raw":
+            return self.raw()
+        if mode == "strip":
+            return self.strip()
+        raise ValueError("result mode must be 'raw' or 'strip'")
+
+    def cache(self, _cache=None) -> "Schema":
+        """No-op by design: the reference's per-value LRU (lib/cache.js) is
+        replaced by vectorization (SURVEY.md §2.1 cache row); kept for API
+        parity."""
+        return self._clone()
+
     # -- rule tail modifiers (lib/base.js:513-549) -------------------------
     def message(self, template: str) -> "Schema":
         """Custom message for the most recently added rule."""
@@ -247,6 +286,28 @@ class Schema:
         s = self._clone()
         if s.rules:
             s.rules[-1]["warn"] = True
+        return s
+
+    # ruleset / $ / rule() group tagging (lib/base.js:513-549): mark a start
+    # point, then apply options to every rule added since
+    @property
+    def ruleset(self) -> "Schema":
+        s = self._clone()
+        s.metas["_ruleset_start"] = len(s.rules)
+        return s
+
+    dollar = ruleset
+
+    def rule(self, *, message: str | None = None, warn: bool = False, keep: bool = False) -> "Schema":
+        s = self._clone()
+        start = s.metas.pop("_ruleset_start", max(len(s.rules) - 1, 0))
+        for r in s.rules[start:]:
+            if message is not None:
+                r["message"] = message
+            if warn:
+                r["warn"] = True
+            if keep:
+                r["keep"] = True
         return s
 
     def warning(self, code: str, context: dict | None = None) -> "Schema":
