@@ -1,0 +1,123 @@
+"""Property-based conformance: random inputs validated by the vectorized
+engine must agree with a trivially-correct per-value Python reference
+implementation of the same rules (the engine's whole premise is that
+vectorization changes execution, not semantics)."""
+
+import re
+
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+import joi_ray as jr
+from joi_ray import compile_schema, object as jr_object
+
+texts = st.one_of(st.none(), st.text(max_size=12))
+floats = st.one_of(
+    st.none(), st.floats(allow_nan=False, allow_infinity=False, width=32), st.integers(-10**6, 10**6).map(float)
+)
+
+
+def run(schema, values, column_type=None, prefs=None):
+    tbl = pa.table({"x": pa.array(values, type=column_type)})
+    res = compile_schema(jr_object({"x": schema}), prefs={"abort_early": False, **(prefs or {})}).validate_table(tbl)
+    return list(res.ok)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=40), st.integers(0, 6), st.integers(0, 8))
+def test_string_min_max_matches_reference(vals, lo, extra):
+    hi = lo + extra
+    got = run(jr.string().min(lo).max(hi), vals, pa.string())
+    for v, ok in zip(vals, got):
+        if v is None:
+            expect = True          # optional missing
+        elif v == "" and lo > 0:
+            expect = False         # string.empty (or min) — always invalid when lo>0
+        elif v == "":
+            expect = False         # empty string invalid unless allowed
+        else:
+            expect = lo <= len(v) <= hi
+        assert ok == expect, (v, lo, hi, ok)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(floats, min_size=1, max_size=40), st.integers(-100, 100))
+def test_number_min_integer_matches_reference(vals, lo):
+    got = run(jr.number().min(lo).integer(), vals, pa.float64())
+    for v, ok in zip(vals, got):
+        if v is None:
+            expect = True
+        elif abs(v) > 2**53 - 1:
+            expect = False         # number.unsafe
+        else:
+            expect = v >= lo and float(v).is_integer()
+        assert ok == expect, (v, lo, ok)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(alphabet="ab1 _", max_size=8)), min_size=1, max_size=30))
+def test_pattern_matches_reference(vals):
+    pat = r"^[a-z]+\d$"
+    got = run(jr.string().pattern(pat), vals, pa.string())
+    rx = re.compile(pat)
+    for v, ok in zip(vals, got):
+        if v is None:
+            expect = True
+        elif v == "":
+            expect = False
+        else:
+            expect = bool(rx.search(v))
+        assert ok == expect, (v, ok)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.lists(st.one_of(st.none(), st.integers(-5, 5)), max_size=6)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(0, 4),
+)
+def test_array_min_sparse_unique_matches_reference(rows, lo):
+    got = run(
+        jr.array().min(lo).unique().sparse(),
+        rows,
+        pa.list_(pa.int64()),
+    )
+    for row, ok in zip(rows, got):
+        if row is None:
+            expect = True
+        else:
+            non_null = [v for v in row if v is not None]
+            expect = len(row) >= lo and len(set(non_null)) == len(non_null)
+        assert ok == expect, (row, lo, ok)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(alphabet="abc", min_size=1, max_size=3)), min_size=1, max_size=30))
+def test_valid_set_matches_reference(vals):
+    allowed = {"a", "ab", "abc"}
+    got = run(jr.string().valid(*sorted(allowed)), vals, pa.string())
+    for v, ok in zip(vals, got):
+        expect = True if v is None else v in allowed
+        assert ok == expect, (v, ok)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.sampled_from(["a", "b", "c"])), min_size=1, max_size=30),
+       st.lists(st.one_of(st.none(), st.text(max_size=5)), min_size=1, max_size=30))
+def test_when_matches_reference(kinds, vs):
+    n = min(len(kinds), len(vs))
+    kinds, vs = kinds[:n], vs[:n]
+    tbl = pa.table({"k": pa.array(kinds, pa.string()), "x": pa.array(vs, pa.string())})
+    schema = jr_object(
+        {"k": jr.string(), "x": jr.string().when("k", is_="a", then=jr.string().required())}
+    )
+    res = compile_schema(schema, prefs={"abort_early": False}).validate_table(tbl)
+    for k, v, ok in zip(kinds, vs, list(res.ok)):
+        if k == "a":
+            expect = v is not None and v != ""
+        else:
+            expect = v != ""  # empty string still fails string base
+        assert ok == expect, (k, v, ok)
