@@ -283,6 +283,15 @@ def _q_events_window(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_val_props_json(sf_dir: str):
+    """JSON-string coercion path: events.props ('{"k": n}') parsed and
+    validated as a nested object schema (the @hapi/bourne coercion analog)."""
+    import joi_ray as jr
+
+    schema = jr.object({"props": jr.object({"k": jr.number().required().min(50)})})
+    return _val_counts(sf_dir, "events", schema, ["props"])
+
+
 def _q_events_sessions(sf_dir: str):
     """Gap-based sessionization (streaming-shaped workload, ray_guide
     pattern): partition by user, sort by ts within the group, count sessions
@@ -851,6 +860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "referential_keys": _q_referential,
         "events_window": _q_events_window,
         "events_sessions": _q_events_sessions,
+        "val_props_json": _q_val_props_json,
         "join_mktsegment": _q_join_mktsegment,
         "join_region_revenue": _q_join_region,
         "events_sliding": _q_events_sliding,
@@ -952,6 +962,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                    count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY event_type, day
+        """,
+        "val_props_json": """
+            SELECT 'props.k' AS path, 'number.min' AS code, count(*) AS n
+            FROM events
+            WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) < 50
         """,
         "events_sessions": """
             WITH marked AS (

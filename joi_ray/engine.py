@@ -310,6 +310,8 @@ def _coerce(node: CNode, arr: pa.Array, env: Env):
     if t == "array":
         if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type) or pa.types.is_null(arr.type):
             return arr, zeros
+        if (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)) and env.convert:
+            return _json_parse_column(arr, want="array")
         if node.flags.get("single") and not pa.types.is_list(arr.type):
             # wrap scalars into 1-item lists (array.js:66-85 `single`)
             nulls = null_mask(arr)
@@ -326,8 +328,41 @@ def _coerce(node: CNode, arr: pa.Array, env: Env):
     if t == "object":
         if pa.types.is_struct(arr.type) or pa.types.is_null(arr.type):
             return arr, zeros
+        if (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)) and env.convert:
+            return _json_parse_column(arr, want="object")
         return arr, ~null_mask(arr)
     return arr, zeros
+
+
+def _json_parse_column(arr: pa.Array, want: str):
+    """JSON-string coercion for object/array columns (the reference's
+    @hapi/bourne parse, ``lib/types/object.js:49-64`` / ``array.js:31-61``).
+    Per-cell Python by necessity (Arrow has no try-parse-JSON kernel) — the
+    documented [A] fallback in SURVEY.md §2.1; keep such columns rare/small
+    or pre-parse upstream."""
+    n = len(arr)
+    fail = np.zeros(n, dtype=bool)
+    vals = []
+    opener = "{" if want == "object" else "["
+    for i, s in enumerate(arr.to_pylist()):
+        if s is None:
+            vals.append(None)
+            continue
+        st = s.lstrip()
+        if not st.startswith(opener):
+            vals.append(None)
+            fail[i] = True
+            continue
+        try:
+            vals.append(json.loads(st))
+        except (ValueError, TypeError):
+            vals.append(None)
+            fail[i] = True
+    try:
+        out = pa.array(vals)
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        return arr, ~null_mask(arr)
+    return out, fail
 
 
 def eval_node(
