@@ -98,9 +98,9 @@ _STRING_CONVERT_RULES = set(k_strings.CONVERT_ORDER)
 _PURE_CHECK_RULES = {
     "min", "max", "length", "greater", "less", "pattern", "alphanum", "token",
     "hex", "base64", "dataUri", "email", "domain", "hostname", "guid", "ip",
-    "uri", "isoDate", "isoDuration", "creditCard", "integer", "multiple",
+    "uri", "isoDuration", "creditCard", "integer", "multiple",
     "port", "sign", "unique", "sort",
-}
+}  # isoDate excluded: it rewrites to canonical ISO in convert mode
 
 
 class CNode:

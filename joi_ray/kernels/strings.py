@@ -279,7 +279,15 @@ def make_iso_date(args):
         shape_ok = regex_mask(arr, _ISO_DATE)
         parsed = pd.to_datetime(arr.to_pandas(), errors="coerce", utc=True, format="ISO8601")
         valid = parsed.notna().to_numpy()
-        return RuleOut(ok=shape_ok & valid)
+        ok = shape_ok & valid
+        if env.convert and ok.any():
+            # convert mode normalizes to canonical ISO 8601
+            # (string/index.js:479-493 coerce step)
+            iso = parsed.dt.strftime("%Y-%m-%dT%H:%M:%S.%f").str.slice(0, 23) + "Z"
+            out = pd.Series(arr.to_pylist())
+            out[ok] = iso[ok]
+            return RuleOut(ok=ok, new_value=pa.array(out, type=pa.string()))
+        return RuleOut(ok=ok)
 
     return kernel
 
