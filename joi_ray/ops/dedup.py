@@ -221,7 +221,7 @@ def minhash_canonical(ds, text_col: str, id_col: str, *, num_perm: int = 64, ban
     family set fits on the driver — at larger dup rates, write step-3 output
     to parquet and run step 4 as another groupby instead."""
     import ray
-    from ray.data.aggregate import Count, Min
+    from ray.data.aggregate import Count, Min, Sum
 
     banded = ds.map_batches(
         MinHashStage,
@@ -231,8 +231,16 @@ def minhash_canonical(ds, text_col: str, id_col: str, *, num_perm: int = 64, ban
         batch_format="pyarrow",
         concurrency=concurrency, **REMOTE_KWARGS).materialize()  # consumed twice below; skinny (24B/row)
 
-    stats = banded.groupby(["band", "band_hash"]).aggregate(
-        Min(id_col, alias_name="bmin"), Count(alias_name="bn")
+    def bucket_partials(t: pa.Table) -> pa.Table:
+        # per-batch pre-aggregation: near-dup families usually co-locate in
+        # a batch, so this compresses the shuffle by the family size
+        g = t.group_by(["band", "band_hash"]).aggregate([(id_col, "min"), (id_col, "count")])
+        return g.rename_columns(["band", "band_hash", "pmin", "pn"])
+
+    stats = (
+        banded.map_batches(bucket_partials, batch_format="pyarrow", **REMOTE_KWARGS)
+        .groupby(["band", "band_hash"])
+        .aggregate(Min("pmin", alias_name="bmin"), Sum("pn", alias_name="bn"))
     )
     dup = stats.map_batches(lambda t: t.filter(pc.greater(t["bn"], 1)), batch_format="pyarrow", **REMOTE_KWARGS)
     dup_df = dup.to_pandas()
