@@ -283,6 +283,32 @@ def _q_events_window(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_events_running(sf_dir: str):
+    """Running per-user aggregate: sort by ts within the user group, cumsum
+    value (ordered stateful computation via groupby().map_groups)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        g["running_value"] = g["value"].cumsum().round(4)
+        return g[["event_id", "user_id", "running_value"]]
+
+    out = ds.groupby("user_id").map_groups(running, batch_format="pandas")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "running_value": t["running_value"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_val_props_json(sf_dir: str):
     """JSON-string coercion path: events.props ('{"k": n}') parsed and
     validated as a nested object schema (the @hapi/bourne coercion analog)."""
@@ -861,6 +887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "events_sessions": _q_events_sessions,
         "val_props_json": _q_val_props_json,
+        "events_running": _q_events_running,
         "join_mktsegment": _q_join_mktsegment,
         "join_region_revenue": _q_join_region,
         "events_sliding": _q_events_sliding,
@@ -962,6 +989,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                    count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY event_type, day
+        """,
+        "events_running": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS running_value
+            FROM events
         """,
         "val_props_json": """
             SELECT 'props.k' AS path, 'number.min' AS code, count(*) AS n
