@@ -552,7 +552,7 @@ def eval_node(
         add_err(cr.code, bad, out.context, seq=cr.seq, warn=cr.warn, message=cr.message)
 
     # ---- finalize (lib/validator.js:351-430)
-    if "default" in node.flags and presence != "required":
+    if "default" in node.flags and presence not in ("required", "forbidden"):
         dv = node.flags["default"]
         fill_mask = missing & scope
         if fill_mask.any():
