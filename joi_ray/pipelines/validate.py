@@ -449,7 +449,9 @@ def validate_dataset(
             validator_fn,
             fn_kwargs=fn_kwargs,
             batch_format="pyarrow",
-            batch_size=batch_size, **REMOTE_KWARGS)
+            batch_size=batch_size,
+            num_cpus=num_cpus,  # >1 caps concurrent tasks on bandwidth-limited hosts
+            **REMOTE_KWARGS)
         tmp_stream = os.path.join(out_dir, f".stream-{shard_id:04d}")
         if os.path.exists(tmp_stream):
             import shutil
