@@ -64,6 +64,16 @@ def cmd_check(args):
         ray.shutdown()
 
 
+def cmd_infer(args):
+    import pyarrow.parquet as pq
+
+    from .infer import infer_schema
+
+    schema = infer_schema(pq.read_table(args.input), slack=args.slack, enum_threshold=args.enum_threshold)
+    print(json.dumps(schema.describe(), indent=2, sort_keys=True, default=str))
+    return 0
+
+
 def cmd_validate(args):
     ray = _init_ray(args.num_cpus)
     try:
@@ -144,6 +154,12 @@ def main(argv=None):
     v.add_argument("--resume", action="store_true")
     v.add_argument("--num-cpus", type=int, default=None)
     v.set_defaults(fn=cmd_validate)
+
+    i = sub.add_parser("infer", help="infer a schema IR from a data sample")
+    i.add_argument("--input", required=True)
+    i.add_argument("--enum-threshold", type=int, default=16)
+    i.add_argument("--slack", type=float, default=0.0)
+    i.set_defaults(fn=cmd_infer)
 
     args = p.parse_args(argv)
     return args.fn(args)
