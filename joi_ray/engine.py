@@ -648,6 +648,19 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
     else:
         resolved |= missing
     active = scope & ~missing & ~failed
+    # allow/invalid sets apply to the alternatives node itself too
+    if node.allow_static or node.allow_refs:
+        hit = _set_membership(arr, node.allow_static, node.allow_refs, node.flags.get("insensitive", False), env)
+        resolved |= hit
+        active &= ~hit
+    if node.invalid_static or node.invalid_refs:
+        inv = _set_membership(arr, node.invalid_static, node.invalid_refs, node.flags.get("insensitive", False), env) & active
+        if inv.any():
+            rec = ErrRec("any.invalid", inv, path, {"invalids": node.invalid_static}, -2)
+            rec.rows = None
+            errors.append(rec)
+            failed |= inv
+            active &= ~inv
     matched = np.zeros(n, dtype=bool)
     value = arr
     for m in node.matches:
