@@ -25,10 +25,10 @@ MESSAGES: dict[str, str] = {
     "string.min": '"{label}" length must be at least {limit} characters long',
     "string.max": '"{label}" length must be less than or equal to {limit} characters long',
     "string.length": '"{label}" length must be {limit} characters long',
-    "string.pattern.base": '"{label}" with value "{value}" fails to match the required pattern',
-    "string.pattern.name": '"{label}" with value "{value}" fails to match the {name} pattern',
-    "string.pattern.invert.base": '"{label}" with value "{value}" matches the inverted pattern',
-    "string.pattern.invert.name": '"{label}" with value "{value}" matches the inverted {name} pattern',
+    "string.pattern.base": '"{label}" fails to match the required pattern',
+    "string.pattern.name": '"{label}" fails to match the {name} pattern',
+    "string.pattern.invert.base": '"{label}" matches the inverted pattern',
+    "string.pattern.invert.name": '"{label}" matches the inverted {name} pattern',
     "string.alphanum": '"{label}" must only contain alpha-numeric characters',
     "string.token": '"{label}" must only contain alpha-numeric and underscore characters',
     "string.hex": '"{label}" must only contain hexadecimal characters',
