@@ -283,6 +283,40 @@ def _q_events_window(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_clean_documents(sf_dir: str):
+    """Data-cleaning mode: filter_valid keeps only schema+referential-clean
+    docs; returns (n_clean, total_spans) — SQL-derivable from the dirt
+    residues, so the cleaning path is exactly oracled."""
+    from ray.data.aggregate import Sum
+
+    from joi_ray.pipelines.docs import document_schema
+    from joi_ray.pipelines.validate import filter_valid
+    from joi_ray.sources.interleaved import asset_catalog
+
+    clean = filter_valid(
+        _docs_ds(sf_dir), document_schema(), catalog=asset_catalog(), ref_path="spans.media_ref"
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        lens = pc.list_value_length(t["spans"].combine_chunks())
+        return pa.table(
+            {
+                "p_n": pa.array([t.num_rows], pa.int64()),
+                "p_spans": pa.array([pc.sum(lens).as_py() or 0], pa.int64()),
+            }
+        )
+
+    agg = clean.map_batches(partials, batch_format="pyarrow").aggregate(
+        Sum("p_n", alias_name="n"), Sum("p_spans", alias_name="s")
+    )
+    return pa.table(
+        {
+            "n_clean": pa.array([int(agg["n"])], pa.int64()),
+            "total_spans": pa.array([int(agg["s"])], pa.int64()),
+        }
+    )
+
+
 def _q_events_running(sf_dir: str):
     """Running per-user aggregate: sort by ts within the user group, cumsum
     value (ordered stateful computation via groupby().map_groups)."""
@@ -888,6 +922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "val_props_json": _q_val_props_json,
         "events_running": _q_events_running,
+        "clean_documents": _q_clean_documents,
         "join_mktsegment": _q_join_mktsegment,
         "join_region_revenue": _q_join_region,
         "events_sliding": _q_events_sliding,
@@ -989,6 +1024,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                    count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY event_type, day
+        """,
+        "clean_documents": """
+            WITH m AS (SELECT doc_id, doc_id % 1000 AS r FROM documents),
+            clean AS (SELECT doc_id FROM m WHERE r NOT IN (7,13,29,35,41,47,53))
+            SELECT count(*)::BIGINT AS n_clean,
+                   coalesce(sum(2 + (doc_id % 5)), 0)::BIGINT AS total_spans
+            FROM clean
         """,
         "events_running": """
             SELECT event_id, user_id,

@@ -139,6 +139,8 @@ class ValidatorStage:
             return None
         rows = parents[missing]
         failed[rows] = True
+        if self.id_column is None:
+            return None  # caller only needs the failed mask (filter_valid)
         if len(parents):
             change = np.r_[True, parents[1:] != parents[:-1]]
             grp_start = np.maximum.accumulate(np.where(change, np.arange(len(parents)), 0))
@@ -217,6 +219,47 @@ def validator_fn(batch: pa.Table, **kwargs) -> pa.Table:
         stage = ValidatorStage(**kwargs)
         _STAGE_CACHE[key] = stage
     return stage(batch)
+
+
+def filter_valid(ds, schema, *, prefs: dict | None = None, catalog=None, ref_path: str | None = None,
+                 normalize: bool = True, batch_size: int | None = 8192):
+    """Data-cleaning mode: keep only rows that pass the schema (and the
+    referential check when a catalog is given); optionally emit the
+    normalized values (coercions/defaults applied) instead of the originals.
+    Streaming map_batches — no shuffle, no materialization."""
+    import ray
+
+    spec_json = schema.to_json() if isinstance(schema, Schema) else json.dumps(schema)
+    catalog_ref = None
+    if catalog is not None:
+        col = catalog if isinstance(catalog, (pa.Array, pa.ChunkedArray)) else catalog["media_ref"].combine_chunks()
+        catalog_ref = ray.put(col)
+    eff_prefs = {"abort_early": True, **(prefs or {})}  # first failure is enough to drop a row
+
+    def keep_valid(batch: pa.Table, **kwargs) -> pa.Table:
+        key = (kwargs["spec_json"], json.dumps(kwargs["prefs"], sort_keys=True), kwargs.get("ref_path"), "fv")
+        stage = _STAGE_CACHE.get(key)
+        if stage is None:
+            stage = ValidatorStage(
+                spec_json=kwargs["spec_json"], prefs=kwargs["prefs"], id_column=kwargs["id_column"],
+                catalog_ref=kwargs.get("catalog_ref"), ref_path=kwargs.get("ref_path"),
+            )
+            _STAGE_CACHE[key] = stage
+        res = stage.compiled.validate_table(batch)
+        failed = ~res.ok
+        if stage.catalog is not None and stage.ref_path:
+            stage._referential(batch, failed)
+        keep = pa.array(~failed)
+        src = res.value if normalize else batch
+        return src.filter(keep)
+
+    return ds.map_batches(
+        keep_valid,
+        fn_kwargs=dict(spec_json=spec_json, prefs=eff_prefs, id_column=None,
+                       catalog_ref=catalog_ref, ref_path=ref_path),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        **REMOTE_KWARGS)
 
 
 # ==========================================================================
