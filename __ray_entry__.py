@@ -29,7 +29,7 @@ if _REPO not in sys.path:
 # from elsewhere, stage callables would fail to unpickle in workers.  This
 # fills joi_ray._env.REMOTE_KWARGS with a PYTHONPATH runtime_env that every
 # joi_ray map_batches call site spreads (no-op from the repo root).
-from joi_ray._env import ensure_importable
+from joi_ray._env import REMOTE_KWARGS, ensure_importable
 
 ensure_importable()
 
@@ -107,7 +107,7 @@ def _q_pricing_summary(sf_dir: str):
         )
 
     agg = (
-        ds.map_batches(partials, batch_format="pyarrow")
+        ds.map_batches(partials, batch_format="pyarrow", **REMOTE_KWARGS)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("p_qty", alias_name="s_qty"),
@@ -130,7 +130,7 @@ def _q_pricing_summary(sf_dir: str):
         )
         return _py_round(out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2})
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return agg.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
 
 
 def _val_counts(sf_dir: str, table: str, schema, columns: list[str]):
@@ -205,7 +205,7 @@ def _q_span_stats(sf_dir: str):
             }
         )
 
-    agg = ds.map_batches(partials, batch_format="pyarrow").aggregate(
+    agg = ds.map_batches(partials, batch_format="pyarrow", **REMOTE_KWARGS).aggregate(
         Sum("p_total", alias_name="total"), Sum("p_rows", alias_name="rows")
     )
     total, rows = int(agg["total"]), int(agg["rows"])
@@ -238,12 +238,10 @@ def _q_referential(sf_dir: str):
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
     mo = orders.map_batches(
         lambda t: pa.table({"m": pa.array([miss_counts(t, cust_ref, "o_custkey")], pa.int64())}),
-        batch_format="pyarrow",
-    ).aggregate(Sum("m", alias_name="s"))
+        batch_format="pyarrow", **REMOTE_KWARGS).aggregate(Sum("m", alias_name="s"))
     mp = li.map_batches(
         lambda t: pa.table({"m": pa.array([miss_counts(t, part_ref, "l_partkey")], pa.int64())}),
-        batch_format="pyarrow",
-    ).aggregate(Sum("m", alias_name="s"))
+        batch_format="pyarrow", **REMOTE_KWARGS).aggregate(Sum("m", alias_name="s"))
     return pa.table(
         {
             "missing_customers": pa.array([int(mo["s"])], pa.int64()),
@@ -264,7 +262,7 @@ def _q_events_window(sf_dir: str):
         return pa.table({"event_type": t["event_type"], "day": day, "value": t["value"]})
 
     agg = (
-        ds.map_batches(window_key, batch_format="pyarrow")
+        ds.map_batches(window_key, batch_format="pyarrow", **REMOTE_KWARGS)
         .groupby(["event_type", "day"])
         .aggregate(Count(alias_name="n"), Sum("value", alias_name="sv"))
     )
@@ -280,7 +278,7 @@ def _q_events_window(sf_dir: str):
         )
         return _py_round(out, {"sum_value": 2})
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return agg.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
 
 
 def _q_clean_documents(sf_dir: str):
@@ -306,7 +304,7 @@ def _q_clean_documents(sf_dir: str):
             }
         )
 
-    agg = clean.map_batches(partials, batch_format="pyarrow").aggregate(
+    agg = clean.map_batches(partials, batch_format="pyarrow", **REMOTE_KWARGS).aggregate(
         Sum("p_n", alias_name="n"), Sum("p_spans", alias_name="s")
     )
     return pa.table(
@@ -329,7 +327,7 @@ def _q_events_running(sf_dir: str):
         g["running_value"] = g["value"].cumsum().round(4)
         return g[["event_id", "user_id", "running_value"]]
 
-    out = ds.groupby("user_id").map_groups(running, batch_format="pandas")
+    out = ds.groupby("user_id").map_groups(running, batch_format="pandas", **REMOTE_KWARGS)
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -340,7 +338,7 @@ def _q_events_running(sf_dir: str):
             }
         )
 
-    return out.map_batches(finish, batch_format="pyarrow")
+    return out.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
 
 
 def _q_val_props_json(sf_dir: str):
@@ -372,7 +370,7 @@ def _q_events_sessions(sf_dir: str):
             }
         )
 
-    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas", **REMOTE_KWARGS)
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -383,7 +381,7 @@ def _q_events_sessions(sf_dir: str):
             }
         )
 
-    return out.map_batches(finish, batch_format="pyarrow")
+    return out.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
 
 
 def _q_events_sliding(sf_dir: str):
@@ -408,15 +406,14 @@ def _q_events_sliding(sf_dir: str):
             }
         )
 
-    agg = ds.map_batches(hops, batch_format="pyarrow").groupby(["event_type", "window_start"]).aggregate(
+    agg = ds.map_batches(hops, batch_format="pyarrow", **REMOTE_KWARGS).groupby(["event_type", "window_start"]).aggregate(
         Count(alias_name="n")
     )
     return agg.map_batches(
         lambda t: pa.table(
             {"event_type": t["event_type"], "window_start": t["window_start"], "n": pc.cast(t["n"], pa.int64())}
         ),
-        batch_format="pyarrow",
-    )
+        batch_format="pyarrow", **REMOTE_KWARGS)
 
 
 def _q_join_region(sf_dir: str):
@@ -454,7 +451,7 @@ def _q_join_region(sf_dir: str):
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice", "o_orderkey"])
     agg = (
-        orders.map_batches(RegionJoin, batch_format="pyarrow", concurrency=2)
+        orders.map_batches(RegionJoin, batch_format="pyarrow", concurrency=2, **REMOTE_KWARGS)
         .groupby("r_name")
         .aggregate(Sum("p_rev", alias_name="s_rev"), Sum("p_n", alias_name="n"))
     )
@@ -469,7 +466,7 @@ def _q_join_region(sf_dir: str):
         )
         return _py_round(out, {"revenue": 2})
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return agg.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
 
 
 def _q_join_mktsegment(sf_dir: str):
@@ -498,7 +495,7 @@ def _q_join_mktsegment(sf_dir: str):
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice", "o_orderkey"])
     agg = (
-        orders.map_batches(JoinStage, batch_format="pyarrow", concurrency=2)
+        orders.map_batches(JoinStage, batch_format="pyarrow", concurrency=2, **REMOTE_KWARGS)
         .groupby("c_mktsegment")
         .aggregate(Sum("p_rev", alias_name="s_rev"), Sum("p_n", alias_name="n"))
     )
@@ -513,7 +510,7 @@ def _q_join_mktsegment(sf_dir: str):
         )
         return _py_round(out, {"revenue": 2})
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return agg.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
 
 
 def _q_union_distinct(sf_dir: str):
@@ -522,18 +519,16 @@ def _q_union_distinct(sf_dir: str):
     from ray.data.aggregate import Count
 
     a = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag"]).map_batches(
-        lambda t: pa.table({"v": t["l_returnflag"]}), batch_format="pyarrow"
-    )
+        lambda t: pa.table({"v": t["l_returnflag"]}), batch_format="pyarrow", **REMOTE_KWARGS)
     b = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_linestatus"]).map_batches(
-        lambda t: pa.table({"v": t["l_linestatus"]}), batch_format="pyarrow"
-    )
+        lambda t: pa.table({"v": t["l_linestatus"]}), batch_format="pyarrow", **REMOTE_KWARGS)
 
     def partial_distinct(t: pa.Table) -> pa.Table:
         return pa.table({"v": pc.unique(t["v"].combine_chunks())})
 
-    u = a.union(b).map_batches(partial_distinct, batch_format="pyarrow")
+    u = a.union(b).map_batches(partial_distinct, batch_format="pyarrow", **REMOTE_KWARGS)
     agg = u.groupby("v").aggregate(Count(alias_name="_n"))
-    return agg.map_batches(lambda t: pa.table({"v": t["v"]}), batch_format="pyarrow")
+    return agg.map_batches(lambda t: pa.table({"v": t["v"]}), batch_format="pyarrow", **REMOTE_KWARGS)
 
 
 def _q_systematic_sample(sf_dir: str):
@@ -548,7 +543,7 @@ def _q_systematic_sample(sf_dir: str):
         mod = pc.subtract(ids, pc.multiply(pc.divide(ids, 7), 7))  # int64 x % 7
         return t.filter(pc.equal(mod, 3))
 
-    picked = ds.map_batches(pick, batch_format="pyarrow")
+    picked = ds.map_batches(pick, batch_format="pyarrow", **REMOTE_KWARGS)
     agg = picked.aggregate(Count(alias_name="n"), Sum("n_chars", alias_name="sum_chars"))
     return pa.table(
         {
@@ -577,7 +572,7 @@ def _q_token_counts(sf_dir: str):
     from joi_ray.ops.text import token_count_batch
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(token_count_batch, batch_format="pyarrow")
+    out = ds.map_batches(token_count_batch, batch_format="pyarrow", **REMOTE_KWARGS)
     return out.select_columns(["doc_id", "ws_tokens"])
 
 
@@ -609,7 +604,7 @@ def _q_embedding_norms(sf_dir: str):
         return pa.table({"label": t["label"], "nrm": pa.array(np.linalg.norm(v, axis=1))})
 
     agg = (
-        ds.map_batches(norms, batch_format="pyarrow")
+        ds.map_batches(norms, batch_format="pyarrow", **REMOTE_KWARGS)
         .groupby("label")
         .aggregate(Sum("nrm", alias_name="s"), Count(alias_name="n"))
     )
@@ -624,7 +619,7 @@ def _q_embedding_norms(sf_dir: str):
         )
         return _py_round(out, {"avg_norm": 4})
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return agg.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
 
 
 def _q_dedup_exact(sf_dir: str):
@@ -660,7 +655,7 @@ def _q_stats_quantity(sf_dir: str):
             }
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    parts = ds.map_batches(partial, batch_format="pyarrow", **REMOTE_KWARGS).take_all()
     uniq: set = set()
     for p in parts:
         uniq.update(json.loads(p["p_uniq"]))
@@ -685,7 +680,7 @@ def _q_quality_by_lang(sf_dir: str):
     from joi_ray.ops.text import quality_batch
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
-    scored = ds.map_batches(quality_batch, batch_format="pyarrow")
+    scored = ds.map_batches(quality_batch, batch_format="pyarrow", **REMOTE_KWARGS)
     agg = scored.groupby("lang").aggregate(Sum("n_words", alias_name="sw"), Count(alias_name="n"))
 
     def finish(t: pa.Table) -> pa.Table:
@@ -697,7 +692,7 @@ def _q_quality_by_lang(sf_dir: str):
             }
         )
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return agg.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
 
 
 def _q_dedup_ngram(sf_dir: str):
@@ -716,8 +711,7 @@ def _q_dedup_ngram(sf_dir: str):
             text_col="text", id_col="doc_id", num_perm=64, bands=32, k=7, emit_sig=False
         ),
         batch_format="pyarrow",
-        concurrency=2,
-    )
+        concurrency=2, **REMOTE_KWARGS)
 
     # band rows are skinny (24B) and candidates << corpus: self-merge on the
     # driver instead of a 16k-tiny-group shuffle
@@ -775,7 +769,7 @@ def _q_minhash_pairs(sf_dir: str):
                 out_t.append((txt or "") + f" tail variant {r}")
         return pa.table({"doc_id": pa.array(out_i, pa.string()), "text": pa.array(out_t, pa.string())})
 
-    pairs = minhash_duplicate_pairs(ds.map_batches(expand, batch_format="pyarrow"), "text", "doc_id",
+    pairs = minhash_duplicate_pairs(ds.map_batches(expand, batch_format="pyarrow", **REMOTE_KWARGS), "text", "doc_id",
                                     threshold=0.5, concurrency=2)
     df = pairs.to_pandas()
     return pa.table(
@@ -798,7 +792,7 @@ def _q_simhash_pairs(sf_dir: str):
         texts = [txt for txt in t["text"].to_pylist() for _ in range(2)]
         return pa.table({"doc_id": pa.array(ids, pa.string()), "text": pa.array(texts, pa.string())})
 
-    pairs = simhash_duplicate_pairs(ds.map_batches(expand, batch_format="pyarrow"), "text", "doc_id", concurrency=2)
+    pairs = simhash_duplicate_pairs(ds.map_batches(expand, batch_format="pyarrow", **REMOTE_KWARGS), "text", "doc_id", concurrency=2)
     return pa.table({"n_pairs": pa.array([pairs.count()], pa.int64())})
 
 
@@ -809,7 +803,7 @@ def _q_lang_distribution(sf_dir: str):
     from joi_ray.ops.text import LangIdStage
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-    pred = ds.map_batches(LangIdStage, fn_constructor_kwargs={}, batch_format="pyarrow", concurrency=2)
+    pred = ds.map_batches(LangIdStage, fn_constructor_kwargs={}, batch_format="pyarrow", concurrency=2, **REMOTE_KWARGS)
     return pred.groupby("lang_pred").aggregate(Count(alias_name="n"))
 
 
@@ -861,14 +855,14 @@ def _q_pipeline_report(sf_dir: str):
         def shard(offset, length):
             def f():
                 t = pq.read_table(src, columns=["doc_id", "text"]).slice(offset, length)
-                return rd.from_arrow(t).map_batches(interleave_batch, batch_format="pyarrow")
+                return rd.from_arrow(t).map_batches(interleave_batch, batch_format="pyarrow", **REMOTE_KWARGS)
 
             return f
 
         def uniq():
             return (
                 rd.read_parquet(src, columns=["doc_id", "text"])
-                .map_batches(interleave_batch, batch_format="pyarrow")
+                .map_batches(interleave_batch, batch_format="pyarrow", **REMOTE_KWARGS)
                 .select_columns(["doc_id"])
             )
 
