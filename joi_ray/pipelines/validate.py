@@ -347,6 +347,7 @@ class ValidationReport:
     rows: int = 0
     failed: int = 0
     codes: dict = field(default_factory=dict)
+    warnings: dict = field(default_factory=dict)
     shards: int = 0
     duplicates: int = 0
     duplicate_rows_excess: int = 0
@@ -360,6 +361,7 @@ class ValidationReport:
             "rows": self.rows,
             "failed": self.failed,
             "codes": self.codes,
+            "warnings": self.warnings,
             "shards": self.shards,
             "duplicates": self.duplicates,
             "duplicate_rows_excess": self.duplicate_rows_excess,
@@ -408,7 +410,13 @@ def _finalize_shard(tmp_out: str, shard_dir_tmp: str):
     code_counts = {
         c: int(n)
         for c, n in con.sql(
-            f"SELECT code, count(*) FROM read_parquet('{files}') WHERE severity != 'meta' GROUP BY code ORDER BY code"
+            f"SELECT code, count(*) FROM read_parquet('{files}') WHERE severity = 'error' GROUP BY code ORDER BY code"
+        ).fetchall()
+    }
+    warn_counts = {
+        c: int(n)
+        for c, n in con.sql(
+            f"SELECT code, count(*) FROM read_parquet('{files}') WHERE severity = 'warn' GROUP BY code ORDER BY code"
         ).fetchall()
     }
     con.close()
@@ -416,6 +424,7 @@ def _finalize_shard(tmp_out: str, shard_dir_tmp: str):
         "rows": rows,
         "failed": failed,
         "codes": code_counts,
+        "warnings": warn_counts,
         "sketches": {p: s.to_dict() for p, s in sketches.items()},
         "catcounts": catcounts,
     }
@@ -523,6 +532,8 @@ def validate_dataset(
         report.failed += s["failed"]
         for c, n in s["codes"].items():
             report.codes[c] = report.codes.get(c, 0) + n
+        for c, n in s.get("warnings", {}).items():
+            report.warnings[c] = report.warnings.get(c, 0) + n
         for p, d in s.get("sketches", {}).items():
             cs = ColumnStats.from_dict(d)
             merged_sketches[p] = merged_sketches[p].merge(cs) if p in merged_sketches else cs
