@@ -376,6 +376,8 @@ def eval_node(
     which rows this evaluation applies to (used for struct children of null
     parents and conditional branches); errors outside scope are suppressed."""
     arr = combine(arr)
+    if pa.types.is_dictionary(arr.type):
+        arr = arr.dictionary_decode()  # kernels operate on plain arrays
     n = len(arr)
     if scope is None:
         scope = np.ones(n, dtype=bool)

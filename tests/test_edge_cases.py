@@ -92,3 +92,13 @@ def test_forbidden_with_default_does_not_fill():
     res = V(obj({"x": jr.string().forbidden().default("d")}), pa.table({"x": pa.array([None], pa.string())}))
     # forbidden + missing is fine; default must not resurrect the column value
     assert res.value["x"].to_pylist() == [None]
+
+
+def test_dictionary_large_string_chunked_inputs():
+    d = pa.array(["en", "fr", "en", "xx"]).dictionary_encode()
+    res = V(obj({"x": jr.string().valid("en", "fr")}), pa.table({"x": d}))
+    assert list(res.ok) == [True, True, True, False]
+    ls = pa.array(["abc", "d"], type=pa.large_string())
+    assert list(V(obj({"x": jr.string().min(2)}), pa.table({"x": ls})).ok) == [True, False]
+    ch = pa.chunked_array([pa.array(["aa"]), pa.array(["b"])])
+    assert list(V(obj({"x": jr.string().min(2)}), pa.table({"x": ch})).ok) == [True, False]

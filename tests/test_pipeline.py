@@ -160,3 +160,25 @@ def test_uniqueness_pass_exact(ray_session):
     assert by_key.get(HOT_KEY) == exp["hot_key_rows"]
     # each m==21 duplicate creates one extra key with count 2
     assert sum(1 for k, v in by_key.items() if v == 2) >= exp["duplicate_doc_id"]
+
+
+def test_pipeline_warnings_channel(ray_session, shard_files, tmp_path):
+    import joi_ray as jr
+    from joi_ray.pipelines.validate import validate_dataset
+    from joi_ray.sources.interleaved import interleave_batch
+
+    schema = jr.object(
+        {
+            "doc_id": jr.string(),
+            "spans": jr.array().min(3).warn(),  # warn-only rule
+        }
+    )
+    rep = validate_dataset(
+        [_mk(shard_files[0])],
+        schema=schema,
+        out_dir=str(tmp_path / "warnrun"),
+        batch_size=512,
+    )
+    assert rep.warnings.get("array.min", 0) > 0
+    assert "array.min" not in rep.codes  # warn-only never counts as failure
+    assert rep.failed == 0
