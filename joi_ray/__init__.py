@@ -26,6 +26,7 @@ from .spec import (
     string,
     symbol,
     function_,
+    link,
 )
 from .engine import (
     BatchResult,

@@ -861,6 +861,17 @@ def alternatives(*schemas: Schema) -> AlternativesSchema:
     return s
 
 
+def link(_path: str = "..."):
+    """Recursive schema references (``/root/reference/lib/types/link.js``):
+    N/A-by-design — Arrow tables are fixed-depth, so recursive structures
+    are expanded to their concrete depth at schema-build time instead
+    (SURVEY.md §2.3 link row)."""
+    raise NotImplementedError(
+        "link() requires unbounded recursive values; columnar tables are fixed-depth —"
+        " expand the schema to the concrete depth instead (SURVEY.md §2.3)"
+    )
+
+
 def symbol():
     """JS-runtime-only type (``/root/reference/lib/types/symbol.js``):
     no Arrow equivalent — N/A-by-design per SURVEY.md §2.3."""
