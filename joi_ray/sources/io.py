@@ -53,12 +53,15 @@ def read_table(path: str, *, format: str | None = None, columns: list[str] | Non
     return ds
 
 
-def write_violations(ds, out_dir: str, *, partition_key: str | None = None, min_rows_per_file: int = 500_000):
-    """Violations sink: partitioned parquet, one directory per run — never
-    one giant file (resumable-output rule)."""
-    kwargs = {}
+def write_violations(ds, out_dir: str, *, partition_key: str | None = None, min_rows_per_file: int = 500_000,
+                     format: str = "parquet"):
+    """Violations sink: partitioned parquet (or Lance when available), one
+    directory per run — never one giant file (resumable-output rule)."""
+    if format == "lance" and HAVE_LANCE:  # pragma: no cover
+        ds.write_lance(out_dir)
+        return out_dir
     try:
-        ds.write_parquet(out_dir, min_rows_per_file=min_rows_per_file, **kwargs)
+        ds.write_parquet(out_dir, min_rows_per_file=min_rows_per_file)
     except TypeError:  # older Ray releases
-        ds.write_parquet(out_dir, num_rows_per_file=min_rows_per_file, **kwargs)
+        ds.write_parquet(out_dir, num_rows_per_file=min_rows_per_file)
     return out_dir

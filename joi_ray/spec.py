@@ -903,10 +903,14 @@ _BUILDERS = {
 
 def compile_literal(value) -> Schema:
     """Literal sugar (``/root/reference/lib/compile.js:31-77``): a plain dict
-    becomes object().keys, a list of schemas alternatives().try, a scalar a
-    typed valid(x)."""
+    becomes object().keys, a list of schemas alternatives().try, a compiled
+    regex string().pattern, a scalar a typed valid(x)."""
+    import re as _re
+
     if isinstance(value, Schema):
         return value
+    if isinstance(value, _re.Pattern):
+        return string().pattern(value.pattern)
     if isinstance(value, dict):
         return ObjectSchema({k: compile_literal(v) for k, v in value.items()})
     if isinstance(value, (list, tuple)):
