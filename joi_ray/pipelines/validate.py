@@ -543,13 +543,20 @@ def validate_dataset(
                 agg[k] = agg.get(k, 0) + v
     report.shards = len(manifest.completed_shards())
 
-    # uniqueness shuffle
+    # uniqueness shuffle: hashed two-phase (int64-hash candidates + exact
+    # string verify of only the candidate subset — same result as the plain
+    # string groupby, tested equal; ~3x faster at scale)
     if unique_key and unique_ds_factory is not None:
         dup_dir = os.path.join(out_dir, "uniqueness")
         if not manifest.stage_done("uniqueness"):
-            dups = uniqueness_pass(unique_ds_factory(), unique_key)
+            dups = uniqueness_pass_hashed(unique_ds_factory, unique_key)
             os.makedirs(dup_dir, exist_ok=True)
-            dups.write_parquet(dup_dir)
+            if isinstance(dups, pa.Table):  # zero-candidate fast path
+                import pyarrow.parquet as _pq
+
+                _pq.write_table(dups, os.path.join(dup_dir, "part-0.parquet"))
+            else:
+                dups.write_parquet(dup_dir)
             manifest.mark_stage("uniqueness", {})
         import duckdb
 
