@@ -34,6 +34,7 @@ from .engine import (
     DEFAULT_PREFS,
     VIOLATION_SCHEMA,
     ValidationFailure,
+    assert_,
     attempt,
     compile_schema,
 )

@@ -1187,6 +1187,12 @@ class ValidationFailure(ValueError):
         super().__init__(f"{violations.num_rows} violation(s); first: {first}")
 
 
+def assert_(tbl: pa.Table, schema: "Schema | dict", prefs: dict | None = None, id_column: str | None = None) -> None:
+    """Validate-or-raise without returning the normalized table (the
+    ``Joi.assert`` analog)."""
+    attempt(tbl, schema, prefs, id_column)
+
+
 def attempt(tbl: pa.Table, schema: Schema | dict, prefs: dict | None = None, id_column: str | None = None) -> pa.Table:
     """Validate-or-raise convenience (the ``Joi.attempt`` analog,
     ``/root/reference/lib/index.js:54-59``): returns the normalized table or
