@@ -423,6 +423,18 @@ def eval_node(
     # ---- coerce
     arr, base_fail = _coerce(node, arr, env)
 
+    # string convert-phase rules (normalize -> case -> trim) run at coerce
+    # time, BEFORE valids/empty (string/index.js:68-135; they are then
+    # skipped in the rules loop per lib/validator.js:269-273)
+    if node.type == "string" and env.convert and (
+        pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
+    ):
+        for cr in node.rules:
+            if cr.convert_phase:
+                out = cr.fn(arr, env)
+                if out.new_value is not None:
+                    arr = out.new_value
+
     # ---- empty: values treated as missing (lib/validator.js:162-165)
     empty_vals = node.flags.get("empty")
     if empty_vals:
@@ -520,6 +532,8 @@ def eval_node(
 
     # ---- rules loop (lib/validator.js:260-320)
     for cr in node.rules:
+        if cr.convert_phase and env.convert:
+            continue  # already applied in the coerce phase
         if cr.fn is None:  # warning rule: always fires on present rows
             active = scope & ~missing & ~resolved
             add_err(cr.code, active, {"code": cr.code}, seq=cr.seq, warn=True, message=cr.message)

@@ -104,6 +104,25 @@ CASES = [
     ("any.forbidden.null", "any", S(jr.string().forbidden()), None, {}, True, None),
     ("any.ctx", "any", S(jr.number().max(jr.ref("$cap"))), 11, {"context": {"cap": 10}}, False, "number.max"),
     ("any.warn", "any", S(jr.string().min(9).warn()), "short", {}, True, None),
+    # --- third tranche: interplay cases
+    ("string.bytes.0", "string", S(jr.string().max(4, encoding="utf8")), "éé", {}, True, None),
+    ("string.bytes.1", "string", S(jr.string().max(4, encoding="utf8")), "ééé", {}, False, "string.max"),
+    ("string.trim.then.min", "string", S(jr.string().trim().min(3)), "  ab  ", {}, False, "string.min"),
+    ("string.case.then.valid", "string", S(jr.string().lowercase().valid("abc")), "ABC", {}, True, None),
+    ("string.invalid.insensitive", "string", S(jr.string().invalid("BAD").insensitive()), "bad", {}, False, "any.invalid"),
+    ("string.replace.then.pattern", "string", S(jr.string().replace(r"-", "").pattern(r"^\d+$")), "1-2-3", {}, True, None),
+    ("string.empty.allow", "string", S(jr.string().allow("")), "", {}, True, None),
+    ("string.guid.brace.1", "string", S(jr.string().guid()), "{550e8400-e29b-41d4-a716-446655440000", {}, False, "string.guid"),
+    ("number.port.string", "number", S(jr.number().port()), "8080", {}, True, None),
+    ("number.precision.convert", "number", S(jr.number().precision(1)), 2.25, {}, True, None),
+    ("number.zero.multiple", "number", S(jr.number().multiple(5)), 0, {}, True, None),
+    ("number.neg.integer", "number", S(jr.number().integer().negative()), -3, {}, True, None),
+    ("date.unix.coerce", "date", S(jr.date().timestamp("unix").min("2000-01-01")), 1_700_000_000, {}, True, None),
+    ("date.unix.coerce.1", "date", S(jr.date().timestamp("unix").min("2000-01-01")), 100, {}, False, "date.min"),
+    ("boolean.int.no.truthy", "boolean", S(jr.boolean()), 1, {}, False, "boolean.base"),
+    ("any.only.number.coerced", "number", S(jr.number().valid(5)), "5", {}, True, None),
+    ("any.strip.still.validates", "any", S(jr.string().min(5).strip()), "ab", {}, False, "string.min"),
+    ("any.raw.still.validates", "any", S(jr.string().lowercase().length(3).raw()), "ABC", {}, True, None),
 ]
 
 NESTED_CASES = [
