@@ -315,6 +315,47 @@ def _q_clean_documents(sf_dir: str):
     )
 
 
+def _q_asof_last_order(sf_dir: str):
+    """As-of join (ray_guide pattern): each event matched to the user's
+    latest order at event time.  The small right side is broadcast once and
+    pd.merge_asof runs per batch (sorted, C-vectorized); right-side ties at
+    (custkey, orderdate) are deduped to max(o_orderkey) so the match is
+    deterministic on both engines."""
+    import ray
+    import ray.data as rd
+
+    orders = (
+        pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+        .to_pandas()
+        .groupby(["o_custkey", "o_orderdate"], as_index=False)["o_orderkey"]
+        .max()
+        .sort_values("o_orderdate", kind="stable")
+    )
+    ref = ray.put(orders)
+
+    class AsofStage:
+        def __init__(self):
+            self.right = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            left = b.sort_values("ts", kind="stable")
+            j = pd.merge_asof(
+                left,
+                self.right,
+                left_on="ts",
+                right_on="o_orderdate",
+                left_by="user_id",
+                right_by="o_custkey",
+                direction="backward",
+            )
+            out = j[["event_id", "o_orderkey"]].copy()
+            out["o_orderkey"] = out["o_orderkey"].astype("int64")
+            return out
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    return ds.map_batches(AsofStage, batch_format="pandas", concurrency=2, **REMOTE_KWARGS)
+
+
 def _q_events_running(sf_dir: str):
     """Running per-user aggregate: sort by ts within the user group, cumsum
     value (ordered stateful computation via groupby().map_groups)."""
@@ -917,6 +958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "val_props_json": _q_val_props_json,
         "events_running": _q_events_running,
         "clean_documents": _q_clean_documents,
+        "asof_last_order": _q_asof_last_order,
         "join_mktsegment": _q_join_mktsegment,
         "join_region_revenue": _q_join_region,
         "events_sliding": _q_events_sliding,
@@ -1018,6 +1060,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                    count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY event_type, day
+        """,
+        "asof_last_order": """
+            WITH o AS (
+              SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+              FROM orders GROUP BY o_custkey, o_orderdate
+            )
+            SELECT event_id, o.o_orderkey
+            FROM events ASOF LEFT JOIN o
+              ON events.user_id = o.o_custkey AND events.ts >= o.o_orderdate
         """,
         "clean_documents": """
             WITH m AS (SELECT doc_id, doc_id % 1000 AS r FROM documents),
