@@ -315,6 +315,45 @@ def _q_clean_documents(sf_dir: str):
     )
 
 
+def _q_quantiles_price(sf_dir: str):
+    """Exact distributed quantiles via Ray's Quantile aggregate (matches
+    DuckDB quantile_cont interpolation)."""
+    import ray.data as rd
+    from ray.data.aggregate import Quantile
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    out = ds.aggregate(
+        Quantile("l_extendedprice", q=0.5, alias_name="p50"),
+        Quantile("l_extendedprice", q=0.9, alias_name="p90"),
+        Quantile("l_extendedprice", q=0.99, alias_name="p99"),
+    )
+    return pa.table({k: pa.array([round(float(v), 2)], pa.float64()) for k, v in out.items()})
+
+
+def _q_events_pivot(sf_dir: str):
+    """Pivot: per-day event counts spread into one column per event type."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def day_key(t: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(t["ts"].combine_chunks(), unit="day"), format="%Y-%m-%d")
+        return pa.table({"day": day, "event_type": t["event_type"]})
+
+    agg = ds.map_batches(day_key, batch_format="pyarrow", **REMOTE_KWARGS).groupby(
+        ["day", "event_type"]
+    ).aggregate(Count(alias_name="n"))
+    df = agg.to_pandas()  # tiny (days x 5 types); pivot on the driver
+    wide = df.pivot_table(index="day", columns="event_type", values="n", fill_value=0).reset_index()
+    wide.columns.name = None
+    for c in ("click", "error", "purchase", "signup", "view"):
+        if c not in wide.columns:
+            wide[c] = 0
+        wide[c] = wide[c].astype("int64")
+    return pa.Table.from_pandas(wide[["day", "click", "error", "purchase", "signup", "view"]], preserve_index=False)
+
+
 def _q_asof_last_order(sf_dir: str):
     """As-of join (ray_guide pattern): each event matched to the user's
     latest order at event time.  The small right side is broadcast once and
@@ -959,6 +998,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running": _q_events_running,
         "clean_documents": _q_clean_documents,
         "asof_last_order": _q_asof_last_order,
+        "quantiles_price": _q_quantiles_price,
+        "events_pivot": _q_events_pivot,
         "join_mktsegment": _q_join_mktsegment,
         "join_region_revenue": _q_join_region,
         "events_sliding": _q_events_sliding,
@@ -1060,6 +1101,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                    count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY event_type, day
+        """,
+        "quantiles_price": """
+            SELECT round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+                   round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+            FROM lineitem
+        """,
+        "events_pivot": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+            FROM events GROUP BY day
         """,
         "asof_last_order": """
             WITH o AS (
