@@ -315,6 +315,47 @@ def _q_clean_documents(sf_dir: str):
     )
 
 
+def _q_top3_orders_per_segment(sf_dir: str):
+    """Ranked window: top-3 orders by price within each market segment
+    (broadcast segment lookup + per-group sort/head)."""
+    import ray
+    import ray.data as rd
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())))
+
+    class Tag:
+        def __init__(self):
+            self.seg = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            seg = pa.array([self.seg.get(k) for k in t["o_custkey"].to_pylist()], pa.string())
+            return t.append_column("c_mktsegment", seg)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, False]).head(3)
+
+    ranked = (
+        orders.map_batches(Tag, batch_format="pyarrow", concurrency=2, **REMOTE_KWARGS)
+        .groupby("c_mktsegment")
+        .map_groups(top3, batch_format="pandas")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+        return _py_round(out, {"o_totalprice": 2})
+
+    return ranked.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
+
+
 def _q_quantiles_price(sf_dir: str):
     """Exact distributed quantiles via Ray's Quantile aggregate (matches
     DuckDB quantile_cont interpolation)."""
@@ -999,6 +1040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_documents": _q_clean_documents,
         "asof_last_order": _q_asof_last_order,
         "quantiles_price": _q_quantiles_price,
+        "top3_per_segment": _q_top3_orders_per_segment,
         "events_pivot": _q_events_pivot,
         "join_mktsegment": _q_join_mktsegment,
         "join_region_revenue": _q_join_region,
@@ -1101,6 +1143,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                    count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY event_type, day
+        """,
+        "top3_per_segment": """
+            SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            QUALIFY row_number() OVER (
+              PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey DESC
+            ) <= 3
         """,
         "quantiles_price": """
             SELECT round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
