@@ -121,3 +121,45 @@ def test_when_matches_reference(kinds, vs):
         else:
             expect = v != ""  # empty string still fails string base
         assert ok == expect, (k, v, ok)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.one_of(st.none(), st.text(alphabet="abcXYZ 19", max_size=10)), min_size=1, max_size=40),
+    st.integers(0, 5),
+)
+def test_metamorphic_scoped_vs_full_eval(vals, lo):
+    """Scoped (active-subset) kernel evaluation must be indistinguishable
+    from full-array evaluation; abort_early=False violations are a superset
+    per row of abort_early=True."""
+    schema = jr_object(
+        {
+            "k": jr.string(),
+            "x": jr.string().when("k", is_="go", then=jr.string().required().min(lo).alphanum()),
+        }
+    )
+    kinds = ["go" if i % 2 else "stop" for i in range(len(vals))]
+    tbl = pa.table({"k": pa.array(kinds, pa.string()), "x": pa.array(vals, pa.string())})
+    results = {}
+    for scoped in (True, False):
+        for abort in (True, False):
+            cs = compile_schema(schema, prefs={"abort_early": abort, "scoped_eval": scoped})
+            r = cs.validate_table(tbl)
+            results[(scoped, abort)] = r
+    for abort in (True, False):
+        a, b = results[(True, abort)], results[(False, abort)]
+        assert list(a.ok) == list(b.ok)
+        key = lambda v: (v["row"], v["path"], v["code"])
+        assert sorted(map(key, a.violations.to_pylist())) == sorted(map(key, b.violations.to_pylist()))
+    # abortEarly True rows-with-errors == abortEarly False rows-with-errors
+    ae, af = results[(True, True)], results[(True, False)]
+    assert list(ae.ok) == list(af.ok)
+    rows_ae = {v["row"] for v in ae.violations.to_pylist()}
+    rows_af = {v["row"] for v in af.violations.to_pylist()}
+    assert rows_ae == rows_af
+    # and per-row violation count under abort_early=True is <= under False
+    from collections import Counter
+
+    ca = Counter(v["row"] for v in ae.violations.to_pylist())
+    cf = Counter(v["row"] for v in af.violations.to_pylist())
+    assert all(ca[r] <= cf[r] for r in ca)
