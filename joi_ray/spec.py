@@ -440,7 +440,13 @@ class Schema:
         if self.prefs:
             d["preferences"] = dict(self.prefs)
         if self.metas:
-            d["metas"] = dict(self.metas)
+            # alterations hold Python callables and _ruleset_start is a
+            # builder-internal marker: neither belongs in the portable IR
+            serializable = {
+                k: v for k, v in self.metas.items() if k not in ("alterations", "_ruleset_start")
+            }
+            if serializable:
+                d["metas"] = serializable
         for name, term in self.terms.items():
             if name == "keys":
                 d["keys"] = {k: v.describe() for k, v in term.items()}
