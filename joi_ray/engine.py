@@ -779,11 +779,16 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                 matched_any |= beyond
         if node.items:
             remaining = item_scope_all & ~matched_any
+            strip_items = np.zeros(n_items, dtype=bool)
             for ic in node.items:
                 if not remaining.any():
                     break
                 ok = node_validity(ic, flat, child_env, remaining)
                 hit = remaining & ok
+                if ic.flags.get("strip"):
+                    # items matching a strip-marked schema are removed from
+                    # the output array (array.js strip handling)
+                    strip_items |= hit
                 matched_any |= hit
                 remaining = remaining & ~hit
             nomatch = item_scope_all & ~matched_any & ~as_bool_np(pc.is_null(flat), n_items)
@@ -804,6 +809,19 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                     has_items = as_bool_np(pc.greater(pc.list_value_length(arr), 0), n)
                     miss = has_items & ~rows_with & scope
                     add_err("array.includesRequiredUnknowns", miss, {"unknownMisses": 1})
+            if strip_items.any():
+                keep = ~strip_items
+                kept_flat = flat.filter(pa.array(keep))
+                kept_counts = np.bincount(parents[keep], minlength=n) if keep.any() else np.zeros(n, np.int64)
+                null_rows = null_mask(arr)
+                offsets = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(kept_counts, out=offsets[1:])
+                rebuilt = pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int64()).cast(pa.int32()), kept_flat
+                )
+                if null_rows.any():
+                    rebuilt = pc.if_else(pa.array(null_rows), pa.nulls(n, rebuilt.type), rebuilt)
+                arr = rebuilt
 
     if new_flat is not None and new_flat is not flat:
         arr = _rebuild_list(arr, new_flat)

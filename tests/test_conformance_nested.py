@@ -202,3 +202,13 @@ def test_deterministic_violations_across_row_order():
     shuf = cs.validate_table(t2).violations.to_pylist()
     key = lambda v: (v["doc_id"], v["path"], v["code"], v["item_index"])
     assert sorted(map(key, base)) == sorted(map(key, shuf))
+
+
+def test_array_item_strip():
+    """Items matching a strip-marked schema are removed from the output
+    (the reference's array strip handling)."""
+    t = pa.table({"x": pa.array([["keep1", "-", "keep2"], ["-"]], type=LIST_STR)})
+    schema = jr.array().items(jr.string().valid("-").strip(), jr.string().min(2))
+    res = compile_schema(obj({"x": schema}), prefs={"abort_early": False}).validate_table(t)
+    assert res.value["x"].to_pylist() == [["keep1", "keep2"], []]
+    assert list(res.ok) == [True, True]
