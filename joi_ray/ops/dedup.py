@@ -204,6 +204,19 @@ def minhash_duplicate_pairs(ds, text_col: str, id_col: str, *, threshold: float 
     return cands.groupby(["id_a", "id_b"]).map_groups(dedup_pairs, batch_format="pandas")
 
 
+# per-worker-process cache for task-mode stages (no actor pool startup)
+_MH_CACHE: dict = {}
+
+
+def _minhash_fn(batch: pa.Table, **kw) -> pa.Table:
+    key = (kw["text_col"], kw["id_col"], kw["num_perm"], kw["bands"], kw["k"], kw.get("emit_sig", True))
+    stage = _MH_CACHE.get(key)
+    if stage is None:
+        stage = MinHashStage(**kw)
+        _MH_CACHE[key] = stage
+    return stage(batch)
+
+
 def minhash_canonical(ds, text_col: str, id_col: str, *, num_perm: int = 64, bands: int = 16,
                       k: int = 7, concurrency=4):
     """Scalable keep-first near-dup assignment without pair materialization.
@@ -224,12 +237,12 @@ def minhash_canonical(ds, text_col: str, id_col: str, *, num_perm: int = 64, ban
     from ray.data.aggregate import Count, Min, Sum
 
     banded = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(
+        _minhash_fn,
+        fn_kwargs=dict(
             text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, k=k, emit_sig=False
         ),
         batch_format="pyarrow",
-        concurrency=concurrency, **REMOTE_KWARGS).materialize()  # consumed twice below; skinny (24B/row)
+        **REMOTE_KWARGS).materialize()  # consumed twice below; skinny (24B/row)
 
     def bucket_partials(t: pa.Table) -> pa.Table:
         # per-batch pre-aggregation: near-dup families usually co-locate in
