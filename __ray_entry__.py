@@ -921,10 +921,10 @@ def _q_lang_distribution(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count
 
-    from joi_ray.ops.text import LangIdStage
+    from joi_ray.ops.text import lang_id_batch
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-    pred = ds.map_batches(LangIdStage, fn_constructor_kwargs={}, batch_format="pyarrow", concurrency=2, **REMOTE_KWARGS)
+    pred = ds.map_batches(lang_id_batch, batch_format="pyarrow", **REMOTE_KWARGS)
     return pred.groupby("lang_pred").aggregate(Count(alias_name="n"))
 
 

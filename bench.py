@@ -172,7 +172,9 @@ def run_bench() -> dict:
 
     exp_bs = max(16, 8192 // k_exp)  # flat-row batching unit (see read_interleaved)
     txt = flat.map_batches(expand, batch_format="pyarrow", batch_size=exp_bs)
-    txt = txt.map_batches(LangIdStage, fn_constructor_kwargs={}, batch_format="pyarrow", concurrency=pool)
+    from joi_ray.ops.text import lang_id_batch
+
+    txt = txt.map_batches(lang_id_batch, batch_format="pyarrow")
     txt = txt.map_batches(quality_batch, batch_format="pyarrow")
     txt = txt.map_batches(token_count_batch, batch_format="pyarrow")
     txt = txt.map_batches(fingerprint_batch, batch_format="pyarrow")

@@ -48,6 +48,19 @@ class LangIdStage:
         return batch.append_column(self.out_col, pa.array(best.astype(object), type=pa.string()))
 
 
+_LANGID_CACHE: dict = {}
+
+
+def lang_id_batch(batch: pa.Table, text_col: str = "text", out_col: str = "lang_pred") -> pa.Table:
+    """Task-mode language ID: per-worker cached stage (no actor pool)."""
+    key = (text_col, out_col)
+    stage = _LANGID_CACHE.get(key)
+    if stage is None:
+        stage = LangIdStage(text_col, out_col)
+        _LANGID_CACHE[key] = stage
+    return stage(batch)
+
+
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality features + composite score: length, punct/digit/upper ratios,
     stopword ratio, mean word length — one vectorized Arrow pass."""
