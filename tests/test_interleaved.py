@@ -76,3 +76,13 @@ def test_catalog_closed_pool():
     exp = expected_dirty_counts(SF)
     assert len(dangling) == exp["dangling_ref"]
     assert all(r.startswith("asset://dead") for r in dangling)
+
+
+def test_ids_only_read_matches_full(ray_session):
+    """The column-pruned doc_id-only path must produce exactly the full
+    path's doc_id column (pruning is an optimization, not a semantic)."""
+    from joi_ray.sources.interleaved import read_interleaved
+
+    full = read_interleaved(SF, repeat=3).select_columns(["doc_id"]).take_all()
+    pruned = read_interleaved(SF, columns=["doc_id"], repeat=3).take_all()
+    assert [r["doc_id"] for r in full] == [r["doc_id"] for r in pruned]
