@@ -182,6 +182,10 @@ class CNode:
         self.patterns = [
             (_re.compile(p["regex"]), CNode(p["schema"], prefs)) for p in t.get("patterns", [])
         ]
+        # empty(schema) support: schema-valued entries precompiled
+        raw_empty = self.flags.get("empty") or []
+        self.empty_schemas = [CNode(v, prefs) for v in raw_empty if isinstance(v, Schema)]
+        self.empty_values = [v for v in raw_empty if not isinstance(v, Schema)]
         self.terms = t
 
         # --- whens desugared at compile time via concat (lib/base.js:364:
@@ -435,10 +439,16 @@ def eval_node(
                 if out.new_value is not None:
                     arr = out.new_value
 
-    # ---- empty: values treated as missing (lib/validator.js:162-165)
-    empty_vals = node.flags.get("empty")
-    if empty_vals:
-        em = _set_membership(arr, empty_vals, [], node.flags.get("insensitive", False), env)
+    # ---- empty: values (or matching schemas) treated as missing
+    # (lib/validator.js:162-165; empty(schema) per lib/base.js:124-134)
+    if node.empty_values or node.empty_schemas:
+        em = (
+            _set_membership(arr, node.empty_values, [], node.flags.get("insensitive", False), env)
+            if node.empty_values
+            else np.zeros(n, dtype=bool)
+        )
+        for es in node.empty_schemas:
+            em |= node_validity(es, arr, env, scope) & ~null_mask(arr)
         if em.any():
             arr = pc.if_else(pa.array(em), pa.nulls(n, arr.type), arr)
 

@@ -378,9 +378,14 @@ def make_normalize(args):
 
 
 def apply_replacements(arr: pa.Array, replacements: list[dict]) -> pa.Array:
-    """Coerce-time replace list (``lib/types/string/index.js:606-625``)."""
+    """Coerce-time replace list (``lib/types/string/index.js:606-625``):
+    literal substring replace for plain patterns (joi string semantics),
+    regex replace for compiled patterns."""
     for r in replacements:
-        arr = pc.replace_substring_regex(arr, r["pattern"], r["replacement"])
+        if r.get("literal"):
+            arr = pc.replace_substring(arr, r["pattern"], r["replacement"])
+        else:
+            arr = pc.replace_substring_regex(arr, r["pattern"], r["replacement"])
     return arr
 
 

@@ -588,9 +588,19 @@ class StringSchema(Schema):
     def truncate(self, enabled: bool = True) -> "StringSchema":
         return self._flag("truncate", True if enabled else None)
 
-    def replace(self, pattern: str, replacement: str) -> "StringSchema":
+    def replace(self, pattern, replacement: str) -> "StringSchema":
+        """Coerce-time replace.  A compiled ``re.Pattern`` or plain string
+        with ``literal=False`` semantics: joi treats plain strings as
+        literals (``lib/types/string/index.js:606-625``) — pass a compiled
+        pattern for regex replacement; plain strings replace literally."""
+        import re as _re
+
         s = self._clone()
-        s.terms.setdefault("replacements", []).append({"pattern": pattern, "replacement": replacement})
+        if isinstance(pattern, _re.Pattern):
+            entry = {"pattern": pattern.pattern, "replacement": replacement, "literal": False}
+        else:
+            entry = {"pattern": pattern, "replacement": replacement, "literal": True}
+        s.terms.setdefault("replacements", []).append(entry)
         return s
 
 

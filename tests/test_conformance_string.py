@@ -176,8 +176,12 @@ def test_case_trim_convert_and_strict():
 
 
 def test_replace_truncate():
-    res = check(jr.string().replace(r"\s+", " "), [("a   b", True)])
+    import re
+
+    res = check(jr.string().replace(re.compile(r"\s+"), " "), [("a   b", True)])
     assert res.value["x"].to_pylist() == ["a b"]
+    res = check(jr.string().replace("a.b", "X"), [("a.b c", True)])
+    assert res.value["x"].to_pylist() == ["X c"]  # plain strings replace literally
     res = check(jr.string().max(3).truncate(), [("abcdef", True)])
     assert res.value["x"].to_pylist() == ["abc"]
 
