@@ -182,9 +182,15 @@ class CNode:
         self.patterns = [
             (_re.compile(p["regex"]), CNode(p["schema"], prefs)) for p in t.get("patterns", [])
         ]
-        # empty(schema) support: schema-valued entries precompiled
+        # empty(schema) support: schema-valued entries precompiled; string
+        # matchers implicitly allow "" (an empty string should be matchable
+        # as "empty" — the base string.empty check must not veto it)
         raw_empty = self.flags.get("empty") or []
-        self.empty_schemas = [CNode(v, prefs) for v in raw_empty if isinstance(v, Schema)]
+        self.empty_schemas = [
+            CNode(v.allow("") if v.type == "string" and "" not in v.allow_vals else v, prefs)
+            for v in raw_empty
+            if isinstance(v, Schema)
+        ]
         self.empty_values = [v for v in raw_empty if not isinstance(v, Schema)]
         self.terms = t
 
