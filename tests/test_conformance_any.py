@@ -38,6 +38,15 @@ def test_empty():
     assert res.value["x"].to_pylist() == ["?"]
 
 
+def test_empty_schema_matcher():
+    s = jr.string().empty(jr.string().pattern(r"^\s*$")).default("D")
+    res = check(s, [("   ", True), ("keep", True), ("", True)])
+    assert res.value["x"].to_pylist() == ["D", "keep", "D"]
+    from joi_ray import build
+
+    assert build(s.describe()) == s
+
+
 def test_strip_raw():
     schema = obj({"a": jr.string().strip(), "b": jr.string().lowercase().raw()})
     res = compile_schema(schema).validate_table(pa.table({"a": ["x"], "b": ["ABC"]}))
