@@ -125,6 +125,12 @@ CASES = [
     ("any.raw.still.validates", "any", S(jr.string().lowercase().length(3).raw()), "ABC", {}, True, None),
 ]
 
+CASES += [
+    ("any.empty.schema", "any", S(jr.string().empty(jr.string().pattern(r"^\s*$"))), "   ", {}, True, None),
+    ("string.replace.literal", "string", S(jr.string().replace("a.b", "Z").pattern(r"^Z$")), "a.b", {}, True, None),
+    ("string.replace.literal.1", "string", S(jr.string().replace("a.b", "Z").pattern(r"^Z$")), "axb", {}, False, "string.pattern.base"),
+]
+
 NESTED_CASES = [
     # (case_id, schema, column(pyarrow), expected_ok_list, expected_codes)
     (
@@ -154,6 +160,13 @@ NESTED_CASES = [
         pa.array(["a", "abc", "abcdef"]),
         [True, False, True],
         {"alternatives.any"},
+    ),
+    (
+        "array.item.strip",
+        jr.array().items(jr.string().valid("-").strip(), jr.string().min(2)),
+        pa.array([["aa", "-"], ["x"]], type=pa.list_(pa.string())),
+        [True, False],
+        {"string.min"},
     ),
 ]
 
