@@ -166,7 +166,7 @@ NESTED_CASES = [
         jr.array().items(jr.string().valid("-").strip(), jr.string().min(2)),
         pa.array([["aa", "-"], ["x"]], type=pa.list_(pa.string())),
         [True, False],
-        {"string.min"},
+        {"array.includes"},
     ),
 ]
 
