@@ -356,6 +356,46 @@ def _q_top3_orders_per_segment(sf_dir: str):
     return ranked.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
 
 
+def _q_stats_corr(sf_dir: str):
+    """Algebraic statistical aggregates from per-batch moment partials:
+    sample stddev of quantity and Pearson corr(quantity, price)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        x = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "n": pa.array([float(len(x))]),
+                "sx": pa.array([x.sum()]),
+                "sy": pa.array([y.sum()]),
+                "sxx": pa.array([(x * x).sum()]),
+                "syy": pa.array([(y * y).sum()]),
+                "sxy": pa.array([(x * y).sum()]),
+            }
+        )
+
+    agg = ds.map_batches(partials, batch_format="pyarrow", **REMOTE_KWARGS).aggregate(
+        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"), Sum("sy", alias_name="sy"),
+        Sum("sxx", alias_name="sxx"), Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (agg[k] for k in ("n", "sx", "sy", "sxx", "syy", "sxy"))
+    var_x = (sxx - sx * sx / n) / (n - 1)
+    var_y = (syy - sy * sy / n) / (n - 1)
+    cov = (sxy - sx * sy / n) / (n - 1)
+    corr = cov / (var_x**0.5 * var_y**0.5)
+    return pa.table(
+        {
+            "n": pa.array([int(n)], pa.int64()),
+            "std_qty": pa.array([round(var_x**0.5, 4)], pa.float64()),
+            "corr_qty_price": pa.array([round(corr, 4)], pa.float64()),
+        }
+    )
+
+
 def _q_quantiles_price(sf_dir: str):
     """Exact distributed quantiles via Ray's Quantile aggregate (matches
     DuckDB quantile_cont interpolation)."""
@@ -1040,6 +1080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_documents": _q_clean_documents,
         "asof_last_order": _q_asof_last_order,
         "quantiles_price": _q_quantiles_price,
+        "stats_corr": _q_stats_corr,
         "top3_per_segment": _q_top3_orders_per_segment,
         "events_pivot": _q_events_pivot,
         "join_mktsegment": _q_join_mktsegment,
@@ -1150,6 +1191,12 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
               PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey DESC
             ) <= 3
+        """,
+        "stats_corr": """
+            SELECT count(*)::BIGINT AS n,
+                   round(stddev_samp(l_quantity), 4) AS std_qty,
+                   round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+            FROM lineitem
         """,
         "quantiles_price": """
             SELECT round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
