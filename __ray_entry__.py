@@ -356,6 +356,25 @@ def _q_top3_orders_per_segment(sf_dir: str):
     return ranked.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
 
 
+def _q_histogram_quantity(sf_dir: str):
+    """Fixed-width histogram: bin in map_batches, count in one groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
+
+    def binned(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(t["l_quantity"].combine_chunks(), 5.0)), pa.int64())
+        return pa.table({"bin": b})
+
+    agg = ds.map_batches(binned, batch_format="pyarrow", **REMOTE_KWARGS).groupby("bin").aggregate(
+        Count(alias_name="n")
+    )
+    return agg.map_batches(
+        lambda t: pa.table({"bin": t["bin"], "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow", **REMOTE_KWARGS)
+
+
 def _q_stats_corr(sf_dir: str):
     """Algebraic statistical aggregates from per-batch moment partials:
     sample stddev of quantity and Pearson corr(quantity, price)."""
@@ -1081,6 +1100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_order": _q_asof_last_order,
         "quantiles_price": _q_quantiles_price,
         "stats_corr": _q_stats_corr,
+        "histogram_quantity": _q_histogram_quantity,
         "top3_per_segment": _q_top3_orders_per_segment,
         "events_pivot": _q_events_pivot,
         "join_mktsegment": _q_join_mktsegment,
@@ -1191,6 +1211,10 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
               PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey DESC
             ) <= 3
+        """,
+        "histogram_quantity": """
+            SELECT floor(l_quantity / 5)::BIGINT AS bin, count(*) AS n
+            FROM lineitem GROUP BY bin
         """,
         "stats_corr": """
             SELECT count(*)::BIGINT AS n,
