@@ -356,6 +356,17 @@ def _q_top3_orders_per_segment(sf_dir: str):
     return ranked.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
 
 
+def _q_dangling_refs(sf_dir: str):
+    """Row-level anti-join output: the exact (doc_id, media_ref) pairs whose
+    asset is missing from the catalog — derived from the referential stage's
+    violation rows and hash-matched against the residue-derived SQL."""
+    df = _violations(sf_dir).to_pandas()
+    df = df[df["code"] == "referential.missing"].copy()
+    df["media_ref"] = df["context"].map(lambda c: json.loads(c).get("value"))
+    out = df[["doc_id", "media_ref"]].sort_values(["doc_id", "media_ref"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def _q_histogram_quantity(sf_dir: str):
     """Fixed-width histogram: bin in map_batches, count in one groupby."""
     import ray.data as rd
@@ -1101,6 +1112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_price": _q_quantiles_price,
         "stats_corr": _q_stats_corr,
         "histogram_quantity": _q_histogram_quantity,
+        "dangling_refs": _q_dangling_refs,
         "top3_per_segment": _q_top3_orders_per_segment,
         "events_pivot": _q_events_pivot,
         "join_mktsegment": _q_join_mktsegment,
@@ -1211,6 +1223,11 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
               PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey DESC
             ) <= 3
+        """,
+        "dangling_refs": """
+            SELECT 'doc-' || lpad(lower(to_hex(doc_id)), 8, '0') AS doc_id,
+                   'asset://dead' || lpad(lower(to_hex(doc_id)), 12, '0') AS media_ref
+            FROM documents WHERE doc_id % 1000 = 47
         """,
         "histogram_quantity": """
             SELECT floor(l_quantity / 5)::BIGINT AS bin, count(*) AS n

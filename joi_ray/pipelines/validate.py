@@ -151,6 +151,8 @@ class ValidatorStage:
         if not pa.types.is_string(ids.type):
             ids = pc.cast(ids, pa.string())
         k = int(missing.sum())
+        bad_refs = flat.filter(pa.array(missing))
+        ctx = pa.array([json.dumps({"value": v}) for v in bad_refs.to_pylist()], pa.string())
         return pa.table(
             {
                 "doc_id": ids.take(pa.array(rows)),
@@ -159,7 +161,7 @@ class ValidatorStage:
                 "item_index": pa.array(positions[missing]),
                 "code": pa.array(["referential.missing"] * k),
                 "message": pa.array([f'"{self.ref_path}" references an asset missing from the catalog'] * k),
-                "context": pa.array(["{}"] * k),
+                "context": ctx,
                 "severity": pa.array(["error"] * k),
             },
             schema=VIOLATION_SCHEMA,
