@@ -112,3 +112,18 @@ def test_binary_coerce_from_string():
     assert res.value["x"].to_pylist()[0] == b"hi"
     res = check(jr.binary().encoding("hex"), [("6869", True), ("zz", False, "binary.base")])
     assert res.value["x"].to_pylist()[0] == b"hi"
+
+
+def test_date_ref_limit_cross_column():
+    import datetime
+
+    t = pa.table(
+        {
+            "start": pa.array([datetime.datetime(2024, 1, 1), datetime.datetime(2024, 6, 1)], pa.timestamp("ms")),
+            "end": pa.array([datetime.datetime(2024, 2, 1), datetime.datetime(2024, 5, 1)], pa.timestamp("ms")),
+        }
+    )
+    s = jr.object({"start": jr.date(), "end": jr.date().min(jr.ref("start"))})
+    res = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    assert list(res.ok) == [True, False]
+    assert res.violations.to_pylist()[0]["code"] == "date.min"
