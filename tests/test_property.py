@@ -163,3 +163,27 @@ def test_metamorphic_scoped_vs_full_eval(vals, lo):
     ca = Counter(v["row"] for v in ae.violations.to_pylist())
     cf = Counter(v["row"] for v in af.violations.to_pylist())
     assert all(ca[r] <= cf[r] for r in ca)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.sampled_from(["true", "FALSE", "True", "no", "1", ""])), min_size=1, max_size=30))
+def test_boolean_coercion_matches_reference(vals):
+    got = run(jr.boolean(), vals, pa.string())
+    for v, ok in zip(vals, got):
+        expect = True if v is None else v.lower() in ("true", "false")
+        assert ok == expect, (v, ok)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.integers(0, 2_000_000_000)), min_size=1, max_size=30))
+def test_epoch_date_min_matches_reference(secs):
+    # unix-seconds coercion + min bound
+    cutoff = 1_000_000_000  # 2001-09-09
+    got = run(jr.date().timestamp("unix").min("2001-09-09"), secs, pa.int64())
+    for v, ok in zip(secs, got):
+        if v is None:
+            expect = True
+        else:
+            expect = v >= cutoff - 25200  # 2001-09-09T00:00 UTC epoch = 999993600
+            expect = v * 1000 >= 999993600000
+        assert ok == expect, (v, ok)
