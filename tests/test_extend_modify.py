@@ -86,3 +86,27 @@ def test_io_sources(ray_session, tmp_path):
     csv = str(tmp_path / "t.csv")
     open(csv, "w").write("a,b\n1,x\n2,y\n")
     assert read_table(csv).count() == 2
+
+
+def test_cli_describe_and_infer_subprocess(tmp_path):
+    """CLI smoke without a Ray session: describe + infer round-trip."""
+    import json
+    import subprocess
+    import sys
+
+    import joi_ray as jr
+
+    schema_path = tmp_path / "s.json"
+    schema_path.write_text(jr.object({"x": jr.number().min(0)}).to_json())
+    repo = "/root/repo"
+    out = subprocess.run(
+        [sys.executable, "-m", "joi_ray", "describe", "--schema", str(schema_path)],
+        capture_output=True, text=True, cwd=repo, check=True,
+    ).stdout
+    assert json.loads(out)["keys"]["x"]["type"] == "number"
+    out2 = subprocess.run(
+        [sys.executable, "-m", "joi_ray", "infer", "--input", "/root/testdata/sf0.001/documents.parquet"],
+        capture_output=True, text=True, cwd=repo, check=True,
+    ).stdout
+    inferred = json.loads(out2)
+    assert inferred["keys"]["lang"]["type"] == "string"
