@@ -1031,13 +1031,18 @@ class BatchResult:
 
     def summary(self) -> dict:
         codes: dict[str, int] = {}
+        warnings: dict[str, int] = {}
         if self.violations.num_rows:
             vc = self.violations.group_by(["code", "severity"]).aggregate([("code", "count")])
             for code, sev, cnt in zip(
                 vc["code"].to_pylist(), vc["severity"].to_pylist(), vc["code_count"].to_pylist()
             ):
-                codes[code] = codes.get(code, 0) + cnt
-        return {"rows": self.n_rows, "failed": self.n_failed, "codes": codes}
+                bucket = warnings if sev == "warn" else codes
+                bucket[code] = bucket.get(code, 0) + cnt
+        out = {"rows": self.n_rows, "failed": self.n_failed, "codes": codes}
+        if warnings:
+            out["warnings"] = warnings
+        return out
 
 
 class CompiledSchema:
