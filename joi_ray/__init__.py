@@ -39,6 +39,28 @@ from .engine import (
     compile_schema,
 )
 
+def validate(data, schema, *, prefs: dict | None = None, id_column: str | None = None, **kwargs):
+    """Unified entry: a pyarrow Table / pandas DataFrame validates eagerly
+    (returns BatchResult); a ray.data.Dataset returns the streaming
+    violations Dataset (see pipelines.validate.validate_ds for options)."""
+    import pyarrow as _pa
+
+    if isinstance(data, _pa.Table):
+        return compile_schema(schema, prefs, id_column).validate_table(data)
+    try:
+        import pandas as _pd
+
+        if isinstance(data, _pd.DataFrame):
+            return compile_schema(schema, prefs, id_column).validate_table(
+                _pa.Table.from_pandas(data, preserve_index=False)
+            )
+    except ImportError:  # pragma: no cover
+        pass
+    from .pipelines.validate import validate_ds
+
+    return validate_ds(data, schema, id_column=id_column, prefs=prefs, **kwargs)
+
+
 __all__ = [
     "Ref",
     "Schema",
