@@ -212,3 +212,24 @@ def test_array_item_strip():
     res = compile_schema(obj({"x": schema}), prefs={"abort_early": False}).validate_table(t)
     assert res.value["x"].to_pylist() == [["keep1", "keep2"], []]
     assert list(res.ok) == [True, True]
+
+
+def test_alternatives_over_struct_shapes():
+    """Either {a}-shaped or {b}-shaped struct content (xor via alternatives)."""
+    st = pa.struct([("a", pa.string()), ("b", pa.int64())])
+    t = pa.table(
+        {"x": pa.array([{"a": "hi", "b": None}, {"a": None, "b": 5}, {"a": None, "b": None}], type=st)}
+    )
+    alt = jr.alternatives(
+        jr.object({"a": jr.string().required(), "b": jr.number().forbidden()}),
+        jr.object({"a": jr.string().forbidden(), "b": jr.number().required()}),
+    )
+    vcheck(obj({"x": alt}), t, [True, True, False])
+
+
+def test_struct_in_struct_dependencies():
+    inner = pa.struct([("p", pa.string()), ("q", pa.string())])
+    outer = pa.struct([("o", inner)])
+    t = pa.table({"x": pa.array([{"o": {"p": "1", "q": None}}, {"o": {"p": "1", "q": "2"}}], type=outer)})
+    s = jr.object({"x": jr.object({"o": jr.object({"p": jr.string(), "q": jr.string()}).nand("p", "q")})})
+    vcheck(obj({"x": s.terms["keys"]["x"]}) if False else s, t, [True, False])
