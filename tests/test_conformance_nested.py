@@ -233,3 +233,14 @@ def test_struct_in_struct_dependencies():
     t = pa.table({"x": pa.array([{"o": {"p": "1", "q": None}}, {"o": {"p": "1", "q": "2"}}], type=outer)})
     s = jr.object({"x": jr.object({"o": jr.object({"p": jr.string(), "q": jr.string()}).nand("p", "q")})})
     vcheck(s, t, [True, False])
+
+
+def test_ordered_then_items_tail():
+    """Items beyond the ordered prefix fall back to items() schemas."""
+    schema = jr.array().ordered(
+        jr.string().pattern(r"^[a-z]$"), jr.string().pattern(r"^\d$")
+    ).items(jr.string().min(3))
+    t = pa.table({"x": pa.array([["a", "1", "zzzz"]], type=LIST_STR)})
+    vcheck(obj({"x": schema}), t, [True])
+    t2 = pa.table({"x": pa.array([["a", "1", "no"]], type=LIST_STR)})
+    vcheck(obj({"x": schema}), t2, [False])
