@@ -71,6 +71,10 @@ def coerce_date(arr: pa.Array, env: Env, flags: dict):
     fmt = flags.get("format")
     was_null = as_bool_np(pc.is_null(arr), n)
     if pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type):
+        if fmt == "iso":
+            # date().iso() requires ISO strings; numeric input is a format
+            # error (date.js:81-88)
+            return arr, ~was_null
         unit_mult = 1000 if fmt == "s" else 1
         ms = pc.multiply(pc.cast(arr, pa.int64(), safe=False), unit_mult)
         out = pc.cast(ms, ts)
