@@ -127,3 +127,8 @@ def test_date_ref_limit_cross_column():
     res = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
     assert list(res.ok) == [True, False]
     assert res.violations.to_pylist()[0]["code"] == "date.min"
+
+
+def test_date_iso_rejects_numeric():
+    check(jr.date().iso(), [("2024-01-01", True)])
+    check(jr.date().iso(), [(1_700_000_000_000, False, "date.base")], column_type=pa.int64())
