@@ -228,6 +228,13 @@ class CNode:
 
     @staticmethod
     def _compile_is(is_val, prefs) -> "CNode":
+        if is_val is None:
+            # reference asserts 'Missing "is" or "switch" option' for a ref
+            # condition without is (lib/types/alternatives.js:181)
+            raise ValueError(
+                'when() with a ref condition requires the "is_" option '
+                "(or use switch=); reference lib/types/alternatives.js:181"
+            )
         s = compile_literal(is_val) if not isinstance(is_val, Schema) else is_val
         if "presence" not in s.flags:
             s = s.required()  # joi: `is` defaults to required

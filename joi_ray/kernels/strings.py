@@ -50,11 +50,13 @@ _ALPHANUM = r"^[a-zA-Z0-9]+$"
 _TOKEN = r"^\w+$"
 _HEX = r"^[0-9a-fA-F]+$"
 
-# base64 variants (joi: lib/types/string/index.js:169-189)
+# base64 variants — the reference's four regexes verbatim
+# (lib/types/string/index.js:14-24): paddingRequired forms require the
+# '='/'==' tail; the non-required forms make padding OPTIONAL, not forbidden.
 _B64_STD_PAD = r"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
-_B64_STD_NOPAD = r"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2,3})?$"
-_B64_URL_PAD = r"^(?:[A-Za-z0-9\-_]{4})*(?:[A-Za-z0-9\-_]{2}(==)?|[A-Za-z0-9\-_]{3}=?)?$"
-_B64_URL_NOPAD = r"^(?:[A-Za-z0-9\-_]{4})*(?:[A-Za-z0-9\-_]{2,3})?$"
+_B64_STD_NOPAD = r"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}(?:==)?|[A-Za-z0-9+/]{3}=?)?$"
+_B64_URL_PAD = r"^(?:[A-Za-z0-9\-_]{4})*(?:[A-Za-z0-9\-_]{2}==|[A-Za-z0-9\-_]{3}=)?$"
+_B64_URL_NOPAD = r"^(?:[A-Za-z0-9\-_]{4})*(?:[A-Za-z0-9\-_]{2}(?:==)?|[A-Za-z0-9\-_]{3}=?)?$"
 
 _EMAIL = r"^[A-Za-z0-9!#$%&'*+/=?^_`{|}~.\-]+@[A-Za-z0-9](?:[A-Za-z0-9\-]{0,61}[A-Za-z0-9])?(?:\.[A-Za-z0-9](?:[A-Za-z0-9\-]{0,61}[A-Za-z0-9])?)+$"
 _HOST_LABEL = r"[a-zA-Z0-9](?:[a-zA-Z0-9\-]{0,61}[a-zA-Z0-9])?"

@@ -214,8 +214,31 @@ class ValidatorStage:
 _STAGE_CACHE: dict = {}
 
 
+def _stage_key(kwargs: dict, tag: str = "") -> tuple:
+    """Full configuration key: long-lived worker processes serve many runs,
+    so every ValidatorStage parameter must participate or a later run that
+    shares schema/prefs but differs in stats columns / id column / catalog
+    would silently reuse a stale stage."""
+    cat = kwargs.get("catalog_ref")
+    return (
+        kwargs["spec_json"],
+        json.dumps(kwargs["prefs"], sort_keys=True),
+        kwargs.get("id_column"),
+        kwargs.get("ref_path"),
+        cat.hex() if cat is not None else None,
+        json.dumps(
+            {
+                k: kwargs.get(k)
+                for k in ("stats_numeric", "stats_categorical", "stats_id")
+            },
+            sort_keys=True,
+        ),
+        tag,
+    )
+
+
 def validator_fn(batch: pa.Table, **kwargs) -> pa.Table:
-    key = (kwargs["spec_json"], json.dumps(kwargs["prefs"], sort_keys=True), kwargs.get("ref_path"))
+    key = _stage_key(kwargs)
     stage = _STAGE_CACHE.get(key)
     if stage is None:
         stage = ValidatorStage(**kwargs)
@@ -239,7 +262,7 @@ def filter_valid(ds, schema, *, prefs: dict | None = None, catalog=None, ref_pat
     eff_prefs = {"abort_early": True, **(prefs or {})}  # first failure is enough to drop a row
 
     def keep_valid(batch: pa.Table, **kwargs) -> pa.Table:
-        key = (kwargs["spec_json"], json.dumps(kwargs["prefs"], sort_keys=True), kwargs.get("ref_path"), "fv")
+        key = _stage_key(kwargs, tag="fv")
         stage = _STAGE_CACHE.get(key)
         if stage is None:
             stage = ValidatorStage(

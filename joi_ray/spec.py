@@ -969,12 +969,20 @@ def build(desc: dict) -> Schema:
                     Ref(v["ref"])
                     if k == "ref"
                     else (
+                        # schema-valued is/then/otherwise must round-trip as
+                        # schemas (lib/manifest.js:217-366 rebuilds all three);
+                        # a literal `is` stays a literal
                         build(v)
-                        if k in ("then", "otherwise") and isinstance(v, dict) and "type" in v
+                        if k in ("is", "then", "otherwise") and isinstance(v, dict) and "type" in v
                         else (
                             [
                                 {
-                                    kk: (build(vv) if kk in ("then", "otherwise") else _decode(vv))
+                                    kk: (
+                                        build(vv)
+                                        if kk in ("then", "otherwise")
+                                        or (kk == "is" and isinstance(vv, dict) and "type" in vv)
+                                        else _decode(vv)
+                                    )
                                     for kk, vv in sw.items()
                                 }
                                 for sw in v
