@@ -215,6 +215,14 @@ def run_bench() -> dict:
     n_mh = len(mh)  # minhash_canonical returns a small pandas DataFrame
     queries["minhash_dedup"] = round(time.time() - t0, 3)
 
+    # ---- SimHash dup-bucket sweep (vectorized signatures + two-phase count)
+    t0 = time.time()
+    from joi_ray.ops.dedup import simhash_buckets
+
+    sh_in = flat.map_batches(expand, batch_format="pyarrow", batch_size=exp_bs)
+    n_sh_buckets = simhash_buckets(sh_in, "text", "doc_id").count()
+    queries["simhash_dedup"] = round(time.time() - t0, 3)
+
     # north-rule end-to-end = schema+referential+sketches pass + uniqueness
     # shuffle (drift is a driver-side merge of already-emitted sketches)
     t_e2e = queries["validate_full"] + queries["uniqueness"]

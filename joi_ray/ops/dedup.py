@@ -352,18 +352,35 @@ _WORD_SPLIT = r"\W+"
 
 
 def simhash_batch(texts: pd.Series, seed: int = 42) -> np.ndarray:
-    """64-bit simhash per text: sign-sum of token-hash bit vectors."""
-    out = np.zeros(len(texts), dtype=np.uint64)
-    toks = texts.fillna("").str.lower().str.split(_WORD_SPLIT)
-    for i, words in enumerate(toks):
-        if not words:
-            continue
-        hs = pd.util.hash_array(np.asarray([w for w in words if w], dtype=object))
-        if len(hs) == 0:
-            continue
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
-        acc = (2 * bits - 1).sum(axis=0)
-        out[i] = np.packbits((acc > 0).astype(np.uint8)[::-1], bitorder="little").view(np.uint64)[0]
+    """64-bit simhash per text: sign-sum of token-hash bit vectors.
+
+    Fully vectorized over the batch: tokens are exploded to one flat array,
+    hashed ONCE with ``pd.util.hash_array``, and the per-doc sign-sum runs
+    as 64 ``np.add.reduceat`` passes over token-boundary offsets (the same
+    segment pattern as ``minhash_signatures``) — no per-row Python loop.
+    For bit j, sign-sum > 0  <=>  2*popcount_j > n_tokens."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    toks = texts.fillna("").str.lower().str.findall(r"\w+")
+    counts = toks.str.len().to_numpy(dtype=np.int64)
+    if counts.sum() == 0:
+        return out
+    flat = toks.explode().dropna().to_numpy(dtype=object)
+    hs = pd.util.hash_array(flat).astype(np.uint64)
+    valid = counts > 0
+    starts = (np.cumsum(counts) - counts)[valid]
+    ntok = counts[valid]
+    pops = np.empty((len(starts), 64), dtype=np.int64)
+    for j in range(64):
+        bit = ((hs >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+        pops[:, j] = np.add.reduceat(bit, starts)
+    bools = (2 * pops) > ntok[:, None]
+    # bit-packing order matches the original packbits(reversed, 'little')
+    # .view(uint64): result bit p holds the sign of hash-bit (63 - p)
+    shifts = (63 - np.arange(64)).astype(np.uint64)
+    out[valid] = (bools.astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
     return out
 
 
@@ -417,7 +434,7 @@ def simhash_duplicate_pairs(ds, text_col: str, id_col: str, *, max_hamming: int 
         ids = g[id_col].to_numpy()
         ia, ib = np.triu_indices(len(g), 1)
         x = h[ia] ^ h[ib]
-        dist = np.array([bin(int(v)).count("1") for v in x])
+        dist = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
         keep = dist <= max_hamming
         return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "hamming": dist[keep]})
 
@@ -427,6 +444,36 @@ def simhash_duplicate_pairs(ds, text_col: str, id_col: str, *, max_hamming: int 
     banded = sigs.map_batches(explode_bands, batch_format="pyarrow", **REMOTE_KWARGS)
     cands = banded.groupby(["band", "band_val"]).map_groups(pairs_of_group, batch_format="pandas")
     return cands.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+
+
+def simhash_buckets(ds, text_col: str, id_col: str, *, concurrency=4):
+    """Scalable simhash dup-bucket stats: signatures -> 4x16-bit pigeonhole
+    band rows -> two-phase count (per-batch partials, then one native
+    groupby-sum).  Returns a Dataset of (band, band_val, n) with n>1 — the
+    candidate buckets; size ∝ duplicate rate, not corpus.  The shape
+    mirrors ``exact_duplicate_groups``: no map_groups, no pair
+    materialization."""
+    from ray.data.aggregate import Sum
+
+    def sig_and_bands(batch: pa.Table) -> pa.Table:
+        s = batch[text_col].combine_chunks().to_pandas()
+        h = simhash_batch(s)
+        n = len(h)
+        band = np.repeat(np.arange(4, dtype=np.int32), n)
+        band_val = np.concatenate(
+            [((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64) for b in range(4)])
+        t = pa.table({"band": band, "band_val": band_val})
+        g = t.group_by(["band", "band_val"]).aggregate([("band_val", "count")])
+        return pa.table({
+            "band": g["band"],
+            "band_val": g["band_val"],
+            "partial_n": pc.cast(g["band_val_count"], pa.int64()),
+        })
+
+    partials = ds.map_batches(sig_and_bands, batch_format="pyarrow", **REMOTE_KWARGS)
+    totals = partials.groupby(["band", "band_val"]).aggregate(Sum("partial_n", alias_name="n"))
+    return totals.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow", **REMOTE_KWARGS)
 
 
 # --------------------------------------------------------------------------
