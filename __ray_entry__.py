@@ -322,15 +322,19 @@ def _q_top3_orders_per_segment(sf_dir: str):
     import ray.data as rd
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
-    ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())))
+    ref = ray.put(cust)
 
     class Tag:
         def __init__(self):
-            self.seg = ray.get(ref)
+            c = ray.get(ref)
+            # Arrow-native broadcast lookup: key array + aligned value array,
+            # probed per batch with pc.index_in + take (no per-row dict gets)
+            self.keys = c["c_custkey"].combine_chunks()
+            self.vals = c["c_mktsegment"].combine_chunks()
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            seg = pa.array([self.seg.get(k) for k in t["o_custkey"].to_pylist()], pa.string())
-            return t.append_column("c_mktsegment", seg)
+            idx = pc.index_in(t["o_custkey"].combine_chunks(), value_set=self.keys)
+            return t.append_column("c_mktsegment", self.vals.take(idx))
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
 
@@ -626,17 +630,18 @@ def _q_join_region(sf_dir: str):
     class RegionJoin:
         def __init__(self):
             c, na, re_ = ray.get(ref)
-            n2r = dict(zip(na["n_nationkey"].to_pylist(), na["n_regionkey"].to_pylist()))
-            r2n = dict(zip(re_["r_regionkey"].to_pylist(), re_["r_name"].to_pylist()))
-            self.cust2region = {
-                ck: r2n.get(n2r.get(nk))
-                for ck, nk in zip(c["c_custkey"].to_pylist(), c["c_nationkey"].to_pylist())
-            }
+            # chase cust -> nation -> region ONCE with index_in/take, leaving
+            # an aligned (c_custkey -> r_name) pair of Arrow arrays
+            nk_idx = pc.index_in(c["c_nationkey"].combine_chunks(),
+                                 value_set=na["n_nationkey"].combine_chunks())
+            rk = na["n_regionkey"].combine_chunks().take(nk_idx)
+            rk_idx = pc.index_in(rk, value_set=re_["r_regionkey"].combine_chunks())
+            self.keys = c["c_custkey"].combine_chunks()
+            self.vals = re_["r_name"].combine_chunks().take(rk_idx)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            names = pa.array(
-                [self.cust2region.get(k) for k in t["o_custkey"].to_pylist()], pa.string()
-            )
+            idx = pc.index_in(t["o_custkey"].combine_chunks(), value_set=self.keys)
+            names = self.vals.take(idx)
             g = (
                 t.append_column("r_name", names)
                 .group_by("r_name")
@@ -676,11 +681,12 @@ def _q_join_mktsegment(sf_dir: str):
     class JoinStage:
         def __init__(self):
             c = ray.get(ref)
-            self.seg = dict(zip(c["c_custkey"].to_pylist(), c["c_mktsegment"].to_pylist()))
+            self.keys = c["c_custkey"].combine_chunks()
+            self.vals = c["c_mktsegment"].combine_chunks()
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["o_custkey"].to_pylist()
-            seg = pa.array([self.seg.get(k) for k in keys], pa.string())
+            idx = pc.index_in(t["o_custkey"].combine_chunks(), value_set=self.keys)
+            seg = self.vals.take(idx)
             g = (
                 t.append_column("c_mktsegment", seg)
                 .group_by("c_mktsegment")
@@ -899,6 +905,9 @@ def _q_dedup_ngram(sf_dir: str):
 
     from joi_ray.ops.dedup import MinHashStage, ngram_jaccard
 
+    import ray
+    from ray.data.aggregate import Count
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     banded = ds.map_batches(
         MinHashStage,
@@ -906,37 +915,57 @@ def _q_dedup_ngram(sf_dir: str):
             text_col="text", id_col="doc_id", num_perm=64, bands=32, k=7, emit_sig=False
         ),
         batch_format="pyarrow",
-        concurrency=2, **REMOTE_KWARGS)
+        concurrency=2, **REMOTE_KWARGS).materialize()  # skinny (24B/row); consumed twice
 
-    # band rows are skinny (24B) and candidates << corpus: self-merge on the
-    # driver instead of a 16k-tiny-group shuffle
-    bdf = banded.to_pandas()
-    j = bdf.merge(bdf, on=["band", "band_hash"], suffixes=("_a", "_b"))
-    j = j[j["doc_id_a"] < j["doc_id_b"]]
-    cands = j[["doc_id_a", "doc_id_b"]].drop_duplicates().rename(
-        columns={"doc_id_a": "id_a", "doc_id_b": "id_b"}
-    )
-    texts = dict(
-        zip(
-            pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).column(0).to_pylist(),
-            pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"]).column(0).to_pylist(),
+    # candidates: distributed band-bucket self-join + native distinct —
+    # nothing corpus-sized touches the driver
+    left = banded.map_batches(
+        lambda t: t.rename_columns(["id_a", "band", "band_hash"]), batch_format="pyarrow", **REMOTE_KWARGS)
+    right = banded.map_batches(
+        lambda t: t.rename_columns(["id_b", "band", "band_hash"]), batch_format="pyarrow", **REMOTE_KWARGS)
+    j = left.join(right, join_type="inner", num_partitions=2, on=("band", "band_hash"),
+                  aggregator_ray_remote_args={"num_cpus": 0.25})
+    pairs = j.map_batches(
+        lambda t: t.filter(pc.less(t["id_a"], t["id_b"])).select(["id_a", "id_b"]),
+        batch_format="pyarrow", **REMOTE_KWARGS)
+    cands = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="nb"))
+    cand_t = pa.concat_tables(
+        [t.select(["id_a", "id_b"]) for t in ray.get(cands.to_arrow_refs())]
+    )  # ∝ candidate pairs (duplicate rate), not corpus
+
+    # texts for candidate ids only: broadcast semi-join, bounded by the
+    # candidate set — the corpus-sized doc_id->text dict is gone
+    cand_ids = pc.unique(pa.concat_arrays(
+        [cand_t["id_a"].combine_chunks().cast(pa.int64()),
+         cand_t["id_b"].combine_chunks().cast(pa.int64())]))
+    idref = ray.put(cand_ids)
+    ctext = ds.map_batches(
+        lambda t: t.filter(pc.is_in(pc.cast(t["doc_id"].combine_chunks(), pa.int64()),
+                                    value_set=ray.get(idref))),
+        batch_format="pyarrow", **REMOTE_KWARGS)
+    tref = ray.put(pa.concat_tables(ray.get(ctext.to_arrow_refs())))
+
+    def verify(t: pa.Table) -> pa.Table:
+        tt = ray.get(tref)
+        keys = pc.cast(tt["doc_id"].combine_chunks(), pa.int64())
+        texts = tt["text"].combine_chunks()
+        ia = pc.index_in(pc.cast(t["id_a"].combine_chunks(), pa.int64()), value_set=keys)
+        ib = pc.index_in(pc.cast(t["id_b"].combine_chunks(), pa.int64()), value_set=keys)
+        ta, tb = texts.take(ia).to_pylist(), texts.take(ib).to_pylist()
+        jac = [round(ngram_jaccard(a or "", b or "", k=7), 4) for a, b in zip(ta, tb)]
+        out = pa.table(
+            {
+                "id_a": pc.cast(t["id_a"].combine_chunks(), pa.int64()),
+                "id_b": pc.cast(t["id_b"].combine_chunks(), pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
         )
-    )
-    out_a, out_b, out_j = [], [], []
-    for a, b in zip(cands["id_a"], cands["id_b"]):
-        j = ngram_jaccard(texts[a] or "", texts[b] or "", k=7)
-        if j >= 0.4:
-            out_a.append(int(a))
-            out_b.append(int(b))
-            out_j.append(round(j, 4))
-    t = pa.table(
-        {
-            "id_a": pa.array(out_a, pa.int64()),
-            "id_b": pa.array(out_b, pa.int64()),
-            "jaccard": pa.array(out_j, pa.float64()),
-        }
-    )
-    return t
+        return out.filter(pc.greater_equal(out["jaccard"], 0.4))
+
+    if cand_t.num_rows == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    return rd.from_arrow(cand_t).map_batches(verify, batch_format="pyarrow", **REMOTE_KWARGS)
 
 
 # ---- rows-only (non-SQL-expressible) queries
