@@ -836,15 +836,28 @@ def _q_dedup_exact(sf_dir: str):
     return pa.table({"keep_id": pc.cast(t["keep_id"], pa.int64()), "n": pc.cast(t["n"], pa.int64())})
 
 
+_NDV_EXACT_CAP = 4096  # per-batch distinct cap for the exact-NDV path
+
+
 def _q_stats_quantity(sf_dir: str):
+    """Column profile with NDV.  Exact NDV only while every per-batch
+    distinct set stays under ``_NDV_EXACT_CAP`` (l_quantity has ~50 values);
+    a high-cardinality column flips to the mergeable HLL sketch from
+    joi_ray.sketches, so driver memory stays bounded either way."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from joi_ray.sketches import HLL
 
     ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
 
     def partial(t: pa.Table) -> pa.Table:
         col = t["l_quantity"].combine_chunks()
         u = pc.unique(col)
+        exact = len(u) <= _NDV_EXACT_CAP
+        hll = HLL()
+        if not exact:
+            h = pd.util.hash_pandas_object(col.to_pandas(), index=False).to_numpy(np.uint64)
+            hll.add_hashes(h)
         return pa.table(
             {
                 "p_n": pa.array([len(col)], pa.int64()),
@@ -852,14 +865,28 @@ def _q_stats_quantity(sf_dir: str):
                 "p_min": pa.array([pc.min(col).as_py()], pa.float64()),
                 "p_max": pa.array([pc.max(col).as_py()], pa.float64()),
                 "p_sum": pa.array([pc.sum(col).as_py()], pa.float64()),
-                "p_uniq": pa.array([json.dumps(sorted(u.to_pylist()))], pa.string()),
+                "p_uniq": pa.array([json.dumps(sorted(u.to_pylist())) if exact else None], pa.string()),
+                "p_hll": pa.array([None if exact else hll.to_bytes()], pa.binary()),
             }
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow", **REMOTE_KWARGS).take_all()
-    uniq: set = set()
-    for p in parts:
-        uniq.update(json.loads(p["p_uniq"]))
+    if all(p["p_uniq"] is not None for p in parts):
+        uniq: set = set()
+        for p in parts:
+            uniq.update(json.loads(p["p_uniq"]))
+        ndv = len(uniq)
+    else:
+        # sketch path: merge per-batch HLLs (batches that stayed exact
+        # contribute their value sets through a fresh HLL)
+        acc = HLL()
+        for p in parts:
+            if p["p_hll"] is not None:
+                acc.merge(HLL.from_bytes(p["p_hll"]))
+            else:
+                vals = pd.Series(json.loads(p["p_uniq"]))
+                acc.add_hashes(pd.util.hash_pandas_object(vals, index=False).to_numpy(np.uint64))
+        ndv = int(round(acc.estimate()))
     n = sum(p["p_n"] for p in parts)
     s = sum(p["p_sum"] for p in parts)
     return pa.table(
@@ -869,7 +896,7 @@ def _q_stats_quantity(sf_dir: str):
             "min_q": pa.array([min(p["p_min"] for p in parts)], pa.float64()),
             "max_q": pa.array([max(p["p_max"] for p in parts)], pa.float64()),
             "sum_q": pa.array([round(s, 2)], pa.float64()),
-            "ndv_q": pa.array([len(uniq)], pa.int64()),
+            "ndv_q": pa.array([ndv], pa.int64()),
         }
     )
 

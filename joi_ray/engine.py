@@ -706,11 +706,12 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
         still = active & ~matched
         if not still.any():
             break
-        ok = node_validity(m, arr, env, still)
-        hit = still & ok
+        # one evaluation per branch: validity mask and coerced value both
+        # come from the same NodeResult (branch errors stay local — the
+        # alternatives node reports only alternatives.any)
+        sub = eval_node(m, arr, env, path, scope=still)
+        hit = still & ~sub.failed
         matched |= hit
-        # adopt the branch's coerced value for matched rows
-        sub = eval_node(m, arr, env, path, scope=hit)
         if hit.any():
             try:
                 value = pc.if_else(pa.array(hit), sub.value, value)
