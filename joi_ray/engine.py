@@ -476,6 +476,19 @@ def eval_node(
         p = path_override if path_override is not None else path
         if "label" in node.flags and path_override is None:
             ctx = {**(ctx or {}), "label": node.flags["label"]}
+        # node-level error() override (lib/base.js:136-142, applied at
+        # finalize lib/validator.js:368-380 — replaces every error of the
+        # node, so it beats per-rule message()); a callable is asked once
+        # per error family
+        node_err = node.flags.get("error")
+        if node_err is not None:
+            message = node_err
+        else:
+            fn = getattr(node.schema, "metas", {}).get("error_fn")
+            if fn is not None:
+                m = fn(code, p, dict(ctx or {}))
+                if isinstance(m, str):
+                    message = m
         if item_rows is not None:
             keep = scope[item_rows]
             item_rows, item_index = item_rows[keep], item_index[keep]

@@ -115,12 +115,48 @@ MESSAGES: dict[str, str] = {
 def render(code: str, path: str, context: dict, override: str | None = None) -> str:
     """Render the static message for an error family.  Per-row ``{value}``
     interpolation is intentionally omitted (violation rows carry the doc id
-    and span index instead) so one render serves the whole mask."""
+    and span index instead) so one render serves the whole mask.
+
+    Catalog messages use plain ``{name}``/``{#name}`` placeholders and take
+    the fast substitution path (byte-stable with round 1).  Templates with
+    expressions — arithmetic, comparisons, ``if()``/``number()``, constants,
+    per ``lib/template.js:26-227`` — are rendered by the formula engine in
+    ``kernels.template``."""
     tmpl = override or MESSAGES.get(code, f'"{{label}}" fails rule {code}')
     label = context.get("label") or path or "value"
     out = tmpl
     out = out.replace("{#label}", str(label)).replace("{label}", str(label))
     for k, v in context.items():
         out = out.replace("{#%s}" % k, str(v)).replace("{%s}" % k, str(v))
-    # leave unknown placeholders (e.g. {value}) as-is; they are per-row
+    if "{" in out and _looks_dynamic(out):
+        from .template import compile_template
+
+        ctx = {"label": label, **context}
+
+        def resolve(name: str):
+            key = name.lstrip("#$")
+            if key in ctx:
+                return ctx[key]
+            raise KeyError(name)
+
+        try:
+            out = compile_template(out).render(resolve)
+        except (TypeError, ValueError):
+            pass  # leave the partially-substituted string
     return out
+
+
+_EXPR_CHARS = ("+", "-", "*", "/", "%", "^", "<", ">", "=", "(", "?", "&", "|")
+
+
+def _looks_dynamic(s: str) -> bool:
+    """Cheap gate: only engage the formula engine when a remaining
+    placeholder contains expression syntax — plain unknown placeholders like
+    ``{value}`` must stay verbatim (round-1 behavior)."""
+    import re
+
+    for m in re.finditer(r"\{+([^{}]*)\}+", s):
+        inner = m.group(1)
+        if any(c in inner for c in _EXPR_CHARS):
+            return True
+    return False

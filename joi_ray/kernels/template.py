@@ -1,0 +1,373 @@
+"""Template expression engine — the ``lib/template.js:26-227`` subset used
+by messages and rename targets, with the ``@hapi/formula`` expression
+grammar (references, constants, arithmetic, comparison/logical operators,
+``if``/``number`` functions).
+
+Syntax (reference ``lib/template.js:41-95``):
+
+- ``{expr}``   raw interpolation
+- ``{{expr}}`` HTML-escaped interpolation
+- ``\\{`` / ``\\}`` escape literal braces
+- references: ``#name`` (local error context), ``$name`` (global context),
+  bare ``name`` (value path; resolved through the same resolver)
+- constants: ``true false null second minute hour day``
+  (``lib/template.js:335-344``)
+- functions: ``if(cond, then, otherwise)``, ``number(v)``
+  (``lib/template.js:347-375``)
+- operators by precedence (low to high): ``??``, ``||``, ``&&``,
+  ``== !=``, ``< <= > >=``, ``+ -``, ``* / %``, ``^`` — with parentheses
+  and unary minus
+
+Rendering keeps the repo's established stringification (``str(v)``) so
+violation messages stay byte-stable with round-1 output.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable
+
+_UNKNOWN = object()  # sentinel: reference did not resolve
+
+
+# --------------------------------------------------------------------------
+# formula: tokenizer + Pratt parser
+
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<num>\d+(?:\.\d+)?)
+      | (?P<str>'[^']*'|"[^"]*")
+      | (?P<op>\?\?|\|\||&&|==|!=|<=|>=|[-+*/%^<>(),])
+      | (?P<name>[#$]?[A-Za-z_][\w.\[\]]*|[#$][\w.\[\]]+)
+    )""",
+    re.VERBOSE,
+)
+
+_CONSTANTS = {
+    "true": True,
+    "false": False,
+    "null": None,
+    "second": 1000,
+    "minute": 60 * 1000,
+    "hour": 60 * 60 * 1000,
+    "day": 24 * 60 * 60 * 1000,
+}
+
+_BINARY_PRECEDENCE = {
+    "??": 1, "||": 2, "&&": 3,
+    "==": 4, "!=": 4,
+    "<": 5, "<=": 5, ">": 5, ">=": 5,
+    "+": 6, "-": 6,
+    "*": 7, "/": 7, "%": 7,
+    "^": 8,
+}
+
+
+def _tokenize(src: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if m is None or m.end() == pos:
+            rest = src[pos:].strip()
+            if not rest:
+                break
+            raise ValueError(f"cannot tokenize template expression at: {rest!r}")
+        pos = m.end()
+        for kind in ("num", "str", "op", "name"):
+            v = m.group(kind)
+            if v is not None:
+                out.append((kind, v))
+                break
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, op: str):
+        kind, v = self.next()
+        if kind != "op" or v != op:
+            raise ValueError(f"expected {op!r}, got {v!r}")
+
+    def parse(self):
+        node = self.expression(0)
+        if self.i != len(self.toks):
+            raise ValueError(f"unexpected trailing tokens: {self.toks[self.i:]}")
+        return node
+
+    def expression(self, min_prec: int):
+        node = self.unary()
+        while True:
+            kind, v = self.peek()
+            if kind != "op" or v not in _BINARY_PRECEDENCE:
+                break
+            prec = _BINARY_PRECEDENCE[v]
+            if prec < min_prec:
+                break
+            self.next()
+            # ^ is right-associative in formula; the rest left
+            rhs = self.expression(prec if v == "^" else prec + 1)
+            node = ("bin", v, node, rhs)
+        return node
+
+    def unary(self):
+        kind, v = self.peek()
+        if kind == "op" and v == "-":
+            self.next()
+            return ("neg", self.unary())
+        if kind == "op" and v == "+":
+            self.next()
+            return self.unary()
+        return self.primary()
+
+    def primary(self):
+        kind, v = self.next()
+        if kind == "num":
+            return ("lit", float(v) if "." in v else int(v))
+        if kind == "str":
+            return ("lit", v[1:-1])
+        if kind == "op" and v == "(":
+            node = self.expression(0)
+            self.expect(")")
+            return node
+        if kind == "name":
+            if v in _CONSTANTS:
+                return ("lit", _CONSTANTS[v])
+            nkind, nv = self.peek()
+            if nkind == "op" and nv == "(":
+                self.next()
+                args = []
+                if self.peek() != ("op", ")"):
+                    args.append(self.expression(0))
+                    while self.peek() == ("op", ","):
+                        self.next()
+                        args.append(self.expression(0))
+                self.expect(")")
+                return ("call", v, args)
+            return ("ref", v)
+        raise ValueError(f"unexpected token {v!r}")
+
+
+def _evaluate(node, resolve: Callable[[str], Any]):
+    tag = node[0]
+    if tag == "lit":
+        return node[1]
+    if tag == "ref":
+        return resolve(node[1])
+    if tag == "neg":
+        v = _evaluate(node[1], resolve)
+        if v is _UNKNOWN:
+            return _UNKNOWN
+        return -v
+    if tag == "call":
+        name, args = node[1], node[2]
+        vals = [_evaluate(a, resolve) for a in args]
+        if any(v is _UNKNOWN for v in vals):
+            return _UNKNOWN
+        if name == "if":
+            cond = vals[0]
+            return vals[1] if cond else (vals[2] if len(vals) > 2 else None)
+        if name == "number":
+            v = vals[0]
+            if isinstance(v, bool):
+                return 1 if v else 0
+            if isinstance(v, (int, float)):
+                return v
+            if isinstance(v, str):
+                try:
+                    return float(v)
+                except ValueError:
+                    return None
+            return None
+        raise ValueError(f"unknown template function {name!r}")
+    if tag == "bin":
+        op, ln, rn = node[1], node[2], node[3]
+        a = _evaluate(ln, resolve)
+        if op == "??":
+            return _evaluate(rn, resolve) if a is None or a is _UNKNOWN else a
+        if op == "||":
+            if a is not _UNKNOWN and a:
+                return a
+            b = _evaluate(rn, resolve)
+            return b if b is not _UNKNOWN else _UNKNOWN
+        if op == "&&":
+            if a is _UNKNOWN:
+                return _UNKNOWN
+            if not a:
+                return a
+            return _evaluate(rn, resolve)
+        b = _evaluate(rn, resolve)
+        if a is _UNKNOWN or b is _UNKNOWN:
+            return _UNKNOWN
+        if op == "+":
+            if isinstance(a, str) or isinstance(b, str):
+                return _stringify(a) + _stringify(b)
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        if op == "/":
+            return a / b
+        if op == "%":
+            return a % b
+        if op == "^":
+            return a ** b
+        if op == "==":
+            return a == b
+        if op == "!=":
+            return a != b
+        if op == "<":
+            return a < b
+        if op == "<=":
+            return a <= b
+        if op == ">":
+            return a > b
+        if op == ">=":
+            return a >= b
+    raise ValueError(f"bad template ast node {node!r}")
+
+
+def _stringify(v) -> str:
+    """Repo-stable stringification (see kernels/messages.py round 1): plain
+    ``str`` for scalars and containers, with JS-style true/false/null for
+    the formula constants and integral floats printed without '.0'."""
+    if v is None:
+        return "null"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return str(v)
+
+
+_HTML_ESCAPES = {"&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;", "'": "&#x27;", "`": "&#x60;"}
+
+
+def _escape_html(s: str) -> str:
+    return "".join(_HTML_ESCAPES.get(c, c) for c in s)
+
+
+# --------------------------------------------------------------------------
+# template parsing (lib/template.js:41-95 + encode/split helpers :227-281)
+
+
+_OPEN, _CLOSE = "\u0000", "\u0001"
+
+
+class Template:
+    """Parsed ``"... {expr} ..."`` template.
+
+    ``render(resolve)`` interpolates each variable: ``resolve(name)`` maps a
+    reference name (with its ``#``/``$`` sigil) to a value, returning
+    ``template._UNKNOWN`` (or raising KeyError) for unknown names — an
+    unresolvable variable is left verbatim, matching the repo's round-1
+    renderer behavior for placeholders like ``{value}``."""
+
+    def __init__(self, source: str):
+        if not isinstance(source, str):
+            raise TypeError("template source must be a string")
+        self.source = source
+        self.parts: list = self._parse(source)
+
+    @property
+    def is_dynamic(self) -> bool:
+        return any(not isinstance(p, str) for p in self.parts)
+
+    @staticmethod
+    def _parse(source: str) -> list:
+        if "{" not in source:
+            return [source]
+        enc = re.sub(r"\\(\{)", _OPEN, source)
+        enc = re.sub(r"\\(\})", _CLOSE, enc)
+
+        def dec(s: str) -> str:
+            return s.replace(_OPEN, "{").replace(_CLOSE, "}")
+
+        parts: list = []
+        i, cur = 0, ""
+        chunks: list[str] = []
+        while i < len(enc):
+            c = enc[i]
+            if c == "{":
+                nxt = ""
+                while i + 1 < len(enc) and enc[i + 1] == "{":
+                    nxt += "{"
+                    i += 1
+                chunks.append(cur)
+                cur = nxt
+            else:
+                cur += c
+            i += 1
+        chunks.append(cur)
+
+        head = chunks[0]
+        rest = chunks[1:]
+        if head:
+            parts.append(dec(head))
+        for part in rest:
+            raw = not part.startswith("{")
+            ender = "}" if raw else "}}"
+            end = part.find(ender)
+            if end == -1 or (not raw and part[1:2] == "{"):
+                parts.append("{" + dec(part))
+                continue
+            content = dec(part[0 if raw else 1 : end])
+            try:
+                ast = _Parser(_tokenize(content)).parse()
+            except ValueError:
+                parts.append("{" + dec(part))
+                continue
+            parts.append((content, raw, ast))
+            tail = part[end + len(ender):]
+            if tail:
+                parts.append(dec(tail))
+        return parts
+
+    def render(self, resolve: Callable[[str], Any]) -> str:
+        def safe_resolve(name: str):
+            try:
+                return resolve(name)
+            except KeyError:
+                return _UNKNOWN
+
+        out = []
+        for p in self.parts:
+            if isinstance(p, str):
+                out.append(p)
+                continue
+            content, raw, ast = p
+            try:
+                v = _evaluate(ast, safe_resolve)
+            except (TypeError, ValueError, ZeroDivisionError):
+                v = _UNKNOWN
+            if v is _UNKNOWN:
+                out.append(("{%s}" if raw else "{{%s}}") % content)
+            else:
+                s = _stringify(v)
+                out.append(s if raw else _escape_html(s))
+        return "".join(out)
+
+
+_TEMPLATE_CACHE: dict[str, Template] = {}
+
+
+def compile_template(source: str) -> Template:
+    t = _TEMPLATE_CACHE.get(source)
+    if t is None:
+        t = Template(source)
+        _TEMPLATE_CACHE[source] = t
+    return t

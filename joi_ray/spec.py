@@ -280,6 +280,29 @@ class Schema:
             s.rules[-1]["message"] = template
         return s
 
+    def error(self, err) -> "Schema":
+        """Node-level error override (``/root/reference/lib/base.js:136-142``,
+        applied ``lib/validator.js:368-380``).
+
+        - string: a message template rendered for every violation this node
+          emits (full ``kernels.template`` expression syntax — ``{#label}``,
+          ``{#limit + 1}``, ``if(...)``); serializes through describe/build.
+        - callable ``fn(code, path, context) -> str | None``: the vectorized
+          re-expression of joi's ``error(fn)`` — invoked once per error
+          family (not per row), returning a replacement message or ``None``
+          to keep the default.  In-memory only: callables cannot ship
+          through the JSON spec (the reference manifest cannot express them
+          either), so describe() drops them.
+        """
+        s = self._clone()
+        if callable(err):
+            s.metas["error_fn"] = err
+        elif isinstance(err, str):
+            s.flags["error"] = err
+        else:
+            raise TypeError("error() takes a message template string or a callable")
+        return s
+
     def warn(self) -> "Schema":
         """Route the most recent rule's failures to warnings, not errors
         (``/root/reference/lib/validator.js:303-306``)."""
@@ -443,7 +466,7 @@ class Schema:
             # alterations hold Python callables and _ruleset_start is a
             # builder-internal marker: neither belongs in the portable IR
             serializable = {
-                k: v for k, v in self.metas.items() if k not in ("alterations", "_ruleset_start")
+                k: v for k, v in self.metas.items() if k not in ("alterations", "_ruleset_start", "error_fn")
             }
             if serializable:
                 d["metas"] = serializable
