@@ -175,6 +175,44 @@ def _q_val_documents(sf_dir: str):
     return _val_counts(sf_dir, "documents", schema, ["doc_id", "text", "lang", "source"])
 
 
+def _q_rename_regex(sf_dir: str):
+    """Regex rename with template targets on a real table: '^l_(.*)$' ->
+    '{#1}' strips the TPC-H prefix inside the validation pipeline
+    (object.rename, lib/types/object.js:387-415,886-967); the aggregate
+    runs over the RENAMED columns so the oracle proves the rename applied."""
+    import ray.data as rd
+
+    import joi_ray as jr
+    from joi_ray.pipelines.validate import filter_valid
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_discount"])
+    schema = jr.object(
+        {
+            "quantity": jr.number().required(),
+            "discount": jr.number().required(),
+        }
+    ).rename(r"^l_(.*)$", "{#1}", regex=True)
+    clean = filter_valid(ds, schema, normalize=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_n": pa.array([t.num_rows], pa.int64()),
+                "p_q": pa.array([pc.sum(t["quantity"]).as_py()], pa.float64()),
+                "p_d": pa.array([pc.sum(t["discount"]).as_py()], pa.float64()),
+            }
+        )
+
+    parts = clean.map_batches(partial, batch_format="pyarrow", **REMOTE_KWARGS).take_all()
+    return pa.table(
+        {
+            "n": pa.array([sum(p["p_n"] for p in parts)], pa.int64()),
+            "sum_quantity": pa.array([round(sum(p["p_q"] for p in parts), 2)], pa.float64()),
+            "sum_discount": pa.array([round(sum(p["p_d"] for p in parts), 2)], pa.float64()),
+        }
+    )
+
+
 def _q_uniqueness(sf_dir: str):
     from joi_ray.pipelines.validate import uniqueness_pass
 
@@ -1159,6 +1197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "val_lineitem_rules": _q_val_lineitem,
         "val_document_rules": _q_val_documents,
+        "rename_regex": _q_rename_regex,
         "uniqueness_doc_id": _q_uniqueness,
         "violation_counts": _q_violation_counts,
         "span_stats": _q_span_stats,
@@ -1231,6 +1270,12 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'l_discount', 'number.max', count(*) FROM lineitem WHERE l_discount > 0.08
               UNION ALL SELECT 'l_shipdate', 'date.max', count(*) FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-12-31'
             ) WHERE n > 0
+        """,
+        "rename_regex": """
+            SELECT count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_quantity,
+                   round(sum(l_discount), 2) AS sum_discount
+            FROM lineitem
         """,
         "val_document_rules": """
             SELECT * FROM (

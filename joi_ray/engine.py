@@ -180,7 +180,13 @@ class CNode:
         import re as _re
 
         self.patterns = [
-            (_re.compile(p["regex"]), CNode(p["schema"], prefs)) for p in t.get("patterns", [])
+            {
+                "rx": _re.compile(p["regex"]),
+                "node": CNode(p["schema"], prefs),
+                "exclusive": bool(p.get("exclusive")),
+                "matches": CNode(p["matches"], prefs) if p.get("matches") is not None else None,
+            }
+            for p in t.get("patterns", [])
         ]
         # empty(schema) support: schema-valued entries precompiled; string
         # matchers implicitly allow "" (an empty string should be matchable
@@ -877,22 +883,137 @@ def _rebuild_list(arr: pa.Array, new_flat: pa.Array) -> pa.Array:
     return out
 
 
+def _plan_renames(names: list[str], renames: list[dict], prefs: dict):
+    """Resolve rename entries against a concrete key/column-name set —
+    the batch analog of ``lib/types/object.js:886-967``.  Returns
+    ``(ops, errs)``: ops are ``(from, to, alias, ignore_undefined)`` in
+    application order; errs are ``(code, context)`` for multiple/override
+    violations (joi records the error and still performs the rename)."""
+    import re as _re
+
+    from .kernels.template import compile_template
+
+    ops: list[tuple] = []
+    errs: list[tuple] = []
+    renamed: set[str] = set()
+    current = set(names)
+    for rn in renames:
+        opts = rn.get("options", {})
+        is_pattern = bool(rn.get("regex"))
+        matches: list[tuple] = []
+        if not is_pattern:
+            if rn["from"] in current:
+                matches.append((rn["from"], rn["to"], None))
+        else:
+            rx = _re.compile(rn["from"])
+            for f in names:
+                if f not in current or f == rn["to"]:
+                    continue
+                m = rx.search(f)
+                if m:
+                    matches.append((f, rn["to"], m))
+        for frm, to, m in matches:
+            if isinstance(to, str) and "{" in to:
+                # template target rendered with the regex match as local
+                # context ({#0} whole match, {#1}.. groups — object.js:924)
+                def resolve(name, _m=m):
+                    key = name.lstrip("#$")
+                    if name.startswith("$"):
+                        ctx = prefs.get("context", {})
+                        if key in ctx:
+                            return ctx[key]
+                        raise KeyError(name)
+                    if _m is not None and key.isdigit():
+                        gi = int(key)
+                        if gi == 0 or gi <= (_m.lastindex or 0):
+                            return _m.group(gi)
+                    raise KeyError(name)
+
+                to = compile_template(to).render(resolve)
+            if frm == to:
+                continue
+            if not opts.get("multiple") and to in renamed:
+                errs.append(("object.rename.multiple",
+                             {"from": frm, "to": to, "pattern": is_pattern}))
+            if to in current and not opts.get("override") and to not in renamed:
+                errs.append(("object.rename.override",
+                             {"from": frm, "to": to, "pattern": is_pattern}))
+            ops.append((frm, to, bool(opts.get("alias")), bool(opts.get("ignoreUndefined"))))
+            renamed.add(to)
+            current.add(to)
+            if not opts.get("alias"):
+                current.discard(frm)
+    return ops, errs
+
+
+def _apply_rename_ops(cols: dict, ops: list[tuple]) -> dict:
+    """Apply planned renames to an ordered name->array mapping.  Without
+    ignore_undefined the target becomes the source column wholesale (joi
+    per-row: ``value[to] = value[from]``, deleting on undefined); with it,
+    rows whose source is null keep the existing target value."""
+    for frm, to, alias, ign in ops:
+        src = cols.get(frm)
+        if src is None:
+            continue
+        if ign and to in cols:
+            cols[to] = pc.if_else(pc.is_valid(combine(src)), src, cols[to])
+        else:
+            cols[to] = src
+        if not alias:
+            cols.pop(frm, None)
+    return cols
+
+
+def _eval_patterns(node: CNode, unknown: list[str], get_child, set_result, env: Env,
+                   path: str, kscope, add_err_fn):
+    """Pattern-key validation (``object.js:970-1041``): every unknown key is
+    checked against each pattern in order (chaining coerced values), a
+    matching ``exclusive`` pattern stops the chain, and each pattern's
+    ``matches`` schema validates the array of matched key names once per
+    batch (``object.pattern.match``)."""
+    still: list[str] = []
+    pmatched: list[list[str]] = [[] for _ in node.patterns]
+    for f in unknown:
+        hit = False
+        for i, p in enumerate(node.patterns):
+            if not p["rx"].search(f):
+                continue
+            hit = True
+            pmatched[i].append(f)
+            child_path = f"{path}.{f}" if path else f
+            sub = eval_node(p["node"], get_child(f), env, child_path, scope=kscope)
+            set_result(f, sub)
+            if p["exclusive"]:
+                break
+        if not hit:
+            still.append(f)
+    for i, p in enumerate(node.patterns):
+        if p["matches"] is None:
+            continue
+        keys_arr = pa.array([pmatched[i]], type=pa.list_(pa.string()))
+        ok = node_validity(p["matches"], keys_arr, Env(env.prefs), np.ones(1, dtype=bool))
+        if not bool(ok[0]):
+            add_err_fn("object.pattern.match", {"matches": pmatched[i]})
+    return still
+
+
 def _eval_object(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, failed, errors, add_err) -> pa.Array:
     n = len(arr)
     parent_present = ~null_mask(arr)
     field_names = [f.name for f in arr.type]
 
-    # renames (object.js:387-415): struct-field rename at batch level
+    # renames (object.js:387-415,886-967): struct-field rename at batch
+    # level, incl. regex sources, template targets and
+    # multiple/override/alias/ignoreUndefined options
+    children: dict[str, pa.Array] = {
+        f: pc.struct_field(arr, i) for i, f in enumerate(field_names)
+    }
     if node.renames:
-        mapping = {r["from"]: r["to"] for r in node.renames}
-        field_names = [mapping.get(f, f) for f in field_names]
-        arr = pa.StructArray.from_arrays(
-            [pc.struct_field(arr, i) for i in range(arr.type.num_fields)],
-            names=field_names,
-            mask=pa.array(~parent_present),
-        )
-
-    children: dict[str, pa.Array] = {f: pc.struct_field(arr, f) for f in field_names}
+        ops, rerrs = _plan_renames(field_names, node.renames, env.prefs)
+        children = _apply_rename_ops(children, ops)
+        field_names = list(children)
+        for code, ctx in rerrs:
+            add_err(code, scope & parent_present, ctx, seq=-2)
     results: dict[str, NodeResult] = {}
 
     def resolve_sibling(name: str):
@@ -919,18 +1040,18 @@ def _eval_object(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fa
     # unknown fields (pattern-matched fields validate with the pattern schema)
     unknown = [f for f in field_names if f not in node.keys]
     if node.patterns:
-        still = []
-        for f in unknown:
-            pnode = next((pn for rx, pn in node.patterns if rx.search(f)), None)
-            if pnode is None:
-                still.append(f)
-                continue
-            sub = eval_node(pnode, children[f], child_env, f"{path}.{f}" if path else f, scope=kscope)
+        def _get_child(f):
+            return results[f].value if f in results else children[f]
+
+        def _set_result(f, sub):
             results[f] = sub
             errors.extend(sub.errors)
             if sub.failed is not None:
                 np.logical_or(failed, sub.failed, out=failed)
-        unknown = still
+
+        unknown = _eval_patterns(
+            node, unknown, _get_child, _set_result, child_env, path, kscope,
+            lambda code, ctx: add_err(code, kscope.copy(), ctx, seq=-1))
     allow_unknown = node.flags.get("unknown", env.prefs.get("allow_unknown", False))
     strip_unknown = env.prefs.get("strip_unknown", False)
     if unknown and not allow_unknown and not strip_unknown and node.keys:
@@ -953,7 +1074,8 @@ def _eval_object(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fa
     # rebuild struct with coerced / stripped children
     keep = [f for f in field_names if not (f in results and results[f].strip) and not (strip_unknown and f in unknown)]
     arrays = [results[f].value if f in results else children[f] for f in keep]
-    if keep != field_names or any(results[f].value is not children.get(f) for f in results if f in keep):
+    orig_names = [f.name for f in arr.type]
+    if keep != orig_names or any(results[f].value is not children.get(f) for f in results if f in keep):
         arr = pa.StructArray.from_arrays([combine(a) for a in arrays], names=keep, mask=pa.array(~parent_present))
     return arr
 
@@ -1091,15 +1213,21 @@ class CompiledSchema:
         tbl = tbl.combine_chunks()
         n = tbl.num_rows
         env = Env(self.prefs)
-        # table-level renames
-        for r in self.root.renames:
-            if r["from"] in tbl.column_names:
-                tbl = tbl.rename_columns([r["to"] if c == r["from"] else c for c in tbl.column_names])
-
         columns: dict[str, pa.Array] = {c: combine(tbl[c]) for c in tbl.column_names}
         results: dict[str, NodeResult] = {}
         errors: list[ErrRec] = []
         failed = np.zeros(n, dtype=bool)
+
+        # table-level renames (object.js:387-415,886-967): regex sources,
+        # template targets, multiple/override/alias/ignoreUndefined
+        if self.root.renames:
+            ops, rerrs = _plan_renames(list(columns), self.root.renames, self.prefs)
+            columns = _apply_rename_ops(columns, ops)
+            for code, ctx in rerrs:
+                rec = ErrRec(code, np.ones(n, dtype=bool), "", ctx, -2)
+                rec.rows = None
+                errors.append(rec)
+                failed[:] = True
 
         def resolve_sibling(name: str):
             if name in results:
@@ -1122,20 +1250,25 @@ class CompiledSchema:
 
         # unknown columns: pattern-matched ones validate with the pattern
         # schema (object.js:340-369); the rest error / strip / pass through
-        unknown = [c for c in tbl.column_names if c not in self.root.keys]
+        unknown = [c for c in columns if c not in self.root.keys]
         if self.root.patterns:
-            still_unknown = []
-            for c in unknown:
-                pnode = next((pn for rx, pn in self.root.patterns if rx.search(c)), None)
-                if pnode is None:
-                    still_unknown.append(c)
-                    continue
-                res = eval_node(pnode, columns[c], env, c, scope=scope)
-                results[c] = res
-                errors.extend(res.errors)
-                if res.failed is not None:
-                    np.logical_or(failed, res.failed, out=failed)
-            unknown = still_unknown
+            def _get_col(c):
+                return results[c].value if c in results else columns[c]
+
+            def _set_res(c, sub):
+                results[c] = sub
+                errors.extend(sub.errors)
+                if sub.failed is not None:
+                    np.logical_or(failed, sub.failed, out=failed)
+
+            def _pat_err(code, ctx):
+                rec = ErrRec(code, scope.copy(), "", ctx, -1)
+                rec.rows = None
+                errors.append(rec)
+                failed[scope] = True
+
+            unknown = _eval_patterns(
+                self.root, unknown, _get_col, _set_res, env, "", scope, _pat_err)
         allow_unknown = self.root.flags.get("unknown", self.prefs.get("allow_unknown", False))
         strip_unknown = self.prefs.get("strip_unknown", False)
         if unknown and not allow_unknown and not strip_unknown:

@@ -105,6 +105,9 @@ MESSAGES: dict[str, str] = {
     "object.max": '"{label}" must have less than or equal to {limit} keys',
     "object.length": '"{label}" must have {limit} keys',
     "object.missing": '"{label}" must contain at least one of {peers}',
+    "object.rename.multiple": '"{label}" cannot rename "{from}" because multiple renames are disabled and another key was already renamed to "{to}"',
+    "object.rename.override": '"{label}" cannot rename "{from}" because override is disabled and target "{to}" exists',
+    "object.pattern.match": '"{label}" keys failed to match pattern requirements',
     # alternatives
     "alternatives.any": '"{label}" does not match any of the allowed types',
     "alternatives.match": '"{label}" does not match any of the allowed types',

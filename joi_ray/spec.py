@@ -820,19 +820,51 @@ class ObjectSchema(Schema):
     def length(self, limit: int) -> "ObjectSchema":
         return self._rule("length", {"limit": limit}, single=True)
 
-    def rename(self, from_: str, to: str) -> "ObjectSchema":
+    def rename(self, from_: str, to: str, *, regex: bool = False, multiple: bool = False,
+               alias: bool = False, override: bool = False,
+               ignore_undefined: bool = False) -> "ObjectSchema":
+        """Key rename (``/root/reference/lib/types/object.js:387-415,886-967``).
+
+        ``regex=True`` treats ``from_`` as a pattern matched against key /
+        column names; ``to`` may then be a template using ``{#0}`` (whole
+        match), ``{#1}``... (capture groups) and ``{$name}`` context refs.
+        Options mirror joi: ``multiple`` allows several sources renaming to
+        one target (else ``object.rename.multiple``), ``override`` allows an
+        existing target (else ``object.rename.override``), ``alias`` keeps
+        the source, ``ignore_undefined`` skips the rename per row when the
+        source value is null."""
         s = self._clone()
-        s.terms.setdefault("renames", []).append({"from": from_, "to": to})
+        entry: dict[str, Any] = {"from": from_, "to": to}
+        if regex:
+            entry["regex"] = True
+        opts = {
+            k: True
+            for k, v in (("multiple", multiple), ("alias", alias), ("override", override),
+                         ("ignoreUndefined", ignore_undefined))
+            if v
+        }
+        if opts:
+            entry["options"] = opts
+        s.terms.setdefault("renames", []).append(entry)
         return s
 
-    def pattern(self, regex: str, schema: Schema) -> "ObjectSchema":
+    def pattern(self, regex: str, schema: Schema, *, exclusive: bool = False,
+                matches: Schema | None = None) -> "ObjectSchema":
         """Unknown keys matching ``regex`` validate against ``schema``
         (``/root/reference/lib/types/object.js:340-369``).  In columnar form
         this is a compile-time concern: struct fields / columns not in
         ``keys`` but matching the pattern get the pattern schema instead of
-        an object.unknown error."""
+        an object.unknown error.  A key matching several patterns validates
+        against each in order unless an earlier pattern set ``exclusive``;
+        ``matches`` is a schema the ARRAY OF MATCHED KEY NAMES must satisfy
+        (``object.pattern.match`` on failure, object.js:970-1041)."""
         s = self._clone()
-        s.terms.setdefault("patterns", []).append({"regex": regex, "schema": schema})
+        entry: dict[str, Any] = {"regex": regex, "schema": schema}
+        if exclusive:
+            entry["exclusive"] = True
+        if matches is not None:
+            entry["matches"] = matches
+        s.terms.setdefault("patterns", []).append(entry)
         return s
 
     def unknown(self, allow: bool = True) -> "ObjectSchema":
