@@ -1093,24 +1093,69 @@ def _q_lang_distribution(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     pred = ds.map_batches(lang_id_batch, batch_format="pyarrow", **REMOTE_KWARGS)
-    return pred.groupby("lang_pred").aggregate(Count(alias_name="n"))
+    agg = pred.groupby("lang_pred").aggregate(Count(alias_name="n"))
+    return agg.map_batches(
+        lambda t: pa.table({"lang_pred": t["lang_pred"], "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow", **REMOTE_KWARGS)
+
+
+_DRIFT_BINS = 32
 
 
 def _q_drift(sf_dir: str):
-    """KS/PSI of doc length distributions: first half vs second half."""
+    """Drift between the even- and odd-doc_id halves of the corpus over
+    n_chars: fixed 32-bin histograms are the sketch (per-batch partial
+    bincounts merge associatively — the scale-safe path; only 32-row
+    partials ever reach the driver), KS = max CDF gap over bin edges, PSI
+    with +0.5 count smoothing.  The bin rule
+    ``clip(floor((x - mn) / (mx - mn) * 32), 0, 31)`` is mirrored exactly
+    in the DuckDB oracle, so this query is hash-verified."""
     import ray.data as rd
+    from ray.data.aggregate import Max, Min
 
-    from joi_ray.sketches import TDigest, ks_statistic, psi
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
 
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["n_chars"])
-    n = t.num_rows
-    a = TDigest().add(t["n_chars"].to_numpy()[: n // 2].astype(float))
-    b = TDigest().add(t["n_chars"].to_numpy()[n // 2 :].astype(float))
+    def clean(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t["doc_id"]), pc.is_valid(t["n_chars"]))
+        return t.filter(m)
+
+    ds = ds.map_batches(clean, batch_format="pyarrow", **REMOTE_KWARGS)
+    mm = ds.aggregate(Min("n_chars"), Max("n_chars"))
+    mn, mx = float(mm["min(n_chars)"]), float(mm["max(n_chars)"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        even = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64) % 2 == 0
+        if mx > mn:
+            b = np.clip(np.floor((x - mn) / (mx - mn) * _DRIFT_BINS).astype(np.int64), 0, _DRIFT_BINS - 1)
+        else:
+            b = np.zeros(len(x), dtype=np.int64)
+        ca = np.bincount(b[even], minlength=_DRIFT_BINS)
+        cb = np.bincount(b[~even], minlength=_DRIFT_BINS)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(_DRIFT_BINS, dtype=np.int64)),
+                "p_a": pa.array(ca.astype(np.int64)),
+                "p_b": pa.array(cb.astype(np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", **REMOTE_KWARGS).take_all()
+    ca = np.zeros(_DRIFT_BINS, dtype=np.float64)
+    cb = np.zeros(_DRIFT_BINS, dtype=np.float64)
+    for p in parts:
+        ca[p["bin"]] += p["p_a"]
+        cb[p["bin"]] += p["p_b"]
+    ta, tb = ca.sum(), cb.sum()
+    ks = float(np.max(np.abs(np.cumsum(ca) / ta - np.cumsum(cb) / tb)))
+    pa_ = (ca + 0.5) / (ta + 0.5 * _DRIFT_BINS)
+    pb_ = (cb + 0.5) / (tb + 0.5 * _DRIFT_BINS)
+    psi = float(np.sum((pa_ - pb_) * np.log(pa_ / pb_)))
     return pa.table(
         {
-            "column": pa.array(["n_chars"], pa.string()),
-            "ks": pa.array([round(ks_statistic(a, b), 4)], pa.float64()),
-            "psi": pa.array([round(psi(a, b), 4)], pa.float64()),
+            "col": pa.array(["n_chars"], pa.string()),
+            "ks": pa.array([round(ks, 4)], pa.float64()),
+            "psi": pa.array([round(psi, 4)], pa.float64()),
         }
     )
 
@@ -1477,6 +1522,64 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE m / (sa.n + sb.n - m) >= 0.4
+        """,
+        "lang_id_distribution": """
+            WITH scored AS (
+              SELECT greatest(len(regexp_extract_all(coalesce(text, ''), '\\b\\w+\\b')), 1)::DOUBLE AS nw,
+                     len(regexp_extract_all(coalesce(text, ''), '(?i)\\b(?:the|and|of|to|in|is|that|it|for|with)\\b'))::DOUBLE AS c_en,
+                     len(regexp_extract_all(coalesce(text, ''), '(?i)\\b(?:le|la|les|de|et|un|une|est|que|pour)\\b'))::DOUBLE AS c_fr,
+                     len(regexp_extract_all(coalesce(text, ''), '(?i)\\b(?:der|die|das|und|ist|nicht|ein|eine|mit|für)\\b'))::DOUBLE AS c_de,
+                     len(regexp_extract_all(coalesce(text, ''), '(?i)\\b(?:el|la|los|de|y|un|una|es|que|para)\\b'))::DOUBLE AS c_es,
+                     len(regexp_extract_all(coalesce(text, ''), '(?i)\\b(?:il|la|di|e|un|una|che|per|non|con)\\b'))::DOUBLE AS c_it
+              FROM documents
+            ), s2 AS (
+              SELECT c_en/nw AS s_en, c_fr/nw AS s_fr, c_de/nw AS s_de,
+                     c_es/nw AS s_es, c_it/nw AS s_it
+              FROM scored
+            ), pick AS (
+              SELECT CASE
+                WHEN greatest(s_en, s_fr, s_de, s_es, s_it) <= 0.01 THEN 'und'
+                WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en >= s_it THEN 'en'
+                WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_it THEN 'fr'
+                WHEN s_de >= s_es AND s_de >= s_it THEN 'de'
+                WHEN s_es >= s_it THEN 'es'
+                ELSE 'it' END AS lang_pred
+              FROM s2
+            )
+            SELECT lang_pred, count(*) AS n FROM pick GROUP BY lang_pred
+        """,
+        "drift_halves": """
+            WITH src AS (
+              SELECT doc_id, n_chars FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+            ), mm AS (
+              SELECT min(n_chars)::DOUBLE AS mn, max(n_chars)::DOUBLE AS mx FROM src
+            ), b AS (
+              SELECT CASE WHEN mx > mn
+                          THEN least(greatest(CAST(floor((n_chars::DOUBLE - mn) / (mx - mn) * 32) AS BIGINT), 0), 31)
+                          ELSE 0 END AS bin,
+                     (doc_id % 2 = 0) AS par
+              FROM src, mm
+            ), h AS (
+              SELECT g.bin,
+                     coalesce(sum(CASE WHEN par THEN 1 ELSE 0 END), 0)::DOUBLE AS ca,
+                     coalesce(sum(CASE WHEN NOT par THEN 1 ELSE 0 END), 0)::DOUBLE AS cb
+              FROM (SELECT unnest(range(32)) AS bin) g LEFT JOIN b ON b.bin = g.bin
+              GROUP BY g.bin
+            ), t AS (
+              SELECT sum(ca) AS ta, sum(cb) AS tb FROM h
+            ), c AS (
+              SELECT bin,
+                     sum(ca) OVER (ORDER BY bin) / ta AS cdfa,
+                     sum(cb) OVER (ORDER BY bin) / tb AS cdfb,
+                     (ca + 0.5) / (ta + 16.0) AS pa,
+                     (cb + 0.5) / (tb + 16.0) AS pb
+              FROM h, t
+            )
+            SELECT 'n_chars' AS col,
+                   round(max(abs(cdfa - cdfb)), 4) AS ks,
+                   round(sum((pa - pb) * ln(pa / pb)), 4) AS psi
+            FROM c
         """,
         "stats_quantity": """
             SELECT count(*) AS n,
