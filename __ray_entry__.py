@@ -988,15 +988,27 @@ def _q_dedup_ngram(sf_dir: str):
         lambda t: t.rename_columns(["id_a", "band", "band_hash"]), batch_format="pyarrow", **REMOTE_KWARGS)
     right = banded.map_batches(
         lambda t: t.rename_columns(["id_b", "band", "band_hash"]), batch_format="pyarrow", **REMOTE_KWARGS)
-    j = left.join(right, join_type="inner", num_partitions=2, on=("band", "band_hash"),
-                  aggregator_ray_remote_args={"num_cpus": 0.25})
-    pairs = j.map_batches(
-        lambda t: t.filter(pc.less(t["id_a"], t["id_b"])).select(["id_a", "id_b"]),
-        batch_format="pyarrow", **REMOTE_KWARGS)
-    cands = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="nb"))
-    cand_t = pa.concat_tables(
-        [t.select(["id_a", "id_b"]) for t in ray.get(cands.to_arrow_refs())]
-    )  # ∝ candidate pairs (duplicate rate), not corpus
+    njoin = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) - 1))
+    j = left.join(right, join_type="inner", num_partitions=njoin, on=("band", "band_hash"),
+                  aggregator_ray_remote_args={"num_cpus": 0.5})
+    def half_pairs(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.less(t["id_a"], t["id_b"])).select(["id_a", "id_b"])
+        # per-batch pre-dedup: same-bucket pairs repeat across bands
+        g = f.group_by(["id_a", "id_b"]).aggregate([([], "count_all")])
+        return g.select(["id_a", "id_b"])
+
+    pairs = j.map_batches(half_pairs, batch_format="pyarrow", **REMOTE_KWARGS)
+    # global distinct on the driver: the pair set is ∝ candidates (not
+    # corpus) and a Ray groupby over millions of singleton groups pays
+    # ~30us/group — np.unique on the collected pairs is ~100x cheaper
+    raw = pa.concat_tables(ray.get(pairs.to_arrow_refs()))
+    pair_mat = np.stack(
+        [pc.cast(raw["id_a"].combine_chunks(), pa.int64()).to_numpy(zero_copy_only=False),
+         pc.cast(raw["id_b"].combine_chunks(), pa.int64()).to_numpy(zero_copy_only=False)],
+        axis=1)
+    uniq_pairs = np.unique(pair_mat, axis=0) if len(pair_mat) else pair_mat
+    cand_t = pa.table({"id_a": uniq_pairs[:, 0] if len(uniq_pairs) else pa.array([], pa.int64()),
+                       "id_b": uniq_pairs[:, 1] if len(uniq_pairs) else pa.array([], pa.int64())})
 
     # texts for candidate ids only: broadcast semi-join, bounded by the
     # candidate set — the corpus-sized doc_id->text dict is gone
@@ -1011,26 +1023,47 @@ def _q_dedup_ngram(sf_dir: str):
     tref = ray.put(pa.concat_tables(ray.get(ctext.to_arrow_refs())))
 
     def verify(t: pa.Table) -> pa.Table:
+        from joi_ray.ops.dedup import minhash_signatures
+
         tt = ray.get(tref)
         keys = pc.cast(tt["doc_id"].combine_chunks(), pa.int64())
         texts = tt["text"].combine_chunks()
-        ia = pc.index_in(pc.cast(t["id_a"].combine_chunks(), pa.int64()), value_set=keys)
-        ib = pc.index_in(pc.cast(t["id_b"].combine_chunks(), pa.int64()), value_set=keys)
-        ta, tb = texts.take(ia).to_pylist(), texts.take(ib).to_pylist()
-        jac = [round(ngram_jaccard(a or "", b or "", k=7), 4) for a, b in zip(ta, tb)]
-        out = pa.table(
+        ids_a = pc.cast(t["id_a"].combine_chunks(), pa.int64()).to_numpy(zero_copy_only=False)
+        ids_b = pc.cast(t["id_b"].combine_chunks(), pa.int64()).to_numpy(zero_copy_only=False)
+        # signature pre-filter: one vectorized minhash pass over the batch's
+        # unique docs estimates Jaccard per pair; random band collisions
+        # (est << threshold) are dropped before the exact per-pair verify.
+        # 0.25 cut at threshold 0.4 with 64 perms keeps recall ~1 (2.5 sigma)
+        uniq, inv = np.unique(np.concatenate([ids_a, ids_b]), return_inverse=True)
+        utexts = texts.take(pc.index_in(pa.array(uniq), value_set=keys)).to_pylist()
+        sig = minhash_signatures([x or "" for x in utexts], num_perm=64, k=7)
+        inv_a, inv_b = inv[: len(ids_a)], inv[len(ids_a):]
+        est = (sig[inv_a] == sig[inv_b]).mean(axis=1)
+        keep = np.nonzero(est >= 0.25)[0]
+        tmap = dict(zip(uniq.tolist(), utexts))
+        out_a, out_b, out_j = [], [], []
+        for i in keep:
+            a, b = int(ids_a[i]), int(ids_b[i])
+            j = ngram_jaccard(tmap[a] or "", tmap[b] or "", k=7)
+            if j >= 0.4:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(round(j, 4))
+        return pa.table(
             {
-                "id_a": pc.cast(t["id_a"].combine_chunks(), pa.int64()),
-                "id_b": pc.cast(t["id_b"].combine_chunks(), pa.int64()),
-                "jaccard": pa.array(jac, pa.float64()),
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
             }
         )
-        return out.filter(pc.greater_equal(out["jaccard"], 0.4))
 
     if cand_t.num_rows == 0:
         return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
-    return rd.from_arrow(cand_t).map_batches(verify, batch_format="pyarrow", **REMOTE_KWARGS)
+    nparts = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    return (rd.from_arrow(cand_t)
+            .repartition(nparts)
+            .map_batches(verify, batch_format="pyarrow", **REMOTE_KWARGS))
 
 
 # ---- rows-only (non-SQL-expressible) queries
