@@ -58,7 +58,12 @@ _B64_STD_NOPAD = r"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}(?:==)?|[A-Za-z0-9+/
 _B64_URL_PAD = r"^(?:[A-Za-z0-9\-_]{4})*(?:[A-Za-z0-9\-_]{2}==|[A-Za-z0-9\-_]{3}=)?$"
 _B64_URL_NOPAD = r"^(?:[A-Za-z0-9\-_]{4})*(?:[A-Za-z0-9\-_]{2}(?:==)?|[A-Za-z0-9\-_]{3}=?)?$"
 
-_EMAIL = r"^[A-Za-z0-9!#$%&'*+/=?^_`{|}~.\-]+@[A-Za-z0-9](?:[A-Za-z0-9\-]{0,61}[A-Za-z0-9])?(?:\.[A-Za-z0-9](?:[A-Za-z0-9\-]{0,61}[A-Za-z0-9])?)+$"
+# local part: RFC atext plus non-ASCII (the reference's @hapi/address
+# accepts UTF-8 locals, e.g. 'êjness@something.com' —
+# test/types/string.js:874); length caps applied separately in the kernel
+_EMAIL_LOCAL = r"(?:[A-Za-z0-9!#$%&'*+/=?^_`{|}~.\-]|[^\x00-\x7F])+"
+_EMAIL_DOMAIN = r"[A-Za-z0-9](?:[A-Za-z0-9\-]{0,61}[A-Za-z0-9])?(?:\.[A-Za-z0-9](?:[A-Za-z0-9\-]{0,61}[A-Za-z0-9])?)+"
+_EMAIL = rf"^{_EMAIL_LOCAL}@{_EMAIL_DOMAIN}$"
 _HOST_LABEL = r"[a-zA-Z0-9](?:[a-zA-Z0-9\-]{0,61}[a-zA-Z0-9])?"
 _HOSTNAME = rf"^{_HOST_LABEL}(?:\.{_HOST_LABEL})*$"
 _DOMAIN = rf"^{_HOST_LABEL}(?:\.{_HOST_LABEL})+$"
@@ -69,18 +74,33 @@ _UUID_HEX = "[0-9a-fA-F]"
 
 
 def _guid_pattern(versions: list[int] | None) -> str:
+    """Reference guid regex re-expressed without backreferences
+    (``lib/types/string/index.js:346``): separator is '-', ':' or absent —
+    once chosen, later separators are that character or omitted; wrapping
+    brackets ({}, [], ()) must match; version digit + 89AB variant nibble
+    enforced only when versions are given."""
     v = f"[{''.join(str(x) for x in versions)}]" if versions else _UUID_HEX
-    core = f"{_UUID_HEX}{{8}}-{_UUID_HEX}{{4}}-{v}{_UUID_HEX}{{3}}-[89abAB]{_UUID_HEX}{{3}}-{_UUID_HEX}{{12}}"
-    if not versions:
-        core = f"{_UUID_HEX}{{8}}-{_UUID_HEX}{{4}}-{_UUID_HEX}{{4}}-{_UUID_HEX}{{4}}-{_UUID_HEX}{{12}}"
-    return rf"^(?:{core}|\{{{core}\}}|\[{core}\])$"
+    r = "[89abAB]" if versions else _UUID_HEX
+    H = _UUID_HEX
+
+    def core(sep: str) -> str:
+        so = f"{sep}?" if sep else ""
+        return f"{H}{{8}}{sep}{H}{{4}}{so}{v}{H}{{3}}{so}{r}{H}{{3}}{so}{H}{{12}}"
+
+    x = "(?:" + "|".join(core(s) for s in ("-", ":", "")) + ")"
+    return rf"^(?:{x}|\{{{x}\}}|\[{x}\]|\({x}\))$"
 
 
-_IPV4 = r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(?:\.(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}"
-# RE2-safe IPv6 (full + :: compressed forms, pragmatic)
+# IPv4 octets allow leading zeros up to 3 digits (reference vectors:
+# '01.020.030.100', '000.000.000.000' are valid — test/types/string.js:2030)
+_OCTET = r"(?:25[0-5]|2[0-4]\d|1\d\d|0\d\d|\d{1,2})"
+_IPV4 = rf"{_OCTET}(?:\.{_OCTET}){{3}}"
+# RE2-safe IPv6: full, :: compressed, and embedded-IPv4 tail forms
 _H16 = r"[0-9a-fA-F]{1,4}"
 _IPV6 = (
     rf"(?:(?:{_H16}:){{7}}{_H16}"
+    rf"|(?:{_H16}:){{6}}{_IPV4}"
+    rf"|(?:{_H16}:){{1,5}}:{_IPV4}"
     rf"|(?:{_H16}:){{1,7}}:"
     rf"|(?:{_H16}:){{1,6}}:{_H16}"
     rf"|(?:{_H16}:){{1,5}}(?::{_H16}){{1,2}}"
@@ -91,16 +111,75 @@ _IPV6 = (
     rf"|:(?:(?::{_H16}){{1,7}}|:)"
     rf"|::(?:[fF]{{4}}:)?{_IPV4})"
 )
+# RFC 3986 IPvFuture (lib/types/string/ip.js — reference ip() accepts it)
+_IPVFUT = r"v[0-9A-Fa-f]+\.[A-Za-z0-9\-._~!$&'()*+,;=:]+"
 
+# the reference's full ISO 8601 regex (lib/common.js:13) with one change:
+# JS treats a backreference to an UNSET group as empty, Python fails it, so
+# the seconds separator \2 becomes the conditional (?(2)\2|).  Uses
+# backreferences + lookaheads -> regex_mask's Python-re fallback handles it.
 _ISO_DATE = (
-    r"^\d{4}-\d{2}-\d{2}"
-    r"(?:[T ]\d{2}:\d{2}(?::\d{2}(?:\.\d{1,6})?)?(?:Z|[+\-]\d{2}:?\d{2})?)?$"
+    r"^(?:[-+]\d{2})?(?:\d{4}(?!\d{2}\b))"
+    r"(?:(-?)(?:(?:0[1-9]|1[0-2])(?:\1(?:[12]\d|0[1-9]|3[01]))?"
+    r"|W(?:[0-4]\d|5[0-2])(?:-?[1-7])?"
+    r"|(?:00[1-9]|0[1-9]\d|[12]\d{2}|3(?:[0-5]\d|6[1-6])))"
+    r"(?![T]$|[T][\d]+Z$)"
+    r"(?:[T\s](?:(?:(?:[01]\d|2[0-3])(?:(:?)[0-5]\d)?|24\:?00)(?:[.,]\d+(?!:))?)"
+    r"(?:(?(2)\2|)[0-5]\d(?:[.,]\d+)?)?"
+    r"(?:[Z]|(?:[+-])(?:[01]\d|2[0-3])(?::?[0-5]\d)?)?)?)?$"
 )
 
 _ISO_DURATION_SHAPE = r"^P(?:\d+Y)?(?:\d+M)?(?:\d+W)?(?:\d+D)?(?:T(?:\d+H)?(?:\d+M)?(?:\d+(?:\.\d+)?S)?)?$"
 
-_URI_ABS = r"^[a-zA-Z][a-zA-Z0-9+.\-]*:[^\s]*$"
-_URI_REL = r"^[^\s:]*$"
+# RFC 3986 URI grammar as an RE2 regex (the analog of the reference's
+# generated expression, lib/types/string/uri.js:116-185; ABNF from the
+# public RFC 3986 appendix A)
+_UNRES = r"A-Za-z0-9\-._~"
+_SUBDEL = r"!$&'()*+,;="
+_PCT = r"%[0-9A-Fa-f]{2}"
+_PCHAR = rf"(?:[{_UNRES}{_SUBDEL}:@]|{_PCT})"
+# non-empty 1-255 chars, pct chars as class members — mirrors the
+# reference's regName (lib/types/string/uri.js:63) so 'http://' (empty
+# host, empty path) is rejected while 'file:///x' passes via the
+# no-authority triple-slash form below
+_REGNAME = rf"[{_UNRES}{_SUBDEL}%]{{1,255}}"
+_IPLIT = rf"\[(?:{_IPV6}|{_IPVFUT})\]"
+_URI_HOST = rf"(?:{_IPLIT}|{_IPV4}|{_REGNAME})"
+_USERINFO = rf"(?:[{_UNRES}{_SUBDEL}:]|{_PCT})*"
+_AUTHORITY = rf"(?:{_USERINFO}@)?{_URI_HOST}(?::\d*)?"
+_SEGMENT = rf"{_PCHAR}*"
+_PATH_ABEMPTY = rf"(?:/{_SEGMENT})*"
+_PATH_ABS = rf"/(?:{_PCHAR}+(?:/{_SEGMENT})*)?"
+_PATH_ROOTLESS = rf"{_PCHAR}+(?:/{_SEGMENT})*"
+# segment-nz-nc: pchar without ':' (first segment of a relative ref)
+_SEG_NZ_NC = rf"(?:[{_UNRES}{_SUBDEL}@]|{_PCT})+"
+_PATH_NOSCHEME = rf"{_SEG_NZ_NC}(?:/{_SEGMENT})*"
+_PATH_AB_NO_AUTH = rf"///{_SEGMENT}{_PATH_ABEMPTY}"  # file:/// (uri.js:91)
+_HIER_PART = rf"(?://{_AUTHORITY}{_PATH_ABEMPTY}|{_PATH_ABS}|{_PATH_ROOTLESS}|{_PATH_AB_NO_AUTH})"
+_REL_PART = rf"(?://{_AUTHORITY}{_PATH_ABEMPTY}|{_PATH_ABS}|{_PATH_NOSCHEME}|)"
+_QUERY = rf"(?:[{_UNRES}{_SUBDEL}:@/?]|{_PCT})*"
+_QUERY_SQ = rf"(?:[{_UNRES}{_SUBDEL}:@/?\[\]]|{_PCT})*"
+_FRAGMENT = _QUERY
+_SCHEME = r"[A-Za-z][A-Za-z0-9+.\-]*"
+
+
+def _uri_pattern(scheme_re: str | None = None, relative: bool = False,
+                 relative_only: bool = False, square_brackets: bool = False) -> str:
+    q = _QUERY_SQ if square_brackets else _QUERY
+    sch = scheme_re if scheme_re is not None else _SCHEME
+    absolute = rf"(?:{sch}):{_HIER_PART}"
+    rel = _REL_PART
+    if relative_only:
+        core = rel
+    elif relative:
+        core = rf"(?:{absolute}|{rel})"
+    else:
+        core = absolute
+    return rf"^{core}(?:\?{q})?(?:\#{_FRAGMENT})?$"
+
+
+_URI_ABS = _uri_pattern()
+_URI_REL = _uri_pattern(relative_only=True)
 
 _DATA_URI = r"^data:[\w+.\-]+/[\w+.\-]+(?:;[\w.\-]+=[^;,]+)*(?:;base64)?,[A-Za-z0-9+/=%.\-~!$&'()*,;:@?_ ]*$"
 
@@ -176,10 +255,21 @@ def make_email(args):
     tlds = args.get("tlds")
     multiple = args.get("multiple", False)
     sep = args.get("separator", ",") or ","
+    min_segments = args.get("minDomainSegments", 2)
     tld_set = {t.lower() for t in tlds} if tlds else None
 
     def check_one(arr, n):
         ok = regex_mask(arr, _EMAIL)
+        # @hapi/address limits: local part <= 64 chars, whole address
+        # <= 254 bytes (lib/types/string/index.js:291-318 delegation)
+        ok &= as_bool_np(
+            pc.less_equal(pc.binary_length(pc.cast(arr, pa.binary())), 254), n)
+        local = pc.struct_field(pc.extract_regex(arr, r"^(?P<l>[^@]*)@"), "l")
+        ok &= as_bool_np(pc.less_equal(pc.utf8_length(local), 64), n)
+        if min_segments > 2:
+            dom = pc.struct_field(pc.extract_regex(arr, r"@(?P<d>[^@]*)$"), "d")
+            dots = pc.count_substring(dom, ".")
+            ok &= as_bool_np(pc.greater_equal(dots, min_segments - 1), n)
         if tld_set:
             # extract the final label and require set membership
             tld = pc.extract_regex(arr, r"\.(?P<tld>[A-Za-z0-9\-]+)$")
@@ -222,17 +312,26 @@ def make_guid(args):
     return kernel
 
 
+_CIDR_V4 = r"/(?:3[0-2]|[12]?\d)"          # 0-32
+_CIDR_V6 = r"/(?:12[0-8]|1[01]\d|\d{1,2})"  # 0-128
+
+
 def make_ip(args):
-    versions = args.get("version") or ["ipv4", "ipv6"]
+    # reference default accepts ipv4 + ipv6 + ipvfuture, with per-version
+    # CIDR ranges (ipv4 /0-32, ipv6 + ipvfuture /0-128) —
+    # lib/types/string/ip.js:35-39 + test vectors
+    versions = args.get("version") or ["ipv4", "ipv6", "ipvfuture"]
     cidr = args.get("cidr", "optional")
     parts = []
-    if "ipv4" in versions:
-        parts.append(_IPV4)
-    if "ipv6" in versions:
-        parts.append(_IPV6)
-    addr = "(?:" + "|".join(parts) + ")"
-    suffix = {"optional": r"(?:/\d{1,3})?", "required": r"/\d{1,3}", "forbidden": ""}[cidr]
-    pattern = rf"^{addr}{suffix}$"
+    for v, addr_re, cidr_re in (
+        ("ipv4", _IPV4, _CIDR_V4),
+        ("ipv6", _IPV6, _CIDR_V6),
+        ("ipvfuture", _IPVFUT, _CIDR_V6),
+    ):
+        if v in versions:
+            sfx = {"optional": f"(?:{cidr_re})?", "required": cidr_re, "forbidden": ""}[cidr]
+            parts.append(f"(?:{addr_re}{sfx})")
+    pattern = "^(?:" + "|".join(parts) + ")$"
 
     def kernel(arr, env: Env) -> RuleOut:
         return RuleOut(ok=regex_mask(arr, pattern), context={"cidr": cidr, "version": versions})
@@ -248,19 +347,21 @@ def make_uri(args):
     schemes = args.get("scheme")
     allow_rel = args.get("allowRelative", False)
     rel_only = args.get("relativeOnly", False)
+    sq = args.get("allowQuerySquareBrackets", False)
+    scheme_re = None
     if schemes:
-        scheme_re = "|".join(re.escape(s) if not s.endswith("*") else re.escape(s[:-1]) + r"[a-zA-Z0-9+.\-]*" for s in schemes)
-        pattern = rf"^(?:{scheme_re}):[^\s]*$"
-    elif rel_only:
-        pattern = _URI_REL
-    elif allow_rel:
-        pattern = rf"(?:{_URI_ABS[1:-1]})|(?:{_URI_REL[1:-1]})"
-        pattern = rf"^(?:[a-zA-Z][a-zA-Z0-9+.\-]*:[^\s]*|[^\s:]*)$"
-    else:
-        pattern = _URI_ABS
+        scheme_re = "|".join(
+            re.escape(s) if not s.endswith("*") else re.escape(s[:-1]) + r"[a-zA-Z0-9+.\-]*"
+            for s in schemes)
+    pattern = _uri_pattern(scheme_re, relative=allow_rel, relative_only=rel_only,
+                           square_brackets=sq)
 
     def kernel(arr, env: Env) -> RuleOut:
-        ok = regex_mask(arr, pattern) & as_bool_np(pc.greater(_lengths(arr), 0), len(arr))
+        n = len(arr)
+        ok = regex_mask(arr, pattern) & as_bool_np(pc.greater(_lengths(arr), 0), n)
+        # 'scheme:/ is technically valid but makes no sense' —
+        # lib/types/string/index.js:696-698 rejects these two exactly
+        ok &= ~as_bool_np(pc.is_in(arr, value_set=pa.array(["http:/", "https:/"])), n)
         return RuleOut(ok=ok, context={"scheme": schemes})
 
     return kernel
@@ -278,16 +379,19 @@ def make_iso_date(args):
     def kernel(arr, env: Env) -> RuleOut:
         import pandas as pd
 
-        shape_ok = regex_mask(arr, _ISO_DATE)
-        parsed = pd.to_datetime(arr.to_pandas(), errors="coerce", utc=True, format="ISO8601")
-        valid = parsed.notna().to_numpy()
-        ok = shape_ok & valid
+        ok = regex_mask(arr, _ISO_DATE)
         if env.convert and ok.any():
             # convert mode normalizes to canonical ISO 8601
-            # (string/index.js:479-493 coerce step)
+            # (string/index.js:103-115 coerce step).  The reference
+            # normalizes via the JS Date parser; forms pandas cannot parse
+            # (week/ordinal dates, 24:00, comma fractions) stay valid and
+            # pass through unnormalized — a documented deviation in the
+            # normalized TEXT only, not in validity.
+            parsed = pd.to_datetime(arr.to_pandas(), errors="coerce", utc=True, format="ISO8601")
+            norm = ok & parsed.notna().to_numpy()
             iso = parsed.dt.strftime("%Y-%m-%dT%H:%M:%S.%f").str.slice(0, 23) + "Z"
             out = pd.Series(arr.to_pylist())
-            out[ok] = iso[ok]
+            out[norm] = iso[norm]
             return RuleOut(ok=ok, new_value=pa.array(out, type=pa.string()))
         return RuleOut(ok=ok)
 
@@ -395,6 +499,49 @@ def truncate_to(arr: pa.Array, limit: int) -> pa.Array:
     return pc.utf8_slice_codeunits(arr, 0, limit)
 
 
+def make_hostname(args):
+    """hostname = (len <= 255 AND host regex) OR any-ip regex
+    (lib/types/string/index.js:394-408)."""
+    ip_all = (
+        rf"^(?:{_IPV4}(?:{_CIDR_V4})?|{_IPV6}(?:{_CIDR_V6})?|{_IPVFUT}(?:{_CIDR_V6})?)$"
+    )
+
+    def kernel(arr, env: Env) -> RuleOut:
+        n = len(arr)
+        host = regex_mask(arr, _HOSTNAME) & as_bool_np(pc.less_equal(_lengths(arr), 255), n)
+        return RuleOut(ok=host | regex_mask(arr, ip_all))
+
+    return kernel
+
+
+# dataUri needs capture-group logic (charset/base64 branch + base64 payload
+# check, lib/types/string/index.js:238-269) — Python re per cell; the rule
+# is rare in hot schemas and the reference regex is not RE2-expressible
+_DATAURI_FORMAT = re.compile(r"^data:[\w+.\-]+/[\w+.\-]+;((charset=[\w\-]+|base64),)?(.*)$", re.S)
+
+
+def make_data_uri(args):
+    pad = args.get("paddingRequired", True)
+    b64 = re.compile(_B64_STD_PAD if pad else _B64_STD_NOPAD)
+
+    def kernel(arr, env: Env) -> RuleOut:
+        s = arr.to_pandas()
+
+        def check(v):
+            if not isinstance(v, str):
+                return False
+            m = _DATAURI_FORMAT.match(v)
+            if not m:
+                return False
+            if m.group(2) != "base64":
+                return True
+            return bool(b64.match(m.group(3)))
+
+        return RuleOut(ok=s.map(check).to_numpy(dtype=bool))
+
+    return kernel
+
+
 FACTORIES = {
     "min": make_min,
     "max": make_max,
@@ -404,10 +551,10 @@ FACTORIES = {
     "token": _regex_rule(_TOKEN, "string.token"),
     "hex": _regex_rule(_HEX, "string.hex"),
     "base64": make_base64,
-    "dataUri": _regex_rule(_DATA_URI, "string.dataUri"),
+    "dataUri": make_data_uri,
     "email": make_email,
     "domain": _regex_rule(_DOMAIN, "string.domain"),
-    "hostname": _regex_rule(_HOSTNAME, "string.hostname"),
+    "hostname": make_hostname,
     "guid": make_guid,
     "ip": make_ip,
     "uri": make_uri,

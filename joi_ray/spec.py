@@ -552,9 +552,13 @@ class StringSchema(Schema):
     def data_uri(self, *, padding_required: bool = True) -> "StringSchema":
         return self._rule("dataUri", {"paddingRequired": padding_required}, single=True)
 
-    def email(self, *, tlds: list[str] | None = None, multiple: bool = False, separator: str = ",") -> "StringSchema":
+    def email(self, *, tlds: list[str] | None = None, multiple: bool = False,
+              separator: str = ",", min_domain_segments: int = 2) -> "StringSchema":
         return self._rule(
-            "email", {"tlds": tlds, "multiple": multiple, "separator": separator}, single=True
+            "email",
+            {"tlds": tlds, "multiple": multiple, "separator": separator,
+             "minDomainSegments": min_domain_segments},
+            single=True,
         )
 
     def domain(self) -> "StringSchema":
@@ -577,10 +581,12 @@ class StringSchema(Schema):
         scheme: list[str] | None = None,
         allow_relative: bool = False,
         relative_only: bool = False,
+        allow_query_square_brackets: bool = False,
     ) -> "StringSchema":
         return self._rule(
             "uri",
-            {"scheme": scheme, "allowRelative": allow_relative, "relativeOnly": relative_only},
+            {"scheme": scheme, "allowRelative": allow_relative, "relativeOnly": relative_only,
+             "allowQuerySquareBrackets": allow_query_square_brackets},
             single=True,
         )
 

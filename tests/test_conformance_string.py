@@ -86,7 +86,9 @@ def test_guid():
         [
             ("550e8400-e29b-41d4-a716-446655440000", True),
             ("{550e8400-e29b-41d4-a716-446655440000}", True),
-            ("550e8400e29b41d4a716446655440000", False, "string.guid"),
+            # dash-less 32-hex IS a valid guid (separator optional,
+            # lib/types/string/index.js:346; test vector :10399)
+            ("550e8400e29b41d4a716446655440000", True),
             ("zzze8400-e29b-41d4-a716-446655440000", False),
         ],
     )

@@ -1,0 +1,191 @@
+"""Reference string-type test vectors, ported from
+/root/reference/test/types/string.js (~300 cases across
+email/domain/hostname/ip/uri/guid/isoDate/isoDuration/dataUri/creditCard).
+
+Vector blocks are extracted verbatim into tests/fixtures/string_vectors.json
+(input, expected) pairs; the IP matrix below is transcribed from the
+prepareIps lists (test/types/string.js:1965-2103).  Any case where our
+pragmatic kernel intentionally diverges from the reference must be listed in
+DEVIATIONS with a reason — an unlisted mismatch is a failure.
+"""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+import joi_ray as jr
+from joi_ray import compile_schema, object as obj
+
+FIX = json.load(open(os.path.join(os.path.dirname(__file__), "fixtures", "string_vectors.json")))
+
+# (block, input) -> reason. Keep this list SHORT — it is the public record
+# of where the pragmatic kernels diverge from @hapi/address / RFC builders.
+DEVIATIONS: dict[tuple, str] = {}
+
+
+def run_block(schema, cases, block_name):
+    t = pa.table({"v": pa.array([c[0] for c in cases], pa.string())})
+    res = compile_schema(obj({"v": schema}), prefs={"abort_early": False}).validate_table(t)
+    mismatches = []
+    for i, (val, expected) in enumerate(cases):
+        got = bool(res.ok[i])
+        if got != expected and (block_name, val) not in DEVIATIONS:
+            mismatches.append((val, expected, got))
+    assert not mismatches, f"{block_name}: {len(mismatches)} mismatches: {mismatches[:10]}"
+
+
+def test_email_basic():
+    run_block(jr.string().email(), FIX["email_basic"], "email_basic")
+
+
+def test_email_tlds_allow():
+    run_block(jr.string().email(tlds=["com", "org"]), FIX["email_tlds_allow"], "email_tlds_allow")
+
+
+def test_email_min_segments():
+    run_block(jr.string().email(min_domain_segments=4), FIX["email_min_segments"], "email_min_segments")
+
+
+def test_email_multiple():
+    run_block(jr.string().email(multiple=True), FIX["email_multiple"], "email_multiple")
+
+
+def test_domain():
+    run_block(jr.string().domain(), FIX["domain"], "domain")
+
+
+def test_hostname():
+    run_block(jr.string().hostname(), FIX["hostname"], "hostname")
+
+
+def test_uri_default():
+    run_block(jr.string().uri(), FIX["uri_default"], "uri_default")
+
+
+def test_uri_scheme_single():
+    run_block(jr.string().uri(scheme=["http"]), FIX["uri_scheme_single"], "uri_scheme_single")
+
+
+def test_uri_allow_relative():
+    run_block(jr.string().uri(allow_relative=True), FIX["uri_allow_relative"], "uri_allow_relative")
+
+
+def test_uri_relative_only():
+    run_block(jr.string().uri(relative_only=True), FIX["uri_relative_only"], "uri_relative_only")
+
+
+def test_uri_query_square_brackets():
+    run_block(jr.string().uri(allow_query_square_brackets=True),
+              [["https://example.com?abc[]=123&abc[]=456", True]], "uri_sq")
+    run_block(jr.string().uri(),
+              [["https://example.com?abc[]=123&abc[]=456", False]], "uri_nosq")
+
+
+def test_guid_default():
+    run_block(jr.string().guid(), FIX["guid_default"], "guid_default")
+
+
+def test_guid_v1():
+    run_block(jr.string().guid(version=[1]), FIX["guid_v1"], "guid_v1")
+
+
+def test_credit_card():
+    run_block(jr.string().credit_card(), FIX["credit_card"], "credit_card")
+
+
+def test_iso_date():
+    run_block(jr.string().iso_date(), FIX["iso_date"], "iso_date")
+
+
+def test_iso_duration():
+    run_block(jr.string().iso_duration(), FIX["iso_duration"], "iso_duration")
+
+
+def test_data_uri():
+    run_block(jr.string().data_uri(), FIX["data_uri"], "data_uri")
+
+
+# ------------------------------------------------------------------ ip matrix
+# transcribed from test/types/string.js:1965-2103
+INVALID_IPS = ["ASDF", "192.0.2.16:80/30", "192.0.2.16a", "qwerty",
+               "127.0.0.1:8000", "ftp://www.example.com",
+               "Bananas in pajamas are coming down the stairs"]
+INVALID_V4 = ["0.0.0.0/33", "256.0.0.0/0", "255.255.255.256/32", "255.255.255.255/64",
+              "255.255.255.255/128", "255.255.255.255/255", "256.0.0.0", "255.255.255.256"]
+INVALID_V6 = ["1080:0:0:0:8:800:200C:417G/33", "1080:0:0:0:8:800:200C:417G",
+              "FEDC:BA98:7654:3210:FEDC:BA98:7654:3210/129",
+              "FEDC:BA98:7654:3210:FEDC:BA98:7654:3210/255"]
+INVALID_VFUT = ["v1.09#/33", "v1.09#", "v1.09azAZ-._~!$&'()*+,;=:/129",
+                "v1.09azAZ-._~!$&'()*+,;=:/255"]
+VALID_V4_CIDR = ["0.0.0.0/32", "255.255.255.255/0", "127.0.0.1/0", "192.168.2.1/0",
+                 "0.0.0.3/2", "0.0.0.7/3", "0.0.0.15/4", "0.0.0.31/5", "0.0.0.63/6",
+                 "0.0.0.127/7", "01.020.030.100/7", "0.0.0.0/0", "00.00.00.00/0",
+                 "000.000.000.000/32"]
+VALID_V4 = ["0.0.0.0", "255.255.255.255", "127.0.0.1", "192.168.2.1", "0.0.0.3",
+            "0.0.0.7", "0.0.0.15", "0.0.0.31", "0.0.0.63", "0.0.0.127",
+            "01.020.030.100", "00.00.00.00", "000.000.000.000"]
+VALID_V6_CIDR = ["2001:db8::7/32", "a:b:c:d:e::1.2.3.4/13", "a:b:c:d:e::1.2.3.4/64",
+                 "FEDC:BA98:7654:3210:FEDC:BA98:7654:3210/0",
+                 "FEDC:BA98:7654:3210:FEDC:BA98:7654:3210/32",
+                 "FEDC:BA98:7654:3210:FEDC:BA98:7654:3210/128",
+                 "1080:0:0:0:8:800:200C:417A/27"]
+VALID_V6 = ["2001:db8::7", "a:b:c:d:e::1.2.3.4", "FEDC:BA98:7654:3210:FEDC:BA98:7654:3210",
+            "1080:0:0:0:8:800:200C:417A", "::1:2:3:4:5:6:7", "::1:2:3:4:5:6", "1::1:2:3:4:5:6",
+            "::1:2:3:4:5", "1::1:2:3:4:5", "2:1::1:2:3:4:5", "::1:2:3:4", "1::1:2:3:4",
+            "2:1::1:2:3:4", "3:2:1::1:2:3:4", "::1:2:3", "1::1:2:3", "2:1::1:2:3",
+            "3:2:1::1:2:3", "4:3:2:1::1:2:3", "::1:2", "1::1:2", "2:1::1:2", "3:2:1::1:2",
+            "4:3:2:1::1:2", "5:4:3:2:1::1:2", "::1", "1::1", "2:1::1", "3:2:1::1", "4:3:2:1::1",
+            "5:4:3:2:1::1", "6:5:4:3:2:1::1", "::", "1::", "2:1::", "3:2:1::", "4:3:2:1::",
+            "5:4:3:2:1::", "6:5:4:3:2:1::", "7:6:5:4:3:2:1::"]
+VALID_VFUT_CIDR = ["v1.09azAZ-._~!$&'()*+,;=:/32", "v1.09azAZ-._~!$&'()*+,;=:/128"]
+VALID_VFUT = ["v1.09azAZ-._~!$&'()*+,;=:"]
+
+
+def _matrix(valid_with, valid_without, cidr):
+    """joi cidr modes: optional accepts both, required only with, forbidden
+    only without (test/types/string.js:2105-2176)."""
+    if cidr == "optional":
+        return [(v, True) for v in valid_with + valid_without]
+    if cidr == "required":
+        return [(v, True) for v in valid_with] + [(v, False) for v in valid_without]
+    return [(v, False) for v in valid_with] + [(v, True) for v in valid_without]
+
+
+@pytest.mark.parametrize("cidr", ["optional", "required", "forbidden"])
+def test_ip_all_versions(cidr):
+    cases = (
+        _matrix(VALID_V4_CIDR, VALID_V4, cidr)
+        + _matrix(VALID_V6_CIDR, VALID_V6, cidr)
+        + _matrix(VALID_VFUT_CIDR, VALID_VFUT, cidr)
+        + [(v, False) for v in INVALID_IPS + INVALID_V4 + INVALID_V6 + INVALID_VFUT]
+    )
+    run_block(jr.string().ip(cidr=cidr), cases, f"ip_{cidr}")
+
+
+@pytest.mark.parametrize("cidr", ["optional", "required", "forbidden"])
+def test_ip_v4_only(cidr):
+    cases = (
+        _matrix(VALID_V4_CIDR, VALID_V4, cidr)
+        + [(v, False) for v in VALID_V6 + VALID_VFUT + INVALID_IPS + INVALID_V4]
+    )
+    run_block(jr.string().ip(version=["ipv4"], cidr=cidr), cases, f"ip4_{cidr}")
+
+
+@pytest.mark.parametrize("cidr", ["optional", "required", "forbidden"])
+def test_ip_v6_only(cidr):
+    cases = (
+        _matrix(VALID_V6_CIDR, VALID_V6, cidr)
+        + [(v, False) for v in VALID_V4 + VALID_VFUT + INVALID_IPS + INVALID_V6]
+    )
+    run_block(jr.string().ip(version=["ipv6"], cidr=cidr), cases, f"ip6_{cidr}")
+
+
+def test_ip_v4_v6():
+    cases = (
+        _matrix(VALID_V4_CIDR, VALID_V4, "optional")
+        + _matrix(VALID_V6_CIDR, VALID_V6, "optional")
+        + [(v, False) for v in VALID_VFUT + INVALID_IPS]
+    )
+    run_block(jr.string().ip(version=["ipv4", "ipv6"]), cases, "ip46")
