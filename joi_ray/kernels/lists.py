@@ -16,6 +16,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import json
+
 from .util import Env, RuleOut, as_bool_np, cmp_mask
 
 
@@ -61,16 +63,48 @@ def _item_values(arr: pa.Array, by: str | None):
 
 def make_unique(args):
     by = args.get("by")
+    comparator = args.get("comparator")
+    ignore_undefined = args.get("ignoreUndefined", False)
 
     def kernel(arr, env: Env) -> RuleOut:
         n = len(arr)
         flat, parents, _ = _item_values(arr, by)
         ok = np.ones(n, dtype=bool)
-        if len(parents):
-            df = pd.DataFrame({"p": parents, "v": flat.to_pandas()})
-            dup = df.duplicated(subset=["p", "v"], keep="first") & df["v"].notna()
-            bad_parents = np.unique(df.loc[dup, "p"].to_numpy())
-            ok[bad_parents] = False
+        if not len(parents):
+            return RuleOut(ok=ok, context={"path": by})
+        if comparator is not None:
+            # custom comparator (array.js:470): per-row pairwise — the
+            # reference is per-pair too; rows are short lists
+            from collections import defaultdict
+
+            groups: dict[int, list] = defaultdict(list)
+            for v, p in zip(flat.to_pylist(), parents):
+                if ignore_undefined and v is None:
+                    continue
+                groups[int(p)].append(v)
+            for p, items in groups.items():
+                if any(
+                    comparator(items[i], items[j])
+                    for i in range(len(items))
+                    for j in range(i + 1, len(items))
+                ):
+                    ok[p] = False
+            return RuleOut(ok=ok, context={"path": by})
+        s = flat.to_pandas()
+        if pa.types.is_nested(flat.type):
+            # deep-equal fallback (array.js:497): canonical JSON as the
+            # equality key for struct/list items
+            s = s.map(
+                lambda v: None if v is None else json.dumps(v, sort_keys=True, default=str)
+            )
+        df = pd.DataFrame({"p": parents, "v": s})
+        if ignore_undefined:
+            df = df[df["v"].notna()]
+        # nulls participate by default: two null items are duplicates
+        # (array.js:476 — ignoreUndefined turns that off)
+        dup = df.duplicated(subset=["p", "v"], keep="first")
+        bad_parents = np.unique(df.loc[dup, "p"].to_numpy())
+        ok[bad_parents] = False
         return RuleOut(ok=ok, context={"path": by})
 
     return kernel

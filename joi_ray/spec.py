@@ -749,11 +749,24 @@ class ArraySchema(Schema):
     def length(self, limit) -> "ArraySchema":
         return self._rule("length", {"limit": limit}, single=True)
 
-    def unique(self, by: str | None = None) -> "ArraySchema":
+    def unique(self, by=None, *, ignore_undefined: bool = False) -> "ArraySchema":
         """Within-row uniqueness of list items (``lib/types/array.js:468-558``).
-        ``by`` is a struct-field path for list<struct> columns.  Dataset-level
+
+        ``by`` is a struct-field path for list<struct> columns, or a callable
+        comparator ``(a, b) -> bool`` returning True when two items count as
+        duplicates (the reference's custom-comparator form; in-memory only —
+        callables cannot ship through the JSON spec).  Nested item types
+        without ``by`` fall back to canonical-JSON deep equality (the analog
+        of the reference's deepEqual path, array.js:497).  By default null
+        items participate in the comparison (two nulls duplicate);
+        ``ignore_undefined`` skips them (array.js:476).  Dataset-level
         uniqueness is a pipeline stage, not a schema rule."""
-        return self._rule("unique", {"by": by}, single=True)
+        args: dict[str, Any] = {"ignoreUndefined": ignore_undefined}
+        if callable(by):
+            args["comparator"] = by
+        else:
+            args["by"] = by
+        return self._rule("unique", args, single=True)
 
     def sparse(self, enabled: bool = True) -> "ArraySchema":
         return self._flag("sparse", True if enabled else None)

@@ -244,3 +244,30 @@ def test_ordered_then_items_tail():
     vcheck(obj({"x": schema}), t, [True])
     t2 = pa.table({"x": pa.array([["a", "1", "no"]], type=LIST_STR)})
     vcheck(obj({"x": schema}), t2, [False])
+
+
+def test_array_unique_options():
+    # deep-equal fallback for struct items (array.js:497)
+    t = pa.table({"x": pa.array(
+        [[{"a": 1}, {"a": 1}], [{"a": 1}, {"a": 2}]],
+        type=pa.list_(pa.struct([("a", pa.int64())])))})
+    res = compile_schema(obj({"x": jr.array().unique()}), prefs={"abort_early": False}).validate_table(t)
+    assert list(res.ok) == [False, True]
+
+    # custom comparator (array.js:470): duplicates iff same parity
+    t2 = pa.table({"x": pa.array([[1, 3], [1, 2]], type=LIST_I64)})
+    sch = obj({"x": jr.array().unique(lambda a, b: a % 2 == b % 2)})
+    res2 = compile_schema(sch, prefs={"abort_early": False}).validate_table(t2)
+    assert list(res2.ok) == [False, True]
+
+    # nulls duplicate by default; ignore_undefined skips them
+    t3 = pa.table({"x": pa.array([[None, None, 1]], type=LIST_I64)})
+    ok_default = compile_schema(
+        obj({"x": jr.array().sparse().unique()}), prefs={"abort_early": False}
+    ).validate_table(t3)
+    assert list(ok_default.ok) == [False]
+    ok_ignore = compile_schema(
+        obj({"x": jr.array().sparse().unique(ignore_undefined=True)}),
+        prefs={"abort_early": False},
+    ).validate_table(t3)
+    assert list(ok_ignore.ok) == [True]
