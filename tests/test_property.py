@@ -81,7 +81,7 @@ def test_pattern_matches_reference(vals):
 )
 def test_array_min_sparse_unique_matches_reference(rows, lo):
     got = run(
-        jr.array().min(lo).unique().sparse(),
+        jr.array().min(lo).unique(ignore_undefined=True).sparse(),
         rows,
         pa.list_(pa.int64()),
     )
@@ -92,6 +92,13 @@ def test_array_min_sparse_unique_matches_reference(rows, lo):
             non_null = [v for v in row if v is not None]
             expect = len(row) >= lo and len(set(non_null)) == len(non_null)
         assert ok == expect, (row, lo, ok)
+
+    # default semantics: null items participate — two nulls duplicate
+    # (array.js:476)
+    got2 = run(jr.array().unique().sparse(), rows, pa.list_(pa.int64()))
+    for row, ok in zip(rows, got2):
+        expect = True if row is None else len(set(row)) == len(row)
+        assert ok == expect, (row, ok)
 
 
 @settings(max_examples=40, deadline=None)
