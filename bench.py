@@ -44,6 +44,11 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # cosmetic: Ray's schema-dedup warning ("Failed to hash the schemas")
+    # fires per task on mixed-schema unions; harmless, drop it from the log
+    import logging
+
+    logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").setLevel(logging.ERROR)
 
     import numpy as np
     import pyarrow.parquet as pq
@@ -168,7 +173,9 @@ def run_bench() -> dict:
 
     def expand(t: pa.Table) -> pa.Table:
         idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), k_exp)
-        return t.take(pa.array(idx))
+        # drop pandas-parquet schema metadata: Ray's operator-fusion schema
+        # dedup can't hash dict-valued metadata and logs a warning per task
+        return t.take(pa.array(idx)).replace_schema_metadata(None)
 
     exp_bs = max(16, 8192 // k_exp)  # flat-row batching unit (see read_interleaved)
     txt = flat.map_batches(expand, batch_format="pyarrow", batch_size=exp_bs)
@@ -203,7 +210,7 @@ def run_bench() -> dict:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)[idx] * k_exp + (
             np.arange(t.num_rows * k_exp, dtype=np.int64) % k_exp
         )
-        out = t.take(pa.array(idx))
+        out = t.take(pa.array(idx)).replace_schema_metadata(None)
         return out.set_column(0, "doc_id", pa.array(ids))
 
     mh = minhash_canonical(

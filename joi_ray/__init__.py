@@ -91,3 +91,12 @@ __version__ = "0.1.0"
 from ._env import ensure_importable as _ensure_importable
 
 _ensure_importable()
+
+# pyarrow Schemas carrying file metadata (pandas/parquet) are unhashable,
+# which makes Ray Data's schema-dedup fast path log a per-task warning
+# ("Failed to hash the schemas") on every metadata-bearing input. Cosmetic
+# and outside our control — silence exactly that logger (workers import
+# joi_ray when unpickling stage callables, so this covers worker logs too).
+import logging as _logging
+
+_logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").setLevel(_logging.ERROR)

@@ -32,3 +32,17 @@ def ensure_importable() -> None:
     if not same:
         path = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
         REMOTE_KWARGS["runtime_env"] = {"env_vars": {"PYTHONPATH": path}}
+
+
+def quiet_ray_data_logs() -> bool:
+    """Silence Ray Data's per-task schema-hash warning in THIS process.
+
+    pyarrow Schemas carrying file metadata (pandas/parquet) are unhashable,
+    so Ray's schema-dedup fast path logs 'Failed to hash the schemas' for
+    every metadata-bearing input.  Must run after Ray's worker logging
+    dictConfig, hence called from stage bodies on every invocation (a
+    getLogger+setLevel pair is nanoseconds)."""
+    import logging
+
+    logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").setLevel(logging.ERROR)
+    return True

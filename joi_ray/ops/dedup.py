@@ -209,6 +209,9 @@ _MH_CACHE: dict = {}
 
 
 def _minhash_fn(batch: pa.Table, **kw) -> pa.Table:
+    from .._env import quiet_ray_data_logs
+
+    quiet_ray_data_logs()
     key = (kw["text_col"], kw["id_col"], kw["num_perm"], kw["bands"], kw["k"], kw.get("emit_sig", True))
     stage = _MH_CACHE.get(key)
     if stage is None:
@@ -456,6 +459,9 @@ def simhash_buckets(ds, text_col: str, id_col: str, *, concurrency=4):
     from ray.data.aggregate import Sum
 
     def sig_and_bands(batch: pa.Table) -> pa.Table:
+        from .._env import quiet_ray_data_logs
+
+        quiet_ray_data_logs()
         s = batch[text_col].combine_chunks().to_pandas()
         h = simhash_batch(s)
         n = len(h)

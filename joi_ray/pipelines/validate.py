@@ -238,6 +238,9 @@ def _stage_key(kwargs: dict, tag: str = "") -> tuple:
 
 
 def validator_fn(batch: pa.Table, **kwargs) -> pa.Table:
+    from .._env import quiet_ray_data_logs
+
+    quiet_ray_data_logs()
     key = _stage_key(kwargs)
     stage = _STAGE_CACHE.get(key)
     if stage is None:
