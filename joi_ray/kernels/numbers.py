@@ -134,9 +134,16 @@ def make_precision(args):
         n = len(arr)
         if pa.types.is_integer(arr.type):
             return RuleOut(ok=np.ones(n, dtype=bool), context={"limit": limit})
-        rounded = pc.round(arr, ndigits=limit)
+        # bit-exact with the reference's Math.round(v * 10^p) / 10^p
+        # (number.js:84-85): float64 scaling first (0.12345 * 1e4 ->
+        # 1234.5000000000002 -> 1235), JS half-up via floor(x + 0.5)
+        v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        scale = float(10 ** limit)
+        with np.errstate(invalid="ignore"):
+            rounded_np = np.floor(v * scale + 0.5) / scale
+        rounded = pa.array(rounded_np, type=pa.float64(), from_pandas=True)
         if env.convert:
-            # convert mode rewrites (number.js:78-83)
+            # convert mode rewrites (number.js:78-85)
             return RuleOut(ok=np.ones(n, dtype=bool), new_value=rounded, context={"limit": limit})
         ok = as_bool_np(pc.equal(arr, rounded), n, fill=True)
         return RuleOut(ok=ok, context={"limit": limit})
