@@ -56,14 +56,31 @@ def exact_duplicate_groups(ds, col: str, id_col: str):
 
 
 def dedup_exact(ds, col: str, id_col: str):
-    """Keep-first exact dedup: hash-partitioned groupby, keep min(id) per
-    content group (deterministic winner)."""
+    """Keep-first exact dedup, scale-safe: the duplicate groups (a small
+    side ∝ duplicate rate) come from the two-phase partial-count aggregate
+    and are broadcast once; a streaming filter then keeps a row iff its
+    content hash has no duplicates or the row is the group's min-id winner.
+    No corpus-sized groupby — the previous groupby().map_groups(keep_first)
+    paid Ray's per-group overhead on mostly-singleton groups."""
+    import ray
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    dup = exact_duplicate_groups(ds, col, id_col)
+    dup_t = pa.concat_tables(ray.get(dup.to_arrow_refs()))
+    dref = ray.put(dup_t)
 
-    hashed = ds.map_batches(lambda b: content_hash_batch(b, col), batch_format="pyarrow", **REMOTE_KWARGS)
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+    def keep(batch: pa.Table) -> pa.Table:
+        d = ray.get(dref)
+        t = content_hash_batch(batch, col)
+        if d.num_rows == 0:
+            return t
+        idx = pc.index_in(t["content_hash"], value_set=d["content_hash"].combine_chunks())
+        keep_ids = d["keep_id"].combine_chunks().take(idx)
+        in_dup_group = pc.is_valid(idx)
+        winner = pc.equal(t[id_col].combine_chunks(), keep_ids)
+        mask = pc.or_kleene(pc.invert(in_dup_group), winner)
+        return t.filter(pc.fill_null(mask, True))
+
+    return ds.map_batches(keep, batch_format="pyarrow", **REMOTE_KWARGS)
 
 
 # --------------------------------------------------------------------------
@@ -173,35 +190,74 @@ class MinHashStage:
 def minhash_duplicate_pairs(ds, text_col: str, id_col: str, *, threshold: float = 0.7,
                             num_perm: int = 64, bands: int = 16, k: int = 7,
                             concurrency=4, max_group: int = 64):
-    """Near-duplicate pairs via MinHash-LSH: band bucket groupby, in-bucket
-    pair generation (group size capped against quadratic blowup — cap
-    logged via a `truncated` marker column), estimated Jaccard = fraction of
-    equal signature components.  Returns Dataset(id_a, id_b, est_jaccard)."""
-
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        if len(g) > max_group:
-            g = g.head(max_group)
-        sigs = np.stack(g["sig"].to_numpy())
-        ids = g[id_col].to_numpy()
-        ia, ib = np.triu_indices(len(g), 1)
-        est = (sigs[ia] == sigs[ib]).mean(axis=1)
-        keep = est >= threshold
-        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "est_jaccard": est[keep]})
+    """Near-duplicate pairs via MinHash-LSH.  Candidates come from a
+    distributed band-bucket self-join (not a groupby().map_groups over
+    millions of tiny buckets — Ray's sort-aggregate pays per-group overhead
+    that dominates at scale); the estimated Jaccard (fraction of equal
+    signature components, signatures carried through the join) is computed
+    vectorized per batch, and only pairs above the threshold — a small,
+    duplicate-rate-bounded set — enter the final distinct groupby.
+    Returns Dataset(id_a, id_b, est_jaccard)."""
+    import ray
+    from ray.data.aggregate import Max
 
     banded = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, k=k),
         batch_format="pyarrow",
-        concurrency=concurrency, **REMOTE_KWARGS)
-    cands = banded.groupby(["band", "band_hash"]).map_groups(pairs_of_group, batch_format="pandas")
+        concurrency=concurrency, **REMOTE_KWARGS).materialize()
 
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def _sig_to_binary(col) -> pa.Array:
+        # acero hash joins reject fixed_size_list payload columns — carry
+        # the signature as packed little-endian int64 bytes instead
+        fsl = col.combine_chunks()
+        flat = fsl.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        buf = flat.tobytes()
+        width = num_perm * 8
+        offsets = np.arange(0, len(buf) + 1, width, dtype=np.int32)
+        return pa.Array.from_buffers(
+            pa.binary(), len(fsl),
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf)])
 
-    return cands.groupby(["id_a", "id_b"]).map_groups(dedup_pairs, batch_format="pandas")
+    def _rename(t: pa.Table, suffix: str) -> pa.Table:
+        out = pa.table({
+            f"id{suffix}": t[t.column_names[0]],
+            "band": t["band"],
+            "band_hash": t["band_hash"],
+            f"sig{suffix}": _sig_to_binary(t["sig"]),
+        })
+        return out
+
+    left = banded.map_batches(lambda t: _rename(t, "_a"), batch_format="pyarrow", **REMOTE_KWARGS)
+    right = banded.map_batches(lambda t: _rename(t, "_b"), batch_format="pyarrow", **REMOTE_KWARGS)
+    njoin = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) - 1))
+    j = left.join(right, join_type="inner", num_partitions=njoin, on=("band", "band_hash"),
+                  aggregator_ray_remote_args={"num_cpus": 0.5})
+
+    def est_pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["id_a"], t["id_b"]))
+        if t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], banded.schema().types[0]),
+                             "id_b": pa.array([], banded.schema().types[0]),
+                             "est_jaccard": pa.array([], pa.float64())})
+        sa = np.frombuffer(b"".join(t["sig_a"].combine_chunks().to_pylist()),
+                           dtype=np.int64).reshape(-1, num_perm)
+        sb = np.frombuffer(b"".join(t["sig_b"].combine_chunks().to_pylist()),
+                           dtype=np.int64).reshape(-1, num_perm)
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        out = pa.table({
+            "id_a": t["id_a"].combine_chunks().filter(pa.array(keep)),
+            "id_b": t["id_b"].combine_chunks().filter(pa.array(keep)),
+            "est_jaccard": pa.array(est[keep], pa.float64()),
+        })
+        # per-batch distinct: the same pair reappears once per matching band
+        g = out.group_by(["id_a", "id_b"]).aggregate([("est_jaccard", "max")])
+        return g.rename_columns(["id_a", "id_b", "est_jaccard"])
+
+    pairs = j.map_batches(est_pairs, batch_format="pyarrow", **REMOTE_KWARGS)
+    dedup = pairs.groupby(["id_a", "id_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+    return dedup
 
 
 # per-worker-process cache for task-mode stages (no actor pool startup)
