@@ -483,26 +483,51 @@ def simhash_duplicate_pairs(ds, text_col: str, id_col: str, *, max_hamming: int 
             )
         return pa.concat_tables(parts)
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": pd.Series([], dtype="int64")})
-        if len(g) > max_group:
-            g = g.head(max_group)
-        h = g["simhash"].to_numpy().astype(np.uint64)
-        ids = g[id_col].to_numpy()
-        ia, ib = np.triu_indices(len(g), 1)
-        x = h[ia] ^ h[ib]
-        dist = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
-        keep = dist <= max_hamming
-        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "hamming": dist[keep]})
+    import ray
+    from ray.data.aggregate import Min
 
     sigs = ds.map_batches(
         SimHashStage, fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
         batch_format="pyarrow", concurrency=concurrency, **REMOTE_KWARGS)
-    banded = sigs.map_batches(explode_bands, batch_format="pyarrow", **REMOTE_KWARGS)
-    cands = banded.groupby(["band", "band_val"]).map_groups(pairs_of_group, batch_format="pandas")
-    return cands.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    banded = sigs.map_batches(explode_bands, batch_format="pyarrow", **REMOTE_KWARGS).materialize()
+
+    # distributed band-bucket self-join (no tiny-group map_groups; Ray's
+    # sort-aggregate pays per-group overhead that dominates on millions of
+    # singleton buckets) + vectorized hamming filter per batch
+    def _rename(t: pa.Table, suffix: str) -> pa.Table:
+        return pa.table({
+            f"id{suffix}": t[id_col], f"sim{suffix}": t["simhash"],
+            "band": t["band"], "band_val": t["band_val"],
+        })
+
+    left = banded.map_batches(lambda t: _rename(t, "_a"), batch_format="pyarrow", **REMOTE_KWARGS)
+    right = banded.map_batches(lambda t: _rename(t, "_b"), batch_format="pyarrow", **REMOTE_KWARGS)
+    njoin = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) - 1))
+    j = left.join(right, join_type="inner", num_partitions=njoin, on=("band", "band_val"),
+                  aggregator_ray_remote_args={"num_cpus": 0.5})
+
+    def ham_pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["id_a"], t["id_b"]))
+        if t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], banded.schema().types[0]),
+                             "id_b": pa.array([], banded.schema().types[0]),
+                             "hamming": pa.array([], pa.int64())})
+        ha = t["sim_a"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        hb = t["sim_b"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = ha ^ hb
+        dist = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1).astype(np.int64)
+        keep = dist <= max_hamming
+        out = pa.table({
+            "id_a": t["id_a"].combine_chunks().filter(pa.array(keep)),
+            "id_b": t["id_b"].combine_chunks().filter(pa.array(keep)),
+            "hamming": pa.array(dist[keep]),
+        })
+        g = out.group_by(["id_a", "id_b"]).aggregate([("hamming", "min")])
+        return g.rename_columns(["id_a", "id_b", "hamming"])
+
+    pairs = j.map_batches(ham_pairs, batch_format="pyarrow", **REMOTE_KWARGS)
+    # surviving pairs are duplicate-rate-bounded; the final distinct is small
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
 def simhash_buckets(ds, text_col: str, id_col: str, *, concurrency=4):
