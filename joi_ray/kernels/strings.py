@@ -256,7 +256,17 @@ def make_email(args):
     multiple = args.get("multiple", False)
     sep = args.get("separator", ",") or ","
     min_segments = args.get("minDomainSegments", 2)
-    tld_set = {t.lower() for t in tlds} if tlds else None
+    # tlds: allow-list (plain list, round-1 form) or {"allow": [...],
+    # "deny": [...]} like the reference (lib/types/string/index.js:291-318)
+    tld_set = None
+    tld_deny = None
+    if isinstance(tlds, dict):
+        if tlds.get("allow"):
+            tld_set = {t.lower() for t in tlds["allow"]}
+        if tlds.get("deny"):
+            tld_deny = {t.lower() for t in tlds["deny"]}
+    elif tlds:
+        tld_set = {t.lower() for t in tlds}
 
     def check_one(arr, n):
         ok = regex_mask(arr, _EMAIL)
@@ -270,14 +280,14 @@ def make_email(args):
             dom = pc.struct_field(pc.extract_regex(arr, r"@(?P<d>[^@]*)$"), "d")
             dots = pc.count_substring(dom, ".")
             ok &= as_bool_np(pc.greater_equal(dots, min_segments - 1), n)
-        if tld_set:
-            # extract the final label and require set membership
+        if tld_set or tld_deny:
+            # extract the final label; allow-set membership / deny-set miss
             tld = pc.extract_regex(arr, r"\.(?P<tld>[A-Za-z0-9\-]+)$")
-            tl = pc.struct_field(tld, "tld")
-            in_set = as_bool_np(
-                pc.is_in(pc.utf8_lower(tl), value_set=pa.array(sorted(tld_set))), n
-            )
-            ok &= in_set
+            tl = pc.utf8_lower(pc.struct_field(tld, "tld"))
+            if tld_set:
+                ok &= as_bool_np(pc.is_in(tl, value_set=pa.array(sorted(tld_set))), n)
+            if tld_deny:
+                ok &= ~as_bool_np(pc.is_in(tl, value_set=pa.array(sorted(tld_deny))), n)
         return ok
 
     def kernel(arr, env: Env) -> RuleOut:
@@ -348,6 +358,7 @@ def make_uri(args):
     allow_rel = args.get("allowRelative", False)
     rel_only = args.get("relativeOnly", False)
     sq = args.get("allowQuerySquareBrackets", False)
+    domain_opt = args.get("domain")
     scheme_re = None
     if schemes:
         scheme_re = "|".join(
@@ -362,6 +373,21 @@ def make_uri(args):
         # 'scheme:/ is technically valid but makes no sense' —
         # lib/types/string/index.js:696-698 rejects these two exactly
         ok &= ~as_bool_np(pc.is_in(arr, value_set=pa.array(["http:/", "https:/"])), n)
+        if domain_opt:
+            # domain option (string/index.js:702-707): the authority host
+            # must be a valid domain; True or {"minDomainSegments": N}
+            hostm = pc.extract_regex(
+                arr, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/@?#]*@)?(?P<h>[^/:?#]*)")
+            h = pc.struct_field(hostm, "h")
+            # a domain's TLD must contain a letter (@hapi/address rejects
+            # all-numeric TLDs, so bare IPv4 hosts are not domains)
+            dok = regex_mask(h, _DOMAIN) & regex_mask(
+                h, r"\.[A-Za-z0-9\-]*[A-Za-z][A-Za-z0-9\-]*$")
+            if isinstance(domain_opt, dict) and domain_opt.get("minDomainSegments", 2) > 2:
+                dots = pc.count_substring(h, ".")
+                dok &= as_bool_np(
+                    pc.greater_equal(dots, domain_opt["minDomainSegments"] - 1), n)
+            ok &= dok
         return RuleOut(ok=ok, context={"scheme": schemes})
 
     return kernel

@@ -184,8 +184,11 @@ class Schema:
     def only(self, enabled: bool = True) -> "Schema":
         return self._flag("only", True if enabled else None)
 
-    def insensitive(self) -> "Schema":
-        return self._flag("insensitive", True)
+    def insensitive(self, enabled: bool = True) -> "Schema":
+        """Case-insensitive valids/truthy/falsy matching.  Booleans default
+        to insensitive; ``insensitive(False)`` forces strict comparison
+        (``lib/types/boolean.js:65-97``)."""
+        return self._flag("insensitive", enabled)
 
     # -- any: value shaping ------------------------------------------------
     def default(self, value) -> "Schema":
@@ -552,7 +555,7 @@ class StringSchema(Schema):
     def data_uri(self, *, padding_required: bool = True) -> "StringSchema":
         return self._rule("dataUri", {"paddingRequired": padding_required}, single=True)
 
-    def email(self, *, tlds: list[str] | None = None, multiple: bool = False,
+    def email(self, *, tlds: list[str] | dict | None = None, multiple: bool = False,
               separator: str = ",", min_domain_segments: int = 2) -> "StringSchema":
         return self._rule(
             "email",
@@ -582,11 +585,15 @@ class StringSchema(Schema):
         allow_relative: bool = False,
         relative_only: bool = False,
         allow_query_square_brackets: bool = False,
+        domain=None,
     ) -> "StringSchema":
+        """``domain=True`` (or ``{"minDomainSegments": N}``) additionally
+        requires the authority host to be a valid domain name
+        (``lib/types/string/index.js:702-707``)."""
         return self._rule(
             "uri",
             {"scheme": scheme, "allowRelative": allow_relative, "relativeOnly": relative_only,
-             "allowQuerySquareBrackets": allow_query_square_brackets},
+             "allowQuerySquareBrackets": allow_query_square_brackets, "domain": domain},
             single=True,
         )
 

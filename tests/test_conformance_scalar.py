@@ -132,3 +132,14 @@ def test_date_ref_limit_cross_column():
 def test_date_iso_rejects_numeric():
     check(jr.date().iso(), [("2024-01-01", True)])
     check(jr.date().iso(), [(1_700_000_000_000, False, "date.base")], column_type=pa.int64())
+
+
+def test_boolean_truthy_case_sensitivity():
+    """Reference boolean truthy case handling (test/types/boolean.js:152-176):
+    insensitive by default, strict with insensitive(False)."""
+    check(jr.boolean().truthy("Y"), [("y", True), ("Y", True), ("TrUe", True)])
+    check(jr.boolean().truthy("Y").insensitive(), [("y", True)])
+    check(
+        jr.boolean().truthy("Y").insensitive(False),
+        [("y", False, "boolean.base"), ("Y", True), ("true", True), ("TRUE", False)],
+    )

@@ -26,6 +26,8 @@ DEVIATIONS: dict[tuple, str] = {}
 
 
 def run_block(schema, cases, block_name):
+    if isinstance(cases, str):
+        cases = FIX[cases]
     t = pa.table({"v": pa.array([c[0] for c in cases], pa.string())})
     res = compile_schema(obj({"v": schema}), prefs={"abort_early": False}).validate_table(t)
     mismatches = []
@@ -189,3 +191,19 @@ def test_ip_v4_v6():
         + [(v, False) for v in VALID_VFUT + INVALID_IPS]
     )
     run_block(jr.string().ip(version=["ipv4", "ipv6"]), cases, "ip46")
+
+
+def test_email_tlds_deny():
+    run_block(jr.string().email(tlds={"deny": ["edu"]}),
+              [["joe@example.com", True], ["joe@example.edu", False]], "email_deny")
+    run_block(jr.string().email(tlds={"allow": ["com", "org"], "deny": ["org"]}),
+              [["a@b.com", True], ["a@b.org", False], ["a@b.net", False]], "email_allow_deny")
+
+
+def test_uri_domain_option():
+    run_block(jr.string().uri(domain=True),
+              [["https://example.com/x", True], ["https://localhost/x", False],
+               ["https://192.0.2.1/x", False]], "uri_domain")
+    run_block(jr.string().uri(domain={"minDomainSegments": 3}),
+              [["https://sub.example.com/x", True], ["https://example.com/x", False]],
+              "uri_domain_min")
