@@ -148,14 +148,18 @@ def make_sort(args):
         if len(parents) > 1:
             v = flat.to_numpy(zero_copy_only=False)
             same = parents[1:] == parents[:-1]
+            nn = pd.notna(v)
             with np.errstate(invalid="ignore"):
                 if order == "ascending":
                     in_order = v[1:] >= v[:-1]
                 else:
                     in_order = v[1:] <= v[:-1]
-            # null comparisons -> False counts as out-of-order only if both non-null
-            both = pd.notna(v[1:]) & pd.notna(v[:-1])
+            both = nn[1:] & nn[:-1]
             viol = same & both & ~in_order.astype(bool)
+            # missing items sort last regardless of order (array.js:796-801:
+            # undefined is always last; Arrow null == undefined in our
+            # model) — a non-null following a null is out of order
+            viol |= same & ~nn[:-1] & nn[1:]
             ok[np.unique(parents[1:][viol])] = False
         return RuleOut(ok=ok, context={"order": order, "by": by or "value"})
 

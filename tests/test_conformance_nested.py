@@ -271,3 +271,16 @@ def test_array_unique_options():
         prefs={"abort_early": False},
     ).validate_table(t3)
     assert list(ok_ignore.ok) == [True]
+
+
+def test_array_sort_null_placement():
+    """joi sort: undefined sorts last regardless of order (array.js:796-801;
+    Arrow null == undefined).  Vectors from test/types/array.js:1530-1545."""
+    t = pa.table({"x": pa.array(
+        [[1, 2], [1, 2, None], [1, 2, None, None], [None, 1, 2], [2, 1]],
+        type=LIST_I64)})
+    res = vcheck(
+        obj({"x": jr.array().sparse().sort()}), t,
+        [True, True, True, False, False], prefs={"convert": False})
+    codes = {v["code"] for v in res.violations.to_pylist()}
+    assert "array.sort" in codes
