@@ -874,6 +874,35 @@ def _q_dedup_exact(sf_dir: str):
     return pa.table({"keep_id": pc.cast(t["keep_id"], pa.int64()), "n": pc.cast(t["n"], pa.int64())})
 
 
+def _q_dedup_exact_keep(sf_dir: str):
+    """End-to-end keep-first exact dedup (broadcast-winner streaming filter,
+    ops/dedup.py dedup_exact): profile of the kept corpus so the oracle
+    verifies both the winner selection and the filter."""
+    import ray.data as rd
+
+    from joi_ray.ops.dedup import dedup_exact
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # dedup on a 16-char prefix so the fixture actually has duplicate
+    # groups to collapse (full texts are unique at these scales)
+    ds = ds.map_batches(
+        lambda t: t.append_column("key", pc.utf8_slice_codeunits(t["text"], 0, 16)),
+        batch_format="pyarrow", **REMOTE_KWARGS)
+    kept = dedup_exact(ds, "key", "doc_id")
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_n": pa.array([t.num_rows], pa.int64()),
+            "p_sum": pa.array([pc.sum(t["doc_id"]).as_py() or 0], pa.int64()),
+        })
+
+    parts = kept.map_batches(partial, batch_format="pyarrow", **REMOTE_KWARGS).take_all()
+    return pa.table({
+        "n_kept": pa.array([sum(p["p_n"] for p in parts)], pa.int64()),
+        "sum_kept_ids": pa.array([sum(p["p_sum"] for p in parts)], pa.int64()),
+    })
+
+
 _NDV_EXACT_CAP = 4096  # per-batch distinct cap for the exact-NDV path
 
 
@@ -1302,6 +1331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_top5": _q_ann_top5,
         "embedding_norms": _q_embedding_norms,
         "dedup_exact": _q_dedup_exact,
+        "dedup_exact_keep": _q_dedup_exact_keep,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "stats_quantity": _q_stats_quantity,
         "quality_by_lang": _q_quality_by_lang,
@@ -1535,6 +1565,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS keep_id, count(*) AS n
             FROM documents GROUP BY text HAVING count(*) > 1
+        """,
+        "dedup_exact_keep": """
+            WITH w AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY substring(text, 1, 16)) AS keeper
+              FROM documents
+            )
+            SELECT count(*) AS n_kept, sum(doc_id)::BIGINT AS sum_kept_ids
+            FROM w WHERE doc_id = keeper
         """,
         "dedup_ngram_jaccard": """
             WITH gs AS (SELECT unnest(generate_series(1, 4096)) AS i),
