@@ -832,6 +832,26 @@ def _q_ann_top5(sf_dir: str):
     return pa.Table.from_pandas(top[["query_id", "vec_id", "score"]], preserve_index=False)
 
 
+def _q_ann_top5_ivf(sf_dir: str):
+    """IVF ANN with nprobe == n_centroids: every cell probed, so recall is
+    exact and the result id-set hash-matches the brute-force SQL oracle —
+    verifying the centroid train / assign / probe machinery end-to-end.
+    Scores are float32 internally, so the oracle compares ids only."""
+    import ray.data as rd
+
+    from joi_ray.ops.similarity import ann_topk_ivf
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    by_id = {v: i for i, v in enumerate(emb["vec_id"].to_pylist())}
+    qids = [0, 5]
+    queries = np.stack([np.asarray(emb["embedding"][by_id[q]].as_py(), dtype=np.float64) for q in qids])
+    ds = rd.from_arrow(emb)
+    top = ann_topk_ivf(ds, queries, k=5, n_centroids=8, nprobe=8, concurrency=2).to_pandas()
+    top["query_id"] = top["query_id"].map(lambda i: qids[i]).astype("int64")
+    top = top.sort_values(["query_id", "vec_id"])
+    return pa.Table.from_pandas(top[["query_id", "vec_id"]], preserve_index=False)
+
+
 def _q_embedding_norms(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
@@ -1329,6 +1349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "systematic_sample": _q_systematic_sample,
         "top_orders": _q_top_orders,
         "ann_top5": _q_ann_top5,
+        "ann_top5_ivf": _q_ann_top5_ivf,
         "embedding_norms": _q_embedding_norms,
         "dedup_exact": _q_dedup_exact,
         "dedup_exact_keep": _q_dedup_exact_keep,
@@ -1555,6 +1576,13 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(list_cosine_similarity(qe, e.embedding) AS DOUBLE), 4) AS score
             FROM q CROSS JOIN embeddings e
             QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(qe, e.embedding) DESC, e.vec_id) <= 5
+        """,
+        "ann_top5_ivf": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0, 5))
+            SELECT query_id, e.vec_id
+            FROM q CROSS JOIN embeddings e
+            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(qe, e.embedding) DESC, e.vec_id) <= 5
+            ORDER BY query_id, e.vec_id
         """,
         "embedding_norms": """
             SELECT label::BIGINT AS label,
