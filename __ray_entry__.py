@@ -588,37 +588,96 @@ def _q_val_props_json(sf_dir: str):
 
 
 def _q_events_sessions(sf_dir: str):
-    """Gap-based sessionization (streaming-shaped workload, ray_guide
-    pattern): partition by user, sort by ts within the group, count sessions
-    split at >30min gaps.  Ordering assumption: per-user event streams fit a
-    group (documented; at scale bucket users by hash first)."""
+    """Gap-based sessionization, scale-shaped: ONE global sort by
+    (user_id, ts), then fully vectorized per-batch partials — per-user
+    event counts and close-pair (gap <= 30min) counts — reduced with a
+    native groupby-sum.  Batch boundaries that split a user are healed with
+    a driver-side correction bounded by 2 rows PER BATCH (per user spanning
+    k batches: pair the sorted batch-last timestamps with the next batch's
+    firsts).  No per-user map_groups: sessions(user) =
+    events(user) - close_pairs(user)."""
+    import ray
     import ray.data as rd
+    from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"]).sort(
+        ["user_id", "ts"])
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff().dt.total_seconds() > 1800
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [len(g)],
-                "n_sessions": [int(gaps.sum()) + 1],
-            }
-        )
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (pc.cast(t["ts"].combine_chunks(), pa.timestamp("us"))
+              .to_numpy(zero_copy_only=False).astype(np.int64) / 1e6)
+        n = len(u)
+        same = u[1:] == u[:-1]
+        close = same & ((ts[1:] - ts[:-1]) <= 1800.0)
+        df = pd.DataFrame({"u": u, "c": np.r_[False, close]})
+        g = df.groupby("u", sort=False).agg(p_events=("u", "size"), p_close=("c", "sum"))
+        out = pa.table({
+            "user_id": pa.array(g.index.to_numpy().astype(np.int64)),
+            "p_events": pa.array(g["p_events"].to_numpy().astype(np.int64)),
+            "p_close": pa.array(g["p_close"].to_numpy().astype(np.int64)),
+            "kind": pa.array(np.zeros(len(g), np.int8)),
+            "b_ts": pa.array(np.zeros(len(g), np.float64)),
+        })
+        # one batch descriptor row (kind 1): first/last row keys — enough to
+        # reconstruct the global batch order driver-side (first keys are
+        # non-decreasing under the global sort)
+        edge = pa.table({
+            "user_id": pa.array(np.array([u[0]], np.int64)),
+            "p_events": pa.array(np.array([u[-1]], np.int64)),   # last_user
+            "p_close": pa.array(np.zeros(1, np.int64)),
+            "kind": pa.array(np.array([1], np.int8)),
+            "b_ts": pa.array(np.array([ts[0]], np.float64)),     # first_ts
+            "b_ts2": pa.array(np.array([ts[-1]], np.float64)),   # last_ts
+        })
+        out = out.append_column("b_ts2", pa.array(np.zeros(len(out), np.float64)))
+        return pa.concat_tables([out, edge]) if n else out
 
-    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas", **REMOTE_KWARGS)
+    # small batch_size keeps the boundary-healing path exercised at fixture
+    # scale (many batches -> many user-splitting edges to heal)
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=256,
+                           **REMOTE_KWARGS).materialize()
+    agg = (
+        parts.map_batches(lambda t: t.filter(pc.equal(t["kind"], 0)), batch_format="pyarrow", **REMOTE_KWARGS)
+        .groupby("user_id")
+        .aggregate(Sum("p_events", alias_name="n_events"), Sum("p_close", alias_name="n_close"))
+    )
+
+    # boundary healing: ∝ number of batches, not events.  Reconstruct the
+    # global batch order by sorting descriptors on the first-row key (first
+    # keys are non-decreasing across batches of a sorted dataset), then
+    # check each consecutive batch pair for a same-user close adjacency.
+    edges = pa.concat_tables(ray.get(
+        parts.map_batches(lambda t: t.filter(pc.greater(t["kind"], 0)),
+                          batch_format="pyarrow", **REMOTE_KWARGS).to_arrow_refs())).to_pandas()
+    edges = edges.rename(columns={"user_id": "first_user", "p_events": "last_user",
+                                  "b_ts": "first_ts", "b_ts2": "last_ts"})
+    edges = edges.sort_values(["first_user", "first_ts", "last_user", "last_ts"]).reset_index(drop=True)
+    corr: dict[int, int] = {}
+    for i in range(1, len(edges)):
+        prev, cur = edges.iloc[i - 1], edges.iloc[i]
+        if int(prev["last_user"]) == int(cur["first_user"]) and (
+            cur["first_ts"] - prev["last_ts"] <= 1800.0
+        ):
+            uid = int(cur["first_user"])
+            corr[uid] = corr.get(uid, 0) + 1
+    cref = ray.put(corr)
 
     def finish(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        uids = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        extra = np.array([c.get(int(x), 0) for x in uids], dtype=np.int64)
+        ev = pc.cast(t["n_events"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        cl = pc.cast(t["n_close"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "user_id": pc.cast(t["user_id"], pa.int64()),
-                "n_events": pc.cast(t["n_events"], pa.int64()),
-                "n_sessions": pc.cast(t["n_sessions"], pa.int64()),
+                "user_id": pa.array(uids),
+                "n_events": pa.array(ev),
+                "n_sessions": pa.array(ev - cl - extra),
             }
         )
 
-    return out.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
+    return agg.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
 
 
 def _q_events_sliding(sf_dir: str):
