@@ -554,7 +554,12 @@ def _q_asof_last_order(sf_dir: str):
 
 def _q_events_running(sf_dir: str):
     """Running per-user aggregate: sort by ts within the user group, cumsum
-    value (ordered stateful computation via groupby().map_groups)."""
+    value (ordered stateful computation via groupby().map_groups).  Groups
+    here are per-user event streams (many rows each), not singletons, so
+    map_groups' per-group overhead amortizes; the fully sort-based
+    alternative (global sort + per-batch cumsum + batch-offset healing, as
+    implemented for events_sessions) is the swap-in if user counts ever
+    dominate row counts."""
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
