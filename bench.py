@@ -222,6 +222,16 @@ def run_bench() -> dict:
     n_mh = len(mh)  # minhash_canonical returns a small pandas DataFrame
     queries["minhash_dedup"] = round(time.time() - t0, 3)
 
+    # ---- cleaning mode: stream only schema-passing rows (normalized)
+    t0 = time.time()
+    from joi_ray.pipelines.validate import filter_valid
+
+    clean = filter_valid(
+        rd.read_parquet(cache_dir, columns=["doc_id", "spans"]),
+        document_schema(), normalize=True, batch_size=8192)
+    n_clean = clean.count()
+    queries["filter_valid"] = round(time.time() - t0, 3)
+
     # ---- SimHash dup-bucket sweep (vectorized signatures + two-phase count)
     t0 = time.time()
     from joi_ray.ops.dedup import simhash_buckets
