@@ -1078,7 +1078,16 @@ def _q_dedup_ngram(sf_dir: str):
     """Exact n-gram-Jaccard near-dup pairs: MinHash-LSH generates candidates
     (32 bands x 2 rows -> recall ~1 at J>=0.4), each candidate verified with
     the exact 7-gram Jaccard.  The oracle computes the same set exhaustively
-    in SQL, so this checks both candidate recall and the verifier."""
+    in SQL, so this checks both candidate recall and the verifier.
+
+    Scale note: 2-row bands are chosen for near-perfect recall at the LOW
+    J>=0.4 threshold the oracle demands; random-pair collision probability
+    is J_bg^2 per band, so the candidate set grows ~quadratically with
+    corpus size at this setting.  A production 100-TB near-dup pass runs at
+    higher thresholds with 4+ rows per band (see minhash_canonical /
+    minhash_duplicate_pairs defaults), where candidates stay
+    duplicate-rate-bounded; the driver-side np.unique here is sized to the
+    fixture-scale candidate set that the exhaustive SQL oracle can verify."""
     import ray.data as rd
 
     from joi_ray.ops.dedup import MinHashStage, ngram_jaccard
