@@ -1240,6 +1240,17 @@ def _q_simhash_pairs(sf_dir: str):
     return pa.table({"n_pairs": pa.array([pairs.count()], pa.int64())})
 
 
+def _q_token_top20(sf_dir: str):
+    """Corpus vocabulary sweep: top-20 token frequencies (two-phase count,
+    vocabulary-sized shuffle — ops/text.py token_top_k)."""
+    import ray.data as rd
+
+    from joi_ray.ops.text import token_top_k
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return token_top_k(ds, "text", k=20)
+
+
 def _q_lang_distribution(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count
@@ -1434,6 +1445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": _q_minhash_pairs,
         "simhash_near_dups": _q_simhash_pairs,
         "lang_id_distribution": _q_lang_distribution,
+        "token_top20": _q_token_top20,
         "drift_halves": _q_drift,
         "media_features": _q_media_features,
         "embedding_near_dups": _q_embedding_dups,
@@ -1695,6 +1707,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE m / (sa.n + sb.n - m) >= 0.4
+        """,
+        "token_top20": """
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '\\w+')) AS token
+              FROM documents
+            )
+            SELECT token, count(*) AS n FROM toks
+            GROUP BY token ORDER BY n DESC, token LIMIT 20
         """,
         "lang_id_distribution": """
             WITH scored AS (

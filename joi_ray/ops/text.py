@@ -113,3 +113,37 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text", *, normalize: boo
     s = col.to_pandas()
     h = pd.util.hash_pandas_object(s, index=False).to_numpy(dtype=np.uint64)
     return batch.append_column("fingerprint", pa.array(h.astype(np.int64)))
+
+
+def token_top_k(ds, text_col: str = "text", *, k: int = 20, lowercase: bool = True):
+    """Corpus-wide top-k token frequencies — the canonical vocabulary sweep.
+
+    Scale shape: tokens explode batch-locally with Arrow's RE2 extractor,
+    collapse to per-batch (token, count) partials (bounded by per-batch
+    vocabulary, not token occurrences), reduce with ONE native groupby-sum
+    keyed on token, and take the global top-k with a tiny sort.  No Python
+    loops, no corpus-sized driver state — the only all-to-all sees the
+    vocabulary, pre-compressed ~occurrences/vocab-fold by the partials."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from .._env import REMOTE_KWARGS
+
+    def partials(batch: pa.Table) -> pa.Table:
+        s = pc.fill_null(batch[text_col].combine_chunks(), "")
+        if lowercase:
+            s = pc.utf8_lower(s)
+        flat = pc.list_flatten(pc.split_pattern_regex(s, r"\W+"))
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        vc = pc.value_counts(flat)
+        return pa.table({
+            "token": vc.field("values"),
+            "partial_n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    p = ds.map_batches(partials, batch_format="pyarrow", **REMOTE_KWARGS)
+    totals = p.groupby("token").aggregate(Sum("partial_n", alias_name="n"))
+    top = totals.sort(["n", "token"], descending=[True, False]).limit(k)
+    return top.map_batches(
+        lambda t: pa.table({"token": t["token"], "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow", **REMOTE_KWARGS)

@@ -195,3 +195,15 @@ def test_minhash_canonical_no_dups(ray_session, tmp_path):
     ds = rd.from_pandas(pd.DataFrame(rows))
     out = minhash_canonical(ds, "text", "id", scratch_dir=str(tmp_path / "b"))
     assert len(out) == 0
+
+
+def test_token_top_k(ray_session):
+    import ray.data as rd
+
+    from joi_ray.ops.text import token_top_k
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "text": ["the cat sat", "the cat", "THE dog", None, "a-b the"]}))
+    top = token_top_k(ds, "text", k=2).take_all()
+    assert top[0] == {"token": "the", "n": 4}
+    assert top[1]["token"] == "cat" and top[1]["n"] == 2
