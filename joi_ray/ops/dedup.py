@@ -318,7 +318,15 @@ def minhash_canonical(ds, text_col: str, id_col: str, *, num_perm: int = 64, ban
     # object store can't hold docs x bands rows even spilled (signatures are
     # never recomputed either way).
     if scratch_dir is not None:
-        banded.write_parquet(scratch_dir)
+        import os
+
+        marker = os.path.join(scratch_dir, "_BANDS_DONE")
+        if not os.path.exists(marker):
+            banded.write_parquet(scratch_dir)
+            with open(marker, "w") as f:
+                f.write("ok")
+        # resume: a completed band spill is reused — signatures are never
+        # recomputed across job restarts
         banded = ray.data.read_parquet(scratch_dir)
     else:
         banded = banded.materialize()

@@ -207,3 +207,28 @@ def test_token_top_k(ray_session):
     top = token_top_k(ds, "text", k=2).take_all()
     assert top[0] == {"token": "the", "n": 4}
     assert top[1]["token"] == "cat" and top[1]["n"] == 2
+
+
+def test_minhash_canonical_scratch_resume(ray_session, tmp_path):
+    """A completed band spill is reused on rerun (marker file) — the
+    resumable-artifact contract of scratch_dir."""
+    import os
+    import time
+
+    import ray.data as rd
+
+    from joi_ray.ops.dedup import minhash_canonical
+
+    rows = [{"id": f"d{i}", "text": " ".join(f"w{i*31+j}q{j*17+i}" for j in range(30))} for i in range(20)]
+    rows += [{"id": "zz1", "text": "alpha beta gamma delta " * 20},
+             {"id": "zz2", "text": "alpha beta gamma delta " * 20}]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    sd = str(tmp_path / "bands")
+    out1 = minhash_canonical(ds, "text", "id", scratch_dir=sd)
+    assert os.path.exists(os.path.join(sd, "_BANDS_DONE"))
+    mtimes = {f: os.path.getmtime(os.path.join(sd, f)) for f in os.listdir(sd)}
+    time.sleep(0.05)
+    out2 = minhash_canonical(ds, "text", "id", scratch_dir=sd)
+    # spill untouched on rerun; result identical
+    assert mtimes == {f: os.path.getmtime(os.path.join(sd, f)) for f in os.listdir(sd)}
+    assert sorted(map(tuple, out1.values)) == sorted(map(tuple, out2.values))
