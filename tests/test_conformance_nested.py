@@ -284,3 +284,21 @@ def test_array_sort_null_placement():
         [True, True, True, False, False], prefs={"convert": False})
     codes = {v["code"] for v in res.violations.to_pylist()}
     assert "array.sort" in codes
+
+
+def test_when_forks_valid_sets():
+    """when() concat semantics on valid sets (test/base.js:2765-2805:
+    'forks type into alternatives'): branch valids merge with the base's."""
+    root = obj({
+        "a": jr.number(),
+        "b": jr.string().valid("x").when(
+            "a", is_=5, then=jr.string().valid("y"), otherwise=jr.string().valid("z")),
+    })
+    t = pa.table({
+        "a": [5.0, 5.0, 5.0, 1.0, 1.0, 1.0],
+        "b": ["x", "y", "z", "x", "z", "y"],
+    })
+    res = compile_schema(root, prefs={"abort_early": False}).validate_table(t)
+    assert list(res.ok) == [True, True, False, True, True, False], res.violations.to_pylist()
+    codes = {(v["row"], v["code"]) for v in res.violations.to_pylist()}
+    assert (2, "any.only") in codes and (5, "any.only") in codes
