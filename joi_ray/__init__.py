@@ -82,7 +82,16 @@ __all__ = [
     "compile_schema",
     "DEFAULT_PREFS",
     "VIOLATION_SCHEMA",
+    "Template",
+    "expression",
+    "x",
 ]
+
+# template factory parity (reference lib/index.js:123 `Joi.expression`,
+# alias `Joi.x`): compile a message/rename template once
+from .kernels.template import Template, compile_template as expression
+
+x = expression
 
 __version__ = "0.1.0"
 

@@ -163,3 +163,13 @@ def test_error_callable_none_keeps_default():
 def test_error_rejects_other_types():
     with pytest.raises(TypeError):
         jr.number().error(42)
+
+
+def test_expression_factory_parity():
+    """Joi.expression / Joi.x parity (lib/index.js:123,71): compile a
+    template once, cached."""
+    import joi_ray as jrx
+
+    t = jrx.x("{#a} and {#b}")
+    assert t is jrx.expression("{#a} and {#b}")
+    assert t.render(lambda n: {"#a": 1, "#b": "two"}[n]) == "1 and two"
