@@ -396,11 +396,19 @@ def minhash_canonical(ds, text_col: str, id_col: str, *, num_perm: int = 64, ban
 
         pre = joined.map_batches(precollapse, batch_format="pyarrow", **REMOTE_KWARGS)
 
-    canon = pre.groupby(id_col).aggregate(Min("pmin", alias_name="canonical"))
     if output_path is not None:
+        # scale path: the canonical=min collapse stays a dataset shuffle and
+        # the result is written partitioned, never collected
+        canon = pre.groupby(id_col).aggregate(Min("pmin", alias_name="canonical"))
         canon.write_parquet(output_path)
         return canon
-    out = canon.to_pandas()
+    # in-memory result mode: `pre` is already per-batch-collapsed, so its
+    # size is within a small factor of the RESULT the caller is about to
+    # hold anyway (dup docs, +1 row per batch a doc spans) — finish the min
+    # on the driver instead of paying a Ray aggregate's per-group overhead
+    pre_t = pa.concat_tables(ray.get(pre.to_arrow_refs())).to_pandas()
+    out = (pre_t.groupby(id_col, as_index=False)["pmin"].min()
+           .rename(columns={"pmin": "canonical"}))
     return out[[id_col, "canonical"]]
 
 
