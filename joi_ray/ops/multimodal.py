@@ -2,12 +2,14 @@
 metadata; decode / resize / feature-extract / frame-sample as actor-pool
 map_batches stages.
 
-The container has no image/audio libraries, so the *decode kernels* are
-stubbed: ``PIL``/``soundfile`` are probed with import-try, and absent
-libraries fall back to a clearly-marked deterministic fake decoder (header
-parse of the synthetic payload).  Everything Ray-side — schema, batch
-sizing, actor signature, output layout — is real and tested, so swapping in
-a real decoder is a one-function change.
+Metadata extraction is REAL: payloads are synthesized as genuine minimal
+containers (PNG / WAV / GIF89a) and the decode stage sniffs + parses the
+actual format headers (PNG IHDR, JPEG SOF walk, GIF descriptor-block walk,
+RIFF/WAVE chunk walk) with pure stdlib.  Only full pixel/sample decode is
+stubbed behind the ``PIL``/``soundfile`` import-try (the libraries are not
+in this container); everything Ray-side — schema, batch sizing, actor
+signature, output layout — is real and tested, so the remaining swap-in is
+one function.
 """
 
 from __future__ import annotations
@@ -29,10 +31,46 @@ except ImportError:
     HAVE_PIL = False
 
 
+import struct
+import zlib
+
+
+def _png_bytes(w: int, h: int) -> bytes:
+    """A genuine minimal PNG: signature + IHDR chunk (real CRC) + IEND."""
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr)) + chunk + struct.pack(">I", zlib.crc32(chunk))
+            + struct.pack(">I", 0) + b"IEND" + struct.pack(">I", zlib.crc32(b"IEND")))
+
+
+def _wav_bytes(n_samples: int, body_seed: int) -> bytes:
+    """A genuine minimal WAV: RIFF/WAVE with fmt (PCM mono 16-bit 8kHz) and
+    a data chunk of n_samples frames."""
+    block_align = 2
+    data = (body_seed % 251).to_bytes(1, "little") * (n_samples * block_align)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * block_align, block_align, 16)
+    riff_size = 4 + (8 + len(fmt)) + (8 + len(data))
+    return (b"RIFF" + struct.pack("<I", riff_size) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def _gif_bytes(w: int, h: int, frames: int) -> bytes:
+    """A GIF89a container skeleton: real logical-screen header plus one
+    image-descriptor block per frame (pixel data omitted — the block walk
+    is what the decoder parses)."""
+    head = b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+    desc = b"".join(b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00" for _ in range(frames))
+    return head + desc + b"\x3b"
+
+
 def synth_media_payload(media_refs: pa.Array) -> pa.Array:
-    """Deterministic fake binary payloads for asset refs: 16-byte header
-    (magic, kind, w, h, frames derived from the ref hash) + pseudo-random
-    body.  Stands in for reading object-store bytes."""
+    """Deterministic binary payloads for asset refs in REAL container
+    formats — minimal PNG (image), WAV (audio) and GIF89a skeleton (video)
+    with dimensions/frame counts derived from the ref hash.  Stands in for
+    reading object-store bytes; the decode stage then parses the actual
+    container headers."""
     import pandas as pd
 
     refs = media_refs.to_pandas().fillna("")
@@ -46,36 +84,82 @@ def synth_media_payload(media_refs: pa.Array) -> pa.Array:
         w, hgt = 16 + hv % 240, 16 + (hv >> 8) % 240
         frames = 1 + (hv >> 16) % 8
         kind_code = hv % 3
-        header = b"JRMM" + bytes([kind_code]) + w.to_bytes(2, "little") + hgt.to_bytes(2, "little") + frames.to_bytes(2, "little") + b"\x00" * 5
-        body = (hv % 251).to_bytes(1, "little") * min(64 + hv % 192, 255)
-        out.append(header + body)
+        if kind_code == 0:
+            out.append(_png_bytes(w, hgt))
+        elif kind_code == 1:
+            out.append(_wav_bytes(frames * 16, hv))
+        else:
+            out.append(_gif_bytes(w, hgt, frames))
     return pa.array(out, type=pa.binary())
 
 
-class MediaDecodeStage:
-    """binary payload -> typed metadata struct.  Real decoder when PIL is
-    available; deterministic header parse otherwise.  batch_size should be
-    small (payloads are wide rows) — callers pass e.g. batch_size=256."""
+def _parse_media_header(b: bytes):
+    """REAL container-format sniffing + header parse (pure stdlib — no
+    imaging library needed for metadata):
 
-    KINDS = ["image", "audio", "video"]
+    - PNG:  signature + IHDR width/height (big-endian)
+    - JPEG: SOI, walk segments to SOF0/1/2 for height/width
+    - GIF:  logical screen descriptor + image-descriptor block count
+    - WAV:  RIFF/WAVE fmt block_align + data size -> frame count
+    - JRMM: the legacy synthetic 16-byte header (back-compat)
+
+    Returns (kind, width, height, n_frames) or Nones."""
+    if not b or len(b) < 12:
+        return None, None, None, None
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR" and len(b) >= 24:
+        w, h = struct.unpack(">II", b[16:24])
+        return "image", w, h, 1
+    if b[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOF marker
+        i = 2
+        while i + 4 <= len(b) and b[i] == 0xFF:
+            marker, seglen = b[i + 1], struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if marker in (0xC0, 0xC1, 0xC2) and i + 9 <= len(b):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return "image", w, h, 1
+            i += 2 + seglen
+        return "image", None, None, 1
+    if b[:6] in (b"GIF89a", b"GIF87a") and len(b) >= 13:
+        w, h = struct.unpack("<HH", b[6:10])
+        # walk image-descriptor blocks (0x2C + 9-byte descriptor)
+        i, frames = 13, 0
+        while i < len(b) and b[i] == 0x2C:
+            frames += 1
+            i += 10
+        return "video", w, h, max(frames, 1)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        i, block_align, data_size = 12, 2, 0
+        while i + 8 <= len(b):
+            cid, clen = b[i : i + 4], struct.unpack("<I", b[i + 4 : i + 8])[0]
+            if cid == b"fmt " and i + 22 <= len(b):
+                block_align = struct.unpack("<H", b[i + 20 : i + 22])[0] or 2
+            elif cid == b"data":
+                data_size = clen
+            i += 8 + clen + (clen & 1)
+        return "audio", None, None, data_size // block_align
+    if b[:4] == b"JRMM" and len(b) >= 16:  # legacy synthetic header
+        kinds = ["image", "audio", "video"]
+        return (kinds[b[4] % 3], int.from_bytes(b[5:7], "little"),
+                int.from_bytes(b[7:9], "little"), int.from_bytes(b[9:11], "little"))
+    return None, None, None, None
+
+
+class MediaDecodeStage:
+    """binary payload -> typed metadata struct via REAL container-header
+    parsing (PNG/JPEG/GIF/WAV — see ``_parse_media_header``).  Full pixel /
+    sample decode remains the PIL/soundfile hook below.  batch_size should
+    be small (payloads are wide rows) — callers pass e.g. batch_size=256."""
 
     def __init__(self, payload_col: str = "payload", out_col: str = "media_meta"):
         self.payload_col, self.out_col = payload_col, out_col
         if HAVE_PIL:  # pragma: no cover
-            raise NotImplementedError("real PIL decode path: implement when the lib ships")
+            raise NotImplementedError("full pixel decode path: implement when the lib ships")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].combine_chunks()
-        buf = payloads.to_pylist()
         kinds, ws, hs, fs = [], [], [], []
-        for b in buf:
-            if not b or len(b) < 16 or b[:4] != b"JRMM":
-                kinds.append(None), ws.append(None), hs.append(None), fs.append(None)
-                continue
-            kinds.append(self.KINDS[b[4] % 3])
-            ws.append(int.from_bytes(b[5:7], "little"))
-            hs.append(int.from_bytes(b[7:9], "little"))
-            fs.append(int.from_bytes(b[9:11], "little"))
+        for b in payloads.to_pylist():
+            k, w, h, f = _parse_media_header(b)
+            kinds.append(k), ws.append(w), hs.append(h), fs.append(f)
         meta = pa.StructArray.from_arrays(
             [
                 pa.array(kinds, pa.string()),
@@ -100,11 +184,19 @@ class MediaFeatureStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].combine_chunks().to_pylist()
-        feats = np.zeros((len(payloads), self.dim), dtype=np.float32)
-        for i, b in enumerate(payloads):
-            if b:
-                hist = np.bincount(np.frombuffer(b, dtype=np.uint8), minlength=256).astype(np.float32)
-                feats[i] = (hist / max(len(b), 1)) @ self.proj
+        n = len(payloads)
+        feats = np.zeros((n, self.dim), dtype=np.float32)
+        idx = [i for i, b in enumerate(payloads) if b]
+        if idx:
+            bufs = [payloads[i] for i in idx]
+            lens = np.array([len(b) for b in bufs], dtype=np.int64)
+            # one flat bincount for the whole batch: (row*256 + byte) keys
+            flat = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.int64)
+            rows = np.repeat(np.arange(len(bufs), dtype=np.int64), lens)
+            hist = (np.bincount(rows * 256 + flat, minlength=len(bufs) * 256)
+                    .reshape(len(bufs), 256).astype(np.float32))
+            hist /= np.maximum(lens, 1)[:, None]
+            feats[idx] = hist @ self.proj
         col = pa.FixedSizeListArray.from_arrays(pa.array(feats.reshape(-1)), self.dim)
         return batch.append_column("media_features", col)
 

@@ -151,7 +151,11 @@ def test_multimodal_plumbing(ray_session):
     )
     media = media_pipeline(ds, concurrency=2, batch_size=128)
     rows = media.take(50)
-    assert all(r["media_meta"]["width"] >= 16 for r in rows if r["media_meta"] is not None)
+    metas = [r["media_meta"] for r in rows if r["media_meta"] is not None]
+    assert metas and all(m["kind"] in ("image", "audio", "video") for m in metas)
+    # real container parsing: visual kinds carry dimensions, audio a frame count
+    assert all(m["width"] >= 16 for m in metas if m["kind"] in ("image", "video"))
+    assert all(m["n_frames"] >= 1 for m in metas)
     assert all(len(r["media_features"]) == 32 for r in rows)
 
 
@@ -232,3 +236,25 @@ def test_minhash_canonical_scratch_resume(ray_session, tmp_path):
     # spill untouched on rerun; result identical
     assert mtimes == {f: os.path.getmtime(os.path.join(sd, f)) for f in os.listdir(sd)}
     assert sorted(map(tuple, out1.values)) == sorted(map(tuple, out2.values))
+
+
+def test_media_header_parsing_real_formats():
+    """_parse_media_header does REAL container parsing: PNG IHDR, JPEG SOF,
+    GIF screen descriptor + block walk, WAV fmt/data chunks."""
+    import struct
+
+    from joi_ray.ops.multimodal import (_gif_bytes, _parse_media_header,
+                                        _png_bytes, _wav_bytes)
+
+    assert _parse_media_header(_png_bytes(320, 200)) == ("image", 320, 200, 1)
+    assert _parse_media_header(_gif_bytes(64, 48, 5)) == ("video", 64, 48, 5)
+    kind, w, h, frames = _parse_media_header(_wav_bytes(1000, 7))
+    assert (kind, frames) == ("audio", 1000)
+    # hand-built minimal JPEG: SOI + SOF0 with dims + EOI
+    sof = b"\xff\xc0" + struct.pack(">H", 8 + 3) + b"\x08" + struct.pack(">HH", 99, 77) + b"\x03\x00\x00\x00"
+    jpg = b"\xff\xd8" + sof + b"\xff\xd9"
+    assert _parse_media_header(jpg) == ("image", 77, 99, 1)
+    # legacy synthetic header still recognized
+    legacy = b"JRMM" + bytes([0]) + (20).to_bytes(2, "little") + (30).to_bytes(2, "little") + (2).to_bytes(2, "little") + b"\x00" * 5
+    assert _parse_media_header(legacy) == ("image", 20, 30, 2)
+    assert _parse_media_header(b"garbage") == (None, None, None, None)
