@@ -143,3 +143,20 @@ def test_boolean_truthy_case_sensitivity():
         jr.boolean().truthy("Y").insensitive(False),
         [("y", False, "boolean.base"), ("Y", True), ("true", True), ("TRUE", False)],
     )
+
+
+def test_binary_valid_buffer_content():
+    """binary().valid(buffer) matches both coerced strings and buffers
+    (test/types/binary.js:32-50)."""
+    import pyarrow as pa
+
+    from joi_ray import compile_schema, object as obj
+
+    root = obj({"b": jr.binary().valid(b"hello")})
+    res = compile_schema(root, prefs={"abort_early": False}).validate_table(
+        pa.table({"b": pa.array(["hello", "goodbye"], pa.string())}))
+    assert list(res.ok) == [True, False]
+    assert res.violations.to_pylist()[0]["code"] == "any.only"
+    res2 = compile_schema(root, prefs={"abort_early": False}).validate_table(
+        pa.table({"b": pa.array([b"hello", b"nope"], pa.binary())}))
+    assert list(res2.ok) == [True, False]
