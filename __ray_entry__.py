@@ -553,34 +553,71 @@ def _q_asof_last_order(sf_dir: str):
 
 
 def _q_events_running(sf_dir: str):
-    """Running per-user aggregate: sort by ts within the user group, cumsum
-    value (ordered stateful computation via groupby().map_groups).  Groups
-    here are per-user event streams (many rows each), not singletons, so
-    map_groups' per-group overhead amortizes; the fully sort-based
-    alternative (global sort + per-batch cumsum + batch-offset healing, as
-    implemented for events_sessions) is the swap-in if user counts ever
-    dominate row counts."""
+    """Running per-user cumulative sum, fully sort-based — no per-user
+    map_groups.  ONE global sort by (user_id, ts, event_id); pass A emits a
+    single carry-descriptor row per BLOCK (first/last user, tail sums); the
+    driver walks blocks in order (first-row keys are non-decreasing under
+    the sort) accumulating a carry, producing one offset per block — only a
+    block's FIRST user can continue from earlier blocks, so driver state is
+    ∝ block count; pass B re-scans the same materialized blocks
+    (batch_size=None -> batch == block, deterministic across passes),
+    computes the in-block per-user cumsum vectorized, and adds the
+    broadcast offset to the first user's rows."""
+    import ray
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+    # order-preserving repartition after the sort keeps the carry path
+    # exercised at fixture scale (many blocks -> many user-straddling edges)
+    ds = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["event_id", "user_id", "ts", "value"])
+          .sort(["user_id", "ts", "event_id"]).repartition(12).materialize())
 
-    def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        g["running_value"] = g["value"].cumsum().round(4)
-        return g[["event_id", "user_id", "running_value"]]
+    def pass_a(t: pa.Table) -> pa.Table:
+        u = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["value"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        e = t["event_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        first_u, last_u = int(u[0]), int(u[-1])
+        tail_sum = float(v[u == last_u].sum())
+        head_sum = float(v[u == first_u].sum())
+        return pa.table({
+            "bk_u": pa.array([first_u]), "bk_e": pa.array([int(e[0])]),
+            "first_user": pa.array([first_u]), "last_user": pa.array([last_u]),
+            "head_sum": pa.array([head_sum]), "tail_sum": pa.array([tail_sum]),
+        })
 
-    out = ds.groupby("user_id").map_groups(running, batch_format="pandas", **REMOTE_KWARGS)
+    descs = (pa.concat_tables(ray.get(
+        ds.map_batches(pass_a, batch_format="pyarrow", batch_size=None,
+                       **REMOTE_KWARGS).to_arrow_refs()))
+        .to_pandas().sort_values(["bk_u", "bk_e"]).reset_index(drop=True))
+    offsets: dict[tuple, float] = {}
+    carry_user, carry_sum = None, 0.0
+    for r in descs.itertuples(index=False):
+        off = carry_sum if carry_user == int(r.first_user) else 0.0
+        if off:
+            offsets[(int(r.bk_u), int(r.bk_e))] = off
+        if int(r.first_user) == int(r.last_user):
+            carry_sum = off + float(r.tail_sum)
+        else:
+            carry_sum = float(r.tail_sum)
+        carry_user = int(r.last_user)
+    oref = ray.put(offsets)
 
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "event_id": pc.cast(t["event_id"], pa.int64()),
-                "user_id": pc.cast(t["user_id"], pa.int64()),
-                "running_value": t["running_value"],
-            }
-        )
+    def pass_b(t: pa.Table) -> pa.Table:
+        offs = ray.get(oref)
+        u = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["value"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        e = t["event_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        run = pd.Series(v).groupby(pd.Series(u), sort=False).cumsum().to_numpy()
+        off = offs.get((int(u[0]), int(e[0])), 0.0)
+        if off:
+            run = run + np.where(u == u[0], off, 0.0)
+        return pa.table({
+            "event_id": pa.array(e),
+            "user_id": pa.array(u),
+            "running_value": pa.array(np.round(run, 4)),
+        })
 
-    return out.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
+    return ds.map_batches(pass_b, batch_format="pyarrow", batch_size=None, **REMOTE_KWARGS)
 
 
 def _q_val_props_json(sf_dir: str):

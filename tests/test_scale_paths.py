@@ -66,3 +66,36 @@ def test_uniqueness_hot_key(ray_session):
     dups = uniqueness_pass_hashed(factory)
     rows = {r["doc_id"]: r["n"] for r in dups.take_all()}
     assert rows == {"hot": 50_000, "warm": 3}
+
+
+def test_running_carry_randomized(ray_session):
+    """events_running (sort + block carry offsets) must match a direct
+    pandas per-user cumsum for random inputs; the query repartitions into
+    12 blocks so users straddle block edges."""
+    import os
+    import sys
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    rng = np.random.default_rng(11)
+    n_users, n_events = 12, 1500
+    df = pd.DataFrame({
+        "event_id": np.arange(n_events, dtype=np.int64),
+        "user_id": rng.integers(0, n_users, n_events).astype(np.int64),
+        "ts": (np.datetime64("2024-01-01", "us")
+               + rng.integers(0, 3600_000, n_events).astype("timedelta64[ms]")),
+        "value": rng.random(n_events),
+    })
+    d = tempfile.mkdtemp(prefix="run_rand_")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), os.path.join(d, "events.parquet"))
+
+    got = entry._q_events_running(d).to_pandas().sort_values("event_id").reset_index(drop=True)
+    ref = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    ref["running_value"] = ref.groupby("user_id")["value"].cumsum().round(4)
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    assert np.allclose(got["running_value"], ref["running_value"], atol=1e-9)
+    assert (got["user_id"].to_numpy() == ref["user_id"].to_numpy()).all()
