@@ -576,11 +576,13 @@ def _q_events_running(sf_dir: str):
         u = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         v = t["value"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
         e = t["event_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = pc.cast(t["ts"].combine_chunks(), pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
         first_u, last_u = int(u[0]), int(u[-1])
         tail_sum = float(v[u == last_u].sum())
         head_sum = float(v[u == first_u].sum())
         return pa.table({
-            "bk_u": pa.array([first_u]), "bk_e": pa.array([int(e[0])]),
+            "bk_u": pa.array([first_u]), "bk_t": pa.array([int(ts[0])]),
+            "bk_e": pa.array([int(e[0])]),
             "first_user": pa.array([first_u]), "last_user": pa.array([last_u]),
             "head_sum": pa.array([head_sum]), "tail_sum": pa.array([tail_sum]),
         })
@@ -588,7 +590,7 @@ def _q_events_running(sf_dir: str):
     descs = (pa.concat_tables(ray.get(
         ds.map_batches(pass_a, batch_format="pyarrow", batch_size=None,
                        **REMOTE_KWARGS).to_arrow_refs()))
-        .to_pandas().sort_values(["bk_u", "bk_e"]).reset_index(drop=True))
+        .to_pandas().sort_values(["bk_u", "bk_t", "bk_e"]).reset_index(drop=True))
     offsets: dict[tuple, float] = {}
     carry_user, carry_sum = None, 0.0
     for r in descs.itertuples(index=False):
