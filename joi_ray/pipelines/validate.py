@@ -669,3 +669,29 @@ def validate_ds(ds, schema, *, id_column="doc_id", prefs=None, catalog=None, ref
         concurrency=concurrency, **REMOTE_KWARGS)
     return out.map_batches(
         lambda t: t.filter(pc.not_equal(t["severity"], "meta")), batch_format="pyarrow", **REMOTE_KWARGS)
+
+
+def rebalance_if_skewed(ds, *, factor: float = 4.0):
+    """Skew-aware repartitioning (SURVEY.md §7.3): inspect per-block row
+    counts from block METADATA (no data touched) and, when the largest
+    block exceeds ``factor`` x the median, rebalance rows evenly across the
+    same number of blocks so stragglers stop gating map stages.
+
+    Key co-location is deliberately NOT this helper's job — every keyed
+    stage in the engine (uniqueness, dedup joins, grouped aggregates)
+    hash-partitions internally through groupby/join; what skewed inputs
+    hurt is task granularity, which an order-preserving repartition fixes.
+    Returns a MaterializedDataset either way (callers reuse it for
+    multiple passes)."""
+    mat = ds if hasattr(ds, "iter_internal_ref_bundles") and type(ds).__name__ == "MaterializedDataset" else ds.materialize()
+    rows = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for _, meta in bundle.blocks:
+            if meta.num_rows is not None:
+                rows.append(meta.num_rows)
+    if len(rows) < 2:
+        return mat
+    med = max(sorted(rows)[(len(rows) - 1) // 2], 1)
+    if max(rows) / med > factor:
+        return mat.repartition(len(rows)).materialize()
+    return mat

@@ -99,3 +99,21 @@ def test_running_carry_randomized(ray_session):
     ref = ref.sort_values("event_id").reset_index(drop=True)
     assert np.allclose(got["running_value"], ref["running_value"], atol=1e-9)
     assert (got["user_id"].to_numpy() == ref["user_id"].to_numpy()).all()
+
+
+def test_rebalance_if_skewed(ray_session):
+    """Metadata-only skew detection + even rebalance; balanced inputs pass
+    through untouched."""
+    import ray.data as rd
+
+    from joi_ray.pipelines.validate import rebalance_if_skewed
+
+    skewed = (rd.from_arrow(pa.table({"x": list(range(100_000))}))
+              .union(rd.from_arrow(pa.table({"x": [1, 2, 3]}))).materialize())
+    fixed = rebalance_if_skewed(skewed)
+    rows = sorted(m.num_rows for b in fixed.iter_internal_ref_bundles() for _, m in b.blocks)
+    assert max(rows) / max(min(rows), 1) < 4 and sum(rows) == 100_003
+
+    balanced = rd.from_arrow(pa.table({"x": list(range(1000))})).repartition(4).materialize()
+    same = rebalance_if_skewed(balanced)
+    assert sum(m.num_rows for b in same.iter_internal_ref_bundles() for _, m in b.blocks) == 1000
