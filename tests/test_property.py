@@ -194,3 +194,65 @@ def test_epoch_date_min_matches_reference(secs):
             expect = v >= cutoff - 25200  # 2001-09-09T00:00 UTC epoch = 999993600
             expect = v * 1000 >= 999993600000
         assert ok == expect, (v, ok)
+
+
+@st.composite
+def _rand_schema(draw):
+    kind = draw(st.sampled_from(["string", "number"]))
+    if kind == "string":
+        s = jr.string()
+        if draw(st.booleans()):
+            s = s.min(draw(st.integers(0, 5)))
+        if draw(st.booleans()):
+            s = s.max(draw(st.integers(5, 12)))
+        if draw(st.booleans()):
+            s = s.pattern(draw(st.sampled_from([r"^[a-z]+$", r"\d", r"^x"])))
+        if draw(st.booleans()):
+            s = s.valid("abc", "xy", "x1")
+        if draw(st.booleans()):
+            s = s.lowercase()
+    else:
+        s = jr.number()
+        if draw(st.booleans()):
+            s = s.min(draw(st.integers(-5, 0)))
+        if draw(st.booleans()):
+            s = s.max(draw(st.integers(1, 9)))
+        if draw(st.booleans()):
+            s = s.integer()
+        if draw(st.booleans()):
+            s = s.multiple(draw(st.integers(2, 4)))
+    if draw(st.booleans()):
+        s = s.required()
+    if draw(st.booleans()):
+        s = s.error("custom {#limit} msg")
+    if draw(st.booleans()):
+        s = s.message("rule-level override")
+    return kind, s
+
+
+@given(_rand_schema(), st.data())
+@settings(max_examples=60, deadline=None)
+def test_json_roundtrip_validates_identically(ks, data):
+    """build(from_json(to_json(s))) must validate EXACTLY like s — ok mask,
+    codes, messages and normalized values — for randomly composed schemas
+    (the manifest-IR faithfulness invariant, test/helper.js:25-27)."""
+    from joi_ray.spec import from_json
+
+    kind, s = ks
+    root = jr_object({"v": s})
+    rt = from_json(root.to_json())
+    if kind == "string":
+        vals = data.draw(st.lists(st.one_of(st.none(), st.text(
+            alphabet="abcxyz019 X", max_size=12)), min_size=1, max_size=20))
+        arr = pa.array(vals, type=pa.string())
+    else:
+        vals = data.draw(st.lists(st.one_of(st.none(), st.integers(-9, 9).map(float),
+                                            st.floats(-9, 9, allow_nan=False)),
+                                  min_size=1, max_size=20))
+        arr = pa.array(vals, type=pa.float64())
+    t = pa.table({"v": arr})
+    a = compile_schema(root, prefs={"abort_early": False}).validate_table(t)
+    b = compile_schema(rt, prefs={"abort_early": False}).validate_table(t)
+    assert list(a.ok) == list(b.ok)
+    assert a.violations.to_pylist() == b.violations.to_pylist()
+    assert a.value["v"].to_pylist() == b.value["v"].to_pylist()
