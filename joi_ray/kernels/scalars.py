@@ -80,11 +80,21 @@ def coerce_date(arr: pa.Array, env: Env, flags: dict):
         out = pc.cast(ms, ts)
         return out, np.zeros(n, dtype=bool)
     if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
-        parsed = pd.to_datetime(arr.to_pandas(), errors="coerce", utc=True, format="ISO8601")
+        s = arr.to_pandas()
+        parsed = pd.to_datetime(s, errors="coerce", utc=True, format="ISO8601")
         try:
             parsed = parsed.dt.tz_localize(None)
         except (TypeError, AttributeError):
             pass
+        if fmt != "iso":
+            # default (javascript) format also accepts numeric strings as
+            # ms-epoch (date.js:178-183: /^[+-]?\d+(\.\d+)?$/ -> Number);
+            # unix format interprets them as seconds
+            numeric = s.str.fullmatch(r"[+-]?\d+(\.\d+)?", na=False)
+            if numeric.any():
+                vals = pd.to_numeric(s, errors="coerce") * (1000 if fmt == "s" else 1)
+                as_ms = pd.to_datetime(vals, unit="ms", errors="coerce")
+                parsed = parsed.where(~numeric, as_ms)
         out = pa.Array.from_pandas(parsed.astype("datetime64[ms]"), type=ts)
         fail = as_bool_np(pc.is_null(out), n) & ~was_null
         return out, fail

@@ -160,3 +160,23 @@ def test_binary_valid_buffer_content():
     res2 = compile_schema(root, prefs={"abort_early": False}).validate_table(
         pa.table({"b": pa.array([b"hello", b"nope"], pa.binary())}))
     assert list(res2.ok) == [True, False]
+
+
+def test_date_numeric_strings_default_format():
+    """Default (javascript) date format accepts numeric strings as
+    ms-epochs (date.js:178-183); iso() still rejects them
+    (test/types/date.js:200-252 'validates greater' vectors)."""
+    import pyarrow as pa
+
+    from joi_ray import compile_schema, object as obj
+
+    root = obj({"d": jr.date().greater("2000-01-01T00:00:00Z")})
+    t = pa.table({"d": pa.array(
+        ["2001-01-01", "2000-01-01T00:00:00Z", "0", "-1", "1999-01-01", "978307200001"],
+        pa.string())})
+    res = compile_schema(root, prefs={"abort_early": False}).validate_table(t)
+    assert list(res.ok) == [True, False, False, False, False, True]
+    assert all(v["code"] == "date.greater" for v in res.violations.to_pylist())
+    r2 = compile_schema(obj({"d": jr.date().iso()}), prefs={"abort_early": False}).validate_table(
+        pa.table({"d": pa.array(["123456", "2024-01-01"], pa.string())}))
+    assert list(r2.ok) == [False, True]
