@@ -93,6 +93,37 @@ from .kernels.template import Template, compile_template as expression
 
 x = expression
 
+
+def is_schema(value) -> bool:
+    """``Joi.isSchema`` analog (lib/index.js:162)."""
+    from .spec import Schema as _Schema
+
+    return isinstance(value, _Schema)
+
+
+# root-level shortcuts (lib/index.js:54-59): jr.required() == jr.any_().required()
+def _root_shortcut(method):
+    def fn(*args, **kwargs):
+        return getattr(any_(), method)(*args, **kwargs)
+
+    fn.__name__ = method
+    fn.__doc__ = f"Root shortcut: ``jr.{method}(...)`` == ``jr.any_().{method}(...)``."
+    return fn
+
+
+allow = _root_shortcut("allow")
+disallow = _root_shortcut("disallow")
+equal = _root_shortcut("equal")
+exist = _root_shortcut("exist")
+forbidden = _root_shortcut("forbidden")
+invalid = _root_shortcut("invalid")
+not_ = _root_shortcut("not_")
+optional = _root_shortcut("optional")
+preferences = _root_shortcut("preferences")
+required = _root_shortcut("required")
+valid = _root_shortcut("valid")
+when = _root_shortcut("when")
+
 __version__ = "0.1.0"
 
 # workers must be able to unpickle joi_ray-named stage callables regardless

@@ -104,3 +104,20 @@ def test_abort_early_row_semantics():
     assert len(res.violations) == 1
     res2 = check(jr.string().min(5).pattern(r"^\d+$"), [("ab", False, "string.min")], abort_early=False)
     assert len(res2.violations) == 2
+
+
+def test_root_shortcuts():
+    """Root-level shortcuts (lib/index.js:54-59): jr.required() etc. are
+    any() sugar; jr.is_schema mirrors Joi.isSchema (lib/index.js:162)."""
+    import pyarrow as pa
+
+    from joi_ray import compile_schema
+
+    assert jr.is_schema(jr.string()) and not jr.is_schema({"type": "string"})
+    root = jr.object({"a": jr.required(), "b": jr.valid(1, 2), "c": jr.forbidden()})
+    res = compile_schema(root, prefs={"abort_early": False}).validate_table(
+        pa.table({"a": pa.array([None, "x"]), "b": [1.0, 9.0],
+                  "c": pa.array(["no", None])}))
+    assert list(res.ok) == [False, False]
+    codes = {(v["row"], v["code"]) for v in res.violations.to_pylist()}
+    assert {(0, "any.required"), (1, "any.only"), (0, "any.unknown")} <= codes
