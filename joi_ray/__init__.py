@@ -101,6 +101,32 @@ def is_schema(value) -> bool:
     return isinstance(value, _Schema)
 
 
+def is_ref(value) -> bool:
+    """``Joi.isRef`` analog (lib/index.js:161)."""
+    from .spec import Ref as _Ref
+
+    return isinstance(value, _Ref)
+
+
+def is_expression(value) -> bool:
+    """``Joi.isExpression`` analog (lib/index.js:160)."""
+    return isinstance(value, Template)
+
+
+_KNOWN_PREFS = {
+    "convert", "abort_early", "allow_unknown", "strip_unknown", "context",
+    "now_ms", "messages", "errors", "presence", "warnings",
+}
+
+
+def check_preferences(prefs: dict) -> None:
+    """``Joi.checkPreferences`` analog (lib/index.js:113-117): raise on
+    unknown preference keys."""
+    unknown = set(prefs) - _KNOWN_PREFS
+    if unknown:
+        raise ValueError(f"invalid preference keys: {sorted(unknown)}")
+
+
 # root-level shortcuts (lib/index.js:54-59): jr.required() == jr.any_().required()
 def _root_shortcut(method):
     def fn(*args, **kwargs):

@@ -121,3 +121,15 @@ def test_root_shortcuts():
     assert list(res.ok) == [False, False]
     codes = {(v["row"], v["code"]) for v in res.violations.to_pylist()}
     assert {(0, "any.required"), (1, "any.only"), (0, "any.unknown")} <= codes
+
+
+def test_root_type_predicates_and_prefs_check():
+    """Joi.isRef / Joi.isExpression / Joi.checkPreferences analogs
+    (lib/index.js:113-117,160-162)."""
+    import pytest
+
+    assert jr.is_ref(jr.ref("peer")) and not jr.is_ref("peer")
+    assert jr.is_expression(jr.x("{#a + 1}")) and not jr.is_expression("{#a}")
+    jr.check_preferences({"convert": True, "abort_early": False})
+    with pytest.raises(ValueError, match="abortEarly"):
+        jr.check_preferences({"abortEarly": True})
