@@ -55,7 +55,11 @@ def ann_topk(ds, queries: np.ndarray, *, emb_col: str = "embedding", id_col: str
     """Global top-k per query: local top-k per batch -> tiny groupby."""
     import ray
 
-    qref = ray.put(np.asarray(queries, dtype=np.float32))
+    q = np.asarray(queries, dtype=np.float32)
+    # broadcast via ray.put only when the query matrix is big enough to
+    # matter; small matrices ride in the actor constructor directly (avoids
+    # the actor-restart-with-borrowed-ref hazard Ray warns about)
+    qref = ray.put(q) if q.nbytes > 4 << 20 else q
     local = ds.map_batches(
         BruteForceTopK,
         fn_constructor_kwargs=dict(queries_ref=qref, emb_col=emb_col, id_col=id_col, k=k),
@@ -95,8 +99,10 @@ class IVFTopK:
     def __init__(self, queries_ref, centroids_ref, emb_col, id_col, k, nprobe):
         import ray
 
-        self.q = _normalize(np.asarray(ray.get(queries_ref), dtype=np.float32))
-        self.cent = np.asarray(ray.get(centroids_ref), dtype=np.float32)
+        q = queries_ref if isinstance(queries_ref, np.ndarray) else ray.get(queries_ref)
+        cent = centroids_ref if isinstance(centroids_ref, np.ndarray) else ray.get(centroids_ref)
+        self.q = _normalize(np.asarray(q, dtype=np.float32))
+        self.cent = np.asarray(cent, dtype=np.float32)
         self.emb_col, self.id_col, self.k, self.nprobe = emb_col, id_col, k, nprobe
         qc = self.q @ self.cent.T
         self.probe = np.argpartition(-qc, min(nprobe, qc.shape[1]) - 1, axis=1)[:, :nprobe]  # (nq, nprobe)
@@ -135,7 +141,9 @@ def ann_topk_ivf(ds, queries: np.ndarray, *, emb_col="embedding", id_col="vec_id
 
     sample = ds.limit(sample_size).to_pandas()[emb_col]
     cent = train_centroids(np.stack(sample.to_numpy()), n_centroids, seed=seed)
-    qref, cref = ray.put(np.asarray(queries, dtype=np.float32)), ray.put(cent)
+    q = np.asarray(queries, dtype=np.float32)
+    qref = ray.put(q) if q.nbytes > 4 << 20 else q
+    cref = ray.put(cent) if cent.nbytes > 4 << 20 else cent
     local = ds.map_batches(
         IVFTopK,
         fn_constructor_kwargs=dict(queries_ref=qref, centroids_ref=cref, emb_col=emb_col, id_col=id_col, k=k, nprobe=nprobe),
