@@ -213,6 +213,18 @@ class CNode:
             base.terms = {k: v for k, v in base.terms.items() if k != "whens"}
             if rest:
                 base.terms["whens"] = rest
+            if "peek" in w:
+                # schema condition (the reference's peek form,
+                # lib/types/alternatives.js:192): evaluated against the
+                # node's OWN value, not a ref
+                pk = w["peek"]
+                entry = {"peek": CNode(pk if isinstance(pk, Schema) else build(pk), prefs)}
+                entry["then"] = CNode(base.concat(w["then"]), prefs) if w.get("then") else CNode(base, prefs)
+                entry["otherwise"] = (
+                    CNode(base.concat(w["otherwise"]), prefs) if w.get("otherwise") else CNode(base, prefs)
+                )
+                self.whens.append(entry)
+                continue
             entry = {"ref": w["ref"]}
             if "switch" in w:
                 cases = []
@@ -412,6 +424,14 @@ def eval_node(
     # ---- conditionals: branch per row, each branch = base.concat(branch)
     if node.whens:
         w = node.whens[0]
+        if "peek" in w:
+            cond = node_validity(w["peek"], arr, env, scope)
+            sel_then = scope & cond
+            sel_other = scope & ~cond
+            merged = NodeResult(value=arr, missing=np.zeros(n, bool), failed=np.zeros(n, bool))
+            _merge_into(merged, eval_node(w["then"], arr, env, path, scope=sel_then), sel_then)
+            _merge_into(merged, eval_node(w["otherwise"], arr, env, path, scope=sel_other), sel_other)
+            return merged
         ref_arr = env.resolve_ref(w["ref"], n)
         if not isinstance(ref_arr, (pa.Array, pa.ChunkedArray)):
             ref_arr = pa.array([ref_arr] * n)

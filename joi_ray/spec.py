@@ -354,13 +354,27 @@ class Schema:
     def when(self, condition, *, is_=None, then=None, otherwise=None, switch=None) -> "Schema":
         """Conditional schema (``/root/reference/lib/base.js:319-365``).
 
-        ``condition`` is a Ref/column name; per row, if ``is_`` matches the
-        referenced value then ``then`` applies, else ``otherwise``.
+        ``condition`` is a Ref/column name — per row, if ``is_`` matches the
+        referenced value then ``then`` applies, else ``otherwise`` — or a
+        SCHEMA, evaluated against this node's own value (the reference's
+        ``peek`` form, ``lib/types/alternatives.js:192``; ``is_``/``switch``
+        are not allowed with a schema condition).
         ``switch`` is a list of {"is": ..., "then": ...} entries.
         """
         s = self._clone()
+        if isinstance(condition, Schema):
+            if is_ is not None or switch is not None:
+                raise ValueError('"is_"/"switch" cannot be used with a schema condition'
+                                 " (lib/types/alternatives.js:180-182)")
+            entry: dict[str, Any] = {"peek": condition}
+            if then is not None:
+                entry["then"] = then
+            if otherwise is not None:
+                entry["otherwise"] = otherwise
+            s.terms.setdefault("whens", []).append(entry)
+            return s
         cond = condition if isinstance(condition, Ref) else Ref(condition)
-        entry: dict[str, Any] = {"ref": cond}
+        entry = {"ref": cond}
         if switch is not None:
             entry["switch"] = [
                 {"is": c["is"], "then": c["then"], **({"otherwise": c["otherwise"]} if "otherwise" in c else {})}
@@ -1054,7 +1068,7 @@ def build(desc: dict) -> Schema:
                         # schemas (lib/manifest.js:217-366 rebuilds all three);
                         # a literal `is` stays a literal
                         build(v)
-                        if k in ("is", "then", "otherwise") and isinstance(v, dict) and "type" in v
+                        if k in ("is", "then", "otherwise", "peek") and isinstance(v, dict) and "type" in v
                         else (
                             [
                                 {

@@ -302,3 +302,24 @@ def test_when_forks_valid_sets():
     assert list(res.ok) == [True, True, False, True, True, False], res.violations.to_pylist()
     codes = {(v["row"], v["code"]) for v in res.violations.to_pylist()}
     assert (2, "any.only") in codes and (5, "any.only") in codes
+
+
+def test_when_schema_condition_peek():
+    """when(schema) — the reference's peek form (alternatives.js:192):
+    the condition schema is evaluated against the node's OWN value."""
+    root = obj({
+        "v": jr.number().when(jr.number().max(5),
+                              then=jr.number().min(0),
+                              otherwise=jr.number().multiple(5)),
+    })
+    t = pa.table({"v": [3.0, -1.0, 10.0, 12.0]})
+    from joi_ray.spec import from_json
+    for sch in (root, from_json(root.to_json())):
+        res = compile_schema(sch, prefs={"abort_early": False}).validate_table(t)
+        assert list(res.ok) == [True, False, True, False]
+        codes = [v["code"] for v in res.violations.to_pylist()]
+        assert codes == ["number.min", "number.multiple"]
+    # is_/switch rejected with a schema condition (alternatives.js:180-182)
+    import pytest
+    with pytest.raises(ValueError):
+        jr.number().when(jr.number(), is_=5, then=jr.number())
