@@ -741,16 +741,17 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
             active &= ~inv
     matched = np.zeros(n, dtype=bool)
     value = arr
+    branch_outcomes: list[tuple[str, list]] = []
     for m in node.matches:
         still = active & ~matched
         if not still.any():
             break
         # one evaluation per branch: validity mask and coerced value both
-        # come from the same NodeResult (branch errors stay local — the
-        # alternatives node reports only alternatives.any)
+        # come from the same NodeResult
         sub = eval_node(m, arr, env, path, scope=still)
         hit = still & ~sub.failed
         matched |= hit
+        branch_outcomes.append((m.type, sub.errors))
         if hit.any():
             try:
                 value = pc.if_else(pa.array(hit), sub.value, value)
@@ -758,9 +759,54 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
                 pass
     nomatch = active & ~matched
     if nomatch.any():
-        rec = ErrRec("alternatives.any", nomatch, path, {}, 0)
-        rec.rows = None
-        errors.append(rec)
+        # error union per row (alternatives.js:60-91): no branch errors ->
+        # alternatives.base; exactly one -> the child's error passes
+        # through; several all-*.base -> alternatives.types; mixed ->
+        # alternatives.match.  (Per-row error count is per error FAMILY —
+        # joi counts per-item reports; divergence only for multi-item rows.)
+        count = np.zeros(n, dtype=np.int32)
+        nonbase = np.zeros(n, dtype=bool)
+        per_rec: list[tuple] = []
+        for _btype, errs in branch_outcomes:
+            for rec in errs:
+                if rec.warn:
+                    continue
+                rmask = np.zeros(n, dtype=bool)
+                rows = getattr(rec, "rows", None)
+                if rows is not None:
+                    rmask[rows] = True
+                else:
+                    rmask |= rec.mask
+                rmask &= nomatch
+                if not rmask.any():
+                    continue
+                per_rec.append((rec, rmask))
+                count += rmask
+                if not rec.code.endswith(".base"):
+                    nonbase |= rmask
+        single = nomatch & (count == 1)
+        for rec, rmask in per_rec:
+            pm = rmask & single
+            if pm.any():
+                nr = ErrRec(rec.code, pm, rec.path, rec.context, rec.seq, rec.warn, rec.message)
+                nr.rows = None
+                errors.append(nr)
+        none_mask = nomatch & (count == 0)
+        if none_mask.any():
+            rec = ErrRec("alternatives.base", none_mask, path, {}, 0)
+            rec.rows = None
+            errors.append(rec)
+        types_mask = nomatch & (count > 1) & ~nonbase
+        if types_mask.any():
+            types = sorted({bt for bt, _ in branch_outcomes})
+            rec = ErrRec("alternatives.types", types_mask, path, {"types": types}, 0)
+            rec.rows = None
+            errors.append(rec)
+        match_mask = nomatch & (count > 1) & nonbase
+        if match_mask.any():
+            rec = ErrRec("alternatives.match", match_mask, path, {}, 0)
+            rec.rows = None
+            errors.append(rec)
         failed |= nomatch
     return NodeResult(value=value, errors=errors, missing=missing, failed=failed)
 

@@ -112,6 +112,7 @@ MESSAGES: dict[str, str] = {
     "alternatives.any": '"{label}" does not match any of the allowed types',
     "alternatives.match": '"{label}" does not match any of the allowed types',
     "alternatives.base": '"{label}" does not match any of the allowed types',
+    "alternatives.types": '"{label}" must be one of {types}',
 }
 
 

@@ -159,7 +159,7 @@ NESTED_CASES = [
         jr.alternatives(jr.string().length(1), jr.string().min(5)),
         pa.array(["a", "abc", "abcdef"]),
         [True, False, True],
-        {"alternatives.any"},
+        {"alternatives.match"},
     ),
     (
         "array.item.strip",

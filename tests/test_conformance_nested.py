@@ -138,7 +138,9 @@ def test_alternatives_try():
     root = obj({"x": jr.alternatives(jr.string().length(3), jr.string().min(5))})
     res = compile_schema(root, prefs={"abort_early": False}).validate_table(t)
     assert list(res.ok) == [True, False, True]
-    assert res.violations.to_pylist()[0]["code"] == "alternatives.any"
+    # both branches fail with non-base codes -> alternatives.match
+    # (error-union rules, alternatives.js:60-91)
+    assert res.violations.to_pylist()[0]["code"] == "alternatives.match"
 
 
 def test_when_switch():
@@ -323,3 +325,22 @@ def test_when_schema_condition_peek():
     import pytest
     with pytest.raises(ValueError):
         jr.number().when(jr.number(), is_=5, then=jr.number())
+
+
+def test_alternatives_error_union_rules():
+    """Error-union fidelity (alternatives.js:60-91): single branch error
+    passes through; all-base -> alternatives.types; mixed -> .match."""
+    # single error: only one branch produces an error record family
+    t = pa.table({"x": pa.array([1.0, 20.0], pa.float64())})
+    root = obj({"x": jr.alternatives(jr.number().max(10))})
+    res = compile_schema(root, prefs={"abort_early": False}).validate_table(t)
+    assert list(res.ok) == [True, False]
+    assert res.violations.to_pylist()[0]["code"] == "number.max"  # passthrough
+
+    # all-base: string input against number branches -> alternatives.types
+    t2 = pa.table({"x": pa.array(["nope"], pa.string())})
+    root2 = obj({"x": jr.alternatives(jr.number(), jr.number().integer())})
+    res2 = compile_schema(root2, prefs={"abort_early": False}).validate_table(t2)
+    v2 = res2.violations.to_pylist()
+    assert v2[0]["code"] == "alternatives.types"
+    assert "number" in v2[0]["message"]
