@@ -114,6 +114,19 @@ CASES = [
     ("string.empty.allow", "string", S(jr.string().allow("")), "", {}, True, None),
     ("string.guid.brace.1", "string", S(jr.string().guid()), "{550e8400-e29b-41d4-a716-446655440000", {}, False, "string.guid"),
     ("number.port.string", "number", S(jr.number().port()), "8080", {}, True, None),
+    # round-2 features
+    ("r2.error.tmpl", "any", S(jr.number().min(5).error("need {#limit}, got less")), 1, {}, False, "number.min"),
+    ("r2.guid.dashless", "string", S(jr.string().guid()), "550e8400e29b41d4a716446655440000", {}, True, None),
+    ("r2.guid.colon", "string", S(jr.string().guid()), "550e8400:e29b:41d4:a716:446655440000", {}, True, None),
+    ("r2.ip.vfuture", "string", S(jr.string().ip()), "v1.09azAZ-._~!$&'()*+,;=:", {}, True, None),
+    ("r2.ip.cidr.range", "string", S(jr.string().ip()), "0.0.0.0/33", {}, False, "string.ip"),
+    ("r2.uri.rfc.0", "string", S(jr.string().uri()), "http://a:b:c:d:e::1.2.3.4", {}, False, "string.uri"),
+    ("r2.uri.rfc.1", "string", S(jr.string().uri()), "ldap://[2001:db8::7]/c=GB?objectClass?one", {}, True, None),
+    ("r2.email.utf", "string", S(jr.string().email()), "\u00eajness@something.com", {}, True, None),
+    ("r2.b64.nopad.padded", "string", S(jr.string().base64(padding_required=False)), "QQ==", {}, True, None),
+    ("r2.isodate.week", "string", S(jr.string().iso_date()), "2013-W23", {}, True, None),
+    ("r2.alt.types", "alternatives", S(jr.alternatives(jr.number(), jr.number().integer())), "zz", {}, False, "alternatives.types"),
+
     ("number.precision.convert", "number", S(jr.number().precision(1)), 2.25, {}, True, None),
     ("number.zero.multiple", "number", S(jr.number().multiple(5)), 0, {}, True, None),
     ("number.neg.integer", "number", S(jr.number().integer().negative()), -3, {}, True, None),
