@@ -566,11 +566,14 @@ def _q_events_running(sf_dir: str):
     import ray
     import ray.data as rd
 
-    # order-preserving repartition after the sort keeps the carry path
-    # exercised at fixture scale (many blocks -> many user-straddling edges)
     ds = (rd.read_parquet(f"{sf_dir}/events.parquet",
                           columns=["event_id", "user_id", "ts", "value"])
-          .sort(["user_id", "ts", "event_id"]).repartition(12).materialize())
+          .sort(["user_id", "ts", "event_id"]).materialize())
+    # fixture-scale only: split small outputs so the carry path is
+    # exercised (many blocks -> user-straddling edges); at scale the sort
+    # already yields many blocks and this is a no-op
+    if ds.num_blocks() < 12:
+        ds = ds.repartition(12).materialize()
 
     def pass_a(t: pa.Table) -> pa.Table:
         u = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
