@@ -680,9 +680,13 @@ def _q_events_sessions(sf_dir: str):
         out = out.append_column("b_ts2", pa.array(np.zeros(len(out), np.float64)))
         return pa.concat_tables([out, edge]) if n else out
 
-    # small batch_size keeps the boundary-healing path exercised at fixture
-    # scale (many batches -> many user-splitting edges to heal)
-    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=256,
+    # boundary descriptors are 1 row per BATCH, so batch granularity sets
+    # the driver-side healing state: block-sized batches at scale
+    # (descriptors ∝ blocks), small batches only at fixture scale to keep
+    # the healing path exercised
+    n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    bs = 256 if n_events < 1_000_000 else None
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=bs,
                            **REMOTE_KWARGS).materialize()
     agg = (
         parts.map_batches(lambda t: t.filter(pc.equal(t["kind"], 0)), batch_format="pyarrow", **REMOTE_KWARGS)
