@@ -203,7 +203,8 @@ def _q_rename_regex(sf_dir: str):
             }
         )
 
-    parts = clean.map_batches(partial, batch_format="pyarrow", **REMOTE_KWARGS).take_all()
+    parts = clean.map_batches(partial, batch_format="pyarrow", batch_size=None,
+                              **REMOTE_KWARGS).take_all()
     return pa.table(
         {
             "n": pa.array([sum(p["p_n"] for p in parts)], pa.int64()),
@@ -1026,7 +1027,8 @@ def _q_dedup_exact_keep(sf_dir: str):
             "p_sum": pa.array([pc.sum(t["doc_id"]).as_py() or 0], pa.int64()),
         })
 
-    parts = kept.map_batches(partial, batch_format="pyarrow", **REMOTE_KWARGS).take_all()
+    parts = kept.map_batches(partial, batch_format="pyarrow", batch_size=None,
+                             **REMOTE_KWARGS).take_all()
     return pa.table({
         "n_kept": pa.array([sum(p["p_n"] for p in parts)], pa.int64()),
         "sum_kept_ids": pa.array([sum(p["p_sum"] for p in parts)], pa.int64()),
@@ -1067,7 +1069,8 @@ def _q_stats_quantity(sf_dir: str):
             }
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", **REMOTE_KWARGS).take_all()
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None,
+                           **REMOTE_KWARGS).take_all()
     if all(p["p_uniq"] is not None for p in parts):
         uniq: set = set()
         for p in parts:
@@ -1352,7 +1355,8 @@ def _q_drift(sf_dir: str):
             }
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", **REMOTE_KWARGS).take_all()
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None,
+                           **REMOTE_KWARGS).take_all()
     ca = np.zeros(_DRIFT_BINS, dtype=np.float64)
     cb = np.zeros(_DRIFT_BINS, dtype=np.float64)
     for p in parts:
