@@ -361,9 +361,17 @@ def make_uri(args):
     domain_opt = args.get("domain")
     scheme_re = None
     if schemes:
-        scheme_re = "|".join(
-            re.escape(s) if not s.endswith("*") else re.escape(s[:-1]) + r"[a-zA-Z0-9+.\-]*"
-            for s in schemes)
+        def one(sch):
+            # compiled patterns pass through verbatim (the reference accepts
+            # RegExp scheme entries, lib/types/string/uri.js:121-131);
+            # strings are literal, with a trailing-* wildcard convenience
+            if hasattr(sch, "pattern"):
+                return f"(?:{sch.pattern})"
+            if sch.endswith("*"):
+                return re.escape(sch[:-1]) + r"[a-zA-Z0-9+.\-]*"
+            return re.escape(sch)
+
+        scheme_re = "|".join(one(sch) for sch in schemes)
     pattern = _uri_pattern(scheme_re, relative=allow_rel, relative_only=rel_only,
                            square_brackets=sq)
 

@@ -207,3 +207,13 @@ def test_uri_domain_option():
     run_block(jr.string().uri(domain={"minDomainSegments": 3}),
               [["https://sub.example.com/x", True], ["https://example.com/x", False]],
               "uri_domain_min")
+
+
+def test_uri_regex_scheme_entries():
+    """Compiled-regex scheme entries pass through verbatim
+    (lib/types/string/uri.js:121-131 accepts RegExp schemes)."""
+    import re as _re
+
+    run_block(jr.string().uri(scheme=[_re.compile(r"https?")]),
+              [["http://x.io", True], ["https://x.io", True], ["ftp://x.io", False]],
+              "uri_regex_scheme")
