@@ -7,7 +7,7 @@ import pandas as pd
 import pyarrow as pa
 
 
-def test_sessions_boundary_healing_randomized(ray_session, monkeypatch):
+def test_sessions_boundary_healing_randomized(ray_session):
     """events_sessions (sort + per-batch partials + batch-order healing)
     must match a direct pandas sessionization for random event streams,
     with batches forced small so many users straddle batch edges."""
