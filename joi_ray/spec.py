@@ -397,9 +397,18 @@ class Schema:
         if s.type == "any":
             s.type = other.type
         s.flags.update(other.flags)
-        s.rules.extend(copy.deepcopy(other.rules))
-        s.allow_vals.extend(other.allow_vals)
-        s.invalid_vals.extend(other.invalid_vals)
+        # single (non-multi) rules from the source REPLACE the target's
+        # (lib/base.js:415-421: concat removes unique rules present in the
+        # source); multi rules accumulate
+        _MULTI_RULES = {"pattern", "replace", "multiple", "warning", "assert", "has", "external"}
+        incoming = copy.deepcopy(other.rules)
+        incoming_singles = {r["name"] for r in incoming if r["name"] not in _MULTI_RULES}
+        s.rules = [r for r in s.rules if r["name"] not in incoming_singles]
+        s.rules.extend(incoming)
+        # valids/invalids merge with cross-removal (lib/base.js:410-411 via
+        # Values.merge: source invalids leave the valid set and vice versa)
+        s.allow_vals = [v for v in s.allow_vals if v not in other.invalid_vals] + list(other.allow_vals)
+        s.invalid_vals = [v for v in s.invalid_vals if v not in other.allow_vals] + list(other.invalid_vals)
         s.prefs.update(other.prefs)
         for k, v in other.terms.items():
             if k == "keys" and "keys" in s.terms:

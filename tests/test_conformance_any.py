@@ -133,3 +133,28 @@ def test_root_type_predicates_and_prefs_check():
     jr.check_preferences({"convert": True, "abort_early": False})
     with pytest.raises(ValueError, match="abortEarly"):
         jr.check_preferences({"abortEarly": True})
+
+
+def test_concat_single_rule_replacement_and_value_merge():
+    """concat fidelity (lib/base.js:408-427): a source's single rules
+    replace the target's (last min wins); source invalids leave the
+    target's valid set."""
+    import pyarrow as pa
+
+    from joi_ray import compile_schema, object as obj
+
+    # single-rule replacement: min(5).concat(min(2)) == min(2)
+    s = jr.number().min(5).concat(jr.number().min(2))
+    res = compile_schema(obj({"v": s}), prefs={"abort_early": False}).validate_table(
+        pa.table({"v": [3.0, 1.0]}))
+    assert list(res.ok) == [True, False]
+    # multi rules accumulate: two patterns both apply
+    p = jr.string().pattern(r"^a").concat(jr.string().pattern(r"b$"))
+    res2 = compile_schema(obj({"v": p}), prefs={"abort_early": False}).validate_table(
+        pa.table({"v": ["ab", "ax", "xb"]}))
+    assert list(res2.ok) == [True, False, False]
+    # valids/invalids cross-removal
+    m = jr.string().valid("a", "b").concat(jr.string().invalid("b"))
+    res3 = compile_schema(obj({"v": m}), prefs={"abort_early": False}).validate_table(
+        pa.table({"v": ["a", "b"]}))
+    assert list(res3.ok) == [True, False]
