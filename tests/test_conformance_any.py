@@ -158,3 +158,18 @@ def test_concat_single_rule_replacement_and_value_merge():
     res3 = compile_schema(obj({"v": m}), prefs={"abort_early": False}).validate_table(
         pa.table({"v": ["a", "b"]}))
     assert list(res3.ok) == [True, False]
+
+
+def test_concat_valid_invalid_swap_vectors():
+    """test/base.js 'merges two schemas (valid/invalid)': concat of
+    valid('a').invalid('b') with valid('b').invalid('a') accepts only 'b'."""
+    import pyarrow as pa
+
+    from joi_ray import compile_schema, object as obj
+
+    a = jr.string().valid("a").invalid("b")
+    b = jr.string().valid("b").invalid("a")
+    merged = a.concat(b)
+    res = compile_schema(obj({"v": merged}), prefs={"abort_early": False}).validate_table(
+        pa.table({"v": ["a", "b"]}))
+    assert list(res.ok) == [False, True]
