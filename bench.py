@@ -240,6 +240,61 @@ def run_bench() -> dict:
     n_sh_buckets = simhash_buckets(sh_in, "text", "doc_id").count()
     queries["simhash_dedup"] = round(time.time() - t0, 3)
 
+    # ---- embedding near-dup sweep (LSH bucket self-join + row-wise cosine)
+    t0 = time.time()
+    from joi_ray.ops.dedup import embedding_duplicate_pairs
+
+    k_emb = 25  # 2000 base vecs x 25 identical replicas -> 50k vectors,
+                # 600k true pairs streaming through the bucket join
+
+    def expand_emb(t: pa.Table) -> pa.Table:
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), k_emb)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)[idx] * k_emb + (
+            np.arange(t.num_rows * k_emb, dtype=np.int64) % k_emb
+        )
+        out = t.take(pa.array(idx)).replace_schema_metadata(None)
+        return out.set_column(0, "vec_id", pa.array(ids))
+
+    emb_ds = rd.from_arrow(emb_t.select(["vec_id", "embedding"])).map_batches(
+        expand_emb, batch_format="pyarrow", batch_size=256)
+    n_emb_pairs = embedding_duplicate_pairs(
+        emb_ds, "embedding", "vec_id", threshold=0.999, concurrency=pool).count()
+    queries["embedding_dedup"] = round(time.time() - t0, 3)
+
+    # ---- sort-based running aggregate at 6M rows (events x60, shifted
+    # user ids so the key space scales with the data): exercises the
+    # global sort + two-pass carry design at a scale where object-store
+    # pressure from the pinned sorted dataset would show up
+    ev_cache = f"/tmp/graft_events_big/{os.path.basename(sf_dir.rstrip('/'))}_x60"
+    ev_marker = os.path.join(ev_cache, "_DONE")
+    if not os.path.exists(ev_marker):
+        import shutil
+
+        shutil.rmtree(ev_cache, ignore_errors=True)
+        ev = pq.read_table(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "user_id", "ts", "value"])
+        n_ev = ev.num_rows
+        max_uid = int(pc.max(ev["user_id"]).as_py()) + 1
+        reps = []
+        for r in range(60):
+            reps.append(pa.table({
+                "event_id": pc.add(ev["event_id"], r * n_ev),
+                "user_id": pc.add(ev["user_id"], r * max_uid),
+                "ts": ev["ts"],
+                "value": ev["value"],
+            }))
+        os.makedirs(ev_cache, exist_ok=True)
+        big = pa.concat_tables(reps)
+        pq.write_table(big, os.path.join(ev_cache, "events.parquet"),
+                       row_group_size=200_000)
+        open(ev_marker, "w").write("ok")
+    t0 = time.time()
+    import importlib
+
+    _entry = importlib.import_module("__ray_entry__")
+    n_run = _entry._q_events_running(ev_cache).count()
+    queries["events_running_6m"] = round(time.time() - t0, 3)
+
     # north-rule end-to-end = schema+referential+sketches pass + uniqueness
     # shuffle (drift is a driver-side merge of already-emitted sketches)
     t_e2e = queries["validate_full"] + queries["uniqueness"]

@@ -28,6 +28,16 @@ def ensure_importable() -> None:
         same = os.path.samefile(os.getcwd(), _REPO)
     except OSError:
         same = False
+    if same:
+        # cwd matches the repo NOW, but if Ray is already initialized the
+        # workers inherited the raylet's cwd at ray.init time — which may
+        # differ (init from /tmp, chdir to repo, import).  Unknowable from
+        # here, so keep the PYTHONPATH runtime_env in that case.
+        import sys
+
+        ray_mod = sys.modules.get("ray")
+        if ray_mod is not None and getattr(ray_mod, "is_initialized", lambda: False)():
+            same = False
     REMOTE_KWARGS.clear()
     if not same:
         path = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")

@@ -10,8 +10,9 @@ Scale design:
   pass).
 - SimHash: 64-bit signature from token hashes; 4×16-bit pigeonhole bands
   bucket candidates for hamming<=3.
-- embedding: random-hyperplane LSH buckets (deterministic seed) -> in-bucket
-  cosine via one numpy matmul per group.
+- embedding: random-hyperplane LSH buckets (deterministic seed) -> bucket
+  self-join with vectorized row-wise cosine per joined batch (vectors packed
+  as binary through the shuffle); no bucket-size cap.
 """
 
 from __future__ import annotations
@@ -593,42 +594,113 @@ class HyperplaneLSH:
         return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
 
 
+# per-worker-process cache for the hyperplane matrix (task-mode stage)
+_EMB_LSH_CACHE: dict = {}
+
+
+def _emb_bucket_fn(batch: pa.Table, *, emb_col: str, id_col: str, n_bits: int, seed: int) -> pa.Table:
+    from .._env import quiet_ray_data_logs
+
+    quiet_ray_data_logs()
+    emb = np.stack(batch[emb_col].combine_chunks().to_numpy(zero_copy_only=False))
+    emb = (emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)).astype(np.float32)
+    key = (emb.shape[1], n_bits, seed)
+    lsh = _EMB_LSH_CACHE.get(key)
+    if lsh is None:
+        lsh = HyperplaneLSH(emb.shape[1], n_bits, seed)
+        _EMB_LSH_CACHE[key] = lsh
+    n, dim = emb.shape
+    buf = np.ascontiguousarray(emb).tobytes()
+    offsets = np.arange(0, len(buf) + 1, dim * 4, dtype=np.int32)
+    vec_bin = pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf)])
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "bucket": pa.array(lsh.bucket(emb)),
+            "vec": vec_bin,
+        }
+    )
+
+
 def embedding_duplicate_pairs(ds, emb_col: str, id_col: str, *, threshold: float = 0.95,
-                              n_bits: int = 10, seed: int = 42, concurrency=4, max_group: int = 512):
-    """Cosine near-dup: LSH-bucket groupby then one matmul per bucket.
-    Partitioning assumption: near-identical vectors share a bucket with high
-    probability; multiple rotations can be added for recall (n_bits trades
-    recall for bucket size)."""
+                              n_bits: int = 10, seed: int = 42, concurrency=4):
+    """Cosine near-dup pairs via random-hyperplane LSH.  Candidates come
+    from a distributed bucket self-join (the same shape as
+    ``simhash_duplicate_pairs`` / ``minhash_duplicate_pairs`` — NOT a
+    ``groupby().map_groups`` over millions of mostly-singleton buckets,
+    which pays Ray's per-group overhead and previously capped oversized
+    buckets silently).  Normalized float32 vectors are packed as binary to
+    ride through the hash join (acero rejects list payload columns), the
+    cosine is one vectorized row-wise dot per joined batch, and only pairs
+    above the threshold — a duplicate-rate-bounded set — reach the final
+    distinct groupby.  No bucket-size cap: an oversized bucket streams
+    through the join as ordinary batches.
 
-    class BucketStage:
-        def __init__(self):
-            self.lsh = None
+    Partitioning assumption: near-identical vectors share a bucket with
+    high probability (n_bits trades recall for join fan-out).  Each id has
+    exactly ONE bucket row (single rotation), so the join emits every
+    qualifying pair exactly once — no pair-distinct groupby is needed (a
+    distinct over millions of singleton pair groups costs ~30us/group in
+    Ray's sort-aggregate and would dominate).  A multi-rotation recall
+    variant must add the distinct back.  Returns Dataset(id_a, id_b,
+    cosine).
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            emb = np.stack(batch[emb_col].combine_chunks().to_numpy(zero_copy_only=False))
-            emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-            if self.lsh is None:
-                self.lsh = HyperplaneLSH(emb.shape[1], n_bits, seed)
-            return pa.table(
-                {
-                    id_col: batch[id_col],
-                    "bucket": pa.array(self.lsh.bucket(emb)),
-                    emb_col: batch[emb_col],
-                }
-            )
+    ``concurrency`` is accepted for API symmetry but the bucket stage runs
+    as a task pool: its only state (the hyperplane matrix) is rebuilt
+    per worker process from the seed and cached — an actor pool here pays
+    seconds of process spin-up waiting for its minimum actor count on
+    small block counts, for zero setup saved."""
+    import ray
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        g = g.sort_values(id_col).head(max_group)
-        v = np.stack(g[emb_col].to_numpy())
-        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-        sims = v @ v.T
-        ids = g[id_col].to_numpy()
-        ia, ib = np.triu_indices(len(g), 1)
-        s = sims[ia, ib]
-        keep = s >= threshold
-        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": s[keep]})
+    bucketed = ds.map_batches(
+        _emb_bucket_fn,
+        fn_kwargs=dict(emb_col=emb_col, id_col=id_col, n_bits=n_bits, seed=seed),
+        batch_format="pyarrow", **REMOTE_KWARGS).materialize()
+    id_type = bucketed.schema().types[0]
 
-    bucketed = ds.map_batches(BucketStage, batch_format="pyarrow", concurrency=concurrency, **REMOTE_KWARGS)
-    return bucketed.groupby("bucket").map_groups(pairs_of_group, batch_format="pandas")
+    def _rename(t: pa.Table, suffix: str) -> pa.Table:
+        return pa.table({
+            f"id{suffix}": t[t.column_names[0]], "bucket": t["bucket"],
+            f"vec{suffix}": t["vec"],
+        })
+
+    left = bucketed.map_batches(lambda t: _rename(t, "_a"), batch_format="pyarrow", **REMOTE_KWARGS)
+    right = bucketed.map_batches(lambda t: _rename(t, "_b"), batch_format="pyarrow", **REMOTE_KWARGS)
+    njoin = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) - 1))
+    j = left.join(right, join_type="inner", num_partitions=njoin, on=("bucket",),
+                  aggregator_ray_remote_args={"num_cpus": 0.5})
+
+    def _unpack(col: pa.ChunkedArray, n: int) -> np.ndarray:
+        # zero-copy reshape of the binary values buffer: Arrow's
+        # filter/take kernels rebuild binary values densely in row order,
+        # so offsets are contiguous on the hot path; a sliced/lazy layout
+        # falls back to ONE Arrow take (C++ copy), never a python loop or
+        # a row x width index-matrix gather (memory-bandwidth killer)
+        arr = col.combine_chunks()
+        offs = np.frombuffer(arr.buffers()[1], np.int32)[arr.offset: arr.offset + n + 1]
+        width = int(offs[1] - offs[0])
+        if not np.all(np.diff(offs) == width):
+            arr = arr.take(pa.array(np.arange(n, dtype=np.int64)))
+            offs = np.frombuffer(arr.buffers()[1], np.int32)
+            width = int(offs[1] - offs[0])
+        data = np.frombuffer(arr.buffers()[2], np.uint8)
+        start = int(offs[0])
+        return data[start: start + n * width].view(np.float32).reshape(n, width // 4)
+
+    def cos_pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["id_a"], t["id_b"]))
+        if t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], id_type), "id_b": pa.array([], id_type),
+                             "cosine": pa.array([], pa.float64())})
+        va = _unpack(t["vec_a"], t.num_rows)
+        vb = _unpack(t["vec_b"], t.num_rows)
+        cos = np.einsum("ij,ij->i", va.astype(np.float64), vb.astype(np.float64))
+        keep = cos >= threshold
+        return pa.table({
+            "id_a": t["id_a"].combine_chunks().filter(pa.array(keep)),
+            "id_b": t["id_b"].combine_chunks().filter(pa.array(keep)),
+            "cosine": pa.array(cos[keep], pa.float64()),
+        })
+
+    return j.map_batches(cos_pairs, batch_format="pyarrow", **REMOTE_KWARGS)

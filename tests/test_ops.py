@@ -83,6 +83,27 @@ def test_simhash_pipeline(ray_session):
     assert ("same_a", "same_b") in {(p["id_a"], p["id_b"]) for p in pairs}
 
 
+def test_embedding_dedup_oversized_bucket(ray_session):
+    """One LSH bucket larger than any historical per-bucket cap (the old
+    map_groups path silently head(512)-truncated): every C(n,2) pair must
+    survive the bucket self-join."""
+    import ray.data as rd
+
+    from joi_ray.ops.dedup import embedding_duplicate_pairs
+
+    n = 600
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(8).astype(np.float32)
+    vecs = base[None, :] + rng.standard_normal((n, 8)).astype(np.float32) * 1e-4
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+    })
+    pairs = embedding_duplicate_pairs(rd.from_arrow(t), "embedding", "vec_id",
+                                      threshold=0.99, concurrency=2)
+    assert pairs.count() == n * (n - 1) // 2
+
+
 def test_embedding_dedup_and_ann(ray_session):
     import ray.data as rd
 
