@@ -380,8 +380,18 @@ def _q_top3_orders_per_segment(sf_dir: str):
     def top3(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, False]).head(3)
 
+    def local_top3(t: pa.Table) -> pa.Table:
+        # per-batch per-segment top-3 partial: the final map_groups then
+        # sorts <= 3 x n_batches rows per segment, never a whole segment
+        # (a full-segment sort is ~n/5 rows on one worker at scale)
+        df = t.to_pandas()
+        df = (df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, False])
+                .groupby("c_mktsegment", sort=False).head(3))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
     ranked = (
         orders.map_batches(Tag, batch_format="pyarrow", concurrency=2, **REMOTE_KWARGS)
+        .map_batches(local_top3, batch_format="pyarrow", **REMOTE_KWARGS)
         .groupby("c_mktsegment")
         .map_groups(top3, batch_format="pandas")
     )
@@ -513,44 +523,41 @@ def _q_events_pivot(sf_dir: str):
 
 
 def _q_asof_last_order(sf_dir: str):
-    """As-of join (ray_guide pattern): each event matched to the user's
-    latest order at event time.  The small right side is broadcast once and
-    pd.merge_asof runs per batch (sorted, C-vectorized); right-side ties at
-    (custkey, orderdate) are deduped to max(o_orderkey) so the match is
-    deterministic on both engines."""
-    import ray
+    """As-of join, scale-shaped: ``joi_ray.ops.asof.asof_join`` — each
+    event matched to the user's latest order at event time.  Both sides
+    stay Datasets end-to-end: the right side is deduped to
+    max(o_orderkey) per (custkey, orderdate) with a distributed groupby
+    (never driver-materialized), then both sides co-sort once and a
+    per-block forward fill with blocks-bounded carry healing produces the
+    matches (see ops/asof.py for the partitioning contract)."""
     import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from joi_ray.ops.asof import asof_join
 
     orders = (
-        pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"])
-        .to_pandas()
-        .groupby(["o_custkey", "o_orderdate"], as_index=False)["o_orderkey"]
-        .max()
-        .sort_values("o_orderdate", kind="stable")
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderdate", "o_orderkey"])
+        .groupby(["o_custkey", "o_orderdate"])
+        .aggregate(Max("o_orderkey", alias_name="o_orderkey"))
     )
-    ref = ray.put(orders)
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    j = asof_join(
+        events, orders,
+        left_by="user_id", right_by="o_custkey",
+        left_on="ts", right_on="o_orderdate",
+        left_tiebreak="event_id", right_tiebreak="o_orderkey",
+        right_values=["o_orderkey"], left_keep=["event_id"],
+        min_blocks=12,  # fixture scale: force user-straddling block edges
+    )
 
-    class AsofStage:
-        def __init__(self):
-            self.right = ray.get(ref)
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+        })
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            left = b.sort_values("ts", kind="stable")
-            j = pd.merge_asof(
-                left,
-                self.right,
-                left_on="ts",
-                right_on="o_orderdate",
-                left_by="user_id",
-                right_by="o_custkey",
-                direction="backward",
-            )
-            out = j[["event_id", "o_orderkey"]].copy()
-            out["o_orderkey"] = out["o_orderkey"].astype("int64")
-            return out
-
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
-    return ds.map_batches(AsofStage, batch_format="pandas", concurrency=2, **REMOTE_KWARGS)
+    return j.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
 
 
 def _q_events_running(sf_dir: str):
