@@ -36,7 +36,7 @@ def regex_mask(arr: pa.Array, pattern: str) -> np.ndarray:
     except pa.ArrowInvalid:
         pat = _py_regex(pattern)
         s = arr.to_pandas()
-        return s.str.match(pat).fillna(False).to_numpy(dtype=bool)
+        return s.str.match(pat, na=False).to_numpy(dtype=bool)
 
 
 def _lengths(arr: pa.Array) -> pa.Array:

@@ -88,6 +88,33 @@ def test_io_sources(ray_session, tmp_path):
     assert read_table(csv).count() == 2
 
 
+def test_io_lance_roundtrip(ray_session, tmp_path):
+    """Lance write -> read_documents with column pruning.  SKIPS (not
+    silently passes) when the lance package is absent from the container;
+    green the day it ships (VERDICT r2 item 5 — the north rule names Lance
+    as the storage format)."""
+    pytest.importorskip("lance")
+    import lance
+
+    from joi_ray.sources.io import HAVE_LANCE, read_documents
+
+    assert HAVE_LANCE
+    t = pa.table({
+        "doc_id": ["doc-1", "doc-2"],
+        "text": ["alpha", "beta"],
+        "extra": [1, 2],
+    })
+    p = str(tmp_path / "docs.lance")
+    lance.write_dataset(t, p)
+    ds = read_documents(p, columns=["doc_id", "text"])
+    rows = sorted(ds.take_all(), key=lambda r: r["doc_id"])
+    # pruned read: only the requested columns come back
+    assert rows == [
+        {"doc_id": "doc-1", "text": "alpha"},
+        {"doc_id": "doc-2", "text": "beta"},
+    ]
+
+
 def test_cli_describe_and_infer_subprocess(tmp_path):
     """CLI smoke without a Ray session: describe + infer round-trip."""
     import json
