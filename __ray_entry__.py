@@ -1252,48 +1252,101 @@ def _q_flagship(sf_dir: str):
 
 
 def _q_minhash_pairs(sf_dir: str):
-    """Near-dup families: repeat-expanded docs share base text -> pairs."""
+    """MinHash-LSH near-dup mining, ORACLED end-to-end: a deterministic x2
+    tail-variant expansion of the doc_id%4==0 subset; 32x2-band LSH
+    candidates (miss probability (1-J^2)^32 ~ 1e-4 at the J=0.5 boundary,
+    ~0 for the J~0.9 family pairs the expansion creates), signature
+    pre-filter at est>=0.25 (4 sigma below the target with 64 perms), then
+    EXACT 7-gram Jaccard >= 0.5 per candidate.  The oracle computes the
+    same pair set exhaustively in SQL, checking banding recall AND the
+    verifier.  The expanded-subset text broadcast is subset-bounded
+    (|docs|/4 x 2 rows) — the fixture-oracle analog of the candidate-only
+    semi-join in _q_dedup_ngram."""
+    import ray
     import ray.data as rd
 
-    from joi_ray.ops.dedup import minhash_duplicate_pairs
+    from joi_ray.ops.dedup import minhash_duplicate_pairs, ngram_jaccard
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    base = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def expand(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        texts = t["text"].to_pylist()
-        out_i, out_t = [], []
-        for i, txt in zip(ids, texts):
-            for r in range(4):
-                out_i.append(f"{i}-r{r}")
-                out_t.append((txt or "") + f" tail variant {r}")
-        return pa.table({"doc_id": pa.array(out_i, pa.string()), "text": pa.array(out_t, pa.string())})
+    def subset_expand(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.bit_wise_and(t["doc_id"].combine_chunks(), 3), 0))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = [x or "" for x in t["text"].to_pylist()]
+        out_i = np.repeat(ids * 2, 2) + np.tile(np.array([0, 1], np.int64), len(ids))
+        out_t = [f"{txt} tail variant {r}" for txt in texts for r in (0, 1)]
+        return pa.table({"doc_id": pa.array(out_i), "text": pa.array(out_t, pa.string())})
 
-    pairs = minhash_duplicate_pairs(ds.map_batches(expand, batch_format="pyarrow", **REMOTE_KWARGS), "text", "doc_id",
-                                    threshold=0.5, concurrency=2)
-    df = pairs.to_pandas()
-    return pa.table(
-        {
-            "n_pairs": pa.array([len(df)], pa.int64()),
-            "avg_est_jaccard": pa.array([round(float(df["est_jaccard"].mean()), 3) if len(df) else 0.0], pa.float64()),
-        }
-    )
+    exp = base.map_batches(subset_expand, batch_format="pyarrow", **REMOTE_KWARGS).materialize()
+    cands = minhash_duplicate_pairs(exp, "text", "doc_id", threshold=0.25,
+                                    num_perm=64, bands=32, k=7, concurrency=2)
+    texts_t = pa.concat_tables(ray.get(exp.to_arrow_refs()))
+    tref = ray.put(texts_t)
+
+    def verify(t: pa.Table) -> pa.Table:
+        tt = ray.get(tref)
+        keys = tt["doc_id"].combine_chunks()
+        texts = tt["text"].combine_chunks()
+        ta = texts.take(pc.index_in(t["id_a"].combine_chunks(), value_set=keys)).to_pylist()
+        tb = texts.take(pc.index_in(t["id_b"].combine_chunks(), value_set=keys)).to_pylist()
+        jac = np.array([ngram_jaccard(x or "", y or "", k=7) for x, y in zip(ta, tb)])
+        keep = jac >= 0.5
+        return pa.table({
+            "id_a": t["id_a"].combine_chunks().filter(pa.array(keep)),
+            "id_b": t["id_b"].combine_chunks().filter(pa.array(keep)),
+            "jaccard": pa.array(np.round(jac[keep], 4), pa.float64()),
+        })
+
+    return cands.map_batches(verify, batch_format="pyarrow", **REMOTE_KWARGS)
 
 
 def _q_simhash_pairs(sf_dir: str):
+    """SimHash banding, ORACLED: x2 identical expansion; candidates from
+    ONE 16-bit simhash band (token-multiset-equal texts have identical
+    64-bit simhash, hence identical every band — recall exactly 1 for the
+    hamming-0 class this query targets), then EXACT sorted-token-multiset
+    equality verified on the canonical strings carried through the join.
+    Single-band join => each id appears once per side => every pair is
+    emitted exactly once, no distinct needed.  Oracle: canonical-token-
+    string equality self-join (an equality join, not O(n^2)).  The general
+    hamming<=3 op (simhash_duplicate_pairs) stays covered by unit tests —
+    hamming-distance thresholds have no SQL analog."""
+    import ray
     import ray.data as rd
 
-    from joi_ray.ops.dedup import simhash_duplicate_pairs
+    from joi_ray.ops.dedup import simhash_batch
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def expand(t: pa.Table) -> pa.Table:
-        ids = [f"{i}-{r}" for i in t["doc_id"].to_pylist() for r in range(2)]
-        texts = [txt for txt in t["text"].to_pylist() for _ in range(2)]
-        return pa.table({"doc_id": pa.array(ids, pa.string()), "text": pa.array(texts, pa.string())})
+    def expand_sig(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].combine_chunks().to_pandas().fillna("")
+        ids2 = np.repeat(ids * 2, 2) + np.tile(np.array([0, 1], np.int64), len(ids))
+        texts2 = texts.iloc[np.repeat(np.arange(len(texts)), 2)].reset_index(drop=True)
+        h = simhash_batch(texts2)
+        canon = (texts2.str.lower().str.findall(r"\w+")
+                 .map(lambda xs: " ".join(sorted(xs))))
+        return pa.table({
+            "doc_id": pa.array(ids2),
+            "band0": pa.array((h & np.uint64(0xFFFF)).astype(np.int64)),
+            "canon": pa.array(canon, pa.string()),
+        })
 
-    pairs = simhash_duplicate_pairs(ds.map_batches(expand, batch_format="pyarrow", **REMOTE_KWARGS), "text", "doc_id", concurrency=2)
-    return pa.table({"n_pairs": pa.array([pairs.count()], pa.int64())})
+    sigs = ds.map_batches(expand_sig, batch_format="pyarrow", **REMOTE_KWARGS).materialize()
+    left = sigs.map_batches(
+        lambda t: t.rename_columns(["id_a", "band0", "canon_a"]), batch_format="pyarrow", **REMOTE_KWARGS)
+    right = sigs.map_batches(
+        lambda t: t.rename_columns(["id_b", "band0", "canon_b"]), batch_format="pyarrow", **REMOTE_KWARGS)
+    njoin = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) - 1))
+    j = left.join(right, join_type="inner", num_partitions=njoin, on=("band0",),
+                  aggregator_ray_remote_args={"num_cpus": 0.5})
+
+    def verify(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.less(t["id_a"], t["id_b"]),
+                             pc.equal(t["canon_a"], t["canon_b"])))
+        return t.select(["id_a", "id_b"])
+
+    return j.map_batches(verify, batch_format="pyarrow", **REMOTE_KWARGS)
 
 
 def _q_token_top20(sf_dir: str):
@@ -1451,13 +1504,34 @@ def _q_pipeline_report(sf_dir: str):
 
 
 def _q_embedding_dups(sf_dir: str):
+    """Embedding cosine near-dup, ORACLED: x2 identical-clone expansion of
+    every vector; LSH bucket self-join + row-wise cosine >= 0.95.
+    Identical vectors hash to the SAME hyperplane bucket, so recall for
+    the clone pairs is exactly 1 (not probabilistic); the fixture's random
+    base vectors top out near cosine 0.51, so no cross pair qualifies —
+    the oracle verifies BOTH (exhaustive cosine in SQL over the same
+    expansion): any LSH false positive or dropped clone pair breaks the
+    hash.  General perturbed-pair recall stays covered by unit tests
+    (probabilistic recall has no SQL analog)."""
     import ray.data as rd
 
     from joi_ray.ops.dedup import embedding_duplicate_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    pairs = embedding_duplicate_pairs(ds, "embedding", "vec_id", threshold=0.99, concurrency=2)
-    return pa.table({"n_pairs": pa.array([pairs.count()], pa.int64())})
+
+    def clone2(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        idx = np.repeat(np.arange(n, dtype=np.int64), 2)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)[idx] * 2 + (
+            np.arange(2 * n, dtype=np.int64) % 2)
+        out = t.take(pa.array(idx)).replace_schema_metadata(None)
+        return out.set_column(0, "vec_id", pa.array(ids))
+
+    pairs = embedding_duplicate_pairs(
+        ds.map_batches(clone2, batch_format="pyarrow", **REMOTE_KWARGS),
+        "embedding", "vec_id", threshold=0.95, concurrency=2)
+    return pairs.map_batches(lambda t: t.select(["id_a", "id_b"]),
+                             batch_format="pyarrow", **REMOTE_KWARGS)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1764,6 +1838,72 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE m / (sa.n + sb.n - m) >= 0.4
+        """,
+        "minhash_near_dups": """
+            WITH base AS (
+              SELECT doc_id, coalesce(text, '') AS text
+              FROM documents WHERE doc_id % 4 = 0
+            ),
+            exp AS (
+              SELECT base.doc_id * 2 + r.r AS doc_id,
+                     base.text || ' tail variant ' || r.r AS text
+              FROM base CROSS JOIN (SELECT unnest([0, 1]) AS r) r
+            ),
+            gs AS (SELECT unnest(generate_series(1, 4096)) AS i),
+            sh AS (
+              SELECT DISTINCT doc_id, substring(text, gs.i, 7) AS g
+              FROM exp CROSS JOIN gs
+              WHERE gs.i <= greatest(length(text) - 6, 1)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS m
+              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(m / (sa.n + sb.n - m), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE m / (sa.n + sb.n - m) >= 0.5
+        """,
+        "simhash_near_dups": """
+            WITH exp AS (
+              SELECT doc_id * 2 + r.r AS id,
+                     lower(coalesce(text, '')) AS t
+              FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS r) r
+            ),
+            canon AS (
+              SELECT id,
+                     array_to_string(list_sort(regexp_extract_all(t, '\\w+')), ' ') AS c
+              FROM exp
+            )
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM canon a JOIN canon b ON a.c = b.c AND a.id < b.id
+        """,
+        "embedding_near_dups": """
+            WITH exp AS (
+              SELECT vec_id * 2 + r.r AS id, embedding
+              FROM embeddings CROSS JOIN (SELECT unnest([0, 1]) AS r) r
+            ),
+            dims AS (SELECT unnest(generate_series(1, 256)) AS i),
+            flat AS (
+              SELECT id, list_extract(embedding, dims.i)::DOUBLE AS val, dims.i AS ord
+              FROM exp CROSS JOIN dims
+              WHERE dims.i <= len(embedding)
+            ),
+            norms AS (SELECT id, sqrt(sum(val * val)) AS n FROM flat GROUP BY id),
+            dots AS (
+              SELECT a.id AS id_a, b.id AS id_b, sum(a.val * b.val) AS d
+              FROM flat a JOIN flat b ON a.ord = b.ord AND a.id < b.id
+              GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b
+            FROM dots
+            JOIN norms na ON na.id = id_a
+            JOIN norms nb ON nb.id = id_b
+            WHERE d / (na.n * nb.n) >= 0.95
         """,
         "token_top20": """
             WITH toks AS (
