@@ -409,23 +409,136 @@ def uri_code(args) -> str:
     return "string.uri"
 
 
+# -- JS-Date model for the isoDate convert path ------------------------------
+# The reference's coerce step (string/index.js:103-115) requires the value to
+# be BOTH regex-valid (common.js:13) and `new Date(value)`-parseable, then
+# normalizes via Date.prototype.toISOString().  Pandas' strict ISO8601 parser
+# covers the common forms; the residual classes (expanded ±YYYYYY years,
+# 24:00 rollover, out-of-datetime64-range years) are handled by a small
+# explicit parser below, and classes V8 cannot parse (week dates, ordinal
+# dates, comma fractions, hour fractions) correctly become string.isoDate
+# errors — pinned by the reference's own convert test ('2013-184' -> error,
+# test/types/string.js:9515-9524).
+
+_JS_ISO_PARSE_RE = None
+
+
+def _days_from_civil(y: int, m: int, d: int) -> int:
+    # proleptic-Gregorian day count (public-domain civil-days algorithm);
+    # exact for negative years, matching JS Date's extended range
+    y -= m <= 2
+    era = (y if y >= 0 else y - 399) // 400
+    yoe = y - era * 400
+    doy = (153 * (m + (-3 if m > 2 else 9)) + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+def _civil_from_days(z: int) -> tuple:
+    z += 719468
+    era = (z if z >= 0 else z - 146096) // 146097
+    doe = z - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    d = doy - (153 * mp + 2) // 5 + 1
+    m = mp + (3 if mp < 10 else -9)
+    return y + (m <= 2), m, d
+
+
+def _days_in_month(y: int, m: int) -> int:
+    if m == 2:
+        leap = (y % 4 == 0 and y % 100 != 0) or y % 400 == 0
+        return 29 if leap else 28
+    return 30 if m in (4, 6, 9, 11) else 31
+
+
+def _js_iso_parse(s: str) -> str | None:
+    """Parse a regex-valid-but-pandas-rejected ISO string the way V8's Date
+    parser would; return the toISOString() text, or None for Invalid Date."""
+    global _JS_ISO_PARSE_RE
+    if _JS_ISO_PARSE_RE is None:
+        import re as _re
+
+        _JS_ISO_PARSE_RE = _re.compile(
+            r"^(?:(?P<sign>[+-])(?P<eyear>\d{6})|(?P<year>\d{4}))"
+            r"(?:-(?P<month>\d{2})(?:-(?P<day>\d{2}))?)?"
+            r"(?:[T ](?P<hh>\d{2}):(?P<mm>\d{2})"
+            r"(?::(?P<ss>\d{2})(?:\.(?P<frac>\d+))?)?"
+            r"(?P<tz>Z|[+-]\d{2}:?\d{2})?)?$"
+        )
+    m = _JS_ISO_PARSE_RE.match(s)
+    if m is None:
+        return None  # week/ordinal/comma/hour-fraction forms: Invalid Date
+    g = m.groupdict()
+    if g["eyear"] is not None:
+        y = int(g["eyear"])
+        if g["sign"] == "-":
+            if y == 0:
+                return None  # JS: -000000 is invalid
+            y = -y
+    else:
+        y = int(g["year"])
+    mo = int(g["month"]) if g["month"] else 1
+    d = int(g["day"]) if g["day"] else 1
+    if not (1 <= mo <= 12) or not (1 <= d <= _days_in_month(y, mo)):
+        return None
+    hh = int(g["hh"]) if g["hh"] else 0
+    mm = int(g["mm"]) if g["mm"] else 0
+    ss = int(g["ss"]) if g["ss"] else 0
+    ms = int(((g["frac"] or "") + "000")[:3]) if g["frac"] else 0
+    if hh == 24:
+        # ES spec: hour 24 only with zero minutes/seconds/fraction; the
+        # instant rolls over to 00:00 of the next day
+        if mm or ss or ms:
+            return None
+    elif hh > 23 or mm > 59 or ss > 59:
+        return None
+    off_min = 0
+    tz = g["tz"]
+    if tz and tz != "Z":
+        tzs = tz.replace(":", "")
+        off_min = int(tzs[1:3]) * 60 + int(tzs[3:5])
+        if tz[0] == "-":
+            off_min = -off_min
+    total_ms = (_days_from_civil(y, mo, d) * 86400000
+                + hh * 3600000 + mm * 60000 + ss * 1000 + ms
+                - off_min * 60000)
+    if abs(total_ms) > 8640000000000000:  # JS Date epoch range
+        return None
+    days, rem = divmod(total_ms, 86400000)
+    y2, mo2, d2 = _civil_from_days(days)
+    hh2, rem = divmod(rem, 3600000)
+    mm2, rem = divmod(rem, 60000)
+    ss2, ms2 = divmod(rem, 1000)
+    ystr = f"{y2:04d}" if 0 <= y2 <= 9999 else f"{'+' if y2 > 0 else '-'}{abs(y2):06d}"
+    return f"{ystr}-{mo2:02d}-{d2:02d}T{hh2:02d}:{mm2:02d}:{ss2:02d}.{ms2:03d}Z"
+
+
 def make_iso_date(args):
     def kernel(arr, env: Env) -> RuleOut:
         import pandas as pd
 
         ok = regex_mask(arr, _ISO_DATE)
         if env.convert and ok.any():
-            # convert mode normalizes to canonical ISO 8601
-            # (string/index.js:103-115 coerce step).  The reference
-            # normalizes via the JS Date parser; forms pandas cannot parse
-            # (week/ordinal dates, 24:00, comma fractions) stay valid and
-            # pass through unnormalized — a documented deviation in the
-            # normalized TEXT only, not in validity.
-            parsed = pd.to_datetime(arr.to_pandas(), errors="coerce", utc=True, format="ISO8601")
-            norm = ok & parsed.notna().to_numpy()
+            # convert mode (string/index.js:103-115): regex-valid values
+            # must ALSO be JS-Date-parseable, and normalize via
+            # toISOString() (UTC, ms precision).  TZ-less datetimes are
+            # treated as UTC, matching the reference test environment.
+            s = arr.to_pandas()
+            parsed = pd.to_datetime(s, errors="coerce", utc=True, format="ISO8601")
+            have = parsed.notna().to_numpy()
+            norm = ok & have
             iso = parsed.dt.strftime("%Y-%m-%dT%H:%M:%S.%f").str.slice(0, 23) + "Z"
-            out = pd.Series(arr.to_pylist())
+            out = s.copy()
             out[norm] = iso[norm]
+            for i in np.nonzero(ok & ~have)[0]:
+                r = _js_iso_parse(s.iloc[i])
+                if r is None:
+                    ok[i] = False  # regex-valid but Invalid Date in JS
+                else:
+                    out.iloc[i] = r
             return RuleOut(ok=ok, new_value=pa.array(out, type=pa.string()))
         return RuleOut(ok=ok)
 

@@ -124,7 +124,12 @@ CASES = [
     ("r2.uri.rfc.1", "string", S(jr.string().uri()), "ldap://[2001:db8::7]/c=GB?objectClass?one", {}, True, None),
     ("r2.email.utf", "string", S(jr.string().email()), "\u00eajness@something.com", {}, True, None),
     ("r2.b64.nopad.padded", "string", S(jr.string().base64(padding_required=False)), "QQ==", {}, True, None),
-    ("r2.isodate.week", "string", S(jr.string().iso_date()), "2013-W23", {}, True, None),
+    # week dates: regex-valid, so strict mode passes; convert mode runs the
+    # JS-Date parse which yields Invalid Date -> error (string/index.js:103-115)
+    ("r2.isodate.week", "string", S(jr.string().iso_date()), "2013-W23", {"convert": False}, True, None),
+    ("r3.isodate.week.convert", "string", S(jr.string().iso_date()), "2013-W23", {}, False, "string.isoDate"),
+    ("r3.isodate.ordinal.convert", "string", S(jr.string().iso_date()), "2013-184", {}, False, "string.isoDate"),
+    ("r3.isodate.2400.convert", "string", S(jr.string().iso_date()), "2013-06-07T24:00", {}, True, None),
     ("r2.alt.types", "alternatives", S(jr.alternatives(jr.number(), jr.number().integer())), "zz", {}, False, "alternatives.types"),
 
     ("number.precision.convert", "number", S(jr.number().precision(1)), 2.25, {}, True, None),

@@ -25,11 +25,12 @@ FIX = json.load(open(os.path.join(os.path.dirname(__file__), "fixtures", "string
 DEVIATIONS: dict[tuple, str] = {}
 
 
-def run_block(schema, cases, block_name):
+def run_block(schema, cases, block_name, prefs=None):
     if isinstance(cases, str):
         cases = FIX[cases]
     t = pa.table({"v": pa.array([c[0] for c in cases], pa.string())})
-    res = compile_schema(obj({"v": schema}), prefs={"abort_early": False}).validate_table(t)
+    all_prefs = {"abort_early": False, **(prefs or {})}
+    res = compile_schema(obj({"v": schema}), prefs=all_prefs).validate_table(t)
     mismatches = []
     for i, (val, expected) in enumerate(cases):
         got = bool(res.ok[i])
@@ -98,7 +99,66 @@ def test_credit_card():
 
 
 def test_iso_date():
-    run_block(jr.string().iso_date(), FIX["iso_date"], "iso_date")
+    # the reference's big isoDate vector block runs with {convert: false}
+    # (test/types/string.js:6978) — regex-only validity
+    run_block(jr.string().iso_date(), FIX["iso_date"], "iso_date",
+              prefs={"convert": False})
+
+
+# (input, expected toISOString output; None = string.isoDate error) —
+# the first 15 rows are the reference's convert-mode block verbatim
+# (test/types/string.js:9498-9525); the rest pin the JS-Date model for
+# classes the reference regex admits but its tests don't exercise.
+ISO_CONVERT_VECTORS = [
+    ("+002013-06-07T14:21:46.295Z", "2013-06-07T14:21:46.295Z"),
+    ("-002013-06-07T14:21:46.295Z", "-002013-06-07T14:21:46.295Z"),
+    ("2013-06-07T14:21:46.295Z", "2013-06-07T14:21:46.295Z"),
+    ("2013-06-07T14:21:46.295+07:00", "2013-06-07T07:21:46.295Z"),
+    ("2013-06-07T14:21:46.295-07:00", "2013-06-07T21:21:46.295Z"),
+    ("2013-06-07T14:21:46Z", "2013-06-07T14:21:46.000Z"),
+    ("2013-06-07T14:21:46+07:00", "2013-06-07T07:21:46.000Z"),
+    ("2013-06-07T14:21:46-07:00", "2013-06-07T21:21:46.000Z"),
+    ("2013-06-07T14:21Z", "2013-06-07T14:21:00.000Z"),
+    ("2013-06-07T14:21+07:00", "2013-06-07T07:21:00.000Z"),
+    ("2013-06-07T14:21-07:00", "2013-06-07T21:21:00.000Z"),
+    ("2013-06-07", "2013-06-07T00:00:00.000Z"),
+    ("2013-06-07T14:21", "2013-06-07T14:21:00.000Z"),
+    ("2013-184", None),          # ordinal: regex-valid, Invalid Date in JS
+    # model-pinned residual classes (not in the reference tests):
+    ("2013-W23", None),          # week dates: Invalid Date in V8
+    ("2013-W23-1", None),
+    ("2013-06-07T24:00", "2013-06-08T00:00:00.000Z"),  # 24:00 rolls over
+    ("2013-06-07T24:00Z", "2013-06-08T00:00:00.000Z"),
+    ("2013-06-07T14:21:46,295Z", None),  # comma fraction: Invalid Date
+    ("9999-12-31T23:59:59.999Z", "9999-12-31T23:59:59.999Z"),  # > datetime64
+    ("0500-01-01", "0500-01-01T00:00:00.000Z"),                # < datetime64
+]
+
+
+def test_iso_date_convert_normalizes():
+    from joi_ray import attempt
+
+    schema = obj({"v": jr.string().iso_date()})
+    ok_cases = [(i, o) for i, o in ISO_CONVERT_VECTORS if o is not None]
+    t = pa.table({"v": pa.array([i for i, _ in ok_cases], pa.string())})
+    out = attempt(t, schema)
+    assert out["v"].to_pylist() == [o for _, o in ok_cases]
+
+    bad = [i for i, o in ISO_CONVERT_VECTORS if o is None]
+    res = compile_schema(schema, prefs={"abort_early": False}).validate_table(
+        pa.table({"v": pa.array(bad, pa.string())}))
+    assert not any(res.ok), "JS-unparseable forms must fail in convert mode"
+    codes = set(res.violations.to_pandas()["code"])
+    assert codes == {"string.isoDate"}
+
+
+def test_iso_date_strict_keeps_exotic_forms_valid():
+    # convert:false is regex-only: week/ordinal/comma forms stay VALID
+    res = compile_schema(obj({"v": jr.string().iso_date()}),
+                         prefs={"convert": False}).validate_table(
+        pa.table({"v": pa.array(["2013-W23", "2013-184",
+                                 "2013-06-07T14:21:46,295Z"], pa.string())}))
+    assert all(res.ok)
 
 
 def test_iso_duration():
