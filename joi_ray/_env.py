@@ -31,17 +31,38 @@ def ensure_importable() -> None:
     if same:
         # cwd matches the repo NOW, but if Ray is already initialized the
         # workers inherited the raylet's cwd at ray.init time — which may
-        # differ (init from /tmp, chdir to repo, import).  Unknowable from
-        # here, so keep the PYTHONPATH runtime_env in that case.
+        # differ (init from /tmp, chdir to repo, import).  Probe ONCE with
+        # a real task: blanket-adding a runtime_env here would force every
+        # joi_ray task onto segregated runtime-env workers (measured 2-3x
+        # on shuffle-heavy stages), so only pay it when the probe fails.
         import sys
 
         ray_mod = sys.modules.get("ray")
         if ray_mod is not None and getattr(ray_mod, "is_initialized", lambda: False)():
-            same = False
+            same = _workers_can_import(ray_mod)
     REMOTE_KWARGS.clear()
     if not same:
         path = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
         REMOTE_KWARGS["runtime_env"] = {"env_vars": {"PYTHONPATH": path}}
+
+
+def _workers_can_import(ray_mod) -> bool:
+    """One tiny remote task checking that workers resolve ``joi_ray``
+    (they inherit the raylet's cwd, not the driver's current one)."""
+    try:
+        @ray_mod.remote(num_cpus=0)
+        def _probe() -> bool:  # pragma: no cover - runs in a worker
+            try:
+                import importlib
+
+                importlib.import_module("joi_ray")
+                return True
+            except Exception:
+                return False
+
+        return bool(ray_mod.get(_probe.remote(), timeout=15))
+    except Exception:
+        return False
 
 
 def quiet_ray_data_logs() -> bool:
