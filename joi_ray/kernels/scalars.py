@@ -86,6 +86,28 @@ def coerce_date(arr: pa.Array, env: Env, flags: dict):
             parsed = parsed.dt.tz_localize(None)
         except (TypeError, AttributeError):
             pass
+        if fmt == "iso":
+            # date().iso() mirrors the string.isoDate convert model
+            # (date.js:81-88: Common.isIsoDate regex AND new Date()):
+            # regex gate + JS-Date residual parser for expanded years /
+            # 24:00 / out-of-datetime64-range forms
+            from .strings import _ISO_DATE, _js_iso_parse_ms, regex_mask
+
+            okmask = regex_mask(arr, _ISO_DATE)
+            have = parsed.notna().to_numpy()
+            ms_vals = np.zeros(n, dtype=np.int64)
+            ms_vals[have] = parsed[have].astype("int64").to_numpy() // 1_000_000
+            valid = okmask & have
+            for i in np.nonzero(okmask & ~have & ~was_null)[0]:
+                r = _js_iso_parse_ms(s.iloc[i])
+                if r is not None:
+                    ms_vals[i] = r
+                    valid[i] = True
+            out = pa.Array.from_buffers(
+                ts, n, [pa.py_buffer(np.packbits(valid, bitorder="little").tobytes()),
+                        pa.py_buffer(ms_vals.tobytes())])
+            fail = ~valid & ~was_null
+            return out, fail
         if fmt != "iso":
             # default (javascript) format also accepts numeric strings as
             # ms-epoch (date.js:178-183: /^[+-]?\d+(\.\d+)?$/ -> Number);

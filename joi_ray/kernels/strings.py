@@ -455,8 +455,26 @@ def _days_in_month(y: int, m: int) -> int:
 
 
 def _js_iso_parse(s: str) -> str | None:
+    """toISOString() text for a regex-valid-but-pandas-rejected ISO string,
+    or None for Invalid Date (see _js_iso_parse_ms)."""
+    ms = _js_iso_parse_ms(s)
+    return None if ms is None else _js_iso_format(ms)
+
+
+def _js_iso_format(total_ms: int) -> str:
+    days, rem = divmod(total_ms, 86400000)
+    y2, mo2, d2 = _civil_from_days(days)
+    hh2, rem = divmod(rem, 3600000)
+    mm2, rem = divmod(rem, 60000)
+    ss2, ms2 = divmod(rem, 1000)
+    ystr = f"{y2:04d}" if 0 <= y2 <= 9999 else f"{'+' if y2 > 0 else '-'}{abs(y2):06d}"
+    return f"{ystr}-{mo2:02d}-{d2:02d}T{hh2:02d}:{mm2:02d}:{ss2:02d}.{ms2:03d}Z"
+
+
+def _js_iso_parse_ms(s: str) -> int | None:
     """Parse a regex-valid-but-pandas-rejected ISO string the way V8's Date
-    parser would; return the toISOString() text, or None for Invalid Date."""
+    parser would; return the UTC epoch milliseconds, or None for Invalid
+    Date."""
     global _JS_ISO_PARSE_RE
     if _JS_ISO_PARSE_RE is None:
         import re as _re
@@ -507,13 +525,7 @@ def _js_iso_parse(s: str) -> str | None:
                 - off_min * 60000)
     if abs(total_ms) > 8640000000000000:  # JS Date epoch range
         return None
-    days, rem = divmod(total_ms, 86400000)
-    y2, mo2, d2 = _civil_from_days(days)
-    hh2, rem = divmod(rem, 3600000)
-    mm2, rem = divmod(rem, 60000)
-    ss2, ms2 = divmod(rem, 1000)
-    ystr = f"{y2:04d}" if 0 <= y2 <= 9999 else f"{'+' if y2 > 0 else '-'}{abs(y2):06d}"
-    return f"{ystr}-{mo2:02d}-{d2:02d}T{hh2:02d}:{mm2:02d}:{ss2:02d}.{ms2:03d}Z"
+    return total_ms
 
 
 def make_iso_date(args):

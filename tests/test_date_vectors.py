@@ -1,0 +1,89 @@
+"""Reference date-type vectors, ported from /root/reference/test/types/
+date.js — primarily the date().iso() block (:429-538), which pins the
+JS-Date model: ISO regex gate + new Date() parseability, including
+expanded ±YYYYYY years."""
+
+import numpy as np
+import pyarrow as pa
+
+import joi_ray as jr
+from joi_ray import compile_schema
+from joi_ray import object as obj
+
+# (input, valid) — test/types/date.js:429-538 verbatim
+ISO_VECTORS = [
+    ("+002013-06-07T14:21:46.295Z", True),
+    ("-002013-06-07T14:21:46.295Z", True),
+    ("002013-06-07T14:21:46.295Z", False),
+    ("+2013-06-07T14:21:46.295Z", False),
+    ("-2013-06-07T14:21:46.295Z", False),
+    ("2013-06-07T14:21:46.295Z", True),
+    ("2013-06-07T14:21:46.295Z0", False),
+    ("2013-06-07T14:21:46.295+07:00", True),
+    ("2013-06-07T14:21:46.295+07:000", False),
+    ("2013-06-07T14:21:46.295-07:00", True),
+    ("2013-06-07T14:21:46Z", True),
+    ("2013-06-07T14:21:46Z0", False),
+    ("2013-06-07T14:21:46+07:00", True),
+    ("2013-06-07T14:21:46-07:00", True),
+    ("2013-06-07T14:21Z", True),
+    ("2013-06-07T14:21+07:00", True),
+    ("2013-06-07T14:21+07:000", False),
+    ("2013-06-07T14:21-07:00", True),
+    ("2013-06-07T14:21Z+7:00", False),
+    ("2013-06-07", True),
+    ("2013-06-07T", False),
+    ("2013-06-07T14:21", True),
+    ("1-1-2013", False),
+    ("2013", True),
+    # week/ordinal: regex-valid, Invalid Date in JS (date.js coerce
+    # requires BOTH, same as string/index.js:103-115)
+    ("2013-W23", False),
+    ("2013-184", False),
+]
+
+
+def test_date_iso_vectors():
+    schema = obj({"v": jr.date().iso()})
+    t = pa.table({"v": pa.array([c[0] for c in ISO_VECTORS], pa.string())})
+    res = compile_schema(schema, prefs={"abort_early": False}).validate_table(t)
+    mismatches = [
+        (val, exp, bool(res.ok[i]))
+        for i, (val, exp) in enumerate(ISO_VECTORS)
+        if bool(res.ok[i]) != exp
+    ]
+    assert not mismatches, mismatches
+
+
+def test_date_iso_expanded_year_value():
+    """'converts expanded isoDates' (date.js:539-544): the parsed instant
+    must equal new Date('-002013-06-07T14:21:46.295Z')."""
+    from joi_ray import attempt
+
+    schema = obj({"v": jr.date().iso()})
+    out = attempt(pa.table({"v": ["-002013-06-07T14:21:46.295Z"]}), schema)
+    ms = out["v"].cast(pa.int64())[0].as_py()
+    # epoch ms for year -2013: verified against the civil-day arithmetic
+    from joi_ray.kernels.strings import _js_iso_parse_ms
+
+    assert ms == _js_iso_parse_ms("-002013-06-07T14:21:46.295Z")
+    # and the 24:00 rollover instant
+    out2 = attempt(pa.table({"v": ["2013-06-07T24:00"]}), schema)
+    ms2 = out2["v"].cast(pa.int64())[0].as_py()
+    from joi_ray.kernels.strings import _js_iso_parse_ms as pm
+
+    assert ms2 == pm("2013-06-08T00:00:00.000")
+
+
+def test_date_iso_epoch_consistency():
+    """Rows pandas parses and rows the residual parser handles must agree
+    on the instant for forms both can express."""
+    from joi_ray.kernels.strings import _js_iso_parse_ms
+    import pandas as pd
+
+    for s in ["2013-06-07T14:21:46.295Z", "2013-06-07T14:21:46.295+07:00",
+              "2013-06-07", "2013"]:
+        t = pd.Timestamp(s)
+        t = t.tz_localize("UTC") if t.tzinfo is None else t
+        expect = int(t.value // 1_000_000)
+        assert _js_iso_parse_ms(s) == expect, s
