@@ -1349,6 +1349,30 @@ def _q_simhash_pairs(sf_dir: str):
     return j.map_batches(verify, batch_format="pyarrow", **REMOTE_KWARGS)
 
 
+def _q_tfidf_top3(sf_dir: str):
+    """Per-document tf-idf top-3 terms (joi_ray.ops.text.tfidf_top_terms):
+    one tokenize pass -> materialized (doc, term, tf) relation; df via
+    two-phase vocabulary count; broadcast df + per-block exact top-k.
+    Ranked on the raw double score with (term ASC) tie-break — identical
+    (tf, df) pairs produce bit-equal doubles on both engines, so ranking
+    agrees; output rounded through _py_round for the value hash."""
+    import ray.data as rd
+
+    from joi_ray.ops.text import tfidf_top_terms
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    top = tfidf_top_terms(ds, "text", "doc_id", k=3)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return _py_round(pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "term": t["term"],
+            "tfidf": t["tfidf"],
+        }), {"tfidf": 4})
+
+    return top.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
+
+
 def _q_token_top20(sf_dir: str):
     """Corpus vocabulary sweep: top-20 token frequencies (two-phase count,
     vocabulary-sized shuffle — ops/text.py token_top_k)."""
@@ -1577,6 +1601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": _q_simhash_pairs,
         "lang_id_distribution": _q_lang_distribution,
         "token_top20": _q_token_top20,
+        "tfidf_top3": _q_tfidf_top3,
         "drift_halves": _q_drift,
         "media_features": _q_media_features,
         "embedding_near_dups": _q_embedding_dups,
@@ -1904,6 +1929,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms na ON na.id = id_a
             JOIN norms nb ON nb.id = id_b
             WHERE d / (na.n * nb.n) >= 0.95
+        """,
+        "tfidf_top3": """
+            WITH tf AS (
+              SELECT doc_id, tok.t AS term, count(*) AS tf
+              FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(coalesce(text, '')), '\\w+')) AS t
+                FROM documents
+              ) tok
+              GROUP BY doc_id, tok.t
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            nd AS (SELECT count(*) AS n FROM documents),
+            ranked AS (
+              SELECT tf.doc_id, tf.term,
+                     tf.tf * ln(nd.n / dfreq.df) AS s,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * ln(nd.n / dfreq.df) DESC, tf.term
+                     ) AS rn
+              FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+            )
+            SELECT doc_id, term, round(s, 4) AS tfidf
+            FROM ranked WHERE rn <= 3
         """,
         "token_top20": """
             WITH toks AS (

@@ -147,3 +147,93 @@ def token_top_k(ds, text_col: str = "text", *, k: int = 20, lowercase: bool = Tr
     return top.map_batches(
         lambda t: pa.table({"token": t["token"], "n": pc.cast(t["n"], pa.int64())}),
         batch_format="pyarrow", **REMOTE_KWARGS)
+
+
+def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id", *,
+                    k: int = 3, min_df: int = 1):
+    """Per-document top-k terms by tf-idf (idf = ln(n_docs / df)).
+
+    Scale shape: ONE tokenize pass emits the (doc, term, tf) relation
+    (materialized — consumed twice, each doc's rows contiguous within a
+    block); df reduces that relation with per-batch (term, doc-count)
+    partials into one vocabulary-sized groupby-sum (the token_top_k
+    pattern); the df vocabulary (df >= min_df) is broadcast ONCE via
+    ray.put and each tf block computes scores + an exact per-doc top-k
+    locally with batch_size=None (block == tokenize-task output, so a
+    doc's terms never split across the scoring batches).  Ties break by
+    (score DESC, term ASC).  min_df > 1 bounds the broadcast at scale by
+    dropping ultra-rare terms from ranking — a cap the caller opts into
+    (min_df=1 drops nothing)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .._env import REMOTE_KWARGS
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(pc.fill_null(batch[text_col].combine_chunks(), ""))
+        toks = pc.split_pattern_regex(s, r"\W+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        docpos = np.repeat(np.arange(len(s), dtype=np.int64), lens)
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({"d": docpos[keep],
+                           "term": flat.filter(pa.array(keep)).to_pandas()})
+             .groupby(["d", "term"], sort=True).size().reset_index(name="tf"))
+        ids = batch[id_col].combine_chunks().take(pa.array(g["d"].to_numpy()))
+        return pa.table({
+            id_col: ids,
+            "term": pa.array(g["term"], pa.string()),
+            "tf": pa.array(g["tf"].to_numpy().astype(np.int64)),
+        })
+
+    id_type = ds.schema().types[ds.schema().names.index(id_col)]
+    tf_ds = ds.map_batches(tf_rows, batch_format="pyarrow", **REMOTE_KWARGS).materialize()
+    n_docs = ds.count()
+
+    def df_partials(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["term"].combine_chunks())
+        return pa.table({
+            "term": vc.field("values"),
+            "partial_df": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    df_tbl = pa.concat_tables(ray.get(
+        tf_ds.map_batches(df_partials, batch_format="pyarrow", **REMOTE_KWARGS)
+        .groupby("term").aggregate(Sum("partial_df", alias_name="df"))
+        .to_arrow_refs()))
+    if min_df > 1:
+        df_tbl = df_tbl.filter(pc.greater_equal(df_tbl["df"], min_df))
+    vref = ray.put((df_tbl["term"].combine_chunks(),
+                    df_tbl["df"].combine_chunks()))
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], id_type),
+                             "term": pa.array([], pa.string()),
+                             "tfidf": pa.array([], pa.float64())})
+        keys, dfs = ray.get(vref)
+        idx = pc.index_in(t["term"].combine_chunks(), value_set=keys)
+        dfv = pc.cast(dfs.take(idx), pa.float64()).to_numpy(zero_copy_only=False)
+        tf = t["tf"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore"):
+            score = tf * np.log(n_docs / dfv)  # nan for min_df-dropped terms
+        pdf = pd.DataFrame({
+            "i": np.arange(t.num_rows, dtype=np.int64),
+            "s": score,
+        }).dropna(subset=["s"])
+        # per-doc exact top-k: rows of one doc are contiguous in the block
+        did = t[id_col].combine_chunks().to_pandas()
+        pdf["doc"] = did.iloc[pdf["i"]].to_numpy()
+        pdf["term"] = t["term"].combine_chunks().to_pandas().iloc[pdf["i"]].to_numpy()
+        pdf = pdf.sort_values(["doc", "s", "term"], ascending=[True, False, True],
+                              kind="stable")
+        top = pdf.groupby("doc", sort=False).head(k)
+        take = pa.array(top["i"].to_numpy())
+        return pa.table({
+            id_col: t[id_col].combine_chunks().take(take),
+            "term": t["term"].combine_chunks().take(take),
+            "tfidf": pa.array(top["s"].to_numpy(), pa.float64()),
+        })
+
+    return tf_ds.map_batches(score_topk, batch_format="pyarrow",
+                             batch_size=None, **REMOTE_KWARGS)

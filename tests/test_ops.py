@@ -279,3 +279,33 @@ def test_media_header_parsing_real_formats():
     legacy = b"JRMM" + bytes([0]) + (20).to_bytes(2, "little") + (30).to_bytes(2, "little") + (2).to_bytes(2, "little") + b"\x00" * 5
     assert _parse_media_header(legacy) == ("image", 20, 30, 2)
     assert _parse_media_header(b"garbage") == (None, None, None, None)
+
+
+def test_tfidf_top_terms(ray_session):
+    """tf-idf ranking vs a tiny closed-form corpus + min_df cap behavior."""
+    import math
+
+    import ray.data as rd
+
+    from joi_ray.ops.text import tfidf_top_terms
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["apple apple banana", "banana cherry", "cherry cherry cherry dust"],
+    })
+    out = tfidf_top_terms(rd.from_arrow(t), "text", "doc_id", k=2).take_all()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["term"], r["tfidf"]))
+    # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    assert by_doc[1][0][0] == "apple"
+    assert abs(by_doc[1][0][1] - 2 * math.log(3)) < 1e-9
+    assert by_doc[1][1][0] == "banana"
+    # doc 3: cherry tf=3 df=2 beats dust tf=1 df=1 (3*ln1.5 > ln3)
+    assert by_doc[3][0][0] == "cherry"
+    assert by_doc[3][1][0] == "dust"
+
+    # min_df=2 drops the singletons (apple, dust) from ranking entirely
+    out2 = tfidf_top_terms(rd.from_arrow(t), "text", "doc_id", k=2, min_df=2).take_all()
+    terms2 = {r["term"] for r in out2}
+    assert terms2 == {"banana", "cherry"}
