@@ -309,3 +309,61 @@ def test_tfidf_top_terms(ray_session):
     out2 = tfidf_top_terms(rd.from_arrow(t), "text", "doc_id", k=2, min_df=2).take_all()
     terms2 = {r["term"] for r in out2}
     assert terms2 == {"banana", "cherry"}
+
+
+def test_png_wav_real_decode():
+    """Full pixel/sample decode roundtrip, pure stdlib: synth -> decode
+    recovers the exact deterministic content."""
+    import struct
+    import zlib
+
+    from joi_ray.ops.multimodal import (_png_bytes, _png_decode, _wav_bytes,
+                                        _wav_decode)
+
+    px = _png_decode(_png_bytes(20, 9, seed=5))
+    assert px is not None and px.shape == (9, 20)
+    expect = ((np.arange(9, dtype=np.uint32)[:, None] * 31
+               + np.arange(20, dtype=np.uint32)[None, :] * 7 + 5) % 256).astype(np.uint8)
+    assert np.array_equal(px, expect)
+
+    smp = _wav_decode(_wav_bytes(160, body_seed=12345))
+    assert smp is not None and len(smp) == 160
+    k = 12345 % 97 + 3
+    assert np.array_equal(smp, (((np.arange(160, dtype=np.int64) * k) % 4096) - 2048).astype(np.int16))
+
+    # filter-type coverage: encode one row with filter 2 (up) by hand
+    ihdr = struct.pack(">IIBBBBB", 4, 2, 8, 0, 0, 0, 0)
+    row0 = bytes([0, 10, 20, 30, 40])
+    row1 = bytes([2, 1, 1, 1, 1])  # up-filtered: decodes to 11,21,31,41
+    raw = zlib.compress(row0 + row1)
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", zlib.crc32(tag + body))
+
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw)
+           + chunk(b"IEND", b""))
+    out = _png_decode(png)
+    assert out is not None and out[1].tolist() == [11, 21, 31, 41]
+
+
+def test_media_features_content_based(ray_session):
+    """Image features reflect pixel content; audio features carry RMS/ZCR;
+    identical payloads give identical features."""
+    from joi_ray.ops.multimodal import MediaFeatureStage, _png_bytes, _wav_bytes
+
+    stage = MediaFeatureStage()
+    t = pa.table({
+        "payload": pa.array([
+            _png_bytes(16, 16, seed=1),
+            _png_bytes(16, 16, seed=1),   # identical -> identical features
+            _png_bytes(16, 16, seed=99),  # different content
+            _wav_bytes(200, body_seed=7),
+            None,
+        ], pa.binary()),
+    })
+    out = stage(t)
+    f = np.stack([np.asarray(x) for x in out["media_features"].to_pylist()])
+    assert np.array_equal(f[0], f[1])
+    assert not np.array_equal(f[0], f[2])
+    assert f[3][0] > 0  # RMS of a sawtooth is positive
+    assert np.array_equal(f[4], np.zeros(32, np.float32))  # null payload
