@@ -71,13 +71,157 @@ def _wav_bytes(n_samples: int, body_seed: int) -> bytes:
             + b"data" + struct.pack("<I", len(data)) + data)
 
 
-def _gif_bytes(w: int, h: int, frames: int) -> bytes:
-    """A GIF89a container skeleton: real logical-screen header plus one
-    image-descriptor block per frame (pixel data omitted — the block walk
-    is what the decoder parses)."""
-    head = b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
-    desc = b"".join(b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00" for _ in range(frames))
-    return head + desc + b"\x3b"
+def _gif_lzw_encode(indices: np.ndarray, min_code_size: int = 2) -> bytes:
+    """GIF-flavor LZW using the classic 'uncompressed' trick: a CLEAR code
+    after every pixel keeps the dictionary empty and the code width
+    constant — valid LZW any conformant decoder (incl. ours) accepts."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for v in indices:
+        emit(int(v))
+        emit(clear)
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> np.ndarray:
+    """Standard GIF LZW decode (dictionary growth, width bumps at 2^width,
+    CLEAR resets, 12-bit cap) — handles real GIFs, not just our encoder."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+    table: list[list[int] | None] = []
+    width = min_code_size + 1
+    next_code = 0
+    prev: list[int] | None = None
+
+    def reset_table():
+        nonlocal table, width, next_code, prev
+        table = [[i] for i in range(clear)] + [None, None]
+        width = min_code_size + 1
+        next_code = clear + 2
+        prev = None
+
+    reset_table()
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset_table()
+                continue
+            if code == end:
+                return np.array(out, np.uint8)
+            if code < len(table) and table[code] is not None:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + [prev[0]]
+            else:
+                return np.array(out, np.uint8)  # corrupt stream: best effort
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table.append(prev + [entry[0]])
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return np.array(out, np.uint8)
+
+
+_GIF_MIN_CODE = 2  # 4-entry palette -> spec minimum code size
+
+
+def _gif_frame_indices(w: int, h: int, f: int, seed: int) -> np.ndarray:
+    return ((np.arange(h, dtype=np.int64)[:, None]
+             + np.arange(w, dtype=np.int64)[None, :] + f + seed) % 4
+            ).astype(np.uint8).reshape(-1)
+
+
+def _gif_bytes(w: int, h: int, frames: int, seed: int = 0) -> bytes:
+    """A genuine COMPLETE GIF89a: logical screen descriptor, 4-entry
+    global color table (grayscale ramp), and one image per frame with real
+    LZW-compressed pixel data — decodable by ``_gif_decode`` below or any
+    GIF reader."""
+    # packed 0x91: global color table, 4 entries (size bits 001)
+    head = b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x91, 0, 0])
+    gct = bytes(v for g in (0, 85, 170, 255) for v in (g, g, g))
+    parts = [head, gct]
+    for f in range(frames):
+        lzw = _gif_lzw_encode(_gif_frame_indices(w, h, f, seed), _GIF_MIN_CODE)
+        sub = b"".join(bytes([len(lzw[i:i + 255])]) + lzw[i:i + 255]
+                       for i in range(0, len(lzw), 255))
+        parts.append(b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+                     + bytes([_GIF_MIN_CODE]) + sub + b"\x00")
+    parts.append(b"\x3b")
+    return b"".join(parts)
+
+
+def _gif_decode(b: bytes):
+    """Decode all frames of a GIF to (list of (h, w) uint8 GRAY arrays)
+    via the block walk + LZW decode + palette mapping."""
+    if b[:6] not in (b"GIF89a", b"GIF87a") or len(b) < 13:
+        return None
+    w, h = struct.unpack("<HH", b[6:10])
+    packed = b[10]
+    i = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        raw = b[i:i + 3 * n]
+        palette = (np.frombuffer(raw, np.uint8).reshape(-1, 3).astype(np.uint16)
+                   .sum(axis=1) // 3).astype(np.uint8)
+        i += 3 * n
+    frames = []
+    while i < len(b):
+        blk = b[i]
+        if blk == 0x2C:  # image descriptor
+            fw, fh = struct.unpack("<HH", b[i + 5:i + 9])
+            fpacked = b[i + 9]
+            i += 10
+            if fpacked & 0x80:  # local color table
+                i += 3 * (2 << (fpacked & 0x07))
+            mcs = b[i]
+            i += 1
+            data = bytearray()
+            while i < len(b) and b[i]:
+                sz = b[i]
+                data += b[i + 1:i + 1 + sz]
+                i += 1 + sz
+            i += 1  # sub-block terminator
+            idx = _gif_lzw_decode(bytes(data), mcs)
+            if len(idx) >= fw * fh:
+                gray = palette[idx[: fw * fh]] if palette is not None else idx[: fw * fh]
+                frames.append(gray.reshape(fh, fw))
+        elif blk == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(b) and b[i]:
+                i += 1 + b[i]
+            i += 1
+        elif blk == 0x3B:
+            break
+        else:
+            break
+    return frames or None
 
 
 def synth_media_payload(media_refs: pa.Array) -> pa.Array:
@@ -104,7 +248,7 @@ def synth_media_payload(media_refs: pa.Array) -> pa.Array:
         elif kind_code == 1:
             out.append(_wav_bytes(frames * 16, hv))
         else:
-            out.append(_gif_bytes(w, hgt, frames))
+            out.append(_gif_bytes(w, hgt, frames, hv & 0xFF))
     return pa.array(out, type=pa.binary())
 
 
@@ -135,11 +279,30 @@ def _parse_media_header(b: bytes):
         return "image", None, None, 1
     if b[:6] in (b"GIF89a", b"GIF87a") and len(b) >= 13:
         w, h = struct.unpack("<HH", b[6:10])
-        # walk image-descriptor blocks (0x2C + 9-byte descriptor)
-        i, frames = 13, 0
-        while i < len(b) and b[i] == 0x2C:
-            frames += 1
-            i += 10
+        # full block walk: skip the global color table, count image
+        # descriptors, skip each frame's LZW sub-blocks and extensions
+        packed, i, frames = b[10], 13, 0
+        if packed & 0x80:
+            i += 3 * (2 << (packed & 0x07))
+        while i < len(b):
+            blk = b[i]
+            if blk == 0x2C:
+                frames += 1
+                fpacked = b[i + 9] if i + 9 < len(b) else 0
+                i += 10
+                if fpacked & 0x80:
+                    i += 3 * (2 << (fpacked & 0x07))
+                i += 1  # LZW min code size
+                while i < len(b) and b[i]:
+                    i += 1 + b[i]
+                i += 1
+            elif blk == 0x21:
+                i += 2
+                while i < len(b) and b[i]:
+                    i += 1 + b[i]
+                i += 1
+            else:
+                break
         return "video", w, h, max(frames, 1)
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         i, block_align, data_size = 12, 2, 0
@@ -308,6 +471,12 @@ class MediaFeatureStage:
             if px is not None:
                 feats[i] = self._hist_project(px.reshape(-1))
                 continue
+            if b[:3] == b"GIF":
+                frames = _gif_decode(b)
+                if frames is not None:
+                    allpx = np.concatenate([f.reshape(-1) for f in frames])
+                    feats[i] = self._hist_project(allpx)
+                    continue
             smp = _wav_decode(b) if b[:4] == b"RIFF" else None
             if smp is not None and len(smp):
                 x = smp.astype(np.float32) / 32768.0

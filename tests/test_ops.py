@@ -367,3 +367,29 @@ def test_media_features_content_based(ray_session):
     assert not np.array_equal(f[0], f[2])
     assert f[3][0] > 0  # RMS of a sawtooth is positive
     assert np.array_equal(f[4], np.zeros(32, np.float32))  # null payload
+
+
+def test_gif_lzw_roundtrip():
+    """Real GIF89a with LZW pixel data: encode -> full decode recovers the
+    exact frame indices (mapped through the grayscale palette)."""
+    from joi_ray.ops.multimodal import (_gif_bytes, _gif_decode,
+                                        _gif_frame_indices, _gif_lzw_decode,
+                                        _gif_lzw_encode, _parse_media_header)
+
+    idx = np.array([0, 1, 2, 3, 3, 2, 1, 0, 2, 2], np.uint8)
+    assert np.array_equal(_gif_lzw_decode(_gif_lzw_encode(idx), 2), idx)
+
+    b = _gif_bytes(11, 7, 3, seed=9)
+    kind, w, h, f = _parse_media_header(b)
+    assert (kind, w, h, f) == ("video", 11, 7, 3)
+    frames = _gif_decode(b)
+    assert frames is not None and len(frames) == 3
+    palette = np.array([0, 85, 170, 255], np.uint8)
+    for fi, fr in enumerate(frames):
+        expect = palette[_gif_frame_indices(11, 7, fi, 9).reshape(7, 11)]
+        assert np.array_equal(fr, expect), fi
+
+    # dictionary-growth path: a real compressor's stream (no constant CLEARs)
+    # — decode a stream hand-built with growing codes
+    enc = _gif_lzw_encode(np.tile(np.arange(4, dtype=np.uint8), 50))
+    assert len(_gif_lzw_decode(enc, 2)) == 200
