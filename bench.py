@@ -222,6 +222,16 @@ def run_bench() -> dict:
     n_mh = len(mh)  # minhash_canonical returns a small pandas DataFrame
     queries["minhash_dedup"] = round(time.time() - t0, 3)
 
+    # ---- tf-idf top terms over the expanded corpus (materialized tf
+    # relation + vocabulary-bounded df broadcast + per-block exact top-k)
+    t0 = time.time()
+    from joi_ray.ops.text import tfidf_top_terms
+
+    n_tfidf = tfidf_top_terms(
+        flat.map_batches(expand_uid, batch_format="pyarrow", batch_size=exp_bs),
+        "text", "doc_id", k=3).count()
+    queries["tfidf_top3"] = round(time.time() - t0, 3)
+
     # ---- cleaning mode: stream only schema-passing rows (normalized)
     t0 = time.time()
     from joi_ray.pipelines.validate import filter_valid
