@@ -103,6 +103,26 @@ _PURE_CHECK_RULES = {
 }  # isoDate excluded: it rewrites to canonical ISO in convert mode
 
 
+# physical-type families whose rule kernels can run on the column; a
+# mismatch (string rules on int64, etc.) means every present row already
+# failed the base type check and the loop is skipped
+_RULE_TYPE_GUARDS = {
+    "string": lambda t: pa.types.is_string(t) or pa.types.is_large_string(t),
+    "number": lambda t: (pa.types.is_floating(t) or pa.types.is_integer(t)
+                         or pa.types.is_decimal(t)),
+    "boolean": pa.types.is_boolean,
+    "date": lambda t: pa.types.is_timestamp(t) or pa.types.is_date(t),
+    "binary": lambda t: pa.types.is_binary(t) or pa.types.is_large_binary(t),
+    "array": lambda t: pa.types.is_list(t) or pa.types.is_large_list(t),
+    "object": pa.types.is_struct,
+}
+
+
+def _rule_type_ok(node_type: str, arrow_type: pa.DataType) -> bool:
+    guard = _RULE_TYPE_GUARDS.get(node_type)
+    return guard is None or bool(guard(arrow_type))
+
+
 class CNode:
     """One compiled schema node: kernels constructed, children compiled,
     value sets prebuilt, conditionals desugared via concat."""
@@ -593,7 +613,13 @@ def eval_node(
         arr = _eval_object(node, arr, env, path, scope, resolved, failed, errors, add_err)
 
     # ---- rules loop (lib/validator.js:260-320)
-    for cr in node.rules:
+    # Per-value joi returns before the rules loop when the base type check
+    # failed; the columnar equivalent: Arrow columns are homogeneous, so a
+    # family-incompatible physical type means EVERY present row already
+    # carries {type}.base — running typed kernels would crash on the raw
+    # array (e.g. a regex over int64), so skip the loop wholesale.
+    rules = node.rules if _rule_type_ok(node.type, arr.type) else ()
+    for cr in rules:
         if cr.convert_phase and env.convert:
             continue  # already applied in the coerce phase
         if cr.fn is None:  # warning rule: always fires on present rows

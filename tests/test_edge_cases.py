@@ -102,3 +102,26 @@ def test_dictionary_large_string_chunked_inputs():
     assert list(V(obj({"x": jr.string().min(2)}), pa.table({"x": ls})).ok) == [True, False]
     ch = pa.chunked_array([pa.array(["aa"]), pa.array(["b"])])
     assert list(V(obj({"x": jr.string().min(2)}), pa.table({"x": ch})).ok) == [True, False]
+
+
+def test_wrong_typed_column_clean_base_errors():
+    """A schema applied to a column of the wrong physical type must emit
+    clean {type}.base violations, never crash a typed kernel (regression:
+    string pattern rules used to hit Arrow's regex kernel with int64)."""
+    import joi_ray as jr
+    from joi_ray import compile_schema
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "n": pa.array(["x", "y", "z"], pa.string()),  # number schema, no convert
+    })
+    schema = jr.object({
+        "doc_id": jr.string().required().pattern(r"^doc-").min(4),
+        "n": jr.number().min(5),
+    })
+    res = compile_schema(schema, prefs={"abort_early": False, "convert": False}).validate_table(t)
+    assert not any(res.ok)
+    df = res.violations.to_pandas()
+    codes = set(df["code"])
+    assert codes == {"string.base", "number.base"}
+    assert (df.groupby("row").size() == 2).all()  # one base error per column
