@@ -87,3 +87,40 @@ def test_date_iso_epoch_consistency():
         t = t.tz_localize("UTC") if t.tzinfo is None else t
         expect = int(t.value // 1_000_000)
         assert _js_iso_parse_ms(s) == expect, s
+
+
+def test_js_iso_parse_property_vs_pandas():
+    """Property: on the domain both parsers accept (in-range calendar
+    datetimes), the civil-day parser and pandas agree on the epoch ms."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from joi_ray.kernels.strings import _js_iso_parse_ms
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        y=st.integers(1700, 2200), mo=st.integers(1, 12), d=st.integers(1, 28),
+        hh=st.integers(0, 23), mm=st.integers(0, 59), ss=st.integers(0, 59),
+        ms=st.integers(0, 999),
+        off=st.one_of(st.none(), st.integers(-23 * 60 - 59, 23 * 60 + 59)),
+    )
+    def check(y, mo, d, hh, mm, ss, ms, off):
+        tz = "Z" if off is None else f"{'+' if off >= 0 else '-'}{abs(off) // 60:02d}:{abs(off) % 60:02d}"
+        s = f"{y:04d}-{mo:02d}-{d:02d}T{hh:02d}:{mm:02d}:{ss:02d}.{ms:03d}{tz}"
+        expect = int(pd.Timestamp(s).tz_convert("UTC").value // 1_000_000)
+        assert _js_iso_parse_ms(s) == expect, s
+
+    check()
+
+
+def test_js_iso_parse_rejects_invalid_calendar():
+    from joi_ray.kernels.strings import _js_iso_parse_ms
+
+    assert _js_iso_parse_ms("2013-02-29") is None          # not a leap year
+    assert _js_iso_parse_ms("2012-02-29") is not None      # leap year
+    assert _js_iso_parse_ms("2013-04-31") is None
+    assert _js_iso_parse_ms("2013-13-01") is None
+    assert _js_iso_parse_ms("2013-06-07T25:00") is None
+    assert _js_iso_parse_ms("2013-06-07T24:00:01") is None
+    assert _js_iso_parse_ms("-000000-01-01") is None       # JS: -000000 invalid
