@@ -29,7 +29,7 @@ if _REPO not in sys.path:
 # from elsewhere, stage callables would fail to unpickle in workers.  This
 # fills joi_ray._env.REMOTE_KWARGS with a PYTHONPATH runtime_env that every
 # joi_ray map_batches call site spreads (no-op from the repo root).
-from joi_ray._env import REMOTE_KWARGS, ensure_importable
+from joi_ray._env import REMOTE_KWARGS, ensure_importable, join_num_partitions
 
 ensure_importable()
 
@@ -1166,7 +1166,7 @@ def _q_dedup_ngram(sf_dir: str):
         lambda t: t.rename_columns(["id_a", "band", "band_hash"]), batch_format="pyarrow", **REMOTE_KWARGS)
     right = banded.map_batches(
         lambda t: t.rename_columns(["id_b", "band", "band_hash"]), batch_format="pyarrow", **REMOTE_KWARGS)
-    njoin = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) - 1))
+    njoin = join_num_partitions()
     j = left.join(right, join_type="inner", num_partitions=njoin, on=("band", "band_hash"),
                   aggregator_ray_remote_args={"num_cpus": 0.5})
     def half_pairs(t: pa.Table) -> pa.Table:
@@ -1337,7 +1337,7 @@ def _q_simhash_pairs(sf_dir: str):
         lambda t: t.rename_columns(["id_a", "band0", "canon_a"]), batch_format="pyarrow", **REMOTE_KWARGS)
     right = sigs.map_batches(
         lambda t: t.rename_columns(["id_b", "band0", "canon_b"]), batch_format="pyarrow", **REMOTE_KWARGS)
-    njoin = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) - 1))
+    njoin = join_num_partitions()
     j = left.join(right, join_type="inner", num_partitions=njoin, on=("band0",),
                   aggregator_ray_remote_args={"num_cpus": 0.5})
 

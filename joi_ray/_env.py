@@ -65,6 +65,21 @@ def _workers_can_import(ray_mod) -> bool:
         return False
 
 
+def join_num_partitions() -> int:
+    """Partition count for ``Dataset.join``.  Hard constraint: must stay
+    below cluster CPUs or the join's aggregator actors deadlock (Ray
+    2.49).  Single-node tuning: past ~16 partitions the 0.5-CPU aggregator
+    pool competes with map tasks for one memory bus, so cap there; on a
+    multi-node cluster (CPU > 32) scale with the cluster instead — a flat
+    16 would serialize the shuffle."""
+    import ray
+
+    cpu = int(ray.cluster_resources().get("CPU", 8))
+    if cpu <= 32:
+        return max(2, min(cpu - 1, 16))
+    return cpu // 2
+
+
 def quiet_ray_data_logs() -> bool:
     """Silence Ray Data's per-task schema-hash warning in THIS process.
 

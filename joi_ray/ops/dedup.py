@@ -17,7 +17,7 @@ Scale design:
 
 from __future__ import annotations
 
-from .._env import REMOTE_KWARGS
+from .._env import REMOTE_KWARGS, join_num_partitions
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -231,7 +231,7 @@ def minhash_duplicate_pairs(ds, text_col: str, id_col: str, *, threshold: float 
 
     left = banded.map_batches(lambda t: _rename(t, "_a"), batch_format="pyarrow", **REMOTE_KWARGS)
     right = banded.map_batches(lambda t: _rename(t, "_b"), batch_format="pyarrow", **REMOTE_KWARGS)
-    njoin = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) - 1))
+    njoin = join_num_partitions()
     j = left.join(right, join_type="inner", num_partitions=njoin, on=("band", "band_hash"),
                   aggregator_ray_remote_args={"num_cpus": 0.5})
 
@@ -519,7 +519,7 @@ def simhash_duplicate_pairs(ds, text_col: str, id_col: str, *, max_hamming: int 
 
     left = banded.map_batches(lambda t: _rename(t, "_a"), batch_format="pyarrow", **REMOTE_KWARGS)
     right = banded.map_batches(lambda t: _rename(t, "_b"), batch_format="pyarrow", **REMOTE_KWARGS)
-    njoin = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) - 1))
+    njoin = join_num_partitions()
     j = left.join(right, join_type="inner", num_partitions=njoin, on=("band", "band_val"),
                   aggregator_ray_remote_args={"num_cpus": 0.5})
 
@@ -667,7 +667,7 @@ def embedding_duplicate_pairs(ds, emb_col: str, id_col: str, *, threshold: float
 
     left = bucketed.map_batches(lambda t: _rename(t, "_a"), batch_format="pyarrow", **REMOTE_KWARGS)
     right = bucketed.map_batches(lambda t: _rename(t, "_b"), batch_format="pyarrow", **REMOTE_KWARGS)
-    njoin = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) - 1))
+    njoin = join_num_partitions()
     j = left.join(right, join_type="inner", num_partitions=njoin, on=("bucket",),
                   aggregator_ray_remote_args={"num_cpus": 0.5})
 
