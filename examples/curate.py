@@ -92,6 +92,13 @@ def main():
         best.setdefault(r["query_id"], r["vec_id"])
     print(f"[6] ann top-1 per q   {best}")
 
+    # 7. per-doc salient terms (tf-idf top-k)
+    from joi_ray.ops.text import tfidf_top_terms
+
+    tf = tfidf_top_terms(clean, "text", "doc_id", k=2)
+    sample = tf.take(4)
+    print(f"[7] tf-idf top terms  {[(r['doc_id'], r['term']) for r in sample]}")
+
     print(f"done in {time.time() - t0:.1f}s")
     ray.shutdown()
 
