@@ -1373,6 +1373,42 @@ def _q_tfidf_top3(sf_dir: str):
     return top.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
 
 
+def _q_range_join_bands(sf_dir: str):
+    """Range join (joi_ray.ops.joins.range_join_broadcast): orders priced
+    into OVERLAPPING nation-derived bands [n*12000, n*12000+19999] — a
+    row can match two bands, which an equi-join can't express.  The band
+    table is broadcast once; each batch probes it with two searchsorted
+    passes; no shuffle until the 25-group count/sum."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from joi_ray.ops.joins import range_join_broadcast
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    nk = pc.cast(nation["n_nationkey"], pa.float64())
+    bands = pa.table({
+        "band": pc.cast(nation["n_nationkey"], pa.int64()),
+        "lo": pc.multiply(nk, 12000.0),
+        "hi": pc.add(pc.multiply(nk, 12000.0), 19999.0),
+    })
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    joined = range_join_broadcast(
+        orders, "o_totalprice", bands, lo_col="lo", hi_col="hi",
+        range_keys=["band"], left_keep=["o_totalprice"])
+    agg = joined.groupby("band").aggregate(
+        Count(alias_name="n"), Sum("o_totalprice", alias_name="sum_price"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "band": pc.cast(t["band"], pa.int64()),
+            "n": pc.cast(t["n"], pa.int64()),
+            "sum_price": t["sum_price"],
+        })
+        return _py_round(out, {"sum_price": 2})
+
+    return agg.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
+
+
 def _q_token_top20(sf_dir: str):
     """Corpus vocabulary sweep: top-20 token frequencies (two-phase count,
     vocabulary-sized shuffle — ops/text.py token_top_k)."""
@@ -1602,6 +1638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_distribution": _q_lang_distribution,
         "token_top20": _q_token_top20,
         "tfidf_top3": _q_tfidf_top3,
+        "range_join_bands": _q_range_join_bands,
         "drift_halves": _q_drift,
         "media_features": _q_media_features,
         "embedding_near_dups": _q_embedding_dups,
@@ -1929,6 +1966,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms na ON na.id = id_a
             JOIN norms nb ON nb.id = id_b
             WHERE d / (na.n * nb.n) >= 0.95
+        """,
+        "range_join_bands": """
+            WITH bands AS (
+              SELECT n_nationkey AS band,
+                     n_nationkey * 12000.0 AS lo,
+                     n_nationkey * 12000.0 + 19999.0 AS hi
+              FROM nation
+            )
+            SELECT band, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders JOIN bands ON o_totalprice BETWEEN lo AND hi
+            GROUP BY band
         """,
         "tfidf_top3": """
             WITH tf AS (

@@ -393,3 +393,44 @@ def test_gif_lzw_roundtrip():
     # — decode a stream hand-built with growing codes
     enc = _gif_lzw_encode(np.tile(np.arange(4, dtype=np.uint8), 50))
     assert len(_gif_lzw_decode(enc, 2)) == 200
+
+
+def test_range_join_broadcast(ray_session):
+    """Overlapping intervals, boundary inclusivity, and no-match rows."""
+    import ray.data as rd
+
+    from joi_ray.ops.joins import range_join_broadcast
+
+    ranges = pa.table({
+        "band": pa.array([0, 1, 2], pa.int64()),
+        "lo": pa.array([0.0, 5.0, 100.0]),
+        "hi": pa.array([10.0, 20.0, 200.0]),
+    })
+    left = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "v": pa.array([7.0, 10.0, 15.0, 50.0, 100.0]),  # 7 in 0&1; 10 on hi edge of 0 and in 1; 50 nowhere
+    })
+    out = range_join_broadcast(rd.from_arrow(left), "v", ranges,
+                               lo_col="lo", hi_col="hi",
+                               range_keys=["band"], left_keep=["id"]).take_all()
+    got = sorted((r["id"], r["band"]) for r in out)
+    assert got == [(1, 0), (1, 1), (2, 0), (2, 1), (3, 1), (5, 2)]
+
+
+def test_range_join_irregular_overlap(ray_session):
+    """A wide interval that starts early must still match values far past
+    later-starting intervals (the max-hi-prefix window, not naive lo-only)."""
+    import ray.data as rd
+
+    from joi_ray.ops.joins import range_join_broadcast
+
+    ranges = pa.table({
+        "band": pa.array([10, 11, 12], pa.int64()),
+        "lo": pa.array([0.0, 1.0, 2.0]),
+        "hi": pa.array([1000.0, 2.0, 3.0]),  # band 10 spans everything
+    })
+    left = pa.table({"id": pa.array([1], pa.int64()), "v": pa.array([500.0])})
+    out = range_join_broadcast(rd.from_arrow(left), "v", ranges,
+                               lo_col="lo", hi_col="hi",
+                               range_keys=["band"], left_keep=["id"]).take_all()
+    assert [(r["id"], r["band"]) for r in out] == [(1, 10)]
