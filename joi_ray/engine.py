@@ -1150,17 +1150,20 @@ def _eval_object(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fa
         for f in unknown:
             add_err("object.unknown", kscope.copy(), {"child": f}, seq=-1)
 
-    # dependencies over presence masks (object.js:722-873)
-    presence_masks = {
-        f: (~null_mask(results[f].value) if f in results else ~null_mask(children[f])) & parent_present
-        for f in set(list(node.keys) + [p for d in node.dependencies for p in d["peers"]] + [d["key"] for d in node.dependencies if d.get("key")])
-        if f in results or f in children
-    }
+    # dependencies over presence masks (object.js:722-873); dep names may
+    # be dotted deep paths ('b.c') — resolved by struct-field traversal,
+    # with a per-dependency separator option
     for d in node.dependencies:
-        peers = [p for p in d["peers"] if p in presence_masks]
-        if d.get("key") and d["key"] not in presence_masks:
+        sep = d.get("separator", ".")
+        pm = {}
+        for f in list(d["peers"]) + ([d["key"]] if d.get("key") else []):
+            m = _dep_presence(f, results, children, parent_present, n, sep)
+            if m is not None:
+                pm[f] = m
+        peers = [p for p in d["peers"] if p in pm]
+        if d.get("key") and d["key"] not in pm:
             continue
-        viol, code, ctx = k_structs.dependency_mask(d["rel"], presence_masks, peers, d.get("key"))
+        viol, code, ctx = k_structs.dependency_mask(d["rel"], pm, peers, d.get("key"))
         add_err(code, viol & kscope, ctx)
 
     # rebuild struct with coerced / stripped children
@@ -1170,6 +1173,33 @@ def _eval_object(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fa
     if keep != orig_names or any(results[f].value is not children.get(f) for f in results if f in keep):
         arr = pa.StructArray.from_arrays([combine(a) for a in arrays], names=keep, mask=pa.array(~parent_present))
     return arr
+
+
+def _dep_presence(name, results, children, parent_present, n, separator="."):
+    """Presence mask for a dependency name, supporting dotted deep paths
+    ('b.c' — reference object.js dependency separators): present iff every
+    path level is non-null.  ``separator=False`` treats the name as one
+    literal key (reference options.separator).  Returns None when the
+    TOP-level field doesn't exist in the schema/value (reference: unknown
+    top key is simply never present), an all-False mask when a deeper
+    level is missing."""
+    parts = name.split(separator) if separator else [name]
+    top = parts[0]
+    if top in results:
+        cur = results[top].value
+    elif top in children:
+        cur = children[top]
+    else:
+        return None
+    mask = ~null_mask(cur) & parent_present
+    for p in parts[1:]:
+        if not pa.types.is_struct(cur.type) or cur.type.get_field_index(p) < 0:
+            return np.zeros(n, dtype=bool)
+        cur = pc.struct_field(cur, p)
+        if isinstance(cur, pa.ChunkedArray):
+            cur = cur.combine_chunks()
+        mask = mask & ~null_mask(cur)
+    return mask
 
 
 def _eval_structural_rule(node, cr, arr, env, path, scope, missing, resolved, failed, add_err):
@@ -1370,13 +1400,16 @@ class CompiledSchema:
                 errors.append(rec)
                 failed |= scope
 
-        # dependencies across top-level columns
-        presence_masks = {
-            k: ~null_mask(results[k].value) if k in results else (~null_mask(columns[k]) if k in columns else np.zeros(n, bool))
-            for k in set(list(self.root.keys) + [p for d in self.root.dependencies for p in d["peers"]] + [d["key"] for d in self.root.dependencies if d.get("key")])
-        }
+        # dependencies across top-level columns (dotted deep paths resolve
+        # into struct columns; an unknown top-level name is never present)
+        all_ones = np.ones(n, dtype=bool)
         for d in self.root.dependencies:
-            viol, code, ctx = k_structs.dependency_mask(d["rel"], presence_masks, d["peers"], d.get("key"))
+            sep = d.get("separator", ".")
+            pm = {}
+            for k in list(d["peers"]) + ([d["key"]] if d.get("key") else []):
+                m = _dep_presence(k, results, columns, all_ones, n, sep)
+                pm[k] = m if m is not None else np.zeros(n, bool)
+            viol, code, ctx = k_structs.dependency_mask(d["rel"], pm, d["peers"], d.get("key"))
             if viol.any():
                 rec = ErrRec(code, viol & scope, "", ctx, 9000)
                 rec.rows = None

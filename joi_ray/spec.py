@@ -829,32 +829,42 @@ class ObjectSchema(Schema):
     def append(self, keys: dict[str, Schema]) -> "ObjectSchema":
         return self.keys(keys)
 
-    def _dep(self, rel: str, peers, **opts) -> "ObjectSchema":
+    def _dep(self, rel: str, peers, *, separator=".", **opts) -> "ObjectSchema":
         s = self._clone()
-        s.terms.setdefault("dependencies", []).append({"rel": rel, "peers": list(peers), **opts})
+        flat = []
+        for p in peers:
+            flat.extend(p) if isinstance(p, (list, tuple)) else flat.append(p)
+        d = {"rel": rel, "peers": flat, **opts}
+        if separator != ".":
+            # reference options.separator ('.'/custom/False — False means
+            # keys containing literal dots, object.js:748); only stored
+            # when non-default so describe() stays stable
+            d["separator"] = separator
+        s.terms.setdefault("dependencies", []).append(d)
         return s
 
-    # dependency rules (lib/types/object.js:722-873)
-    def and_(self, *peers) -> "ObjectSchema":
-        return self._dep("and", peers)
+    # dependency rules (lib/types/object.js:722-873); peers may be dotted
+    # deep paths resolved by the engine (separator=False -> literal keys)
+    def and_(self, *peers, separator=".") -> "ObjectSchema":
+        return self._dep("and", peers, separator=separator)
 
-    def nand(self, *peers) -> "ObjectSchema":
-        return self._dep("nand", peers)
+    def nand(self, *peers, separator=".") -> "ObjectSchema":
+        return self._dep("nand", peers, separator=separator)
 
-    def or_(self, *peers) -> "ObjectSchema":
-        return self._dep("or", peers)
+    def or_(self, *peers, separator=".") -> "ObjectSchema":
+        return self._dep("or", peers, separator=separator)
 
-    def xor(self, *peers) -> "ObjectSchema":
-        return self._dep("xor", peers)
+    def xor(self, *peers, separator=".") -> "ObjectSchema":
+        return self._dep("xor", peers, separator=separator)
 
-    def oxor(self, *peers) -> "ObjectSchema":
-        return self._dep("oxor", peers)
+    def oxor(self, *peers, separator=".") -> "ObjectSchema":
+        return self._dep("oxor", peers, separator=separator)
 
-    def with_(self, key: str, *peers) -> "ObjectSchema":
-        return self._dep("with", peers, key=key)
+    def with_(self, key: str, *peers, separator=".") -> "ObjectSchema":
+        return self._dep("with", peers, key=key, separator=separator)
 
-    def without(self, key: str, *peers) -> "ObjectSchema":
-        return self._dep("without", peers, key=key)
+    def without(self, key: str, *peers, separator=".") -> "ObjectSchema":
+        return self._dep("without", peers, key=key, separator=separator)
 
     def assert_(self, subject, schema: Schema, message: str | None = None) -> "ObjectSchema":
         r = subject if isinstance(subject, Ref) else Ref(subject)

@@ -344,3 +344,67 @@ def test_alternatives_error_union_rules():
     v2 = res2.violations.to_pylist()
     assert v2[0]["code"] == "alternatives.types"
     assert "number" in v2[0]["message"]
+
+
+def test_deep_path_dependencies():
+    """Deep-path dependency peers/keys (test/types/object.js:3323-3460):
+    with('a', 'b.c') and with('a.b', 'b.c') resolve through nested structs;
+    separator=False treats dotted names as literal keys (:3455-3460)."""
+    import numpy as np
+
+    schema = obj({
+        "a": jr.string(),
+        "b": jr.object({"c": jr.string(), "d": jr.number()}),
+    }).with_("a", "b.c")
+    t = pa.table({
+        "a": pa.array(["test", "test", None], pa.string()),
+        "b": pa.array([{"c": "test2", "d": None}, {"c": None, "d": 80.0}, None],
+                      pa.struct([("c", pa.string()), ("d", pa.float64())])),
+    })
+    res = compile_schema(schema, prefs={"abort_early": False}).validate_table(t)
+    assert list(res.ok) == [True, False, True]
+    assert "object.with" in set(res.violations.to_pandas()["code"])
+
+    schema2 = obj({
+        "a": jr.object({"b": jr.string()}),
+        "b": jr.object({"c": jr.string()}),
+    }).with_("a.b", "b.c")
+    t2 = pa.table({
+        "a": pa.array([{"b": "test"}, {"b": "test"}, {"b": None}],
+                      pa.struct([("b", pa.string())])),
+        "b": pa.array([{"c": "test2"}, {"c": None}, {"c": None}],
+                      pa.struct([("c", pa.string())])),
+    })
+    res2 = compile_schema(schema2, prefs={"abort_early": False}).validate_table(t2)
+    # row 3: main 'a.b' absent -> no requirement
+    assert list(res2.ok) == [True, False, True]
+
+
+def test_dependency_separator_false_literal_keys():
+    schema = obj({
+        "x.from": jr.string(),
+        "x.url": jr.string(),
+    }).with_("x.from", "x.url", separator=False)
+    t = pa.table({
+        "x.from": pa.array(["a@b.co", None], pa.string()),
+        "x.url": pa.array([None, None], pa.string()),
+    })
+    res = compile_schema(schema, prefs={"abort_early": False}).validate_table(t)
+    assert list(res.ok) == [False, True]
+
+
+def test_deep_path_dependency_nested_level():
+    """Deps declared on a NESTED object node with deep-path peers."""
+    inner = jr.object({
+        "a": jr.string(),
+        "b": jr.object({"c": jr.string()}),
+    }).with_("a", "b.c")
+    schema = obj({"o": inner})
+    t = pa.table({
+        "o": pa.array(
+            [{"a": "x", "b": {"c": "y"}}, {"a": "x", "b": {"c": None}}],
+            pa.struct([("a", pa.string()),
+                       ("b", pa.struct([("c", pa.string())]))])),
+    })
+    res = compile_schema(schema, prefs={"abort_early": False}).validate_table(t)
+    assert list(res.ok) == [True, False]
