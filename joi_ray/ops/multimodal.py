@@ -4,14 +4,15 @@ map_batches stages.
 
 Decode is REAL, pure stdlib + numpy: payloads are synthesized as genuine
 COMPLETE containers (PNG with zlib IDAT pixel data, PCM-16 WAV with
-samples, GIF89a block skeleton) and the stages parse the actual formats —
-header sniffing (PNG IHDR, JPEG SOF walk, GIF descriptor-block walk,
+samples, GIF89a with real LZW frame data) and the stages parse the actual
+formats — header sniffing (PNG IHDR, JPEG SOF walk, GIF block grammar,
 RIFF/WAVE chunk walk), full PNG pixel decode (zlib inflate + all five
-scanline filters), and full PCM WAV sample decode.  Features come from
-decoded content (pixel histograms; audio RMS/ZCR/spectral bands).  Only
-JPEG entropy decode and GIF LZW remain behind the ``PIL`` import-try
-(library not in this container); those payloads take a deterministic
-byte-histogram fallback.
+scanline filters; gray/RGB/RGBA/paletted), full PCM WAV sample decode,
+and a conformant GIF LZW decoder (dictionary growth, interlace).
+Features come from decoded content (pixel/frame histograms; audio
+RMS/ZCR/spectral bands).  Only JPEG entropy decode remains behind the
+``PIL`` import-try (library not in this container); those payloads take a
+deterministic byte-histogram fallback.
 """
 
 from __future__ import annotations
@@ -211,7 +212,14 @@ def _gif_decode(b: bytes):
             idx = _gif_lzw_decode(bytes(data), mcs)
             if len(idx) >= fw * fh:
                 gray = palette[idx[: fw * fh]] if palette is not None else idx[: fw * fh]
-                frames.append(gray.reshape(fh, fw))
+                img = gray.reshape(fh, fw)
+                if fpacked & 0x40:  # interlaced: 4-pass row shuffle
+                    out = np.empty_like(img)
+                    rows = np.concatenate([np.arange(0, fh, 8), np.arange(4, fh, 8),
+                                           np.arange(2, fh, 4), np.arange(1, fh, 2)])
+                    out[rows] = img[: len(rows)]
+                    img = out
+                frames.append(img)
         elif blk == 0x21:  # extension: label + sub-blocks
             i += 2
             while i < len(b) and b[i]:
@@ -332,16 +340,18 @@ def _png_decode(b: bytes) -> np.ndarray | None:
     stdlib zlib + vectorized un-filtering (all five filter types)."""
     if b[:8] != b"\x89PNG\r\n\x1a\n":
         return None
-    i, idat, w, h, channels = 8, [], None, None, None
+    i, idat, w, h, channels, color_type, palette = 8, [], None, None, None, None, None
     while i + 8 <= len(b):
         (clen,) = struct.unpack(">I", b[i:i + 4])
         tag = b[i + 4:i + 8]
         body = b[i + 8:i + 8 + clen]
         if tag == b"IHDR":
             w, h, bit_depth, color_type = struct.unpack(">IIBB", body[:10])
-            if bit_depth != 8 or color_type not in (0, 2, 6):
-                return None  # paletted/16-bit: out of scope
-            channels = {0: 1, 2: 3, 6: 4}[color_type]
+            if bit_depth != 8 or color_type not in (0, 2, 3, 6):
+                return None  # 16-bit / sub-byte depths: out of scope
+            channels = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
+        elif tag == b"PLTE":
+            palette = np.frombuffer(body[: len(body) // 3 * 3], np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -385,6 +395,11 @@ def _png_decode(b: bytes) -> np.ndarray | None:
         else:
             return None
     px = out.astype(np.uint8)
+    if color_type == 3:  # paletted: map indices through PLTE to RGB
+        if palette is None:
+            return None
+        idx = np.minimum(px.reshape(-1), len(palette) - 1)
+        return palette[idx].reshape(h, w, 3)
     return px.reshape(h, w) if channels == 1 else px.reshape(h, w, channels)
 
 

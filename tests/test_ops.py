@@ -434,3 +434,44 @@ def test_range_join_irregular_overlap(ray_session):
                                lo_col="lo", hi_col="hi",
                                range_keys=["band"], left_keep=["id"]).take_all()
     assert [(r["id"], r["band"]) for r in out] == [(1, 10)]
+
+
+def test_png_palette_and_gif_interlace_decode():
+    import struct
+    import zlib
+
+    from joi_ray.ops.multimodal import (_gif_decode, _gif_lzw_encode,
+                                        _png_decode)
+
+    # paletted PNG (color type 3): indices map through PLTE to RGB
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", zlib.crc32(tag + body))
+
+    w, h = 4, 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R,G,B entries
+    idx_rows = bytes([0, 0, 1, 2, 0]) + bytes([0, 2, 1, 0, 1])  # filter0 + 4 idx each
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+           + chunk(b"IDAT", zlib.compress(idx_rows)) + chunk(b"IEND", b""))
+    px = _png_decode(png)
+    assert px is not None and px.shape == (2, 4, 3)
+    assert px[0, 0].tolist() == [255, 0, 0]   # index 0 -> red
+    assert px[0, 2].tolist() == [0, 0, 255]   # index 2 -> blue
+    assert px[1, 1].tolist() == [0, 255, 0]   # index 1 -> green
+
+    # interlaced GIF: pass-ordered rows must land in display order
+    fh, fw = 8, 3
+    display = (np.arange(fh * fw, dtype=np.uint8) % 4).reshape(fh, fw)
+    pass_rows = [0, 4, 2, 6, 1, 3, 5, 7]  # GIF 4-pass order for h=8
+    stored = display[pass_rows].reshape(-1)
+    lzw = _gif_lzw_encode(stored, 2)
+    sub = b"".join(bytes([len(lzw[i:i + 255])]) + lzw[i:i + 255]
+                   for i in range(0, len(lzw), 255))
+    gct = bytes(v for g in (0, 85, 170, 255) for v in (g, g, g))
+    gif = (b"GIF89a" + struct.pack("<HH", fw, fh) + bytes([0x91, 0, 0]) + gct
+           + b"\x2c" + struct.pack("<HHHH", 0, 0, fw, fh) + b"\x40"  # interlace flag
+           + bytes([2]) + sub + b"\x00" + b"\x3b")
+    frames = _gif_decode(gif)
+    assert frames is not None and len(frames) == 1
+    palette = np.array([0, 85, 170, 255], np.uint8)
+    assert np.array_equal(frames[0], palette[display])
