@@ -1497,11 +1497,45 @@ def _q_drift(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
+    """Media pipeline decode-roundtrip, ORACLED: payload parameters derive
+    from the ref's embedded hex16, so DuckDB can recompute what each
+    synthesized container *should* decode to (kind from magic bytes, PNG
+    IHDR width/height, GIF screen size + frame-block count, WAV
+    data_size/block_align) without decoding anything — any header-build or
+    decode bug breaks the hash.  The feature stage rides the same pass:
+    every fixture payload decodes, so the non-zero-feature count per kind
+    must equal the row count."""
+    from ray.data.aggregate import Count, Sum
+
     from joi_ray.ops.multimodal import media_pipeline
 
     media = media_pipeline(_docs_ds(sf_dir), concurrency=2, batch_size=512)
-    n = media.count()
-    return pa.table({"n_media": pa.array([n], pa.int64()), "feat_dim": pa.array([32], pa.int64())})
+
+    def meta_rows(t: pa.Table) -> pa.Table:
+        meta = t["media_meta"].combine_chunks()
+        feats = t["media_features"].combine_chunks()
+        fm = np.asarray(feats.values, dtype=np.float32).reshape(len(t), -1)
+        return pa.table(
+            {
+                "kind": pc.struct_field(meta, "kind"),
+                "w": pc.fill_null(pc.cast(pc.struct_field(meta, "width"), pa.int64()), 0),
+                "h": pc.fill_null(pc.cast(pc.struct_field(meta, "height"), pa.int64()), 0),
+                "f": pc.cast(pc.struct_field(meta, "n_frames"), pa.int64()),
+                "nz": pa.array((np.abs(fm).sum(axis=1) > 0).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        media.map_batches(meta_rows, batch_format="pyarrow", **REMOTE_KWARGS)
+        .groupby("kind")
+        .aggregate(Count(), Sum("w"), Sum("h"), Sum("f"), Sum("nz"))
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["kind", "n", "sum_width", "sum_height", "sum_frames", "n_feat_nonzero"])
+
+    return agg.map_batches(rename, batch_format="pyarrow", **REMOTE_KWARGS)
 
 
 def _q_pipeline_report(sf_dir: str):
@@ -1631,8 +1665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "stats_quantity": _q_stats_quantity,
         "quality_by_lang": _q_quality_by_lang,
-        # rows-only (non-SQL-expressible)
-        "flagship_validation": _q_flagship,
+        "flagship_validation": _q_flagship,  # rows-only (non-SQL-expressible)
         "minhash_near_dups": _q_minhash_pairs,
         "simhash_near_dups": _q_simhash_pairs,
         "lang_id_distribution": _q_lang_distribution,
@@ -2035,6 +2068,47 @@ def oracle_sql() -> dict[str, str]:
               FROM s2
             )
             SELECT lang_pred, count(*) AS n FROM pick GROUP BY lang_pred
+        """,
+        # media decode-roundtrip: recompute what each synthesized container
+        # SHOULD decode to, straight from the span/ref formulas (FIXTURES.md
+        # §1 + ops/multimodal.synth_media_payload) — hv is the ref's hex16:
+        # pool refs hv = (j*0x9E3779B97F4A7C15 mod 2^64) XOR 0xD1B54A32D192ED03
+        # with j=(id*7+pos*13)%4096; dangling refs (id%1000==47, pos==1) are
+        # "dead"+id hex -> hv = 0xdead<<48 | id.  kind=hv%3 (0 png / 1 wav /
+        # 2 gif); w=16+hv%240, h=16+(hv>>8)%240, frames=1+(hv>>16)%8; WAV
+        # decodes to frames*16 samples and has no width/height.
+        "media_features": """
+            WITH spans AS (
+              SELECT d.doc_id AS id, p.pos AS pos
+              FROM documents d
+              CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS pos) p
+              WHERE p.pos % 2 = 1
+                AND p.pos < CASE WHEN d.doc_id % 1000 = 29 THEN 0
+                                 ELSE 2 + (d.doc_id % 5) END
+            ), hv AS (
+              SELECT CASE WHEN id % 1000 = 47 AND pos = 1
+                          THEN CAST(16045481047390945280 AS UBIGINT) + CAST(id AS UBIGINT)
+                          ELSE xor(CAST((CAST((id * 7 + pos * 13) % 4096 AS HUGEINT)
+                                         * 11400714819323198485)
+                                        % 18446744073709551616 AS UBIGINT),
+                                   CAST(15111065706836454659 AS UBIGINT))
+                     END AS hv
+              FROM spans
+            ), meta AS (
+              SELECT CASE hv % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                     CASE WHEN hv % 3 = 1 THEN 0 ELSE 16 + CAST(hv % 240 AS BIGINT) END AS w,
+                     CASE WHEN hv % 3 = 1 THEN 0 ELSE 16 + CAST((hv // 256) % 240 AS BIGINT) END AS h,
+                     CASE WHEN hv % 3 = 0 THEN 1
+                          WHEN hv % 3 = 1 THEN 16 * (1 + CAST((hv // 65536) % 8 AS BIGINT))
+                          ELSE 1 + CAST((hv // 65536) % 8 AS BIGINT) END AS f
+              FROM hv
+            )
+            SELECT kind, count(*) AS n,
+                   CAST(sum(w) AS BIGINT) AS sum_width,
+                   CAST(sum(h) AS BIGINT) AS sum_height,
+                   CAST(sum(f) AS BIGINT) AS sum_frames,
+                   count(*) AS n_feat_nonzero
+            FROM meta GROUP BY kind
         """,
         "drift_halves": """
             WITH src AS (

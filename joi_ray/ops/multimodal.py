@@ -75,35 +75,60 @@ def _wav_bytes(n_samples: int, body_seed: int) -> bytes:
 def _gif_lzw_encode(indices: np.ndarray, min_code_size: int = 2) -> bytes:
     """GIF-flavor LZW using the classic 'uncompressed' trick: a CLEAR code
     after every pixel keeps the dictionary empty and the code width
-    constant — valid LZW any conformant decoder (incl. ours) accepts."""
+    constant — valid LZW any conformant decoder (incl. ours) accepts.
+    Constant width means the whole stream bit-packs in one vectorized
+    shot (LSB-first, same layout the byte-at-a-time emit loop produced)."""
     clear = 1 << min_code_size
     end = clear + 1
     width = min_code_size + 1
-    out = bytearray()
-    acc = nbits = 0
+    idx = np.asarray(indices, dtype=np.uint16)
+    n = len(idx)
+    codes = np.empty(2 * n + 2, dtype=np.uint16)
+    codes[0] = clear
+    codes[1 : 2 * n : 2] = idx
+    codes[2 : 2 * n + 1 : 2] = clear
+    codes[-1] = end
+    bits = ((codes[:, None] >> np.arange(width, dtype=np.uint16)) & 1).astype(np.uint8)
+    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
 
-    def emit(code: int):
-        nonlocal acc, nbits
-        acc |= code << nbits
-        nbits += width
-        while nbits >= 8:
-            out.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
 
-    emit(clear)
-    for v in indices:
-        emit(int(v))
-        emit(clear)
-    emit(end)
-    if nbits:
-        out.append(acc & 0xFF)
-    return bytes(out)
+def _gif_lzw_decode_fast(data: bytes, min_code_size: int) -> np.ndarray | None:
+    """Vectorized decode for clear-separated ('uncompressed'-flavor) LZW
+    streams: a CLEAR before every data code keeps the dictionary at its
+    initial size, so the code width is provably constant and the whole
+    stream parses with one unpackbits + reshape.  Returns None unless the
+    parsed stream matches that structure exactly (first code CLEAR, strict
+    data/CLEAR alternation, aligned END) — any real compressed GIF falls
+    back to the general sequential decoder, and a stream that *does* match
+    decodes identically under variable-width rules (no two consecutive
+    data codes -> the dictionary never grows -> the width never bumps)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    bits = np.unpackbits(np.frombuffer(data, np.uint8), bitorder="little")
+    ncodes = len(bits) // width
+    if ncodes < 2:
+        return None
+    codes = bits[: ncodes * width].reshape(ncodes, width) @ (1 << np.arange(width))
+    ends = np.flatnonzero(codes == end)
+    if not len(ends) or codes[0] != clear:
+        return None
+    body = codes[1 : ends[0]]
+    if len(body) % 2 or not len(body):
+        return None
+    data_codes, clears = body[0::2], body[1::2]
+    if (clears != clear).any() or (data_codes >= clear).any():
+        return None
+    return data_codes.astype(np.uint8)
 
 
 def _gif_lzw_decode(data: bytes, min_code_size: int) -> np.ndarray:
     """Standard GIF LZW decode (dictionary growth, width bumps at 2^width,
-    CLEAR resets, 12-bit cap) — handles real GIFs, not just our encoder."""
+    CLEAR resets, 12-bit cap) — handles real GIFs, not just our encoder.
+    Clear-separated streams take the vectorized fast path above."""
+    fast = _gif_lzw_decode_fast(data, min_code_size)
+    if fast is not None:
+        return fast
     clear = 1 << min_code_size
     end = clear + 1
     out: list[int] = []
@@ -235,9 +260,14 @@ def _gif_decode(b: bytes):
 def synth_media_payload(media_refs: pa.Array) -> pa.Array:
     """Deterministic binary payloads for asset refs in REAL container
     formats — minimal PNG (image), WAV (audio) and GIF89a skeleton (video)
-    with dimensions/frame counts derived from the ref hash.  Stands in for
-    reading object-store bytes; the decode stage then parses the actual
-    container headers."""
+    with dimensions/frame counts derived from the ref's embedded hex id
+    (``asset://<hex16>`` -> hv = int(hex16, 16); any other ref hashes its
+    utf-8 bytes).  The hex derivation is deliberately SQL-mirrorable
+    (``CAST('0x'||substr(ref,9) AS UBIGINT)``) so the full
+    synthesize -> container-encode -> container-decode roundtrip can be
+    oracled against DuckDB (``media_features`` in ``__ray_entry__``).
+    Stands in for reading object-store bytes; the decode stage then parses
+    the actual container headers."""
     import pandas as pd
 
     refs = media_refs.to_pandas().fillna("")
@@ -247,7 +277,11 @@ def synth_media_payload(media_refs: pa.Array) -> pa.Array:
         if not r:
             out.append(None)
             continue
-        hv = int(h[i])
+        tail = r[8:] if r.startswith("asset://") else ""
+        try:
+            hv = int(tail, 16) & 0xFFFFFFFFFFFFFFFF if tail else int(h[i])
+        except ValueError:
+            hv = int(h[i])
         w, hgt = 16 + hv % 240, 16 + (hv >> 8) % 240
         frames = 1 + (hv >> 16) % 8
         kind_code = hv % 3

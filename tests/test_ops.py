@@ -395,6 +395,49 @@ def test_gif_lzw_roundtrip():
     assert len(_gif_lzw_decode(enc, 2)) == 200
 
 
+def _pack_lzw(codes, width):
+    acc = nbits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_gif_lzw_general_path_dict_growth():
+    """Hand-packed variable-width streams (consecutive data codes, so the
+    dictionary really grows) must bypass the clear-separated fast path and
+    decode through the sequential LZW loop."""
+    from joi_ray.ops.multimodal import _gif_lzw_decode, _gif_lzw_decode_fast
+
+    # clear=4, end=5, width=3; two consecutive data codes -> table grows
+    s = _pack_lzw([4, 0, 1, 5], 3)
+    assert _gif_lzw_decode_fast(s, 2) is None
+    assert _gif_lzw_decode(s, 2).tolist() == [0, 1]
+
+    # the KwKwK special case: code == next_code refers to prev + prev[0]
+    s = _pack_lzw([4, 1, 6, 5], 3)
+    assert _gif_lzw_decode_fast(s, 2) is None
+    assert _gif_lzw_decode(s, 2).tolist() == [1, 1, 1]
+
+    # width bump: processing '2' appends table[7]=[1,2] and next_code hits
+    # 8 == 1<<3, so every code after it ('3' and END) is read at 4 bits
+    bits = []
+    for c, w in [(4, 3), (0, 3), (1, 3), (2, 3), (3, 4), (5, 4)]:
+        bits.extend(((c >> k) & 1) for k in range(w))
+    by = bytearray()
+    for i in range(0, len(bits), 8):
+        by.append(sum(b << j for j, b in enumerate(bits[i:i + 8])))
+    out = _gif_lzw_decode(bytes(by), 2)
+    assert out.tolist() == [0, 1, 2, 3]
+
+
 def test_range_join_broadcast(ray_session):
     """Overlapping intervals, boundary inclusivity, and no-match rows."""
     import ray.data as rd
