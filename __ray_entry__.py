@@ -1130,6 +1130,65 @@ def _q_quality_by_lang(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
 
 
+def _q_gopher_repetition(sf_dir: str):
+    """Gopher-style repetition filters (dup-word / dup-bigram / top-token
+    fractions) rolled up per language.  All signals and flag thresholds are
+    exact integer arithmetic ((n_tok - nd_tok) * 10 > n_tok * 7 is
+    dup_word_frac > 0.7) so the oracle hash is float-free."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from joi_ray.ops.text import repetition_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    rep = ds.map_batches(repetition_batch, batch_format="pyarrow", **REMOTE_KWARGS)
+
+    def flags(t: pa.Table) -> pa.Table:
+        nt = t["n_tok"].to_numpy()
+        nd = t["n_distinct_tok"].to_numpy()
+        top = t["top_tok_n"].to_numpy()
+        nb = t["n_bigram"].to_numpy()
+        ndb = t["n_distinct_bigram"].to_numpy()
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_tok": t["n_tok"],
+                "n_distinct_tok": t["n_distinct_tok"],
+                "top_tok_n": t["top_tok_n"],
+                "n_bigram": t["n_bigram"],
+                "n_distinct_bigram": t["n_distinct_bigram"],
+                "f_dup_word": pa.array(((nt - nd) * 10 > nt * 7).astype(np.int64)),
+                "f_dup_bigram": pa.array(((nb - ndb) * 10 > nb * 2).astype(np.int64)),
+                "f_top_tok": pa.array((top * 10 > nt).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        rep.map_batches(flags, batch_format="pyarrow", **REMOTE_KWARGS)
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tok", alias_name="sum_tok"),
+            Sum("n_distinct_tok", alias_name="sum_distinct_tok"),
+            Sum("top_tok_n", alias_name="sum_top_tok"),
+            Sum("n_bigram", alias_name="sum_bigram"),
+            Sum("n_distinct_bigram", alias_name="sum_distinct_bigram"),
+            Sum("f_dup_word", alias_name="n_flag_dup_word"),
+            Sum("f_dup_bigram", alias_name="n_flag_dup_bigram"),
+            Sum("f_top_tok", alias_name="n_flag_top_tok"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {"lang": t["lang"]}
+        for c in t.column_names:
+            if c != "lang":
+                cols[c] = pc.cast(t[c], pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
+
+
 def _q_dedup_ngram(sf_dir: str):
     """Exact n-gram-Jaccard near-dup pairs: MinHash-LSH generates candidates
     (32 bands x 2 rows -> recall ~1 at J>=0.4), each candidate verified with
@@ -1665,6 +1724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "stats_quantity": _q_stats_quantity,
         "quality_by_lang": _q_quality_by_lang,
+        "gopher_repetition": _q_gopher_repetition,
         "flagship_validation": _q_flagship,  # rows-only (non-SQL-expressible)
         "minhash_near_dups": _q_minhash_pairs,
         "simhash_near_dups": _q_simhash_pairs,
@@ -2169,5 +2229,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n,
                    sum(len(regexp_extract_all(text, '\\w+')))::BIGINT AS sum_words
             FROM documents GROUP BY lang
+        """,
+        # Gopher repetition roll-up: tokens via string_split (empties kept on
+        # both sides), bigrams via lead() over token position — flag rules in
+        # exact integer arithmetic mirroring _q_gopher_repetition.
+        "gopher_repetition": """
+            WITH t AS (
+              SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+            ), tok AS (
+              SELECT doc_id, lang, unnest(toks) AS tok,
+                     generate_subscripts(toks, 1) AS pos FROM t
+            ), wc AS (
+              SELECT doc_id, lang, tok, count(*) AS c FROM tok GROUP BY 1, 2, 3
+            ), per_doc AS (
+              SELECT doc_id, lang, sum(c) AS n_tok, count(*) AS nd_tok,
+                     max(c) AS top_tok FROM wc GROUP BY 1, 2
+            ), big AS (
+              SELECT doc_id,
+                     tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+              FROM tok QUALIFY bg IS NOT NULL
+            ), bd AS (
+              SELECT doc_id, count(*) AS n_bg, count(DISTINCT bg) AS nd_bg
+              FROM big GROUP BY 1
+            )
+            SELECT p.lang, count(*) AS n_docs,
+                   CAST(sum(p.n_tok) AS BIGINT) AS sum_tok,
+                   CAST(sum(p.nd_tok) AS BIGINT) AS sum_distinct_tok,
+                   CAST(sum(p.top_tok) AS BIGINT) AS sum_top_tok,
+                   CAST(sum(coalesce(b.n_bg, 0)) AS BIGINT) AS sum_bigram,
+                   CAST(sum(coalesce(b.nd_bg, 0)) AS BIGINT) AS sum_distinct_bigram,
+                   CAST(sum(CASE WHEN (p.n_tok - p.nd_tok) * 10 > p.n_tok * 7
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_dup_word,
+                   CAST(sum(CASE WHEN (coalesce(b.n_bg, 0) - coalesce(b.nd_bg, 0)) * 10
+                                      > coalesce(b.n_bg, 0) * 2
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_dup_bigram,
+                   CAST(sum(CASE WHEN p.top_tok * 10 > p.n_tok
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_top_tok
+            FROM per_doc p LEFT JOIN bd b USING (doc_id)
+            GROUP BY 1
         """,
     }

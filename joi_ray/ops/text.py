@@ -95,6 +95,56 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
+def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1), one
+    vectorized pass: per-doc token count, distinct-token count, most-
+    frequent-token count, bigram count and distinct-bigram count.  All
+    outputs are exact integers so downstream filters (dup-word fraction,
+    top-token fraction, dup-bigram fraction) are integer-arithmetic
+    comparisons — SQL-mirrorable with no float-rounding hazard.
+
+    Scale shape: tokens explode batch-locally (Arrow split + one
+    factorize), per-(doc, token) counts come from a single C-speed pandas
+    groupby over integer codes, and nothing leaves the batch but five
+    int64 columns — per-doc state only, no corpus-wide structures."""
+    s = pc.fill_null(batch[text_col].combine_chunks(), "")
+    lists = pc.split_pattern(s, " ")  # keeps empties — mirrors SQL string_split
+    n = len(s)
+    counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lists)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    codes = pd.factorize(flat.to_pandas(), sort=False)[0].astype(np.int64)
+
+    per = pd.DataFrame({"d": doc_idx, "c": codes}).groupby(["d", "c"], sort=False).size()
+    by_doc = per.groupby(level=0)
+    nd_tok = by_doc.size().reindex(np.arange(n), fill_value=0).to_numpy()
+    top_tok = by_doc.max().reindex(np.arange(n), fill_value=0).to_numpy()
+
+    same = doc_idx[1:] == doc_idx[:-1]
+    bdoc = doc_idx[:-1][same]
+    vocab = int(codes.max()) + 1 if len(codes) else 1
+    bkey = codes[:-1][same] * vocab + codes[1:][same]
+    n_bg = np.bincount(bdoc, minlength=n).astype(np.int64)
+    if len(bdoc):
+        nd_bg = (
+            pd.DataFrame({"d": bdoc, "k": bkey}).groupby("d", sort=False)["k"].nunique()
+            .reindex(np.arange(n), fill_value=0).to_numpy()
+        )
+    else:
+        nd_bg = np.zeros(n, dtype=np.int64)
+
+    out = batch
+    for name, v in [
+        ("n_tok", counts),
+        ("n_distinct_tok", nd_tok.astype(np.int64)),
+        ("top_tok_n", top_tok.astype(np.int64)),
+        ("n_bigram", n_bg),
+        ("n_distinct_bigram", nd_bg.astype(np.int64)),
+    ]:
+        out = out.append_column(name, pa.array(v))
+    return out
+
+
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace token count (\\S+ runs) + BPE-ish regex token count."""
     s = pc.fill_null(batch[text_col].combine_chunks(), "")

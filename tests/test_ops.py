@@ -161,6 +161,34 @@ def test_text_analysis(ray_session, docs_ds):
     assert (d == 1).all()
 
 
+def test_repetition_batch_vs_bruteforce():
+    """Vectorized Gopher repetition signals match a per-doc brute force,
+    including empty docs, all-same-token docs, and single-token docs."""
+    from collections import Counter
+
+    from joi_ray.ops.text import repetition_batch
+
+    texts = [
+        "a b a b a",          # dup words, dup bigrams
+        "x x x x",            # one token repeated
+        "unique words only here",
+        "",                   # splits to [''] — one empty token
+        "solo",               # no bigrams
+        "a  b",               # double space -> empty middle token
+    ]
+    t = pa.table({"text": pa.array(texts)})
+    out = repetition_batch(t)
+    for i, txt in enumerate(texts):
+        toks = txt.split(" ")
+        wc = Counter(toks)
+        bgs = Counter(zip(toks, toks[1:]))
+        assert out["n_tok"][i].as_py() == len(toks), txt
+        assert out["n_distinct_tok"][i].as_py() == len(wc), txt
+        assert out["top_tok_n"][i].as_py() == max(wc.values()), txt
+        assert out["n_bigram"][i].as_py() == max(len(toks) - 1, 0), txt
+        assert out["n_distinct_bigram"][i].as_py() == len(bgs), txt
+
+
 def test_multimodal_plumbing(ray_session):
     import ray.data as rd
 
