@@ -910,6 +910,34 @@ def _q_systematic_sample(sf_dir: str):
     )
 
 
+def _q_hash_split(sf_dir: str):
+    """Deterministic hash-based train/val/test assignment (ops/sampling.py):
+    stable under re-sharding and resume, mirrored bucket-for-bucket in SQL
+    (multiplicative mix -> high-16-bit bucket -> cumulative thresholds)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from joi_ray.ops.sampling import hash_split
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+    labeled = hash_split(ds, "doc_id")
+    agg = labeled.groupby(["split", "lang"]).aggregate(
+        Count(alias_name="n"), Sum("n_chars", alias_name="sum_chars")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "split": t["split"],
+                "lang": t["lang"],
+                "n": pc.cast(t["n"], pa.int64()),
+                "sum_chars": pc.cast(t["sum_chars"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
+
+
 def _q_top_orders(sf_dir: str):
     """Global top-k through Ray's distributed sort + limit."""
     import ray.data as rd
@@ -1715,6 +1743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "union_distinct": _q_union_distinct,
         "systematic_sample": _q_systematic_sample,
+        "hash_split_counts": _q_hash_split,
         "top_orders": _q_top_orders,
         "ann_top5": _q_ann_top5,
         "ann_top5_ivf": _q_ann_top5_ivf,
@@ -1930,6 +1959,46 @@ def oracle_sql() -> dict[str, str]:
         "systematic_sample": """
             SELECT count(*) AS n, sum(n_chars)::BIGINT AS sum_chars
             FROM documents WHERE doc_id % 7 = 3
+        """,
+        # hash_split mirror: splitmix64(doc_id) % 10000 exactly as
+        # ops/sampling.split_buckets; each 64x64 multiply mod 2^64 is split
+        # into HUGEINT-safe 32-bit halves (b = hi*2^32 + lo =>
+        # a*b mod 2^64 = ((a_lo*b_hi + a_hi*b_lo) mod 2^32)*2^32 + a_lo*b_lo).
+        # Thresholds: train < 9800, val < 9900, else test.
+        "hash_split_counts": """
+            WITH s0 AS (
+              SELECT lang, n_chars,
+                     CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485)
+                          % 18446744073709551616 AS UBIGINT) AS z0
+              FROM documents
+            ), m1 AS (
+              SELECT lang, n_chars, xor(z0, z0 >> 30) AS x1 FROM s0
+            ), s1 AS (
+              SELECT lang, n_chars,
+                     CAST(((((CAST(x1 % 4294967296 AS HUGEINT) * 3210233709
+                              + CAST(x1 // 4294967296 AS HUGEINT) * 484763065)
+                             % 4294967296) * 4294967296
+                            + CAST(x1 % 4294967296 AS HUGEINT) * 484763065)
+                           % 18446744073709551616) AS UBIGINT) AS z1
+              FROM m1
+            ), m2 AS (
+              SELECT lang, n_chars, xor(z1, z1 >> 27) AS x2 FROM s1
+            ), s2 AS (
+              SELECT lang, n_chars,
+                     CAST(((((CAST(x2 % 4294967296 AS HUGEINT) * 2496678331
+                              + CAST(x2 // 4294967296 AS HUGEINT) * 321982955)
+                             % 4294967296) * 4294967296
+                            + CAST(x2 % 4294967296 AS HUGEINT) * 321982955)
+                           % 18446744073709551616) AS UBIGINT) AS z2
+              FROM m2
+            ), b AS (
+              SELECT lang, n_chars, xor(z2, z2 >> 31) % 10000 AS bucket FROM s2
+            )
+            SELECT CASE WHEN bucket < 9800 THEN 'train'
+                        WHEN bucket < 9900 THEN 'val'
+                        ELSE 'test' END AS split,
+                   lang, count(*) AS n, sum(n_chars)::BIGINT AS sum_chars
+            FROM b GROUP BY 1, 2
         """,
         "top_orders": """
             SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice

@@ -189,6 +189,42 @@ def test_repetition_batch_vs_bruteforce():
         assert out["n_distinct_bigram"][i].as_py() == len(bgs), txt
 
 
+def test_hash_split_deterministic(ray_session):
+    """Split assignment is a pure function of the id: identical across
+    batch boundaries / re-sharding, fractions near the requested ones,
+    and every row gets exactly one label."""
+    import ray.data as rd
+
+    from joi_ray.ops.sampling import hash_split, hash_split_batch, split_buckets
+
+    ids = np.arange(20_000, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids)})
+    one = hash_split_batch(t)["split"].to_pylist()
+
+    # re-sharded: two half-batches give the same labels
+    a = hash_split_batch(t.slice(0, 7_000))["split"].to_pylist()
+    b = hash_split_batch(t.slice(7_000))["split"].to_pylist()
+    assert a + b == one
+
+    frac = {s: one.count(s) / len(one) for s in ("train", "val", "test")}
+    assert abs(frac["train"] - 0.98) < 0.005
+    assert abs(frac["val"] - 0.01) < 0.005 and abs(frac["test"] - 0.01) < 0.005
+
+    # buckets use the high bits: consecutive ids must not be correlated
+    bk = split_buckets(ids[:1000])
+    assert len(np.unique(bk)) > 900
+
+    # dataset form agrees with the batch form regardless of partitioning
+    ds = rd.from_arrow(t).repartition(8)
+    got = {r["doc_id"]: r["split"] for r in hash_split(ds, "doc_id").take_all()}
+    assert [got[i] for i in ids.tolist()] == one
+
+    # custom splits: remainder falls in the last split
+    lab = hash_split_batch(t, splits={"a": 0.5, "b": 0.25})["split"].to_pylist()
+    fa = lab.count("a") / len(lab)
+    assert abs(fa - 0.5) < 0.02 and abs(lab.count("b") / len(lab) - 0.5) < 0.02
+
+
 def test_multimodal_plumbing(ray_session):
     import ray.data as rd
 
