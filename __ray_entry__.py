@@ -1158,6 +1158,24 @@ def _q_quality_by_lang(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
 
 
+_SEARCH_TERMS = ["merge", "spark", "window"]
+
+
+def _q_keyword_search(sf_dir: str):
+    """Top-10 docs by total query-term token count (ops/text.keyword_search):
+    per-batch local top-k partials, final k x n_batches distributed sort —
+    integer-exact scores, ties by doc_id."""
+    import ray.data as rd
+
+    from joi_ray.ops.text import keyword_search
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    top = keyword_search(ds, _SEARCH_TERMS, k=10)
+    return top.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "score": pc.cast(t["score"], pa.int64())}),
+        batch_format="pyarrow", **REMOTE_KWARGS)
+
+
 def _q_gopher_repetition(sf_dir: str):
     """Gopher-style repetition filters (dup-word / dup-bigram / top-token
     fractions) rolled up per language.  All signals and flag thresholds are
@@ -1754,6 +1772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_quantity": _q_stats_quantity,
         "quality_by_lang": _q_quality_by_lang,
         "gopher_repetition": _q_gopher_repetition,
+        "keyword_search_top10": _q_keyword_search,
         "flagship_validation": _q_flagship,  # rows-only (non-SQL-expressible)
         "minhash_near_dups": _q_minhash_pairs,
         "simhash_near_dups": _q_simhash_pairs,
@@ -2298,6 +2317,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n,
                    sum(len(regexp_extract_all(text, '\\w+')))::BIGINT AS sum_words
             FROM documents GROUP BY lang
+        """,
+        "keyword_search_top10": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+            )
+            SELECT doc_id, count(*)::BIGINT AS score
+            FROM tok WHERE tok IN ('merge', 'spark', 'window')
+            GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
         """,
         # Gopher repetition roll-up: tokens via string_split (empties kept on
         # both sides), bigrams via lead() over token position — flag rules in

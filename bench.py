@@ -195,6 +195,14 @@ def run_bench() -> dict:
     n_txt = txt.count()
     queries["text_analysis"] = round(time.time() - t0, 3)
 
+    # ---- Gopher repetition filters (factorize + grouped counts per batch)
+    t0 = time.time()
+    from joi_ray.ops.text import repetition_batch
+
+    rep = flat.map_batches(expand, batch_format="pyarrow", batch_size=exp_bs)
+    n_rep = rep.map_batches(repetition_batch, batch_format="pyarrow").count()
+    queries["repetition"] = round(time.time() - t0, 3)
+
     # ---- ANN brute-force top-k over expanded embeddings
     t0 = time.time()
     from joi_ray.ops.similarity import ann_topk

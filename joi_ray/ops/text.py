@@ -199,6 +199,39 @@ def token_top_k(ds, text_col: str = "text", *, k: int = 20, lowercase: bool = Tr
         batch_format="pyarrow", **REMOTE_KWARGS)
 
 
+def keyword_search(ds, terms, text_col: str = "text", id_col: str = "doc_id", *,
+                   k: int = 10):
+    """Top-k documents by total query-term token count (integer-exact
+    relevance; ties break by ``id_col`` ascending).
+
+    Scale shape: the term list broadcasts with the stage closure (bytes,
+    not a shuffle); each batch computes scores with one split + ``is_in``
+    + ``bincount`` and keeps only its LOCAL top-k, so the final
+    distributed sort sees k x n_batches candidate rows, never the
+    corpus."""
+    from .._env import REMOTE_KWARGS
+
+    term_set = pa.array(sorted(set(terms)), pa.string())
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        s = pc.fill_null(batch[text_col].combine_chunks(), "")
+        toks = pc.split_pattern(s, " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        hit = pc.is_in(flat, value_set=term_set).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(s), dtype=np.int64), lens)
+        score = np.bincount(doc_idx[hit], minlength=len(s)).astype(np.int64)
+        keep = np.flatnonzero(score > 0)
+        ids = batch[id_col].combine_chunks().take(pa.array(keep))
+        sc = score[keep]
+        order = np.lexsort((ids.to_numpy(zero_copy_only=False), -sc))[:k]
+        return pa.table({id_col: ids.take(pa.array(order)),
+                         "score": pa.array(sc[order])})
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow", **REMOTE_KWARGS)
+    return cand.sort(["score", id_col], descending=[True, False]).limit(k)
+
+
 def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id", *,
                     k: int = 3, min_df: int = 1):
     """Per-document top-k terms by tf-idf (idf = ln(n_docs / df)).

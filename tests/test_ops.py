@@ -189,6 +189,31 @@ def test_repetition_batch_vs_bruteforce():
         assert out["n_distinct_bigram"][i].as_py() == len(bgs), txt
 
 
+def test_keyword_search_topk(ray_session):
+    """Local top-k partials + final sort reproduce the brute-force ranking
+    (score desc, id asc ties) across many partitions."""
+    import ray.data as rd
+
+    from joi_ray.ops.text import keyword_search
+
+    rng = np.random.default_rng(7)
+    n = 400
+    texts, truth = [], []
+    for i in range(n):
+        c = int(rng.integers(0, 6))
+        words = ["q"] * c + ["x"] * int(rng.integers(1, 5))
+        rng.shuffle(words)
+        texts.append(" ".join(words))
+        truth.append((-c, i))
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "text": pa.array(texts)})
+    expected = [(i, -s) for s, i in sorted(truth) if -s > 0][:10]
+
+    ds = rd.from_arrow(t).repartition(13)
+    got = [(r["doc_id"], r["score"]) for r in keyword_search(ds, ["q"], k=10).take_all()]
+    assert got == expected
+
+
 def test_hash_split_deterministic(ray_session):
     """Split assignment is a pure function of the id: identical across
     batch boundaries / re-sharding, fractions near the requested ones,
