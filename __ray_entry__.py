@@ -1158,6 +1158,28 @@ def _q_quality_by_lang(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
 
 
+def _q_contamination(sf_dir: str):
+    """Benchmark decontamination (ops/text.ngram_contamination): bench =
+    every 97th doc (doc_id % 97 == 13), train = the rest; per train doc
+    the count of distinct 4-gram shingles shared with any bench doc.
+    Survivors are true contamination events (near/exact bench copies)."""
+    import ray.data as rd
+
+    from joi_ray.ops.text import ngram_contamination
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def is_bench(t: pa.Table, want: bool) -> pa.Table:
+        ids = t["doc_id"].combine_chunks()
+        mod = pc.subtract(ids, pc.multiply(pc.divide(ids, 97), 97))
+        m = pc.equal(mod, 13)
+        return t.filter(m if want else pc.invert(m))
+
+    bench = ds.map_batches(lambda t: is_bench(t, True), batch_format="pyarrow", **REMOTE_KWARGS)
+    train = ds.map_batches(lambda t: is_bench(t, False), batch_format="pyarrow", **REMOTE_KWARGS)
+    return ngram_contamination(train, bench, n=4)
+
+
 _SEARCH_TERMS = ["merge", "spark", "window"]
 
 
@@ -1773,6 +1795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_by_lang": _q_quality_by_lang,
         "gopher_repetition": _q_gopher_repetition,
         "keyword_search_top10": _q_keyword_search,
+        "contamination_4gram": _q_contamination,
         "flagship_validation": _q_flagship,  # rows-only (non-SQL-expressible)
         "minhash_near_dups": _q_minhash_pairs,
         "simhash_near_dups": _q_simhash_pairs,
@@ -2317,6 +2340,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n,
                    sum(len(regexp_extract_all(text, '\\w+')))::BIGINT AS sum_words
             FROM documents GROUP BY lang
+        """,
+        # decontamination mirror: shingles via 3 leads over token position,
+        # bench = doc_id % 97 = 13, distinct-per-doc semantics on both sides
+        "contamination_4gram": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(toks) AS tok,
+                     generate_subscripts(toks, 1) AS pos FROM t
+            ), sh AS (
+              SELECT doc_id,
+                     tok || ' ' || lead(tok, 1) OVER w || ' ' ||
+                     lead(tok, 2) OVER w || ' ' || lead(tok, 3) OVER w AS s
+              FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+              QUALIFY lead(tok, 3) OVER w IS NOT NULL
+            ), bench AS (
+              SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 13
+            ), tr AS (
+              SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 97 <> 13
+            )
+            SELECT tr.doc_id, count(*)::BIGINT AS n_shared
+            FROM tr JOIN bench USING (s) GROUP BY 1
         """,
         "keyword_search_top10": """
             WITH tok AS (

@@ -199,6 +199,73 @@ def token_top_k(ds, text_col: str = "text", *, k: int = 20, lowercase: bool = Tr
         batch_format="pyarrow", **REMOTE_KWARGS)
 
 
+def _doc_shingles(batch: pa.Table, text_col: str, id_col: str, n: int):
+    """Distinct per-doc token n-gram strings -> (row_index, shingle) numpy/
+    arrow pair.  Vectorized: one split, n shifted slices of the flat token
+    array joined element-wise, a boundary mask, one drop_duplicates."""
+    s = pc.fill_null(batch[text_col].combine_chunks(), "")
+    toks = pc.split_pattern(s, " ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    L = len(flat)
+    if L < n:
+        return np.empty(0, np.int64), pa.array([], pa.string())
+    doc_idx = np.repeat(np.arange(len(s), dtype=np.int64), lens)
+    m = L - n + 1
+    parts = [flat.slice(j, m) for j in range(n)]
+    sh = pc.binary_join_element_wise(*parts, " ")
+    valid = doc_idx[:m] == doc_idx[n - 1:]
+    g = pd.DataFrame({"d": doc_idx[:m][valid],
+                      "s": sh.filter(pa.array(valid)).to_pandas()}).drop_duplicates()
+    return g["d"].to_numpy(), pa.array(g["s"], pa.string())
+
+
+def ngram_contamination(train_ds, bench_ds, text_col: str = "text",
+                        id_col: str = "doc_id", *, n: int = 4):
+    """Benchmark-overlap decontamination: per train doc, the number of
+    distinct token ``n``-grams it shares with ANY benchmark document
+    (rows with 0 shared are dropped).  At realistic n (>= 4 here, >= 8-13
+    in published pipelines) chance collisions vanish, so surviving rows
+    are true contamination events — near/exact copies of benchmark items.
+
+    Scale contract: the BENCH side is benchmark-sized (tiny vs the
+    corpus) — its distinct shingle set is collected once and broadcast
+    via ``ray.put``; the train side streams, each batch resolving
+    membership with one ``is_in`` against the shared set.  Exact strings
+    (not hashes) are compared, so an oracle can reproduce the result."""
+    import ray
+
+    from .._env import REMOTE_KWARGS
+
+    def bench_partial(batch: pa.Table) -> pa.Table:
+        _, sh = _doc_shingles(batch, text_col, id_col, n)
+        return pa.table({"s": pc.unique(sh)})
+
+    blocks = [t for t in ray.get(
+        bench_ds.map_batches(bench_partial, batch_format="pyarrow", **REMOTE_KWARGS)
+        .to_arrow_refs()) if t.num_rows]  # 0-row Ray blocks carry no schema
+    if not blocks:
+        blocks = [pa.table({"s": pa.array([], pa.string())})]
+    bench_set = pc.unique(pa.concat_tables(blocks)["s"].combine_chunks())
+    bref = ray.put(bench_set)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bset = ray.get(bref)
+        d, sh = _doc_shingles(batch, text_col, id_col, n)
+        hit = pc.is_in(sh, value_set=bset).to_numpy(zero_copy_only=False)
+        counts = np.bincount(d[hit], minlength=batch.num_rows).astype(np.int64)
+        keep = np.flatnonzero(counts > 0)
+        # a doc is one row, so each batch's per-doc count is already exact
+        return pa.table({
+            id_col: batch[id_col].combine_chunks().take(pa.array(keep)),
+            "n_shared": pa.array(counts[keep]),
+        })
+
+    return train_ds.map_batches(flag, batch_format="pyarrow", **REMOTE_KWARGS)
+
+
 def keyword_search(ds, terms, text_col: str = "text", id_col: str = "doc_id", *,
                    k: int = 10):
     """Top-k documents by total query-term token count (integer-exact

@@ -189,6 +189,43 @@ def test_repetition_batch_vs_bruteforce():
         assert out["n_distinct_bigram"][i].as_py() == len(bgs), txt
 
 
+def test_ngram_contamination(ray_session):
+    """Shared distinct n-grams vs a brute-force set computation: exact
+    copies flag fully, partial overlaps flag the window count, repeated
+    shingles within a doc count once, disjoint docs don't appear."""
+    import ray.data as rd
+
+    from joi_ray.ops.text import ngram_contamination
+
+    bench = pa.table({
+        "doc_id": pa.array([1000, 1001], pa.int64()),
+        "text": pa.array(["a b c d e f", "x y z w"]),
+    })
+    train = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a b c d e f",          # exact copy: 3 distinct 4-grams
+            "q q a b c d q",        # one shared window: "a b c d"
+            "a b c d a b c d",      # repeated shingle counts once (+2 rotations? no: only 'a b c d' plus 'b c d a','c d a b','d a b c' unseen)
+            "totally different words here",
+        ]),
+    })
+
+    def brute(tr_txt, bench_txts, n=4):
+        def sh(t):
+            w = t.split(" ")
+            return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+        bset = set().union(*[sh(b) for b in bench_txts])
+        return len(sh(tr_txt) & bset)
+
+    out = {r["doc_id"]: r["n_shared"]
+           for r in ngram_contamination(
+               rd.from_arrow(train).repartition(3), rd.from_arrow(bench)).take_all()}
+    for i, txt in enumerate(train["text"].to_pylist()):
+        want = brute(txt, bench["text"].to_pylist())
+        assert out.get(i, 0) == want, (i, txt)
+
+
 def test_keyword_search_topk(ray_session):
     """Local top-k partials + final sort reproduce the brute-force ranking
     (score desc, id asc ties) across many partitions."""
