@@ -1158,6 +1158,31 @@ def _q_quality_by_lang(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Deterministic sequence packing (ops/packing.py): docs in id order
+    binned by cumulative-token starting offset into 2048-token sequences;
+    roll-up per sequence (doc count + token sum) — integer exact."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from joi_ray.ops.packing import pack_sequences, token_counts
+
+    ds = (rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+          .map_batches(token_counts, batch_format="pyarrow", **REMOTE_KWARGS))
+    packed = pack_sequences(ds, 2048)
+    agg = packed.groupby("seq_id").aggregate(
+        Count(alias_name="n_docs"), Sum("n_tok", alias_name="sum_tok"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "seq_id": pc.cast(t["seq_id"], pa.int64()),
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            "sum_tok": pc.cast(t["sum_tok"], pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
+
+
 def _q_contamination(sf_dir: str):
     """Benchmark decontamination (ops/text.ngram_contamination): bench =
     every 97th doc (doc_id % 97 == 13), train = the rest; per train doc
@@ -1796,6 +1821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition": _q_gopher_repetition,
         "keyword_search_top10": _q_keyword_search,
         "contamination_4gram": _q_contamination,
+        "pack_sequences_2048": _q_pack_sequences,
         "flagship_validation": _q_flagship,  # rows-only (non-SQL-expressible)
         "minhash_near_dups": _q_minhash_pairs,
         "simhash_near_dups": _q_simhash_pairs,
@@ -2340,6 +2366,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n,
                    sum(len(regexp_extract_all(text, '\\w+')))::BIGINT AS sum_words
             FROM documents GROUP BY lang
+        """,
+        # packing mirror: doc joins bin (tokens before it in id order)//2048
+        "pack_sequences_2048": """
+            WITH c AS (
+              SELECT doc_id, len(string_split(text, ' ')) AS ntok FROM documents
+            ), cum AS (
+              SELECT doc_id, ntok,
+                     coalesce(sum(ntok) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+              FROM c
+            )
+            SELECT CAST(tok_before // 2048 AS BIGINT) AS seq_id,
+                   count(*) AS n_docs, sum(ntok)::BIGINT AS sum_tok
+            FROM cum GROUP BY 1
         """,
         # decontamination mirror: shingles via 3 leads over token position,
         # bench = doc_id % 97 = 13, distinct-per-doc semantics on both sides

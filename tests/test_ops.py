@@ -189,6 +189,33 @@ def test_repetition_batch_vs_bruteforce():
         assert out["n_distinct_bigram"][i].as_py() == len(bgs), txt
 
 
+def test_pack_sequences(ray_session):
+    """Bin assignment equals the serial prefix-sum reference, is invariant
+    to input sharding, and seq_offset is the in-bin starting offset."""
+    import ray.data as rd
+
+    from joi_ray.ops.packing import pack_sequences, token_counts
+
+    rng = np.random.default_rng(3)
+    n, budget = 500, 100
+    counts = rng.integers(1, 40, n).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "n_tok": pa.array(counts)})
+    before = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    want_seq, want_off = before // budget, before % budget
+
+    for parts in (3, 17):
+        ds = rd.from_arrow(t).repartition(parts)
+        got = {r["doc_id"]: (r["seq_id"], r["seq_offset"])
+               for r in pack_sequences(ds, budget).take_all()}
+        for i in range(n):
+            assert got[i] == (want_seq[i], want_off[i]), i
+
+    # token_counts mirrors SQL string_split (empties kept)
+    tc = token_counts(pa.table({"text": pa.array(["a b", "", "x  y"])}))
+    assert tc["n_tok"].to_pylist() == [2, 1, 3]
+
+
 def test_ngram_contamination(ray_session):
     """Shared distinct n-grams vs a brute-force set computation: exact
     copies flag fully, partial overlaps flag the window count, repeated
