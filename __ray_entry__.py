@@ -1282,6 +1282,82 @@ def _q_gopher_repetition(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
 
 
+def _q_pii_scrub(sf_dir: str):
+    """PII scrub stats (ops/pii): deterministic PII injection (the corpus is
+    synthetic clean tokens, so the oracle-able expansion plants emails /
+    IPv4s / phone numbers from doc_id arithmetic — the near-dup oracle
+    pattern), then RE2 detect + redact, rolled up per language.  Every
+    output is an exact integer; the SQL oracle re-runs the *same* RE2
+    patterns via DuckDB's regexp functions."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Count, Sum
+
+    from joi_ray.ops.pii import pii_batch, pii_redact_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"].combine_chunks(), pa.int64())
+        idn = ids.to_numpy(zero_copy_only=False)
+        base = pc.fill_null(t["text"].combine_chunks(), "").to_pandas().to_numpy(dtype=object)
+        em = idn % 7 == 3
+        ip = idn % 11 == 5
+        ph = idn % 13 == 2
+        add = np.where(
+            em, np.array([f" contact u{i}@ex{i % 5}.com now" for i in idn], object), ""
+        )
+        add = add + np.where(
+            ip, np.array([f" from 10.{i % 256}.0.{i % 100} seen" for i in idn], object), ""
+        )
+        add = add + np.where(
+            ph, np.array([f" call 555-{100 + i % 10}-4567 ok" for i in idn], object), ""
+        )
+        return pa.table({
+            "doc_id": ids, "lang": t["lang"],
+            "text": pa.array((base + add).tolist(), pa.string()),
+        })
+
+    marked = ds.map_batches(inject, batch_format="pyarrow", **REMOTE_KWARGS)
+    scrubbed = marked.map_batches(
+        lambda t: pii_redact_batch(pii_batch(t)), batch_format="pyarrow", **REMOTE_KWARGS)
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        ne = t["n_email"].to_numpy()
+        ni = t["n_ipv4"].to_numpy()
+        np_ = t["n_phone"].to_numpy()
+        orig = pc.utf8_length(t["text"].combine_chunks()).to_numpy(zero_copy_only=False)
+        red = t["redacted_len"].to_numpy()
+        return pa.table({
+            "lang": t["lang"],
+            "n_email": t["n_email"], "n_ipv4": t["n_ipv4"], "n_phone": t["n_phone"],
+            "has_pii": pa.array(((ne + ni + np_) > 0).astype(np.int64)),
+            "len_delta": pa.array((orig - red).astype(np.int64)),
+        })
+
+    agg = (
+        scrubbed.map_batches(per_doc, batch_format="pyarrow", **REMOTE_KWARGS)
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("has_pii", alias_name="n_docs_with_pii"),
+            Sum("n_email", alias_name="sum_email"),
+            Sum("n_ipv4", alias_name="sum_ipv4"),
+            Sum("n_phone", alias_name="sum_phone"),
+            Sum("len_delta", alias_name="sum_len_delta"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {"lang": t["lang"]}
+        for c in t.column_names:
+            if c != "lang":
+                cols[c] = pc.cast(t[c], pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
+
+
 def _q_dedup_ngram(sf_dir: str):
     """Exact n-gram-Jaccard near-dup pairs: MinHash-LSH generates candidates
     (32 bands x 2 rows -> recall ~1 at J>=0.4), each candidate verified with
@@ -1819,6 +1895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_quantity": _q_stats_quantity,
         "quality_by_lang": _q_quality_by_lang,
         "gopher_repetition": _q_gopher_repetition,
+        "pii_scrub_stats": _q_pii_scrub,
         "keyword_search_top10": _q_keyword_search,
         "contamination_4gram": _q_contamination,
         "pack_sequences_2048": _q_pack_sequences,
@@ -2410,6 +2487,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS score
             FROM tok WHERE tok IN ('merge', 'spark', 'window')
             GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        # PII scrub: the injection arithmetic mirrors _q_pii_scrub.inject
+        # verbatim; detection/redaction re-runs the SAME RE2 patterns
+        # (joi_ray/ops/pii.PII_PATTERNS) through DuckDB's RE2 regexp
+        # functions, so counts and redacted lengths are engine-identical.
+        "pii_scrub_stats": r"""
+            WITH inj AS (
+              SELECT lang,
+                     text
+                     || CASE WHEN doc_id % 7 = 3
+                        THEN ' contact u' || doc_id || '@ex' || (doc_id % 5)
+                             || '.com now' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 5
+                        THEN ' from 10.' || (doc_id % 256) || '.0.'
+                             || (doc_id % 100) || ' seen' ELSE '' END
+                     || CASE WHEN doc_id % 13 = 2
+                        THEN ' call 555-' || (100 + doc_id % 10)
+                             || '-4567 ok' ELSE '' END AS t2
+              FROM documents
+            ), det AS (
+              SELECT lang, t2,
+                     len(regexp_extract_all(t2,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+                     len(regexp_extract_all(t2,
+                         '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS ni,
+                     len(regexp_extract_all(t2,
+                         '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS nph,
+                     length(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(t2,
+                             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                             '[EMAIL]', 'g'),
+                           '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IPV4]', 'g'),
+                         '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g')
+                     ) AS rlen
+              FROM inj
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN ne + ni + nph > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_docs_with_pii,
+                   CAST(sum(ne) AS BIGINT) AS sum_email,
+                   CAST(sum(ni) AS BIGINT) AS sum_ipv4,
+                   CAST(sum(nph) AS BIGINT) AS sum_phone,
+                   CAST(sum(length(t2) - rlen) AS BIGINT) AS sum_len_delta
+            FROM det GROUP BY 1
         """,
         # Gopher repetition roll-up: tokens via string_split (empties kept on
         # both sides), bigrams via lead() over token position — flag rules in

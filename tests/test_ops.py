@@ -671,3 +671,41 @@ def test_png_palette_and_gif_interlace_decode():
     assert frames is not None and len(frames) == 1
     palette = np.array([0, 85, 170, 255], np.uint8)
     assert np.array_equal(frames[0], palette[display])
+
+
+def test_pii_detect_and_redact():
+    from joi_ray.ops.pii import pii_batch, pii_redact_batch
+
+    t = pa.table({
+        "text": [
+            "mail me at a.b+c@example.co.uk or root@x.io today",
+            "server 192.168.0.1 and 10.0.0.255 pinged",
+            "call 555-123-4567 maybe",
+            "clean text, nothing here",
+            None,
+            "combo bob@site.com at 1.2.3.4 dial 800-555-0100",
+        ]
+    })
+    out = pii_batch(t)
+    assert out["n_email"].to_pylist() == [2, 0, 0, 0, 0, 1]
+    assert out["n_ipv4"].to_pylist() == [0, 2, 0, 0, 0, 1]
+    assert out["n_phone"].to_pylist() == [0, 0, 1, 0, 0, 1]
+
+    red = pii_redact_batch(t)
+    texts = red["text_redacted"].to_pylist()
+    assert texts[0] == "mail me at [EMAIL] or [EMAIL] today"
+    assert texts[1] == "server [IPV4] and [IPV4] pinged"
+    assert texts[2] == "call [PHONE] maybe"
+    assert texts[3] == "clean text, nothing here"
+    assert texts[4] == ""                      # null -> empty, not a crash
+    assert texts[5] == "combo [EMAIL] at [IPV4] dial [PHONE]"
+    assert red["redacted_len"].to_pylist() == [len(s) for s in texts]
+
+
+def test_pii_scrub_dataset(ray_session, docs_ds):
+    from joi_ray.ops.pii import pii_scrub
+
+    out = pii_scrub(docs_ds).take(5)
+    for row in out:
+        assert "text_redacted" in row and "n_email" in row
+        assert row["redacted_len"] == len(row["text_redacted"])
