@@ -1358,6 +1358,40 @@ def _q_pii_scrub(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
 
 
+def _q_dedup_components(sf_dir: str):
+    """Connected components over a duplicate-pair edge list
+    (ops/components): near-dup similarity is not transitive, so canonical
+    collapse needs the component (A~B, B~C => {A,B,C} one survivor) — the
+    stage between pair mining and keep-first.  The edge list here is a
+    deterministic arithmetic graph over doc_ids (chains of varying length
+    inside each 8-block + occasional cross-block merges), chosen because
+    it forces MULTI-HOP closure (diameter ~10) — exactly what a pairwise
+    oracle can't check — while staying exactly SQL-mirrorable; the oracle
+    recomputes the closure with a recursive CTE.  Output: one row per
+    component size (size, n_components, sum_min_label)."""
+    import ray.data as rd
+
+    from joi_ray.ops.components import component_stats, connected_components
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"].combine_chunks(), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        chain = ids[(ids % 8) < ((ids // 8) % 8)]
+        merge = ids[ids % 64 == 0]
+        return pa.table(
+            {
+                "id_a": np.concatenate([chain, merge]),
+                "id_b": np.concatenate([chain + 1, merge + 8]),
+            }
+        )
+
+    e = ds.map_batches(edges, batch_format="pyarrow", **REMOTE_KWARGS)
+    return component_stats(connected_components(e))
+
+
 def _q_dedup_ngram(sf_dir: str):
     """Exact n-gram-Jaccard near-dup pairs: MinHash-LSH generates candidates
     (32 bands x 2 rows -> recall ~1 at J>=0.4), each candidate verified with
@@ -1896,6 +1930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_by_lang": _q_quality_by_lang,
         "gopher_repetition": _q_gopher_repetition,
         "pii_scrub_stats": _q_pii_scrub,
+        "dedup_components": _q_dedup_components,
         "keyword_search_top10": _q_keyword_search,
         "contamination_4gram": _q_contamination,
         "pack_sequences_2048": _q_pack_sequences,
@@ -2187,6 +2222,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT count(*) AS n_kept, sum(doc_id)::BIGINT AS sum_kept_ids
             FROM w WHERE doc_id = keeper
+        """,
+        # Connected components: the recursive CTE computes the same
+        # multi-hop min-label closure over the same arithmetic edge list
+        # as _q_dedup_components.edges (chains + cross-block merges).
+        "dedup_components": """
+            WITH RECURSIVE
+            e1 AS (
+              SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+              WHERE doc_id % 8 < (doc_id // 8) % 8
+            ),
+            e2 AS (
+              SELECT doc_id AS a, doc_id + 8 AS b FROM documents
+              WHERE doc_id % 64 = 0
+            ),
+            edges AS (SELECT a, b FROM e1 UNION ALL SELECT a, b FROM e2),
+            sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+            nodes AS (SELECT DISTINCT a AS n FROM sym),
+            reach AS (
+              SELECT n AS node, n AS label FROM nodes
+              UNION
+              SELECT s.b AS node, r.label
+              FROM reach r JOIN sym s ON s.a = r.node
+            ),
+            comp AS (SELECT node, min(label) AS label FROM reach GROUP BY node),
+            sizes AS (SELECT label, count(*) AS size FROM comp GROUP BY label)
+            SELECT CAST(size AS BIGINT) AS size,
+                   CAST(count(*) AS BIGINT) AS n_components,
+                   CAST(sum(label) AS BIGINT) AS sum_min_label
+            FROM sizes GROUP BY size
         """,
         "dedup_ngram_jaccard": """
             WITH gs AS (SELECT unnest(generate_series(1, 4096)) AS i),

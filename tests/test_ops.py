@@ -709,3 +709,47 @@ def test_pii_scrub_dataset(ray_session, docs_ds):
     for row in out:
         assert "text_redacted" in row and "n_email" in row
         assert row["redacted_len"] == len(row["text_redacted"])
+
+
+def _cc_expected(edges):
+    # reference union-find on the driver (test-only)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_both_paths(ray_session):
+    import ray.data as rd
+
+    from joi_ray.ops.components import connected_components
+
+    # chain 0-1-2-3, triangle 10-11-12, bridge 3-10 => one 8-node comp;
+    # separate pair (50, 51); long chain 100..109 (multi-hop closure)
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (3, 10),
+             (50, 51)] + [(100 + i, 101 + i) for i in range(9)]
+    expect = _cc_expected(edges)
+    t = pa.table({"id_a": [a for a, _ in edges], "id_b": [b for _, b in edges]})
+    for limit in (5_000_000, 0):  # single-task path, then forced distributed
+        out = connected_components(rd.from_arrow(t), single_task_limit=limit)
+        got = {r["node"]: r["label"] for r in out.take_all()}
+        assert got == expect, f"limit={limit}"
+
+
+def test_connected_components_empty(ray_session):
+    import ray.data as rd
+
+    from joi_ray.ops.components import connected_components
+
+    t = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    assert connected_components(rd.from_arrow(t)).count() == 0
