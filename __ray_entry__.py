@@ -1358,6 +1358,42 @@ def _q_pii_scrub(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic stratified downsampling (ops/sampling
+    .stratified_sample): language rebalancing keeps en at 25%, zh at 50%,
+    everything else whole — assignment via splitmix64(doc_id XOR salt) so
+    it is stable under resharding AND independent of hash_split's buckets.
+    The oracle replays the salted splitmix pipeline in HUGEINT-safe 32-bit
+    multiplies (the hash_split_counts mirror) and the same thresholds."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Count, Sum
+
+    from joi_ray.ops.sampling import stratified_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    kept = stratified_sample(ds, "lang", rates={"en": 0.25, "zh": 0.5})
+    agg = kept.groupby("lang").aggregate(
+        Count(alias_name="n_kept"),
+        Sum("doc_id", alias_name="sum_doc_id"),
+        Sum("n_chars", alias_name="sum_chars"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_kept": pc.cast(t["n_kept"], pa.int64()),
+                "sum_doc_id": pc.cast(t["sum_doc_id"], pa.int64()),
+                "sum_chars": pc.cast(t["sum_chars"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
+
+
 def _q_dedup_components(sf_dir: str):
     """Connected components over a duplicate-pair edge list
     (ops/components): near-dup similarity is not transitive, so canonical
@@ -1931,6 +1967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition": _q_gopher_repetition,
         "pii_scrub_stats": _q_pii_scrub,
         "dedup_components": _q_dedup_components,
+        "stratified_sample_counts": _q_stratified_sample,
         "keyword_search_top10": _q_keyword_search,
         "contamination_4gram": _q_contamination,
         "pack_sequences_2048": _q_pack_sequences,
@@ -2222,6 +2259,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT count(*) AS n_kept, sum(doc_id)::BIGINT AS sum_kept_ids
             FROM w WHERE doc_id = keeper
+        """,
+        # Stratified sample: splitmix64 over xor(doc_id, salt) — same
+        # HUGEINT-safe 32-bit-split multiplies as hash_split_counts —
+        # then per-lang keep thresholds (en 25%, zh 50%, rest 100%).
+        "stratified_sample_counts": """
+            WITH s0 AS (
+              SELECT lang, n_chars, doc_id,
+                     CAST((CAST(xor(doc_id, 23063) AS HUGEINT)
+                           + 11400714819323198485)
+                          % 18446744073709551616 AS UBIGINT) AS z0
+              FROM documents
+            ), m1 AS (
+              SELECT lang, n_chars, doc_id, xor(z0, z0 >> 30) AS x1 FROM s0
+            ), s1 AS (
+              SELECT lang, n_chars, doc_id,
+                     CAST(((((CAST(x1 % 4294967296 AS HUGEINT) * 3210233709
+                              + CAST(x1 // 4294967296 AS HUGEINT) * 484763065)
+                             % 4294967296) * 4294967296
+                            + CAST(x1 % 4294967296 AS HUGEINT) * 484763065)
+                           % 18446744073709551616) AS UBIGINT) AS z1
+              FROM m1
+            ), m2 AS (
+              SELECT lang, n_chars, doc_id, xor(z1, z1 >> 27) AS x2 FROM s1
+            ), s2 AS (
+              SELECT lang, n_chars, doc_id,
+                     CAST(((((CAST(x2 % 4294967296 AS HUGEINT) * 2496678331
+                              + CAST(x2 // 4294967296 AS HUGEINT) * 321982955)
+                             % 4294967296) * 4294967296
+                            + CAST(x2 % 4294967296 AS HUGEINT) * 321982955)
+                           % 18446744073709551616) AS UBIGINT) AS z2
+              FROM m2
+            ), b AS (
+              SELECT lang, n_chars, doc_id,
+                     xor(z2, z2 >> 31) % 10000 AS bucket FROM s2
+            )
+            SELECT lang, count(*) AS n_kept,
+                   sum(doc_id)::BIGINT AS sum_doc_id,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM b
+            WHERE bucket < CASE lang WHEN 'en' THEN 2500
+                                     WHEN 'zh' THEN 5000
+                                     ELSE 10000 END
+            GROUP BY lang
         """,
         # Connected components: the recursive CTE computes the same
         # multi-hop min-label closure over the same arithmetic edge list

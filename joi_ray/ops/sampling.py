@@ -73,3 +73,47 @@ def hash_split(ds, id_col: str = "doc_id", *, splits: dict[str, float] | None = 
         batch_format="pyarrow",
         **REMOTE_KWARGS,
     )
+
+
+def stratified_sample_batch(
+    batch: pa.Table,
+    strata_col: str = "lang",
+    *,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    salt: int = 0x5A17,
+) -> pa.Table:
+    """Filter the batch to a deterministic per-stratum sample: keep a row
+    iff ``splitmix64(id XOR salt) % 10000 < rate[stratum] * 10000``.
+
+    The salt decorrelates sampling from ``hash_split`` (same id, different
+    hash input), so downsampling a language never skews the train/val/test
+    ratio within it.  Like ``hash_split`` this is stable under resharding
+    and resume, and the XOR+splitmix pipeline stays SQL-mirrorable."""
+    ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+    b = split_buckets(np.asarray(ids, np.int64) ^ np.int64(salt))
+    strata = batch[strata_col].combine_chunks()
+    names = list(rates)
+    idx = pc.index_in(strata, value_set=pa.array(names, strata.type))
+    thr = np.array([rates[n] for n in names] + [default_rate]) * _BUCKETS
+    pos = idx.to_numpy(zero_copy_only=False)
+    pos = np.where(np.isnan(pos) if pos.dtype.kind == "f" else pos < 0, len(names), pos)
+    keep = b < thr[pos.astype(np.int64)]
+    return batch.filter(pa.array(keep))
+
+
+def stratified_sample(ds, strata_col: str = "lang", *, rates: dict[str, float],
+                      default_rate: float = 1.0, id_col: str = "doc_id",
+                      salt: int = 0x5A17):
+    """Dataset form: deterministic per-stratum downsampling (language
+    rebalancing) — a stateless filter map, no shuffle, no RNG state."""
+    from .._env import REMOTE_KWARGS
+
+    return ds.map_batches(
+        lambda t: stratified_sample_batch(
+            t, strata_col, rates=rates, default_rate=default_rate,
+            id_col=id_col, salt=salt),
+        batch_format="pyarrow",
+        **REMOTE_KWARGS,
+    )

@@ -753,3 +753,24 @@ def test_connected_components_empty(ray_session):
 
     t = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
     assert connected_components(rd.from_arrow(t)).count() == 0
+
+
+def test_stratified_sample_deterministic_and_stratum_scoped():
+    from joi_ray.ops.sampling import stratified_sample_batch
+
+    t = pa.table({
+        "doc_id": list(range(2000)),
+        "lang": (["en", "fr", "zh", "de"] * 500),
+    })
+    out1 = stratified_sample_batch(t, rates={"en": 0.25, "zh": 0.5})
+    out2 = stratified_sample_batch(t, rates={"en": 0.25, "zh": 0.5})
+    assert out1.equals(out2)  # deterministic
+    import collections
+
+    c = collections.Counter(out1["lang"].to_pylist())
+    assert c["fr"] == 500 and c["de"] == 500        # default rate keeps all
+    assert 80 <= c["en"] <= 170 and 200 <= c["zh"] <= 300
+    # sharding-invariant: same rows kept when processed in two halves
+    lo = stratified_sample_batch(t.slice(0, 1000), rates={"en": 0.25, "zh": 0.5})
+    hi = stratified_sample_batch(t.slice(1000), rates={"en": 0.25, "zh": 0.5})
+    assert pa.concat_tables([lo, hi]).equals(out1)
