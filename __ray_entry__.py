@@ -1358,6 +1358,58 @@ def _q_pii_scrub(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
 
 
+def _q_clean_funnel(sf_dir: str):
+    """Cleaning-funnel report: the composed filter pipeline every curation
+    run publishes — each doc attributed to the FIRST rule that drops it
+    (too_short -> dup_word -> top_tok -> kept), rolled up per (lang,
+    outcome).  Signals come from ops/text.repetition_batch and every
+    threshold is integer arithmetic ((nt-nd)*10 > nt*3 is dup-word frac
+    > 0.3), so the oracle hash is float-free."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Count, Sum
+
+    from joi_ray.ops.text import repetition_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    rep = ds.map_batches(repetition_batch, batch_format="pyarrow", **REMOTE_KWARGS)
+
+    def attribute(t: pa.Table) -> pa.Table:
+        nt = t["n_tok"].to_numpy()
+        nd = t["n_distinct_tok"].to_numpy()
+        top = t["top_tok_n"].to_numpy()
+        outcome = np.select(
+            [nt < 20, (nt - nd) * 10 > nt * 3, top * 8 > nt],
+            ["drop_short", "drop_dup_word", "drop_top_tok"],
+            default="kept",
+        )
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "outcome": pa.array(outcome.astype(object), pa.string()),
+                "n_tok": t["n_tok"],
+            }
+        )
+
+    agg = (
+        rep.map_batches(attribute, batch_format="pyarrow", **REMOTE_KWARGS)
+        .groupby(["lang", "outcome"])
+        .aggregate(Count(alias_name="n_docs"), Sum("n_tok", alias_name="sum_tok"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "outcome": t["outcome"],
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "sum_tok": pc.cast(t["sum_tok"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", **REMOTE_KWARGS)
+
+
 def _q_stratified_sample(sf_dir: str):
     """Deterministic stratified downsampling (ops/sampling
     .stratified_sample): language rebalancing keeps en at 25%, zh at 50%,
@@ -1968,6 +2020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub_stats": _q_pii_scrub,
         "dedup_components": _q_dedup_components,
         "stratified_sample_counts": _q_stratified_sample,
+        "clean_funnel": _q_clean_funnel,
         "keyword_search_top10": _q_keyword_search,
         "contamination_4gram": _q_contamination,
         "pack_sequences_2048": _q_pack_sequences,
@@ -2259,6 +2312,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT count(*) AS n_kept, sum(doc_id)::BIGINT AS sum_kept_ids
             FROM w WHERE doc_id = keeper
+        """,
+        # Cleaning funnel: same token/bigram CTE machinery as
+        # gopher_repetition; first-failing-rule attribution via CASE in
+        # the same order as _q_clean_funnel.attribute (np.select).
+        "clean_funnel": """
+            WITH t AS (
+              SELECT doc_id, lang, string_split(text, ' ') AS toks
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, lang, unnest(toks) AS tok FROM t
+            ), wc AS (
+              SELECT doc_id, lang, tok, count(*) AS c
+              FROM tok GROUP BY 1, 2, 3
+            ), per_doc AS (
+              SELECT doc_id, lang, sum(c) AS nt, count(*) AS nd,
+                     max(c) AS top FROM wc GROUP BY 1, 2
+            ), attributed AS (
+              SELECT lang, nt,
+                     CASE WHEN nt < 20 THEN 'drop_short'
+                          WHEN (nt - nd) * 10 > nt * 3 THEN 'drop_dup_word'
+                          WHEN top * 8 > nt THEN 'drop_top_tok'
+                          ELSE 'kept' END AS outcome
+              FROM per_doc
+            )
+            SELECT lang, outcome, count(*) AS n_docs,
+                   sum(nt)::BIGINT AS sum_tok
+            FROM attributed GROUP BY 1, 2
         """,
         # Stratified sample: splitmix64 over xor(doc_id, salt) — same
         # HUGEINT-safe 32-bit-split multiplies as hash_split_counts —
