@@ -290,6 +290,28 @@ def run_bench() -> dict:
         emb_ds, "embedding", "vec_id", threshold=0.999, n_bits=16, concurrency=pool).count()
     queries["embedding_dedup"] = round(time.time() - t0, 3)
 
+    # ---- connected components over a dup-pair-scale edge list (chains +
+    # cross-block merges over the expanded ids; ~45% of ids emit an edge).
+    # Takes the single-task union-find path — the realistic regime, since
+    # real dup-pair sets are duplicate-rate-bounded — end-to-end as a
+    # Dataset stage (edges never touch the driver).
+    t0 = time.time()
+    from joi_ray.ops.components import connected_components
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chain = ids[(ids % 8) < ((ids // 8) % 8)]
+        merge = ids[ids % 64 == 0]
+        return pa.table({
+            "id_a": np.concatenate([chain, merge]),
+            "id_b": np.concatenate([chain + 1, merge + 8]),
+        })
+
+    comp_edges = flat.map_batches(expand_uid, batch_format="pyarrow", batch_size=exp_bs
+                                  ).map_batches(mk_edges, batch_format="pyarrow")
+    n_comp_nodes = connected_components(comp_edges).count()
+    queries["dedup_components"] = round(time.time() - t0, 3)
+
     # ---- sort-based running aggregate at 6M rows (events x60, shifted
     # user ids so the key space scales with the data): exercises the
     # global sort + two-pass carry design at a scale where object-store
