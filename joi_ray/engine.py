@@ -1155,16 +1155,18 @@ def _eval_object(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fa
     # with a per-dependency separator option
     for d in node.dependencies:
         sep = d.get("separator", ".")
+        names = list(d["peers"]) + ([d["key"]] if d.get("key") else [])
         pm = {}
-        for f in list(d["peers"]) + ([d["key"]] if d.get("key") else []):
+        for f in names:
             m = _dep_presence(f, results, children, parent_present, n, sep)
-            if m is not None:
-                pm[f] = m
-        peers = [p for p in d["peers"] if p in pm]
-        if d.get("key") and d["key"] not in pm:
-            continue
-        viol, code, ctx = k_structs.dependency_mask(d["rel"], pm, peers, d.get("key"))
-        add_err(code, viol & kscope, ctx)
+            # unknown names are simply never present (reference: an
+            # unresolvable peer still counts as missing and stays in the
+            # reported peer list)
+            pm[f] = m if m is not None else np.zeros(n, dtype=bool)
+        labels = {f: _dep_label(node, f, sep) for f in names}
+        for viol, code, ctx in k_structs.dependency_violations(
+                d["rel"], pm, d["peers"], d.get("key"), labels):
+            add_err(code, viol & kscope, ctx)
 
     # rebuild struct with coerced / stripped children
     keep = [f for f in field_names if not (f in results and results[f].strip) and not (strip_unknown and f in unknown)]
@@ -1173,6 +1175,20 @@ def _eval_object(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fa
     if keep != orig_names or any(results[f].value is not children.get(f) for f in results if f in keep):
         arr = pa.StructArray.from_arrays([combine(a) for a in arrays], names=keep, mask=pa.array(~parent_present))
     return arr
+
+
+def _dep_label(node, name, separator="."):
+    """Display label for a dependency name — each path segment mapped
+    through its schema's ``label`` flag (reference ``keysToLabels`` /
+    ``$_mapLabels``, object.js:878-886: ``and('a','b.c')`` with labels
+    first/second renders ``first`` and ``b.second``)."""
+    parts = name.split(separator) if separator else [name]
+    out, cur = [], node
+    for seg in parts:
+        child = cur.keys.get(seg) if cur is not None else None
+        out.append(child.flags.get("label", seg) if child is not None else seg)
+        cur = child
+    return (separator or ".").join(out)
 
 
 def _dep_presence(name, results, children, parent_present, n, separator="."):
@@ -1405,16 +1421,19 @@ class CompiledSchema:
         all_ones = np.ones(n, dtype=bool)
         for d in self.root.dependencies:
             sep = d.get("separator", ".")
+            names = list(d["peers"]) + ([d["key"]] if d.get("key") else [])
             pm = {}
-            for k in list(d["peers"]) + ([d["key"]] if d.get("key") else []):
+            for k in names:
                 m = _dep_presence(k, results, columns, all_ones, n, sep)
                 pm[k] = m if m is not None else np.zeros(n, bool)
-            viol, code, ctx = k_structs.dependency_mask(d["rel"], pm, d["peers"], d.get("key"))
-            if viol.any():
-                rec = ErrRec(code, viol & scope, "", ctx, 9000)
-                rec.rows = None
-                errors.append(rec)
-                failed |= viol & scope
+            labels = {k: _dep_label(self.root, k, sep) for k in names}
+            for viol, code, ctx in k_structs.dependency_violations(
+                    d["rel"], pm, d["peers"], d.get("key"), labels):
+                if viol.any():
+                    rec = ErrRec(code, viol & scope, "", ctx, 9000)
+                    rec.rows = None
+                    errors.append(rec)
+                    failed |= viol & scope
         for cr in self.root.rules:
             if isinstance(cr.fn, tuple) and cr.fn[0] == "structural" and cr.name == "assert":
                 args = cr.fn[1]

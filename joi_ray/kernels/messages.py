@@ -93,18 +93,19 @@ MESSAGES: dict[str, str] = {
     # object
     "object.base": '"{label}" must be of type object',
     "object.unknown": '"{label}" is not allowed',
-    "object.and": '"{label}" contains {presentWithRequired} without its required peers {missingWithRequired}',
-    "object.nand": '"{label}" must not exist simultaneously with {peers}',
-    "object.or": '"{label}" must contain at least one of {peers}',
-    "object.xor": '"{label}" contains a conflict between exclusive peers {peers}',
-    "object.oxor": '"{label}" contains a conflict between optional exclusive peers {peers}',
-    "object.with": '"{main}" missing required peer "{peer}"',
-    "object.without": '"{main}" conflict with forbidden peer "{peer}"',
+    # dependency messages are byte-parity with lib/types/object.js:629-648
+    "object.and": '"{label}" contains {presentWithLabels} without its required peers {missingWithLabels}',
+    "object.nand": '"{mainWithLabel}" must not exist simultaneously with {peersWithLabels}',
+    "object.or": '"{label}" must contain at least one of {peersWithLabels}',
+    "object.xor": '"{label}" contains a conflict between exclusive peers {peersWithLabels}',
+    "object.oxor": '"{label}" contains a conflict between optional exclusive peers {peersWithLabels}',
+    "object.with": '"{mainWithLabel}" missing required peer "{peerWithLabel}"',
+    "object.without": '"{mainWithLabel}" conflict with forbidden peer "{peerWithLabel}"',
     "object.assert": '"{label}" is invalid because {message}',
     "object.min": '"{label}" must have at least {limit} keys',
     "object.max": '"{label}" must have less than or equal to {limit} keys',
     "object.length": '"{label}" must have {limit} keys',
-    "object.missing": '"{label}" must contain at least one of {peers}',
+    "object.missing": '"{label}" must contain at least one of {peersWithLabels}',
     "object.rename.multiple": '"{label}" cannot rename "{from}" because multiple renames are disabled and another key was already renamed to "{to}"',
     "object.rename.override": '"{label}" cannot rename "{from}" because override is disabled and target "{to}" exists',
     "object.pattern.match": '"{label}" keys failed to match pattern requirements',
@@ -131,7 +132,8 @@ def render(code: str, path: str, context: dict, override: str | None = None) -> 
     out = tmpl
     out = out.replace("{#label}", str(label)).replace("{label}", str(label))
     for k, v in context.items():
-        out = out.replace("{#%s}" % k, str(v)).replace("{%s}" % k, str(v))
+        s = _stringify(v)
+        out = out.replace("{#%s}" % k, s).replace("{%s}" % k, s)
     if "{" in out and _looks_dynamic(out):
         from .template import compile_template
 
@@ -148,6 +150,16 @@ def render(code: str, path: str, context: dict, override: str | None = None) -> 
         except (TypeError, ValueError):
             pass  # leave the partially-substituted string
     return out
+
+
+def _stringify(v) -> str:
+    """joi's template array rendering (lib/template.js internals.stringify
+    with wrapArrays): ``[a, b]`` — elements bare, joined with ', '."""
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_stringify(x) for x in v) + "]"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
 
 
 _EXPR_CHARS = ("+", "-", "*", "/", "%", "^", "<", ">", "=", "(", "?", "&", "|")

@@ -10,38 +10,102 @@ from __future__ import annotations
 import numpy as np
 
 
-def dependency_mask(rel: str, presence: dict[str, np.ndarray], peers: list[str], key: str | None = None):
-    """Return (violation_mask, code, context).  ``presence[name]`` is True
-    where that field is present (non-null)."""
-    stack = np.stack([presence[p] for p in peers]) if peers else np.zeros((0, 1), dtype=bool)
-    count = stack.sum(axis=0)
+def dependency_violations(
+    rel: str,
+    presence: dict[str, np.ndarray],
+    peers: list[str],
+    key: str | None = None,
+    labels: dict[str, str] | None = None,
+) -> list[tuple[np.ndarray, str, dict]]:
+    """Return ``[(violation_mask, code, context), ...]`` mirroring the
+    reference's per-value contexts (``object.js:722-873``): and/xor/oxor
+    report the row's actual present/missing key lists and with/without the
+    first offending peer, so rows are grouped by presence PATTERN and each
+    group carries its exact context.  Pattern count is bounded by the data
+    (≤ distinct presence combinations among violating rows), not by 2^n.
+    ``labels[name]`` is the display label (``keysToLabels``)."""
+    lab = labels or {}
+
+    def L(names):
+        if isinstance(names, str):
+            return lab.get(names, names)
+        return [lab.get(p, p) for p in names]
+
     npeers = len(peers)
-    ctx = {"peers": peers}
+    if not npeers:
+        return []
+    stack = np.stack([presence[p] for p in peers])
+    count = stack.sum(axis=0)
+
+    def by_pattern(viol: np.ndarray):
+        """Yield (mask, present_list, missing_list) per distinct pattern."""
+        if not viol.any():
+            return
+        pat = (stack.astype(np.uint64)
+               << np.arange(npeers, dtype=np.uint64)[:, None]).sum(axis=0)
+        for v in np.unique(pat[viol]):
+            mask = viol & (pat == v)
+            bits = [(int(v) >> i) & 1 for i in range(npeers)]
+            present = [p for p, b in zip(peers, bits) if b]
+            missing = [p for p, b in zip(peers, bits) if not b]
+            yield mask, present, missing
+
+    peers_ctx = {"peers": peers, "peersWithLabels": L(peers)}
     if rel == "and":
-        # all or none (object.js:724-756)
-        viol = (count > 0) & (count < npeers)
-        return viol, "object.and", {**ctx, "presentWithRequired": peers, "missingWithRequired": peers}
+        # error iff some-but-not-all present (object.js:724-751)
+        out = []
+        for mask, present, missing in by_pattern((count > 0) & (count < npeers)):
+            out.append((mask, "object.and", {
+                "present": present, "presentWithLabels": L(present),
+                "missing": missing, "missingWithLabels": L(missing)}))
+        return out
     if rel == "nand":
-        viol = count == npeers
-        return viol, "object.nand", ctx
+        # all present; context splits main (first peer) from the rest
+        # (object.js:753-777)
+        main, rest = peers[0], peers[1:]
+        return [(count == npeers, "object.nand", {
+            "main": main, "mainWithLabel": L(main),
+            "peers": rest, "peersWithLabels": L(rest)})]
     if rel == "or":
-        viol = count == 0
-        return viol, "object.missing", ctx
+        return [(count == 0, "object.missing", dict(peers_ctx))]
     if rel == "xor":
-        viol = count != 1
-        return viol, "object.xor", ctx
+        # none present -> object.missing; >1 -> object.xor with the row's
+        # present list (object.js:851-873)
+        out = [(count == 0, "object.missing", dict(peers_ctx))]
+        for mask, present, _ in by_pattern(count > 1):
+            out.append((mask, "object.xor", {
+                **peers_ctx, "present": present,
+                "presentWithLabels": L(present)}))
+        return out
     if rel == "oxor":
-        viol = count > 1
-        return viol, "object.oxor", ctx
+        out = []
+        for mask, present, _ in by_pattern(count > 1):
+            out.append((mask, "object.oxor", {
+                **peers_ctx, "present": present,
+                "presentWithLabels": L(present)}))
+        return out
     if rel == "with":
-        # key present -> all peers present (object.js:841-856)
+        # key present -> every peer present; FIRST missing peer is the
+        # context, as in the reference's early return (object.js:815-833)
         main = presence[key]
-        viol = main & (count < npeers)
-        return viol, "object.with", {"main": key, "peer": ",".join(peers)}
+        out, unclaimed = [], main.copy()
+        for p in peers:
+            mask = unclaimed & ~presence[p]
+            out.append((mask, "object.with", {
+                "main": key, "mainWithLabel": L(key),
+                "peer": p, "peerWithLabel": L(p)}))
+            unclaimed = unclaimed & presence[p]
+        return out
     if rel == "without":
         main = presence[key]
-        viol = main & (count > 0)
-        return viol, "object.without", {"main": key, "peer": ",".join(peers)}
+        out, unclaimed = [], main.copy()
+        for p in peers:
+            mask = unclaimed & presence[p]
+            out.append((mask, "object.without", {
+                "main": key, "mainWithLabel": L(key),
+                "peer": p, "peerWithLabel": L(p)}))
+            unclaimed = unclaimed & ~presence[p]
+        return out
     raise ValueError(f"unknown dependency rel {rel!r}")
 
 

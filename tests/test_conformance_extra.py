@@ -96,7 +96,8 @@ def test_deps_inside_struct_column():
     s = jr.object({"o": jr.object({"a": jr.string(), "b": jr.string()}).xor("a", "b")})
     res = compile_schema(s, prefs={"abort_early": False}).validate_table(t)
     assert list(res.ok) == [True, False]
-    assert res.violations.to_pylist()[0]["code"] == "object.xor"
+    # neither peer present -> object.missing (reference object.js:866-868)
+    assert res.violations.to_pylist()[0]["code"] == "object.missing"
 
 
 def test_number_string_coerce_then_rules():

@@ -87,9 +87,10 @@ def test_scalar_wide_matrix():
     }
     missing = EXPECTED - got
     assert not missing, f"expected violations not produced: {missing}"
-    # xor dependency: row 2 has both peers (conflict), row 3 has neither
+    # xor dependency: row 2 has both peers (conflict -> object.xor), row 3
+    # has neither (-> object.missing, reference object.js:866-868)
     dep = {(v["row"], v["code"]) for v in res.violations.to_pylist() if v["path"] == ""}
-    assert (2, "object.xor") in dep and (3, "object.xor") in dep
+    assert (2, "object.xor") in dep and (3, "object.missing") in dep
     # clean cells produced no errors
     assert (0, "s_email", "string.email") not in got
     assert (0, "n_f64", "number.min") not in got  # 1.5 >= lim=1
