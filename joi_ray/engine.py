@@ -883,9 +883,21 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
             add_err(rec.code, np.zeros(n, bool), rec.context, seq=rec.seq, warn=rec.warn,
                     message=rec.message, item_rows=rows, item_index=idx, path_override=rec.path)
 
+    def exclusion_node(ic):
+        # forbidden item schemas are EXCLUSIONS (array.js:145-153): a value
+        # matching the schema sans its forbidden flag errors array.excludes.
+        cached = getattr(ic, "_exclusion_node", None)
+        if cached is None:
+            cached = CNode(ic.schema.optional(), env.prefs)
+            ic._exclusion_node = cached
+        return cached
+
+    inclusions = [ic for ic in node.items if ic.flags.get("presence") != "forbidden"]
+    exclusions = [ic for ic in node.items if ic.flags.get("presence") == "forbidden"]
+
     new_flat = None
     n_items = len(flat)
-    if len(node.items) == 1 and not node.ordered:
+    if len(inclusions) == 1 and not exclusions and not node.ordered:
         child_env = make_child_env()
         sub = eval_node(node.items[0], flat, child_env, path)
         lift_item_errors(sub, path)
@@ -915,7 +927,23 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
         if node.items:
             remaining = item_scope_all & ~matched_any
             strip_items = np.zeros(n_items, dtype=bool)
-            for ic in node.items:
+            # exclusions first (array.js:206-218): a match errors and claims
+            # the item before any inclusion can
+            for ic in exclusions:
+                if not remaining.any():
+                    break
+                bad = remaining & node_validity(exclusion_node(ic), flat, child_env, remaining)
+                if bad.any():
+                    add_err(
+                        "array.excludes",
+                        np.zeros(n, bool),
+                        {},
+                        item_rows=parents[bad],
+                        item_index=positions[bad].astype(np.int32),
+                    )
+                matched_any |= bad
+                remaining = remaining & ~bad
+            for ic in inclusions:
                 if not remaining.any():
                     break
                 ok = node_validity(ic, flat, child_env, remaining)
@@ -927,7 +955,9 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                 matched_any |= hit
                 remaining = remaining & ~hit
             nomatch = item_scope_all & ~matched_any & ~as_bool_np(pc.is_null(flat), n_items)
-            if nomatch.any():
+            # with no inclusion schemas, unmatched values pass (array.js:
+            # only exclusion/required bookkeeping applies)
+            if nomatch.any() and inclusions:
                 add_err(
                     "array.includes",
                     np.zeros(n, bool),
@@ -1249,7 +1279,9 @@ def _eval_structural_rule(node, cr, arr, env, path, scope, missing, resolved, fa
             if not isinstance(subject, (pa.Array, pa.ChunkedArray)):
                 subject = pa.array([subject] * n)
             ok = node_validity(cnode, combine(subject), env, active)
-            add_err("object.assert", active & ~ok, {"message": args.get("message") or f"assert on {r.path}"}, seq=cr.seq, warn=cr.warn, message=cr.message)
+            add_err("object.assert", active & ~ok,
+                    {"ref": r.path, "message": args.get("message") or "pass the assertion test"},
+                    seq=cr.seq, warn=cr.warn, message=cr.message)
             return
     raise ValueError(f"unhandled structural rule {node.type}.{name}")
 
@@ -1442,7 +1474,13 @@ class CompiledSchema:
                 ok = node_validity(cnode, subject, env, scope)
                 bad = scope & ~ok
                 if bad.any():
-                    rec = ErrRec("object.assert", bad, args["ref"].path, {"message": args.get("message") or ""}, cr.seq)
+                    # error attaches to the object itself (object.js:227 uses
+                    # the object's state -> root label "value"); {ref} carries
+                    # the subject path
+                    rec = ErrRec("object.assert", bad, "",
+                                 {"ref": args["ref"].path,
+                                  "message": args.get("message") or "pass the assertion test"},
+                                 cr.seq)
                     rec.rows = None
                     errors.append(rec)
                     failed |= bad

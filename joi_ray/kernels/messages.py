@@ -43,7 +43,7 @@ MESSAGES: dict[str, str] = {
     "string.uri": '"{label}" must be a valid uri',
     "string.uriCustomScheme": '"{label}" must be a valid uri with a scheme matching the {scheme} pattern',
     "string.uriRelativeOnly": '"{label}" must be a valid relative uri',
-    "string.isoDate": '"{label}" must be in iso format',
+    "string.isoDate": '"{label}" must be a valid ISO 8601 date',
     "string.isoDuration": '"{label}" must be a valid ISO 8601 duration',
     "string.creditCard": '"{label}" must be a credit card',
     "string.lowercase": '"{label}" must only contain lowercase characters',
@@ -52,7 +52,7 @@ MESSAGES: dict[str, str] = {
     "string.normalize": '"{label}" must be unicode normalized in the {form} form',
     # number
     "number.base": '"{label}" must be a number',
-    "number.min": '"{label}" must be greater than or equal to {limit}',
+    "number.min": '"{label}" must be larger than or equal to {limit}',
     "number.max": '"{label}" must be less than or equal to {limit}',
     "number.greater": '"{label}" must be greater than {limit}',
     "number.less": '"{label}" must be less than {limit}',
@@ -67,9 +67,9 @@ MESSAGES: dict[str, str] = {
     # boolean
     "boolean.base": '"{label}" must be a boolean',
     # date
-    "date.base": '"{label}" must be a valid date',
+    "date.base": '"{label}" must be a number of milliseconds or valid date string',
     "date.format": '"{label}" must be in {format} format',
-    "date.min": '"{label}" must be greater than or equal to "{limit}"',
+    "date.min": '"{label}" must be larger than or equal to "{limit}"',
     "date.max": '"{label}" must be less than or equal to "{limit}"',
     "date.greater": '"{label}" must be greater than "{limit}"',
     "date.less": '"{label}" must be less than "{limit}"',
@@ -85,6 +85,7 @@ MESSAGES: dict[str, str] = {
     "array.length": '"{label}" must contain {limit} items',
     "array.unique": '"{label}" contains a duplicate value',
     "array.sparse": '"{label}" must not be a sparse array item',
+    "array.excludes": '"{label}" contains an excluded value',
     "array.includes": '"{label}" does not match any of the allowed types',
     "array.includesRequiredUnknowns": '"{label}" does not contain {unknownMisses} required value(s)',
     "array.hasUnknown": '"{label}" does not contain at least one required match',
@@ -101,7 +102,7 @@ MESSAGES: dict[str, str] = {
     "object.oxor": '"{label}" contains a conflict between optional exclusive peers {peersWithLabels}',
     "object.with": '"{mainWithLabel}" missing required peer "{peerWithLabel}"',
     "object.without": '"{mainWithLabel}" conflict with forbidden peer "{peerWithLabel}"',
-    "object.assert": '"{label}" is invalid because {message}',
+    "object.assert": '"{label}" is invalid because "{ref}" failed to {message}',
     "object.min": '"{label}" must have at least {limit} keys',
     "object.max": '"{label}" must have less than or equal to {limit} keys',
     "object.length": '"{label}" must have {limit} keys',

@@ -130,3 +130,30 @@ def test_unknown_peer_still_counts_missing():  # and() with unresolvable peer
     v = _viol(s, pa.table({"a": pa.array(["x"])}), prefs={"abort_early": False, "allow_unknown": True})
     m = [x for x in v if x["code"] == "object.and"]
     assert m and m[0]["message"] == '"value" contains [a] without its required peers [nope]'
+
+
+def test_array_excludes_forbidden_items():  # array.js:145-153, 206-218
+    s = obj({"a": jr.array().items(jr.string().forbidden(), jr.number())})
+    t = pa.table({"a": pa.array([["x"], ["1"]], pa.list_(pa.string()))})
+    v = _viol(s, t)
+    assert [x["code"] for x in v] == ["array.excludes", "array.excludes"]
+    assert v[0]["message"] == '"a" contains an excluded value'
+    # exclusion-only items: non-matching values pass untouched
+    s2 = obj({"a": jr.array().items(jr.string().valid("bad").forbidden())})
+    t2 = pa.table({"a": pa.array([["ok"], ["bad"]], pa.list_(pa.string()))})
+    res = compile_schema(s2, prefs={"abort_early": False}).validate_table(t2)
+    assert list(res.ok) == [True, False]
+
+
+def test_assert_message_parity():  # object.js:1018-1020 '"d.e" failed to equal to a.c'
+    s = obj({"a": jr.number(), "b": jr.number()}).assert_(
+        "a", jr.number().min(jr.ref("b")), "be at least b")
+    res = compile_schema(s, prefs={"abort_early": False}).validate_table(
+        pa.table({"a": [1.0], "b": [3.0]}))
+    v = res.violations.to_pylist()
+    assert v[0]["message"] == '"value" is invalid because "a" failed to be at least b'
+    # default message (object.js:1098: 'failed to pass the assertion test')
+    s2 = obj({"a": jr.number(), "b": jr.number()}).assert_("a", jr.number().min(jr.ref("b")))
+    v2 = compile_schema(s2, prefs={"abort_early": False}).validate_table(
+        pa.table({"a": [1.0], "b": [3.0]})).violations.to_pylist()
+    assert v2[0]["message"] == '"value" is invalid because "a" failed to pass the assertion test'

@@ -157,7 +157,7 @@ def test_error_callable_none_keeps_default():
     root = obj({"a": jr.number().min(5).error(lambda c, p, x: None)})
     res = compile_schema(root, prefs={"abort_early": False}).validate_table(
         pa.table({"a": [1.0]}))
-    assert "greater than or equal to 5" in res.violations.to_pylist()[0]["message"]
+    assert "larger than or equal to 5" in res.violations.to_pylist()[0]["message"]
 
 
 def test_error_rejects_other_types():
