@@ -321,6 +321,12 @@ def _set_membership(arr: pa.Array, values: list, refs: list[Ref], insensitive: b
         try:
             if isinstance(col, (pa.Array, pa.ChunkedArray)):
                 m |= as_bool_np(pc.equal(arr, combine(col)), n)
+            elif isinstance(col, (list, tuple, set, frozenset)):
+                # ref resolved to an array -> membership over its items
+                # (lib/values.js:127-136: Array.isArray(item) -> findIndex)
+                vs = pa.array(list(col))
+                if not pa.types.is_null(vs.type):
+                    m |= as_bool_np(pc.is_in(arr, value_set=vs.cast(arr.type)), n)
             else:
                 m |= as_bool_np(pc.equal(arr, pa.scalar(col)), n)
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):

@@ -65,6 +65,20 @@ def test_sibling_ancestor_context_refs():
     )
 
 
+def test_ref_resolving_to_array_is_membership():
+    # lib/values.js:127-136 - a ref that resolves to an array matches any item
+    check(
+        jr.string().valid(jr.ref("$allowed")),
+        [("a", True), ("b", True), ("c", False, "any.only")],
+        prefs={"context": {"allowed": ["a", "b"]}},
+    )
+    check(
+        jr.number().invalid(jr.ref("$banned")),
+        [(1, False, "any.invalid"), (3, True)],
+        prefs={"context": {"banned": [1, 2]}},
+    )
+
+
 def test_concat_flags_and_valids():
     a = jr.string().valid("x")
     b = jr.string().valid("y")
