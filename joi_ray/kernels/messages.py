@@ -160,6 +160,9 @@ def _stringify(v) -> str:
         return "[" + ", ".join(_stringify(x) for x in v) + "]"
     if isinstance(v, bool):
         return "true" if v else "false"
+    if isinstance(v, (bytes, bytearray)):
+        # joi renders Buffers via .toString() (utf8): "must be one of [hello]"
+        return bytes(v).decode("utf-8", errors="replace")
     return str(v)
 
 

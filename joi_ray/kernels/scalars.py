@@ -179,7 +179,17 @@ def coerce_binary(arr: pa.Array, env: Env, flags: dict):
             return pc.cast(arr, pa.binary()), np.zeros(n, dtype=bool)
         import base64 as b64mod
 
-        decode = (lambda s: b64mod.b64decode(s, validate=True)) if enc == "base64" else bytes.fromhex
+        codecs = {
+            "base64": lambda s: b64mod.b64decode(s, validate=True),
+            "hex": bytes.fromhex,
+            "ascii": lambda s: s.encode("ascii"),
+            "latin1": lambda s: s.encode("latin-1"),
+            "binary": lambda s: s.encode("latin-1"),
+            "utf16le": lambda s: s.encode("utf-16-le"),
+            "ucs2": lambda s: s.encode("utf-16-le"),
+            "ucs-2": lambda s: s.encode("utf-16-le"),
+        }
+        decode = codecs.get(enc, bytes.fromhex)
         vals, fail = [], np.zeros(n, dtype=bool)
         py = arr.to_pylist()
         for i, s in enumerate(py):

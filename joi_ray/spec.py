@@ -208,7 +208,22 @@ class Schema:
     def raw(self, enabled: bool = True) -> "Schema":
         return self._flag("raw", True if enabled else None)
 
-    def cast(self, to: str) -> "Schema":
+    # per-type cast targets (lib/types/*.js `cast:` blocks; lib/base.js:107
+    # asserts 'Type <t> does not support casting to <to>')
+    _CAST_TARGETS = {
+        "array": {"set"},
+        "binary": {"string"},
+        "boolean": {"number", "string"},
+        "date": {"number", "string"},
+        "number": {"string"},
+        "object": {"map"},
+    }
+
+    def cast(self, to) -> "Schema":
+        if to is False:
+            return self._flag("cast", None)
+        if to not in self._CAST_TARGETS.get(self.type, ()):
+            raise ValueError(f"Type {self.type} does not support casting to {to}")
         return self._flag("cast", to)
 
     def label(self, name: str) -> "Schema":
@@ -543,17 +558,36 @@ class Schema:
 # typed builders
 
 
+def _assert_limit(limit) -> None:
+    """Reference rule-arg assert (Common.limit via ``assert``s exercised in
+    test/types/binary.js:182-196, string/array equivalents): plain limits
+    must be non-negative safe integers; Ref / Template pass through."""
+    if isinstance(limit, Ref) or type(limit).__name__ == "Template":
+        return
+    ok = (
+        not isinstance(limit, bool)
+        and isinstance(limit, (int, float))
+        and float(limit).is_integer()
+        and limit >= 0
+    )
+    if not ok:
+        raise ValueError("limit must be a positive integer or reference")
+
+
 class StringSchema(Schema):
     def __init__(self):
         super().__init__("string")
 
     def min(self, limit, encoding: str | None = None) -> "StringSchema":
+        _assert_limit(limit)
         return self._rule("min", {"limit": limit, "encoding": encoding}, single=True)
 
     def max(self, limit, encoding: str | None = None) -> "StringSchema":
+        _assert_limit(limit)
         return self._rule("max", {"limit": limit, "encoding": encoding}, single=True)
 
     def length(self, limit, encoding: str | None = None) -> "StringSchema":
+        _assert_limit(limit)
         return self._rule("length", {"limit": limit, "encoding": encoding}, single=True)
 
     def pattern(self, regex: str, *, invert: bool = False, name: str | None = None) -> "StringSchema":
@@ -744,15 +778,25 @@ class BinarySchema(Schema):
         super().__init__("binary")
 
     def min(self, limit) -> "BinarySchema":
+        _assert_limit(limit)
         return self._rule("min", {"limit": limit}, single=True)
 
     def max(self, limit) -> "BinarySchema":
+        _assert_limit(limit)
         return self._rule("max", {"limit": limit}, single=True)
 
     def length(self, limit) -> "BinarySchema":
+        _assert_limit(limit)
         return self._rule("length", {"limit": limit}, single=True)
 
+    # Node Buffer.isEncoding set (test/types/binary.js:148-154 throws on others)
+    _ENCODINGS = frozenset(
+        {"ascii", "utf8", "utf-8", "utf16le", "ucs2", "ucs-2", "base64", "latin1", "binary", "hex"}
+    )
+
     def encoding(self, enc: str) -> "BinarySchema":
+        if enc not in self._ENCODINGS:
+            raise ValueError(f"Invalid encoding: {enc}")
         return self._flag("encoding", enc)
 
 
