@@ -134,14 +134,26 @@ def make_sort(args):
             flat_all, parents_all, _ = flatten_with_parents(arr)
             keys, _, _ = _item_values(arr, by)
             kv = keys.to_numpy(zero_copy_only=False)
-            if order == "descending":
-                kv = -kv if np.issubdtype(np.asarray(kv).dtype, np.number) else kv[::-1]
-            order_idx = np.lexsort((kv, parents_all))
+            # dense ranks (type-agnostic, null-safe): missing items sort
+            # last regardless of order (array.js:796-801 — undefined/null
+            # always last, see the 1757-1793 convert vectors)
+            mask_null = pd.isna(kv)
+            notnull = ~mask_null
+            uniq, inv = np.unique(kv[notnull], return_inverse=True)
+            rank = np.full(len(kv), len(uniq), dtype=np.int64)
+            rank[notnull] = inv if order != "descending" else (len(uniq) - 1 - inv)
+            order_idx = np.lexsort((rank, parents_all))
             new_flat = flat_all.take(pa.array(order_idx))
             lengths = pc.list_value_length(arr).fill_null(0).to_numpy(zero_copy_only=False)
             offsets = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(lengths, out=offsets[1:])
-            rebuilt = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int64()).cast(pa.int32()), new_flat)
+            # carry the list validity mask: a null row must stay null, not
+            # collapse to [] (offsets alone can't express it)
+            validity = None
+            if arr.null_count:
+                validity = pc.is_valid(arr).combine_chunks() if isinstance(arr, pa.ChunkedArray) else pc.is_valid(arr)
+            rebuilt = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int64()).cast(pa.int32()), new_flat, mask=pc.invert(validity) if validity is not None else None)
             return RuleOut(ok=np.ones(n, dtype=bool), new_value=rebuilt, context={"order": order, "by": by or "value"})
         flat, parents, _ = _item_values(arr, by)
         ok = np.ones(n, dtype=bool)
@@ -149,11 +161,14 @@ def make_sort(args):
             v = flat.to_numpy(zero_copy_only=False)
             same = parents[1:] == parents[:-1]
             nn = pd.notna(v)
-            with np.errstate(invalid="ignore"):
-                if order == "ascending":
-                    in_order = v[1:] >= v[:-1]
-                else:
-                    in_order = v[1:] <= v[:-1]
+            # dense ranks keep the comparison null-safe for object dtypes
+            uniq, inv = np.unique(v[nn], return_inverse=True)
+            rk = np.zeros(len(v), dtype=np.int64)
+            rk[nn] = inv
+            if order == "ascending":
+                in_order = rk[1:] >= rk[:-1]
+            else:
+                in_order = rk[1:] <= rk[:-1]
             both = nn[1:] & nn[:-1]
             viol = same & both & ~in_order.astype(bool)
             # missing items sort last regardless of order (array.js:796-801:

@@ -800,27 +800,47 @@ class BinarySchema(Schema):
         return self._flag("encoding", enc)
 
 
+def _has_array_item(schemas) -> bool:
+    """True when any schema (or alternatives branch) is array-typed —
+    the single()/items() mutual exclusion (test/types/array.js:1488-1501)."""
+    for sc in schemas:
+        if getattr(sc, "type", None) == "array":
+            return True
+        if getattr(sc, "type", None) == "alternatives" and _has_array_item(
+            sc.terms.get("matches", [])
+        ):
+            return True
+    return False
+
+
 class ArraySchema(Schema):
     def __init__(self):
         super().__init__("array")
 
     def items(self, *schemas: Schema) -> "ArraySchema":
+        if self.flags.get("single") and _has_array_item(schemas):
+            raise ValueError("Cannot specify array item with single rule enabled")
         s = self._clone()
         s.terms.setdefault("items", []).extend(schemas)
         return s
 
     def ordered(self, *schemas: Schema) -> "ArraySchema":
+        if self.flags.get("single") and _has_array_item(schemas):
+            raise ValueError("Cannot specify array item with single rule enabled")
         s = self._clone()
         s.terms.setdefault("ordered", []).extend(schemas)
         return s
 
     def min(self, limit) -> "ArraySchema":
+        _assert_limit(limit)
         return self._rule("min", {"limit": limit}, single=True)
 
     def max(self, limit) -> "ArraySchema":
+        _assert_limit(limit)
         return self._rule("max", {"limit": limit}, single=True)
 
     def length(self, limit) -> "ArraySchema":
+        _assert_limit(limit)
         return self._rule("length", {"limit": limit}, single=True)
 
     def unique(self, by=None, *, ignore_undefined: bool = False) -> "ArraySchema":
@@ -846,6 +866,10 @@ class ArraySchema(Schema):
         return self._flag("sparse", True if enabled else None)
 
     def single(self, enabled: bool = True) -> "ArraySchema":
+        if enabled and _has_array_item(
+            list(self.terms.get("items", [])) + list(self.terms.get("ordered", []))
+        ):
+            raise ValueError("Cannot specify single rule when array has array items")
         return self._flag("single", True if enabled else None)
 
     def has(self, schema: Schema) -> "ArraySchema":
@@ -915,12 +939,15 @@ class ObjectSchema(Schema):
         return self._rule("assert", {"ref": r, "schema": schema, "message": message})
 
     def min(self, limit: int) -> "ObjectSchema":
+        _assert_limit(limit)
         return self._rule("min", {"limit": limit}, single=True)
 
     def max(self, limit: int) -> "ObjectSchema":
+        _assert_limit(limit)
         return self._rule("max", {"limit": limit}, single=True)
 
     def length(self, limit: int) -> "ObjectSchema":
+        _assert_limit(limit)
         return self._rule("length", {"limit": limit}, single=True)
 
     def rename(self, from_: str, to: str, *, regex: bool = False, multiple: bool = False,

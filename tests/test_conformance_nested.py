@@ -288,6 +288,67 @@ def test_array_sort_null_placement():
     assert "array.sort" in codes
 
 
+def test_array_sort_convert_strings_with_nulls():
+    """convert-mode sort is type-agnostic and null-safe: strings sort by
+    value and missing items land last regardless of order
+    (array.js:796-801; convert vectors test/types/array.js:1757-1793)."""
+    t = pa.table({"x": pa.array(
+        [["b", None, "a"], ["z", "x", "y"], None], type=LIST_STR)})
+    cs = compile_schema(
+        obj({"x": jr.array().sparse().sort(convert=True)}),
+        prefs={"abort_early": False})
+    res = cs.validate_table(t)
+    assert list(res.ok) == [True, True, True]
+    assert res.value["x"].to_pylist() == [["a", "b", None], ["x", "y", "z"], None]
+
+
+def test_array_sort_convert_descending_non_numeric():
+    """descending convert sort orders keys per row (regression: the old
+    path reversed the key vector globally, misaligning rows)."""
+    t = pa.table({"x": pa.array([["a", "c", "b"], ["m", "z"]], type=LIST_STR)})
+    cs = compile_schema(
+        obj({"x": jr.array().sort(order="descending", convert=True)}),
+        prefs={"abort_early": False})
+    res = cs.validate_table(t)
+    assert res.value["x"].to_pylist() == [["c", "b", "a"], ["z", "m"]]
+
+
+def test_array_sort_check_strings_with_nulls():
+    """convert=False order check on string lists with nulls must not crash;
+    missing items are allowed anywhere a null sits last (array.js:796-801)."""
+    t = pa.table({"x": pa.array(
+        [["a", "b", None], ["b", "a"], ["a", None, "b"]], type=LIST_STR)})
+    res = vcheck(
+        obj({"x": jr.array().sparse().sort()}), t,
+        [True, False, False], prefs={"convert": False})
+    assert {v["code"] for v in res.violations.to_pylist()} == {"array.sort"}
+
+
+def test_array_single_items_mutual_exclusion():
+    """single() and array-typed items are mutually exclusive, both orders
+    (test/types/array.js:1488-1501); alternatives branches are inspected."""
+    import pytest
+    with pytest.raises(ValueError):
+        jr.array().single().items(jr.array())
+    with pytest.raises(ValueError):
+        jr.array().items(jr.array()).single()
+    with pytest.raises(ValueError):
+        jr.array().single().ordered(jr.alternatives(jr.array(), jr.number()))
+    jr.array().single().items(jr.number())  # scalar items stay legal
+
+
+def test_container_limit_arg_asserts():
+    """array/object min/max/length reject negative or non-integer limits
+    (Common.limit asserts; binary vectors test/types/binary.js:182-196)."""
+    import pytest
+    for s in (jr.array(), jr.object()):
+        for m in ("min", "max", "length"):
+            for bad in (-1, 1.5, "2", True):
+                with pytest.raises(ValueError):
+                    getattr(s, m)(bad)
+    jr.array().min(jr.ref("n"))  # refs pass through
+
+
 def test_when_forks_valid_sets():
     """when() concat semantics on valid sets (test/base.js:2765-2805:
     'forks type into alternatives'): branch valids merge with the base's."""
