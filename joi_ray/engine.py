@@ -372,19 +372,24 @@ def _coerce(node: CNode, arr: pa.Array, env: Env):
         if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type) or pa.types.is_null(arr.type):
             return arr, zeros
         if (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)) and env.convert:
-            return _json_parse_column(arr, want="array")
+            if not node.flags.get("single"):
+                return _json_parse_column(arr, want="array")
+            # single: a string that fails the JSON-array parse is not an
+            # error — base validate wraps any non-array as [value]
+            # (array.js:36-49 coerce returns early, :67-74 single wrap)
+            parsed, fail = _json_parse_column(arr, want="array")
+            if not fail.any():
+                return parsed, fail
+            if pa.types.is_list(parsed.type) or pa.types.is_large_list(parsed.type):
+                wrapped = _wrap_single(arr, n)
+                try:
+                    out = pc.if_else(pa.array(fail), wrapped.cast(parsed.type), parsed)
+                    return out, zeros
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                    pass
+            return _wrap_single(arr, n), zeros
         if node.flags.get("single") and not pa.types.is_list(arr.type):
-            # wrap scalars into 1-item lists (array.js:66-85 `single`)
-            nulls = null_mask(arr)
-            lengths = np.where(nulls, 0, 1).astype(np.int32)
-            offsets = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(lengths, out=offsets[1:])
-            values = arr.filter(pc.is_valid(arr))
-            # null offset entries -> null list rows (preserves missingness)
-            off_list = offsets[:-1].tolist()
-            off_py = [None if nulls[i] else int(off_list[i]) for i in range(n)] + [int(offsets[-1])]
-            out = pa.ListArray.from_arrays(pa.array(off_py, type=pa.int32()), values)
-            return out, zeros
+            return _wrap_single(arr, n), zeros
         return arr, ~null_mask(arr)
     if t == "object":
         if pa.types.is_struct(arr.type) or pa.types.is_null(arr.type):
@@ -393,6 +398,19 @@ def _coerce(node: CNode, arr: pa.Array, env: Env):
             return _json_parse_column(arr, want="object")
         return arr, ~null_mask(arr)
     return arr, zeros
+
+
+def _wrap_single(arr: pa.Array, n: int) -> pa.ListArray:
+    """Wrap scalars into 1-item lists, preserving null rows as null lists
+    (array.js:66-74 ``single`` base-validate wrap)."""
+    nulls = null_mask(arr)
+    lengths = np.where(nulls, 0, 1).astype(np.int32)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    values = arr.filter(pc.is_valid(arr))
+    off_list = offsets[:-1].tolist()
+    off_py = [None if nulls[i] else int(off_list[i]) for i in range(n)] + [int(offsets[-1])]
+    return pa.ListArray.from_arrays(pa.array(off_py, type=pa.int32()), values)
 
 
 def _json_parse_column(arr: pa.Array, want: str):
@@ -901,13 +919,36 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
     inclusions = [ic for ic in node.items if ic.flags.get("presence") != "forbidden"]
     exclusions = [ic for ic in node.items if ic.flags.get("presence") == "forbidden"]
 
+    # stripUnknown strips unmatched array items ONLY in object form with
+    # arrays:true (array.js:266 — plain `stripUnknown: true` still errors,
+    # see test/types/array.js:436-467)
+    _su = env.prefs.get("strip_unknown", False)
+    strip_arrays = bool(isinstance(_su, dict) and _su.get("arrays"))
+
     new_flat = None
     n_items = len(flat)
-    if len(inclusions) == 1 and not exclusions and not node.ordered:
+    if len(inclusions) == 1 and not exclusions and not node.ordered and not strip_arrays:
+        # single inclusion: the item's ACTUAL errors surface, not
+        # array.includes (array.js:304-315 `jl === 1`)
         child_env = make_child_env()
-        sub = eval_node(node.items[0], flat, child_env, path)
+        ic = node.items[0]
+        sub = eval_node(ic, flat, child_env, path)
         lift_item_errors(sub, path)
         new_flat = sub.value
+        if ic.flags.get("presence") == "required":
+            # the lone required schema must still claim >=1 item per row;
+            # misses error even on empty arrays (array.js:341 + :674-699)
+            rows_with = np.zeros(n, dtype=bool)
+            if sub.failed is not None and n_items:
+                ok_items = ~sub.failed
+                rows_with[np.unique(parents[ok_items])] = True
+            miss = ~null_mask(arr) & ~rows_with & scope
+            if miss.any():
+                label = ic.flags.get("label")
+                if label:
+                    add_err("array.includesRequiredKnowns", miss, {"knownMisses": [label]})
+                else:
+                    add_err("array.includesRequiredUnknowns", miss, {"unknownMisses": 1})
     elif node.items or node.ordered:
         child_env = make_child_env()
         item_scope_all = np.ones(n_items, dtype=bool)
@@ -922,14 +963,43 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                 matched_any |= pos_mask
             beyond = positions >= len(node.ordered)
             if beyond.any() and not node.items:
-                add_err(
-                    "array.orderedLength",
-                    np.zeros(n, bool),
-                    {"limit": len(node.ordered)},
-                    item_rows=parents[beyond],
-                    item_index=positions[beyond].astype(np.int32),
-                )
+                # ONE row-level error, pos = first beyond index
+                # (array.js:220-231; abortEarly=false vector :1164-1185)
+                L = len(node.ordered)
+                rows_over = np.zeros(n, dtype=bool)
+                rows_over[np.unique(parents[beyond])] = True
+                add_err("array.orderedLength", rows_over & scope, {"pos": L, "limit": L})
                 matched_any |= beyond
+            # required ordered slots beyond the input length are misses
+            # (array.js:348-350 fillOrderedErrors -> fillMissedErrors;
+            # vector :1187-1199)
+            req_ord = [
+                (i, oc) for i, oc in enumerate(node.ordered)
+                if oc.flags.get("presence") == "required"
+            ]
+            if req_ord:
+                lengths_np = pc.list_value_length(arr).fill_null(0).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                present_rows = ~null_mask(arr) & scope
+                ord_bits = np.zeros(n, dtype=np.int64)
+                for b, (i, oc) in enumerate(req_ord):
+                    ord_bits |= (present_rows & (lengths_np <= i)).astype(np.int64) << b
+                for bits in np.unique(ord_bits[ord_bits != 0]):
+                    labels = [
+                        req_ord[b][1].flags.get("label")
+                        for b in range(len(req_ord))
+                        if (int(bits) >> b) & 1
+                    ]
+                    known = [l for l in labels if l]
+                    unknown = len(labels) - len(known)
+                    if known and unknown:
+                        code, ctx = "array.includesRequiredBoth", {
+                            "knownMisses": known, "unknownMisses": unknown}
+                    elif known:
+                        code, ctx = "array.includesRequiredKnowns", {"knownMisses": known}
+                    else:
+                        code, ctx = "array.includesRequiredUnknowns", {"unknownMisses": unknown}
+                    add_err(code, ord_bits == bits, ctx)
         if node.items:
             remaining = item_scope_all & ~matched_any
             strip_items = np.zeros(n_items, dtype=bool)
@@ -949,37 +1019,89 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                     )
                 matched_any |= bad
                 remaining = remaining & ~bad
-            for ic in inclusions:
-                if not remaining.any():
-                    break
-                ok = node_validity(ic, flat, child_env, remaining)
+            if len(inclusions) == 1 and not strip_arrays and remaining.any():
+                # single inclusion: unmatched items surface the item's
+                # ACTUAL errors, not array.includes (array.js:304-315
+                # `jl === 1`; ordered+items vector :1201-1213)
+                ic = inclusions[0]
+                sub = eval_node(ic, flat, child_env, path, scope=remaining)
+                lift_item_errors(sub, path)
+                ok = ~sub.failed if sub.failed is not None else np.ones(n_items, bool)
                 hit = remaining & ok
                 if ic.flags.get("strip"):
-                    # items matching a strip-marked schema are removed from
-                    # the output array (array.js strip handling)
                     strip_items |= hit
                 matched_any |= hit
                 remaining = remaining & ~hit
+                # items were either matched or actual-errored; skip includes
+                matched_any |= remaining & ~as_bool_np(pc.is_null(flat), n_items)
+                remaining &= as_bool_np(pc.is_null(flat), n_items)
+            else:
+                for ic in inclusions:
+                    if not remaining.any():
+                        break
+                    ok = node_validity(ic, flat, child_env, remaining)
+                    hit = remaining & ok
+                    if ic.flags.get("strip"):
+                        # items matching a strip-marked schema are removed
+                        # from the output array (array.js strip handling)
+                        strip_items |= hit
+                    matched_any |= hit
+                    remaining = remaining & ~hit
             nomatch = item_scope_all & ~matched_any & ~as_bool_np(pc.is_null(flat), n_items)
             # with no inclusion schemas, unmatched values pass (array.js:
             # only exclusion/required bookkeeping applies)
             if nomatch.any() and inclusions:
-                add_err(
-                    "array.includes",
-                    np.zeros(n, bool),
-                    {},
-                    item_rows=parents[nomatch],
-                    item_index=positions[nomatch].astype(np.int32),
-                )
-            # required item schemas must each match at least once per row
-            for ic in node.items:
-                if ic.flags.get("presence") == "required":
-                    ok = node_validity(ic, flat, child_env, item_scope_all)
-                    rows_with = np.zeros(n, dtype=bool)
-                    rows_with[np.unique(parents[ok])] = True
-                    has_items = as_bool_np(pc.greater(pc.list_value_length(arr), 0), n)
-                    miss = has_items & ~rows_with & scope
-                    add_err("array.includesRequiredUnknowns", miss, {"unknownMisses": 1})
+                if strip_arrays:
+                    # stripUnknown.arrays drops unmatched items silently
+                    # (array.js:327-331)
+                    strip_items |= nomatch
+                else:
+                    add_err(
+                        "array.includes",
+                        np.zeros(n, bool),
+                        {},
+                        item_rows=parents[nomatch],
+                        item_index=positions[nomatch].astype(np.int32),
+                    )
+            # required item schemas: each OCCURRENCE must claim a DISTINCT
+            # item (array.js:235-243 — a matched required is spliced out, so
+            # duplicates of the same schema need as many matching items,
+            # test/types/array.js:581-602).  The reference iterates
+            # item-outer; this schema-outer greedy (first unclaimed valid
+            # item per row, in schema order) is equivalent on its vectors.
+            requireds = [ic for ic in node.items if ic.flags.get("presence") == "required"]
+            if requireds:
+                claimed = np.zeros(n_items, dtype=bool)
+                miss_bits = np.zeros(n, dtype=np.int64)
+                present_rows = ~null_mask(arr) & scope
+                for j, ic in enumerate(requireds):
+                    ok = node_validity(ic, flat, child_env, item_scope_all) & ~claimed
+                    matched_j = np.zeros(n, dtype=bool)
+                    idxs = np.nonzero(ok)[0]
+                    if len(idxs):
+                        rows_j, first = np.unique(parents[idxs], return_index=True)
+                        claimed[idxs[first]] = True
+                        matched_j[rows_j] = True
+                    miss_bits |= (present_rows & ~matched_j).astype(np.int64) << j
+                # one aggregated error per row, split labeled/unlabeled
+                # misses (array.js:341 fillMissedErrors :674-699 — fires
+                # even on empty arrays)
+                for bits in np.unique(miss_bits[miss_bits != 0]):
+                    labels = [
+                        requireds[j].flags.get("label")
+                        for j in range(len(requireds))
+                        if (int(bits) >> j) & 1
+                    ]
+                    known = [l for l in labels if l]
+                    unknown = len(labels) - len(known)
+                    if known and unknown:
+                        code, ctx = "array.includesRequiredBoth", {
+                            "knownMisses": known, "unknownMisses": unknown}
+                    elif known:
+                        code, ctx = "array.includesRequiredKnowns", {"knownMisses": known}
+                    else:
+                        code, ctx = "array.includesRequiredUnknowns", {"unknownMisses": unknown}
+                    add_err(code, miss_bits == bits, ctx)
             if strip_items.any():
                 keep = ~strip_items
                 kept_flat = flat.filter(pa.array(keep))

@@ -71,9 +71,13 @@ def _profile_column(arr: pa.Array, max_distinct: int = 64) -> _ColProfile:
     return p
 
 
-def _schema_for(arr: pa.Array, profile: _ColProfile, *, slack: float = 0.0, enum_threshold: int = 16):
+def _schema_for(arr: pa.Array, profile: _ColProfile, *, slack: float = 0.0, enum_threshold: int = 16,
+                as_item: bool = False):
     t = arr.type
-    required = profile.nulls == 0 and profile.count > 0
+    # Array item schemas stay presence-neutral: in joi, items(X.required())
+    # asserts >=1 occurrence of X in every array (array.includesRequiredUnknowns
+    # on empty arrays, lib/types/array.js) — not the inferred intent.
+    required = profile.nulls == 0 and profile.count > 0 and not as_item
 
     def presence(s):
         return s.required() if required else s
@@ -103,7 +107,8 @@ def _schema_for(arr: pa.Array, profile: _ColProfile, *, slack: float = 0.0, enum
         return presence(s)
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         flat = pc.list_flatten(arr)
-        item_schema = _schema_for(flat, _profile_column(flat), slack=slack, enum_threshold=enum_threshold)
+        item_schema = _schema_for(flat, _profile_column(flat), slack=slack, enum_threshold=enum_threshold,
+                                  as_item=True)
         s = jr.array().items(item_schema)
         if flat.null_count:
             s = s.sparse()

@@ -88,6 +88,8 @@ MESSAGES: dict[str, str] = {
     "array.excludes": '"{label}" contains an excluded value',
     "array.includes": '"{label}" does not match any of the allowed types',
     "array.includesRequiredUnknowns": '"{label}" does not contain {unknownMisses} required value(s)',
+    "array.includesRequiredKnowns": '"{label}" does not contain {knownMisses}',
+    "array.includesRequiredBoth": '"{label}" does not contain {knownMisses} and {unknownMisses} other required value(s)',
     "array.hasUnknown": '"{label}" does not contain at least one required match',
     "array.sort": '"{label}" must be sorted in {order} order by {by}',
     "array.orderedLength": '"{label}" must contain at most {limit} items',
