@@ -191,6 +191,10 @@ class CNode:
         # --- children
         t = schema.terms
         self.keys: dict[str, CNode] = {k: CNode(v, prefs) for k, v in t.get("keys", {}).items()}
+        # term PRESENCE is semantic: object() (no term) allows any key,
+        # object({}) / keys({}) (empty term) forbids all (object.js:258-270,
+        # unknown-key gate :1043-1046)
+        self.keys_term: bool = "keys" in t
         self.items: list[CNode] = [CNode(v, prefs) for v in t.get("items", [])]
         self.ordered: list[CNode] = [CNode(v, prefs) for v in t.get("ordered", [])]
         self.matches: list[CNode] = [CNode(v, prefs) for v in t.get("matches", [])]
@@ -1302,11 +1306,21 @@ def _eval_object(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fa
         unknown = _eval_patterns(
             node, unknown, _get_child, _set_result, child_env, path, kscope,
             lambda code, ctx: add_err(code, kscope.copy(), ctx, seq=-1))
+    # unknown-key finalizer (object.js:1043-1076): no keys/patterns terms
+    # -> unknown allowed; stripUnknown(.objects) strips UNLESS a local
+    # unknown() flag is set; the forbid gate is flags.unknown ?? allowUnknown
+    # and fires per-row only where the key is actually present (non-null)
+    has_terms = node.keys_term or bool(node.patterns)
+    _su = env.prefs.get("strip_unknown", False)
+    su_objects = _su is True or (isinstance(_su, dict) and bool(_su.get("objects")))
+    strip_unk = su_objects and not node.flags.get("unknown", False) and has_terms
     allow_unknown = node.flags.get("unknown", env.prefs.get("allow_unknown", False))
-    strip_unknown = env.prefs.get("strip_unknown", False)
-    if unknown and not allow_unknown and not strip_unknown and node.keys:
+    if unknown and has_terms and not allow_unknown and not strip_unk:
         for f in unknown:
-            add_err("object.unknown", kscope.copy(), {"child": f}, seq=-1)
+            # error localizes at the unknown key itself (object.js:1068)
+            add_err("object.unknown", kscope & ~null_mask(children[f]),
+                    {"child": f}, seq=-1,
+                    path_override=f"{path}.{f}" if path else f)
 
     # dependencies over presence masks (object.js:722-873); dep names may
     # be dotted deep paths ('b.c') — resolved by struct-field traversal,
@@ -1327,7 +1341,7 @@ def _eval_object(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fa
             add_err(code, viol & kscope, ctx)
 
     # rebuild struct with coerced / stripped children
-    keep = [f for f in field_names if not (f in results and results[f].strip) and not (strip_unknown and f in unknown)]
+    keep = [f for f in field_names if not (f in results and results[f].strip) and not (strip_unk and f in unknown)]
     arrays = [results[f].value if f in results else children[f] for f in keep]
     orig_names = [f.name for f in arr.type]
     if keep != orig_names or any(results[f].value is not children.get(f) for f in results if f in keep):
@@ -1567,14 +1581,21 @@ class CompiledSchema:
 
             unknown = _eval_patterns(
                 self.root, unknown, _get_col, _set_res, env, "", scope, _pat_err)
+        # same finalizer as the nested path (object.js:1043-1076): term
+        # presence gates, local unknown() exempts from stripUnknown, error
+        # fires only on rows where the column is present (non-null)
+        has_terms = self.root.keys_term or bool(self.root.patterns)
+        _su = self.prefs.get("strip_unknown", False)
+        su_objects = _su is True or (isinstance(_su, dict) and bool(_su.get("objects")))
+        strip_unknown = su_objects and not self.root.flags.get("unknown", False) and has_terms
         allow_unknown = self.root.flags.get("unknown", self.prefs.get("allow_unknown", False))
-        strip_unknown = self.prefs.get("strip_unknown", False)
-        if unknown and not allow_unknown and not strip_unknown:
+        if unknown and has_terms and not allow_unknown and not strip_unknown:
             for c in unknown:
-                rec = ErrRec("object.unknown", scope.copy(), c, {"child": c}, -1)
+                present_c = scope & ~null_mask(combine(columns[c]))
+                rec = ErrRec("object.unknown", present_c, c, {"child": c}, -1)
                 rec.rows = None
                 errors.append(rec)
-                failed |= scope
+                failed |= present_c
 
         # dependencies across top-level columns (dotted deep paths resolve
         # into struct columns; an unknown top-level name is never present)

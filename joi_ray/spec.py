@@ -886,15 +886,26 @@ class ArraySchema(Schema):
 class ObjectSchema(Schema):
     def __init__(self, keys: dict[str, Schema] | None = None):
         super().__init__("object")
-        if keys:
+        # keys-term presence is semantic (object.js:258-270): absent term
+        # (object()) allows any key; empty term (object({}) / keys({}))
+        # forbids all keys
+        if keys is not None:
             self.terms["keys"] = dict(keys)
 
-    def keys(self, keys: dict[str, Schema]) -> "ObjectSchema":
+    def keys(self, keys: dict[str, Schema] | None = None) -> "ObjectSchema":
         s = self._clone()
-        s.terms.setdefault("keys", {}).update(keys)
+        if keys is None:  # keys() -> allow all (object.js:261-263)
+            s.terms.pop("keys", None)
+        elif not keys:  # keys({}) -> allow none (object.js:264-266)
+            s.terms["keys"] = {}
+        else:
+            s.terms.setdefault("keys", {}).update(keys)
         return s
 
-    def append(self, keys: dict[str, Schema]) -> "ObjectSchema":
+    def append(self, keys: dict[str, Schema] | None = None) -> "ObjectSchema":
+        # append(null/undefined/{}) is a no-op (object.js:191-202)
+        if not keys:
+            return self
         return self.keys(keys)
 
     def _dep(self, rel: str, peers, *, separator=".", **opts) -> "ObjectSchema":
