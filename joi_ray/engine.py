@@ -197,7 +197,26 @@ class CNode:
         self.keys_term: bool = "keys" in t
         self.items: list[CNode] = [CNode(v, prefs) for v in t.get("items", [])]
         self.ordered: list[CNode] = [CNode(v, prefs) for v in t.get("ordered", [])]
-        self.matches: list[CNode] = [CNode(v, prefs) for v in t.get("matches", [])]
+        # matches: plain try-branches ({"schema": CNode}) or conditional
+        # entries from alternatives.when (lib/types/alternatives.js:36-57)
+        self.matches: list[dict] = []
+        for v in t.get("matches", []):
+            if isinstance(v, Schema) or (isinstance(v, dict) and "type" in v):
+                self.matches.append(
+                    {"schema": CNode(v if isinstance(v, Schema) else build(v), prefs)})
+                continue
+            e = {
+                "then": CNode(v["then"], prefs) if v.get("then") is not None else None,
+                "otherwise": CNode(v["otherwise"], prefs) if v.get("otherwise") is not None else None,
+            }
+            if v.get("peek") is not None:
+                pk = v["peek"]
+                e["peek"] = CNode(pk if isinstance(pk, Schema) else build(pk), prefs)
+            else:
+                r = v["ref"]
+                e["ref"] = r if isinstance(r, Ref) else Ref(r)
+                e["is"] = self._compile_is(v.get("is"), prefs)
+            self.matches.append(e)
         self.dependencies = list(t.get("dependencies", []))
         self.renames = list(t.get("renames", []))
         self.replacements = list(t.get("replacements", []))
@@ -794,24 +813,52 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
             failed |= inv
             active &= ~inv
     matched = np.zeros(n, dtype=bool)
+    decided = np.zeros(n, dtype=bool)  # conditional-branch rows: result final
     value = arr
     branch_outcomes: list[tuple[str, list]] = []
     for m in node.matches:
-        still = active & ~matched
+        still = active & ~matched & ~decided
         if not still.any():
             break
-        # one evaluation per branch: validity mask and coerced value both
-        # come from the same NodeResult
-        sub = eval_node(m, arr, env, path, scope=still)
-        hit = still & ~sub.failed
-        matched |= hit
-        branch_outcomes.append((m.type, sub.errors))
-        if hit.any():
-            try:
-                value = pc.if_else(pa.array(hit), sub.value, value)
-            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
-                pass
-    nomatch = active & ~matched
+        if "schema" in m:
+            # one evaluation per branch: validity mask and coerced value both
+            # come from the same NodeResult
+            sub = eval_node(m["schema"], arr, env, path, scope=still)
+            hit = still & ~sub.failed
+            matched |= hit
+            branch_outcomes.append((m["schema"].type, sub.errors))
+            if hit.any():
+                try:
+                    value = pc.if_else(pa.array(hit), sub.value, value)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                    pass
+            continue
+        # conditional entry (alternatives.when): the selected branch's
+        # result is returned AS-IS — pass or fail, later matches are not
+        # tried for that row (lib/types/alternatives.js:47-57)
+        if "peek" in m:
+            cond = node_validity(m["peek"], arr, env, still)
+        else:
+            ref_arr = env.resolve_ref(m["ref"], n)
+            if not isinstance(ref_arr, (pa.Array, pa.ChunkedArray)):
+                ref_arr = pa.array([ref_arr] * n)
+            cond = node_validity(m["is"], combine(ref_arr), env, still)
+        for branch, sel in (("then", still & cond), ("otherwise", still & ~cond)):
+            bn = m.get(branch)
+            if bn is None or not sel.any():
+                continue
+            sub = eval_node(bn, arr, env, path, scope=sel)
+            decided |= sel
+            ok_rows = sel & ~sub.failed
+            matched |= ok_rows
+            errors.extend(sub.errors)
+            failed |= sel & sub.failed
+            if ok_rows.any():
+                try:
+                    value = pc.if_else(pa.array(ok_rows), sub.value, value)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                    pass
+    nomatch = active & ~matched & ~decided
     if nomatch.any():
         # error union per row (alternatives.js:60-91): no branch errors ->
         # alternatives.base; exactly one -> the child's error passes

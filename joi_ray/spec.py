@@ -515,7 +515,15 @@ class Schema:
             if name == "keys":
                 d["keys"] = {k: v.describe() for k, v in term.items()}
             elif name in ("items", "ordered", "matches"):
-                d[name] = [v.describe() for v in term]
+                # matches entries may be conditional dicts (alternatives
+                # when, lib/types/alternatives.js:176-218)
+                d[name] = [
+                    v.describe() if isinstance(v, Schema) else {
+                        k: (v2.describe() if isinstance(v2, (Schema, Ref)) else _encode(v2))
+                        for k, v2 in v.items() if v2 is not None
+                    }
+                    for v in term
+                ]
             elif name == "whens":
                 d["whens"] = [
                     {
@@ -1021,6 +1029,39 @@ class AlternativesSchema(Schema):
         s.terms.setdefault("matches", []).extend(schemas)
         return s
 
+    def when(self, condition, *, is_=None, then=None, otherwise=None, switch=None) -> "AlternativesSchema":
+        """Alternatives-specific when (``lib/types/alternatives.js:176-218``):
+        the conditional becomes a MATCH entry, not a base-schema merge — per
+        row the selected branch's result is returned as-is (no fall-through
+        to later matches, ``lib/types/alternatives.js:47-57``)."""
+        s = self._clone()
+        matches = s.terms.setdefault("matches", [])
+
+        def _branch(v):
+            return v if v is None or isinstance(v, Schema) else compile_literal(v)
+
+        if isinstance(condition, Schema):
+            if is_ is not None or switch is not None:
+                raise ValueError('"is_"/"switch" cannot be used with a schema condition'
+                                 " (lib/types/alternatives.js:180-182)")
+            matches.append({"peek": condition, "then": _branch(then),
+                            "otherwise": _branch(otherwise)})
+            return s
+        cond = condition if isinstance(condition, Ref) else Ref(condition)
+        if switch is not None:
+            # switch expands to successive conditional entries: a non-matching
+            # `is` falls to the next entry, mirroring case order
+            for i, c in enumerate(switch):
+                last = i == len(switch) - 1
+                matches.append({
+                    "ref": cond, "is": c["is"], "then": _branch(c.get("then")),
+                    "otherwise": _branch(c.get("otherwise")) if last else None,
+                })
+            return s
+        matches.append({"ref": cond, "is": is_, "then": _branch(then),
+                        "otherwise": _branch(otherwise)})
+        return s
+
     def conditional(self, condition, *, is_=None, then=None, otherwise=None, switch=None) -> "AlternativesSchema":
         return self.when(condition, is_=is_, then=then, otherwise=otherwise, switch=switch)
 
@@ -1155,7 +1196,21 @@ def build(desc: dict) -> Schema:
     s.metas = dict(desc.get("metas", {}))
     for name in ("items", "ordered", "matches"):
         if name in desc:
-            s.terms[name] = [build(d) for d in desc[name]]
+            s.terms[name] = [
+                build(d)
+                if "type" in d
+                else {  # conditional alternatives match entry
+                    k: (
+                        Ref(v["ref"]) if k == "ref"
+                        else build(v)
+                        if k in ("then", "otherwise", "peek")
+                        or (k == "is" and isinstance(v, dict) and "type" in v)
+                        else _decode(v)
+                    )
+                    for k, v in d.items()
+                }
+                for d in desc[name]
+            ]
     if "keys" in desc:
         s.terms["keys"] = {k: build(v) for k, v in desc["keys"].items()}
     if "whens" in desc:
