@@ -787,12 +787,16 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
     n = len(arr)
     missing = null_mask(arr)
     failed = np.zeros(n, dtype=bool)
+    # node-level errors render the label flag (add_err does this for other
+    # types; alternatives builds ErrRecs directly)
+    _lbl = ({"label": node.flags["label"]} if "label" in node.flags else {})
+    _err_start = len(errors)
     presence = node.flags.get("presence", "optional")
     resolved = np.zeros(n, dtype=bool)
     if presence == "required":
         req = missing & scope
         if req.any():
-            rec = ErrRec("any.required", req, path, {}, -3)
+            rec = ErrRec("any.required", req, path, {**_lbl}, -3)
             rec.rows = None
             errors.append(rec)
             failed |= req
@@ -807,7 +811,7 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
     if node.invalid_static or node.invalid_refs:
         inv = _set_membership(arr, node.invalid_static, node.invalid_refs, node.flags.get("insensitive", False), env) & active
         if inv.any():
-            rec = ErrRec("any.invalid", inv, path, {"invalids": node.invalid_static}, -2)
+            rec = ErrRec("any.invalid", inv, path, {"invalids": node.invalid_static, **_lbl}, -2)
             rec.rows = None
             errors.append(rec)
             failed |= inv
@@ -894,21 +898,34 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
                 errors.append(nr)
         none_mask = nomatch & (count == 0)
         if none_mask.any():
-            rec = ErrRec("alternatives.base", none_mask, path, {}, 0)
+            rec = ErrRec("alternatives.base", none_mask, path, {**_lbl}, 0)
             rec.rows = None
             errors.append(rec)
         types_mask = nomatch & (count > 1) & ~nonbase
         if types_mask.any():
             types = sorted({bt for bt, _ in branch_outcomes})
-            rec = ErrRec("alternatives.types", types_mask, path, {"types": types}, 0)
+            rec = ErrRec("alternatives.types", types_mask, path, {"types": types, **_lbl}, 0)
             rec.rows = None
             errors.append(rec)
         match_mask = nomatch & (count > 1) & nonbase
         if match_mask.any():
-            rec = ErrRec("alternatives.match", match_mask, path, {}, 0)
+            rec = ErrRec("alternatives.match", match_mask, path, {**_lbl}, 0)
             rec.rows = None
             errors.append(rec)
         failed |= nomatch
+    # error() override replaces EVERY error emitted by this node, branch
+    # pass-throughs included (lib/base.js:136-142 via validator finalize;
+    # test/types/alternatives.js:350-361)
+    node_err = node.flags.get("error")
+    err_fn = getattr(node.schema, "metas", {}).get("error_fn") if node_err is None else None
+    if node_err is not None or err_fn is not None:
+        for rec in errors[_err_start:]:
+            if node_err is not None:
+                rec.message = node_err
+            else:
+                m = err_fn(rec.code, rec.path, dict(rec.context or {}))
+                if isinstance(m, str):
+                    rec.message = m
     return NodeResult(value=value, errors=errors, missing=missing, failed=failed)
 
 

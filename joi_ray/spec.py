@@ -1065,6 +1065,22 @@ class AlternativesSchema(Schema):
     def conditional(self, condition, *, is_=None, then=None, otherwise=None, switch=None) -> "AlternativesSchema":
         return self.when(condition, is_=is_, then=then, otherwise=otherwise, switch=switch)
 
+    def label(self, name: str) -> "AlternativesSchema":
+        # label maps into EXISTING matches at call time, overriding branch
+        # labels (lib/types/alternatives.js:121-143 label override)
+        s = super().label(name)
+        ms = s.terms.get("matches")
+        if ms:
+            s.terms["matches"] = [
+                m.label(name) if isinstance(m, Schema) else {
+                    **m,
+                    "then": m["then"].label(name) if m.get("then") else m.get("then"),
+                    "otherwise": m["otherwise"].label(name) if m.get("otherwise") else m.get("otherwise"),
+                }
+                for m in ms
+            ]
+        return s
+
 
 class AnySchema(Schema):
     def __init__(self):

@@ -134,3 +134,34 @@ def test_no_alternatives_undefined_ok():
     res = run(obj({"a": a}), t)
     assert bool(res.ok[0]) is True
     assert bool(res.ok[1]) is False
+
+
+def test_label_passes_to_underlying_schema():
+    # alternatives.js:366-419 — label renders in branch and union errors
+    t = pa.table({"a": pa.array([True], type=pa.bool_())})
+    single = jr.alternatives(jr.number()).label("Age")
+    res = run(obj({"a": single}), t)
+    assert msg(res, 0) == ['"Age" must be a number']
+    union = jr.alternatives(jr.number(), jr.string()).label("Age")
+    res2 = run(obj({"a": union}), t)
+    assert msg(res2, 0) == ['"Age" must be one of [number, string]']
+
+
+def test_label_applies_to_then_otherwise():
+    # alternatives.js:485-579 — label maps into conditional branches
+    a = (jr.alternatives()
+         .when("c", is_=True, then=jr.string(), otherwise=jr.number())
+         .label("Label"))
+    t = pa.table({"a": pa.array([1, 2], type=pa.int64()), "c": [True, False]})
+    res = run(obj({"a": a, "c": jr.any_()}), t)
+    assert msg(res, 0) == ['"Label" must be a string']
+    assert bool(res.ok[1]) is True
+
+
+def test_error_override_top_level():
+    # alternatives.js:350-361 (template form) — error() replaces the union
+    # error of the node itself
+    s = jr.alternatives(jr.number(), jr.string()).error("failed!")
+    t = pa.table({"x": pa.array([True], type=pa.bool_())})
+    res = run(obj({"x": s}), t)
+    assert msg(res, 0) == ["failed!"]
