@@ -499,7 +499,7 @@ def eval_node(
             _merge_into(merged, eval_node(w["then"], arr, env, path, scope=sel_then), sel_then)
             _merge_into(merged, eval_node(w["otherwise"], arr, env, path, scope=sel_other), sel_other)
             return merged
-        ref_arr = env.resolve_ref(w["ref"], n)
+        ref_arr = _resolve_when_ref(w["ref"], arr, env, n)
         if not isinstance(ref_arr, (pa.Array, pa.ChunkedArray)):
             ref_arr = pa.array([ref_arr] * n)
         ref_arr = combine(ref_arr)
@@ -783,6 +783,17 @@ def node_validity(node: CNode, arr, env: Env, scope: np.ndarray) -> np.ndarray:
     return ok
 
 
+def _resolve_when_ref(r, arr, env: Env, n: int):
+    """Resolve a when-condition ref; a self ref ('.a', ancestor level 0 —
+    lib/ref.js:40-49, test/ref.js:40-61) reaches into the node's OWN value
+    via struct-field walk instead of the sibling scope."""
+    if getattr(r, "level", None) == 0:
+        from .kernels.util import _walk_ref_path
+
+        return env._ref_post(r, _walk_ref_path(arr, r.parts, n))
+    return env.resolve_ref(r, n)
+
+
 def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeResult:
     n = len(arr)
     missing = null_mask(arr)
@@ -843,7 +854,7 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
         if "peek" in m:
             cond = node_validity(m["peek"], arr, env, still)
         else:
-            ref_arr = env.resolve_ref(m["ref"], n)
+            ref_arr = _resolve_when_ref(m["ref"], arr, env, n)
             if not isinstance(ref_arr, (pa.Array, pa.ChunkedArray)):
                 ref_arr = pa.array([ref_arr] * n)
             cond = node_validity(m["is"], combine(ref_arr), env, still)
@@ -1500,15 +1511,15 @@ def _topo_keys(keys: dict[str, CNode]) -> list[str]:
     def collect(s: Schema, out: set):
         for r in s.rules:
             for v in r.get("args", {}).values():
-                if isinstance(v, Ref) and v.kind == "sibling":
-                    out.add(v.path)
+                if isinstance(v, Ref) and getattr(v, "level", None) == 1:
+                    out.add(v.parts[0] if v.parts else v.path)
         for v in s.allow_vals + s.invalid_vals:
-            if isinstance(v, Ref) and v.kind == "sibling":
-                out.add(v.path)
+            if isinstance(v, Ref) and getattr(v, "level", None) == 1:
+                out.add(v.parts[0] if v.parts else v.path)
         for w in s.terms.get("whens", []):
             r = w.get("ref")
-            if isinstance(r, Ref) and r.kind == "sibling":
-                out.add(r.path)
+            if isinstance(r, Ref) and getattr(r, "level", None) == 1:
+                out.add(r.parts[0] if r.parts else r.path)
 
     for k, cn in keys.items():
         collect(cn.schema, deps[k])

@@ -102,31 +102,121 @@ class Env:
         return self.prefs.get("abort_early", True)
 
     def resolve_ref(self, r: Ref, n: int):
-        """Resolve a Ref to an Arrow array (length n) or a Python scalar."""
+        """Resolve a Ref to an Arrow array (length n) or a Python scalar.
+
+        Dotted paths traverse struct fields; the virtual ``length`` segment
+        resolves list/string lengths (lib/ref.js resolve walks JS
+        properties, so ``a.length`` reaches the array length — ref.js
+        test:618-673).  ``map``/``adjust`` options post-process the
+        resolved value (lib/ref.js:145-151)."""
+        parts = r.parts
         if r.kind == "context":
             ctx = self.prefs.get("context", {})
-            if r.path not in ctx:
-                raise KeyError(f"context ref ${r.path} not bound in prefs.context")
-            return ctx[r.path]
-        if r.kind == "ancestor":
-            if not self.ancestors:
-                raise KeyError(f"ancestor ref ..{r.path} with no ancestor scope")
-            resolver = self.ancestors[-1]
-            return resolver(r.path)
+            cur: Any = ctx
+            for p in parts:
+                if isinstance(cur, dict) and p in cur:
+                    cur = cur[p]
+                else:
+                    raise KeyError(f"context ref ${r.path} not bound in prefs.context")
+            return self._ref_post(r, cur)
         if r.kind == "root":
             # /path: outermost (table-level) scope (lib/ref.js root prefix)
             if self.ancestors:
-                return self.ancestors[0](r.path)
-            if self._resolve_sibling is not None:
-                return self._resolve_sibling(r.path)
-            raise KeyError(f"root ref /{r.path} outside any scope")
-        if self._resolve_sibling is None:
-            raise KeyError(f"sibling ref {r.path} outside an object scope")
-        return self._resolve_sibling(r.path)
+                base = self.ancestors[0](parts[0])
+            elif self._resolve_sibling is not None:
+                base = self._resolve_sibling(parts[0])
+            else:
+                raise KeyError(f"root ref /{r.path} outside any scope")
+            return self._ref_post(r, _walk_ref_path(base, parts[1:], n))
+        # ancestor level: 1 = sibling scope, k>=2 climbs k-1 object levels
+        # (joi: 'a' == '..a'; '...a' = grandparent — lib/ref.js:40-66);
+        # level 0 (own child, '.a') is resolved by the caller that holds the
+        # node's own value (eval_node when-conditions)
+        level = r.level if r.level is not None else 1
+        if level == 0:
+            raise KeyError(
+                f"self ref .{r.path} requires the node's own value "
+                "(supported in when() conditions)")
+        if level == 1:
+            if self._resolve_sibling is None:
+                raise KeyError(f"sibling ref {r.path} outside an object scope")
+            base = self._resolve_sibling(parts[0])
+        else:
+            idx = level - 1
+            if idx > len(self.ancestors):
+                raise KeyError(f"ancestor ref {r.path} reaches beyond the schema root")
+            base = self.ancestors[-idx](parts[0])
+        return self._ref_post(r, _walk_ref_path(base, parts[1:], n))
+
+    def _ref_post(self, r: Ref, value):
+        """Apply a Ref's map/adjust options to the resolved value."""
+        if r.map:
+            if isinstance(value, (pa.Array, pa.ChunkedArray)):
+                if isinstance(value, pa.ChunkedArray):
+                    value = value.combine_chunks()
+                # map targets may differ in type from the source column
+                # (e.g. 'x' -> 1): index_in + take builds the target-typed
+                # column; unmatched rows keep the original value
+                try:
+                    idx = pc.index_in(value, value_set=pa.array([p[0] for p in r.map]))
+                    tgt = pa.array([p[1] for p in r.map]).take(idx)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                    return value
+                if idx.null_count == 0:
+                    return tgt
+                try:
+                    return pc.if_else(pc.is_valid(idx), tgt, value.cast(tgt.type))
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                    # unmatched originals of an incompatible type resolve
+                    # undefined for those rows (documented deviation)
+                    return tgt
+            m = {tuple(p)[0]: tuple(p)[1] for p in r.map}
+            return m.get(value, value)
+        if r.adjust is not None:
+            if isinstance(value, (pa.Array, pa.ChunkedArray)):
+                # scalar callable applied per distinct-efficient pandas map —
+                # adjust refs are rare and not on the hot path
+                import pandas as pd
+
+                s = value.to_pandas()
+                return pa.array(s.map(lambda v: r.adjust(v) if v is not None else None))
+            return r.adjust(value)
+        return value
 
     def child(self, resolve_sibling) -> "Env":
         e = Env(self.prefs, resolve_sibling, self.ancestors + ([self._resolve_sibling] if self._resolve_sibling else []))
         return e
+
+
+def _walk_ref_path(base, parts: list[str], n: int):
+    """Walk remaining ref path segments into struct fields.  ``length`` is a
+    virtual segment on list/string values (JS property access semantics,
+    ref.js test:618-673); unknown segments resolve undefined (all-null)."""
+    cur = base
+    for p in parts:
+        if isinstance(cur, pa.ChunkedArray):
+            cur = cur.combine_chunks()
+        if isinstance(cur, (pa.Array, pa.ChunkedArray)):
+            t = cur.type
+            if pa.types.is_struct(t) and t.get_field_index(p) >= 0:
+                cur = pc.struct_field(cur, p)
+                continue
+            if p == "length":
+                if pa.types.is_list(t) or pa.types.is_large_list(t):
+                    cur = pc.list_value_length(cur).cast(pa.int64())
+                    continue
+                if pa.types.is_string(t) or pa.types.is_large_string(t):
+                    cur = pc.utf8_length(cur).cast(pa.int64())
+                    continue
+            return pa.nulls(n)
+        if isinstance(cur, dict) and p in cur:
+            cur = cur[p]
+            continue
+        if p == "length" and isinstance(cur, (str, list, tuple)):
+            cur = len(cur)
+            continue
+        return pa.nulls(n)
+    return cur
 
 
 def resolve_limit(limit, env: Env, n: int):

@@ -20,46 +20,93 @@ from typing import Any
 
 
 class Ref:
-    """Cross-field reference (reference: ``/root/reference/lib/ref.js:22-72``).
+    """Cross-field reference (reference: ``/root/reference/lib/ref.js:16-72``).
 
-    ``Ref("peer")`` resolves a sibling column at the same nesting level;
-    ``Ref("...name")``-style ancestor prefixes are restricted to ``..`` (one
-    level up) since our tables are fixed-depth.  ``Ref("$name")`` resolves to
-    ``prefs.context[name]`` bound once at compile time (a job parameter).
+    Joi's dot convention: ``"a"`` == ``"..a"`` resolves a sibling (ancestor
+    1); ``".a"`` reaches the node's OWN child (ancestor 0, used in
+    ``when('.a', ...)``); each extra leading dot climbs one more object
+    level (``"...a"`` = grandparent).  Arrays are transparent scopes in this
+    columnar model (an item's parent object is the nearest object level).
+    ``Ref("$name")`` resolves ``prefs.context[name]``; ``Ref("/name")`` the
+    table root.  Options (ref.js:80-105): ``ancestor=`` (int, exclusive
+    with a dot prefix), ``separator=`` (single char, ``False`` = literal
+    key), ``map=`` (list of [from, to] pairs applied to the resolved
+    value), ``adjust=`` (callable; excluded from describe() like
+    alterations — the JSON manifest cannot carry callables).
     """
 
-    __slots__ = ("path", "kind")
+    __slots__ = ("path", "kind", "level", "separator", "map", "adjust")
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, *, ancestor: int | None = None,
+                 separator=".", map=None, adjust=None):
+        if map is not None and adjust is not None:
+            raise ValueError("Cannot set both map and adjust options (ref.js:94)")
+        self.separator = separator
+        self.map = [list(p) for p in map] if map is not None else None
+        self.adjust = adjust
+        sep = separator if isinstance(separator, str) and separator else "."
         if path.startswith("$"):
             self.kind = "context"
+            self.level = None
             self.path = path[1:]
-        elif path.startswith(".."):
-            self.kind = "ancestor"
-            self.path = path[2:].lstrip(".")
-        elif path.startswith("/"):
+            return
+        if path.startswith("/"):
+            if ancestor is not None:
+                raise ValueError("Cannot combine prefix with ancestor option (ref.js:53)")
             self.kind = "root"
+            self.level = None
             self.path = path[1:]
+            return
+        self.kind = "ancestor"
+        k = 0
+        while k < len(path) and path[k] == sep:
+            k += 1
+        if ancestor is not None:
+            if k:
+                raise ValueError("Cannot combine prefix with ancestor option (ref.js:53)")
+            self.level = int(ancestor)
         else:
-            self.kind = "sibling"
-            self.path = path
+            self.level = (k - 1) if k else 1
+        self.path = path[k:]
+
+    @property
+    def parts(self) -> list[str]:
+        if self.separator is False or self.separator == "" or not self.path:
+            return [self.path] if self.path else []
+        return self.path.split(self.separator)
 
     def describe(self) -> dict:
-        prefix = {"context": "$", "ancestor": "..", "sibling": "", "root": "/"}[self.kind]
-        return {"ref": prefix + self.path}
+        sep = self.separator if isinstance(self.separator, str) and self.separator else "."
+        if self.kind == "context":
+            r = "$" + self.path
+        elif self.kind == "root":
+            r = "/" + self.path
+        elif self.level == 1:
+            r = self.path
+        else:
+            r = sep * (self.level + 1) + self.path
+        d: dict = {"ref": r}
+        if self.separator != ".":
+            d["separator"] = self.separator
+        if self.map is not None:
+            d["map"] = [list(p) for p in self.map]
+        return d
 
     def __repr__(self):  # pragma: no cover
         return f"Ref({self.describe()['ref']!r})"
 
     def __eq__(self, other):
-        return isinstance(other, Ref) and other.kind == self.kind and other.path == self.path
+        return (isinstance(other, Ref) and other.kind == self.kind
+                and other.path == self.path and other.level == self.level
+                and other.separator == self.separator and other.map == self.map
+                and other.adjust == self.adjust)
 
     def __hash__(self):
-        return hash((self.kind, self.path))
+        return hash((self.kind, self.path, self.level))
 
 
-def ref(path: str) -> Ref:
-    return Ref(path)
+def ref(path: str, **opts) -> Ref:
+    return Ref(path, **opts)
 
 
 def _encode(v: Any) -> Any:
@@ -81,8 +128,9 @@ def _encode(v: Any) -> Any:
 
 def _decode(v: Any) -> Any:
     if isinstance(v, dict):
-        if set(v) == {"ref"}:
-            return Ref(v["ref"])
+        if "ref" in v and set(v) <= {"ref", "separator", "map"}:
+            return Ref(v["ref"], separator=v.get("separator", "."),
+                       map=v.get("map"))
         if set(v) == {"__bytes__"}:
             import base64
 
@@ -1217,7 +1265,7 @@ def build(desc: dict) -> Schema:
                 if "type" in d
                 else {  # conditional alternatives match entry
                     k: (
-                        Ref(v["ref"]) if k == "ref"
+                        _decode(v) if k == "ref"
                         else build(v)
                         if k in ("then", "otherwise", "peek")
                         or (k == "is" and isinstance(v, dict) and "type" in v)
@@ -1233,7 +1281,7 @@ def build(desc: dict) -> Schema:
         s.terms["whens"] = [
             {
                 k: (
-                    Ref(v["ref"])
+                    _decode(v)
                     if k == "ref"
                     else (
                         # schema-valued is/then/otherwise must round-trip as

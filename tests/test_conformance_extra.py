@@ -51,7 +51,9 @@ def test_sibling_ancestor_context_refs():
             "ranges": pa.array([[{"lo": 1, "hi": 3}], [{"lo": 2, "hi": 9}]], type=span_t),
         }
     )
-    span = jr.object({"lo": jr.number(), "hi": jr.number().min(jr.ref("lo")).max(jr.ref("..cap"))})
+    # joi dot convention (ref.js:40-66): '..cap' == 'cap' (sibling);
+    # '...cap' climbs one object level — here the table root
+    span = jr.object({"lo": jr.number(), "hi": jr.number().min(jr.ref("lo")).max(jr.ref("...cap"))})
     res = compile_schema(obj({"cap": jr.number(), "ranges": jr.array().items(span)}),
                          prefs={"abort_early": False}).validate_table(t)
     assert list(res.ok) == [True, False]

@@ -1,0 +1,142 @@
+"""Reference ref test vectors (reference: /root/reference/test/ref.js,
+lines cited per test): joi dot convention, nested-path refs, virtual
+``length``, map/adjust/ancestor/separator options, self refs in when()."""
+
+import pyarrow as pa
+import pytest
+
+import joi_ray as jr
+from joi_ray import build, compile_schema, object as obj
+
+
+def run(root, tbl, prefs=None):
+    return compile_schema(root, prefs={"abort_early": False, **(prefs or {})}).validate_table(tbl)
+
+
+def test_reaches_parent_plain_and_dotdot():
+    # ref.js:63-81 — 'a' and '..a' are the same (ancestor 1)
+    t = pa.table({"a": [1, 1], "a1": [1, 2], "a2": [1, 2]})
+    s = obj({"a": jr.any_(), "a1": jr.any_().valid(jr.ref("a")),
+             "a2": jr.any_().valid(jr.ref("..a"))})
+    res = run(s, t)
+    assert [bool(b) for b in res.ok] == [True, False]
+    assert sorted(v["path"] for v in res.violations.to_pylist()) == ["a1", "a2"]
+
+
+def test_reaches_grandparent():
+    # ref.js:82-103 — '...a' climbs one object level
+    st = pa.struct({"a1": pa.int64(), "a2": pa.int64()})
+    t = pa.table({"a": [1, 1], "b": pa.array([{"a1": 1, "a2": 1}, {"a1": 1, "a2": 2}], type=st)})
+    s = obj({"a": jr.any_(),
+             "b": jr.object({"a1": jr.any_().valid(jr.ref("...a")),
+                             "a2": jr.any_().valid(jr.ref("...a"))})})
+    res = run(s, t)
+    assert [bool(b) for b in res.ok] == [True, False]
+
+
+def test_ancestor_option():
+    # ref.js:294-382 — explicit ancestor option equals the dot prefix
+    st = pa.struct({"a1": pa.int64()})
+    t = pa.table({"a": [1, 1], "b": pa.array([{"a1": 1}, {"a1": 5}], type=st)})
+    s = obj({"a": jr.any_(),
+             "b": jr.object({"a1": jr.any_().valid(jr.ref("a", ancestor=2))})})
+    res = run(s, t)
+    assert [bool(b) for b in res.ok] == [True, False]
+    with pytest.raises(ValueError):
+        jr.ref("..x", ancestor=2)  # prefix + ancestor option (ref.js:53)
+
+
+def test_nested_keys_as_valid_value():
+    # ref.js:891-934 — dotted path traverses struct fields
+    st = pa.struct({"b": pa.struct({"c": pa.string()})})
+    t = pa.table({"a": pa.array([{"b": {"c": "x"}}, {"b": {"c": "x"}}], type=st),
+                  "v": ["x", "y"]})
+    s = obj({"a": jr.object({"b": jr.object({"c": jr.string()})}),
+             "v": jr.string().valid(jr.Ref("a.b.c"))})
+    res = run(s, t)
+    assert [bool(b) for b in res.ok] == [True, False]
+
+
+def test_references_array_length():
+    # ref.js:618-646 — virtual length segment on a list column
+    t = pa.table({"x": pa.array([[1, 2], [1, 2, 3]], type=pa.list_(pa.int64())),
+                  "n": [2, 5]})
+    s = obj({"x": jr.array().items(jr.number()),
+             "n": jr.number().valid(jr.ref("x.length"))})
+    res = run(s, t)
+    assert [bool(b) for b in res.ok] == [True, False]
+
+
+def test_references_string_length():
+    # JS property semantics: 'abc'.length
+    t = pa.table({"x": ["ab", "abc"], "n": [2, 2]})
+    s = obj({"x": jr.string(), "n": jr.number().valid(jr.ref("x.length"))})
+    res = run(s, t)
+    assert [bool(b) for b in res.ok] == [True, False]
+
+
+def test_map_option():
+    # ref.js:810-857 — map rewrites the resolved value
+    t = pa.table({"a": ["x", "x", "y"], "b": [1, 2, 3]})
+    s = obj({"a": jr.any_(),
+             "b": jr.number().valid(jr.ref("a", map=[["x", 1], ["y", 3]]))})
+    res = run(s, t)
+    assert [bool(b) for b in res.ok] == [True, False, True]
+
+
+def test_adjust_option():
+    # ref.js:762-809 — adjust function post-processes the resolved value
+    t = pa.table({"a": [2, 2], "b": [4, 5]})
+    s = obj({"a": jr.any_(),
+             "b": jr.number().valid(jr.ref("a", adjust=lambda v: v * 2))})
+    res = run(s, t)
+    assert [bool(b) for b in res.ok] == [True, False]
+    with pytest.raises(ValueError):
+        jr.ref("a", map=[["x", 1]], adjust=lambda v: v)  # ref.js:94
+
+
+def test_custom_separator():
+    # ref.js:1398-1401 — custom separator splits the path
+    st = pa.struct({"c": pa.int64()})
+    t = pa.table({"a": pa.array([{"c": 1}, {"c": 1}], type=st), "b": [1, 2]})
+    s = obj({"a": jr.object({"c": jr.number()}),
+             "b": jr.number().valid(jr.ref("a/c", separator="/"))})
+    res = run(s, t)
+    assert [bool(b) for b in res.ok] == [True, False]
+
+
+def test_separator_false_literal_key():
+    # separator=False treats the whole path as one literal key
+    t = pa.table({"a.b": [7, 7], "v": [7, 8]})
+    s = obj({"a.b": jr.number(), "v": jr.number().valid(jr.ref("a.b", separator=False))})
+    res = run(s, t)
+    assert [bool(b) for b in res.ok] == [True, False]
+
+
+def test_self_ref_in_when():
+    # ref.js:40-61 — when('.a') peeks at the node's OWN child
+    st = pa.struct({"a": pa.bool_(), "b": pa.string()})
+    t = pa.table({"x": pa.array(
+        [{"a": True, "b": "x"}, {"a": True, "b": None}, {"a": False, "b": None}], type=st)})
+    inner = jr.object({"a": jr.boolean().required(), "b": jr.string()}).when(
+        ".a", is_=True, then=jr.object({"b": jr.string().required()}))
+    res = run(obj({"x": inner}), t)
+    assert [bool(b) for b in res.ok] == [True, False, True]
+
+
+def test_ref_describe_roundtrip():
+    # map/separator/ancestor options survive describe()/build()
+    for s in (
+        jr.number().valid(jr.ref("a", map=[["x", 1]])),
+        jr.number().valid(jr.ref("a/c", separator="/")),
+        jr.number().valid(jr.ref("a", ancestor=2)),
+        jr.number().min(jr.ref("...cap")),
+    ):
+        assert build(s.describe()) == s, s.describe()
+
+
+def test_context_nested_path():
+    t = pa.table({"v": ["x", "y"]})
+    s = obj({"v": jr.string().valid(jr.ref("$cfg.name"))})
+    res = run(s, t, prefs={"context": {"cfg": {"name": "x"}}})
+    assert [bool(b) for b in res.ok] == [True, False]
