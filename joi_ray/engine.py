@@ -26,6 +26,7 @@ from .kernels import numbers as k_numbers
 from .kernels import scalars as k_scalars
 from .kernels import strings as k_strings
 from .kernels import structs as k_structs
+from .kernels import messages as k_messages
 from .kernels.messages import render
 from .kernels.util import Env, ErrRec, as_bool_np, combine, null_mask
 
@@ -582,6 +583,10 @@ def eval_node(
                 m = fn(code, p, dict(ctx or {}))
                 if isinstance(m, str):
                     message = m
+        if message is None:
+            # prefs-level messages map incl. errors.language sub-maps
+            # (schema-local prefs are merged into env by eval_node)
+            message = k_messages.lookup_override(code, env.prefs)
         if item_rows is not None:
             keep = scope[item_rows]
             item_rows, item_index = item_rows[keep], item_index[keep]
@@ -1755,7 +1760,7 @@ class CompiledSchema:
             item_l.append(items.astype(np.int32))
             ctx_json = json.dumps(rec.context, default=str, sort_keys=True) if rec.context else "{}"
             # message priority: per-rule override > prefs.messages map > catalog
-            override = rec.message or self.prefs.get("messages", {}).get(rec.code)
+            override = rec.message or k_messages.lookup_override(rec.code, self.prefs)
             msg = render(rec.code, rec.path, rec.context, override)
             path_l.extend([rec.path] * k)
             code_l.extend([rec.code] * k)

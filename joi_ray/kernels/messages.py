@@ -120,6 +120,29 @@ MESSAGES: dict[str, str] = {
 }
 
 
+def lookup_override(code: str, prefs: dict) -> str | None:
+    """Resolve a prefs-level message override for a code
+    (``lib/errors.js`` messages preference): ``errors.language`` selects a
+    language-keyed sub-map inside ``prefs.messages`` (a non-string language
+    is a context ref — test/errors.js:243-268), falling through to a
+    root-level code entry (test/errors.js:195-211)."""
+    msgs = prefs.get("messages")
+    if not msgs:
+        return None
+    err = prefs.get("errors") or {}
+    lang = err.get("language")
+    if lang is not None and not isinstance(lang, str):
+        lang = (prefs.get("context") or {}).get(getattr(lang, "path", None))
+    if lang:
+        sub = msgs.get(lang)
+        if isinstance(sub, dict):
+            v = sub.get(code)
+            if isinstance(v, str):
+                return v
+    v = msgs.get(code)
+    return v if isinstance(v, str) else None
+
+
 def render(code: str, path: str, context: dict, override: str | None = None) -> str:
     """Render the static message for an error family.  Per-row ``{value}``
     interpolation is intentionally omitted (violation rows carry the doc id

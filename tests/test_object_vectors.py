@@ -263,3 +263,41 @@ def test_json_string_to_object():
     res_strict = run(obj({"x": schema}), pa.table({"x": ['{"a": 1}']}),
                      prefs={"convert": False})
     assert codes(res_strict) == ["object.base"]
+
+
+# -------------------------------------------------------- language preference
+def test_messages_language_preference():
+    # errors.js:173-211 — errors.language selects a sub-map; unknown/empty
+    # languages and plain code keys fall through
+    messages = {
+        "english": {"number.min": "{#label} too small"},
+        "latin": {"number.min": "{#label} angustus"},
+        "empty": {},
+    }
+    t = pa.table({"n": [1.0]})
+    root = obj({"n": jr.number().min(10)})
+
+    def m(prefs):
+        res = run(root, t, prefs=prefs)
+        return res.violations.to_pylist()[0]["message"]
+
+    assert m({"messages": messages, "errors": {"language": "english"}}) == "n too small"
+    assert m({"messages": messages, "errors": {"language": "latin"}}) == "n angustus"
+    assert '"n" must be larger than or equal to 10' == m({"messages": messages, "errors": {"language": "unknown"}})
+    assert '"n" must be larger than or equal to 10' == m({"messages": messages, "errors": {"language": "empty"}})
+    # fallthrough to root-level code entries (errors.js:195-211)
+    flat = {"english": {"number.min": "{#label} too small"}, "number.min": "{#label} angustus"}
+    assert m({"messages": flat, "errors": {"language": "english"}}) == "n too small"
+    assert m({"messages": flat, "errors": {"language": "latin"}}) == "n angustus"
+    # language as a context ref (errors.js:243-268)
+    assert m({"messages": messages, "errors": {"language": jr.Ref("$lang")},
+              "context": {"lang": "latin"}}) == "n angustus"
+
+
+def test_messages_schema_local_prefs():
+    # errors.js:195-211 — prefs({messages}) on the schema node itself
+    s = jr.number().min(10).preferences(
+        messages={"number.min": "{#label} angustus"})
+    t = pa.table({"n": [1.0]})
+    res = run(obj({"n": s}), t)
+    assert res.violations.to_pylist()[0]["message"] == "n angustus"
