@@ -707,18 +707,47 @@ def eval_node(
         bad = active & ~out.ok
         add_err(cr.code, bad, out.context, seq=cr.seq, warn=cr.warn, message=cr.message)
 
-    # ---- finalize (lib/validator.js:351-430)
-    if "default" in node.flags and presence not in ("required", "forbidden"):
+    # ---- finalize (lib/validator.js:351-430); noDefaults pref skips
+    # default/failover substitution (test/base.js:1104-1155)
+    no_defaults = env.prefs.get("no_defaults", False)
+    if "default" in node.flags and presence not in ("required", "forbidden") and not no_defaults:
         dv = node.flags["default"]
         fill_mask = missing & scope
         if fill_mask.any():
-            if pa.types.is_null(arr.type):
-                arr = pa.array([dv if m else None for m in fill_mask])
+            if isinstance(dv, Ref):
+                # ref-valued default resolves per row (test/ref.js:993-1034)
+                rv = env.resolve_ref(dv, n)
+                if isinstance(rv, (pa.Array, pa.ChunkedArray)):
+                    rv = combine(rv)
+                    fill = pa.array(fill_mask)
+                    try:
+                        if pa.types.is_null(arr.type):
+                            arr = pc.if_else(fill, rv, pa.nulls(n, rv.type))
+                        else:
+                            if rv.type != arr.type:
+                                rv = rv.cast(arr.type)
+                            arr = pc.if_else(fill, rv, arr)
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                        pass
+                elif pa.types.is_null(arr.type):
+                    arr = pa.array([rv if m else None for m in fill_mask])
+                else:
+                    s = _scalar_for(rv, arr.type)
+                    if s is not None:
+                        arr = pc.if_else(pa.array(fill_mask), s, arr)
             else:
-                s = _scalar_for(dv, arr.type)
-                if s is not None:
-                    arr = pc.if_else(pa.array(fill_mask), s, arr)
-    if "failover" in node.flags:
+                if callable(dv):
+                    # zero-arg factory defaults (test/base.js:893-919);
+                    # evaluated once per batch — parent-dependent method
+                    # defaults are out of columnar scope (documented)
+                    dv = dv()
+                if pa.types.is_null(arr.type):
+                    arr = pa.array([dv if m else None for m in fill_mask])
+                else:
+                    s = _scalar_for(dv, arr.type)
+                    if s is not None:
+                        arr = pc.if_else(pa.array(fill_mask), s, arr)
+    if "failover" in node.flags and not no_defaults:
         fv = node.flags["failover"]
         fo_mask = failed & scope
         if fo_mask.any():

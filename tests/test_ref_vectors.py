@@ -140,3 +140,30 @@ def test_context_nested_path():
     s = obj({"v": jr.string().valid(jr.ref("$cfg.name"))})
     res = run(s, t, prefs={"context": {"cfg": {"name": "x"}}})
     assert [bool(b) for b in res.ok] == [True, False]
+
+
+def test_ref_as_default_value():
+    # ref.js:993-1034 — default resolves a sibling per row
+    t = pa.table({"a": ["x", "y"], "b": pa.array([None, "z"], type=pa.string())})
+    s = obj({"a": jr.string(), "b": jr.string().default(jr.ref("a"))})
+    res = run(s, t)
+    assert [bool(b) for b in res.ok] == [True, True]
+    assert res.value["b"].to_pylist() == ["x", "z"]
+
+
+def test_no_defaults_pref():
+    # base.js:1104-1155 — noDefaults skips default AND failover
+    t = pa.table({"b": pa.array([None], type=pa.string())})
+    s = obj({"b": jr.string().default("d")})
+    res = run(s, t, prefs={"no_defaults": True})
+    assert res.value["b"].to_pylist() == [None]
+    res2 = run(s, t)
+    assert res2.value["b"].to_pylist() == ["d"]
+
+
+def test_callable_default_factory():
+    # base.js:893-919 — zero-arg factory default evaluated at validate time
+    t = pa.table({"b": pa.array([None, "v"], type=pa.string())})
+    s = obj({"b": jr.string().default(lambda: "gen")})
+    res = run(s, t)
+    assert res.value["b"].to_pylist() == ["gen", "v"]
