@@ -710,7 +710,8 @@ def eval_node(
     # ---- finalize (lib/validator.js:351-430); noDefaults pref skips
     # default/failover substitution (test/base.js:1104-1155)
     no_defaults = env.prefs.get("no_defaults", False)
-    if "default" in node.flags and presence not in ("required", "forbidden") and not no_defaults:
+    if ("default" in node.flags and presence not in ("required", "forbidden")
+            and not no_defaults and node.flags["default"] != Schema._DEEP_DEFAULT):
         dv = node.flags["default"]
         fill_mask = missing & scope
         if fill_mask.any():
@@ -1363,6 +1364,13 @@ def _eval_patterns(node: CNode, unknown: list[str], get_child, set_result, env: 
 def _eval_object(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, failed, errors, add_err) -> pa.Array:
     n = len(arr)
     parent_present = ~null_mask(arr)
+    # deep default (default() no-arg, test/base.js:1064-1081): a missing
+    # object is treated as present-empty so child defaults fill it; the
+    # struct rebuild below then clears the null mask for those rows
+    if (node.flags.get("default") == Schema._DEEP_DEFAULT
+            and not env.prefs.get("no_defaults", False)
+            and node.flags.get("presence") != "forbidden"):
+        parent_present = parent_present | scope
     field_names = [f.name for f in arr.type]
 
     # renames (object.js:387-415,886-967): struct-field rename at batch

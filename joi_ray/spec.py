@@ -239,15 +239,29 @@ class Schema:
         return self._flag("insensitive", enabled)
 
     # -- any: value shaping ------------------------------------------------
-    def default(self, value) -> "Schema":
+    _DEEP_DEFAULT = "__deep_default__"
+
+    def default(self, value=...) -> "Schema":
+        if value is ...:
+            # default() with no value = deep default: a missing object is
+            # created empty and child defaults fill it (lib/validator.js
+            # deepDefault; test/base.js:1064-1086 — non-object throws)
+            if self.type != "object":
+                raise ValueError(
+                    "deep default() requires an object schema (test/base.js:1082-1086)")
+            return self._flag("default", Schema._DEEP_DEFAULT)
         return self._flag("default", value)
 
     def failover(self, value) -> "Schema":
         return self._flag("failover", value)
 
     def empty(self, *values) -> "Schema":
+        # empty() with no args RESETS the flag (test/base.js:1229-1271)
         s = self._clone()
-        s.flags["empty"] = list(values)
+        if not values:
+            s.flags.pop("empty", None)
+        else:
+            s.flags["empty"] = list(values)
         return s
 
     def strip(self, enabled: bool = True) -> "Schema":

@@ -301,3 +301,28 @@ def test_messages_schema_local_prefs():
     t = pa.table({"n": [1.0]})
     res = run(obj({"n": s}), t)
     assert res.violations.to_pylist()[0]["message"] == "n angustus"
+
+
+def test_deep_defaults():
+    # base.js:1064-1081 — default() no-arg creates the object from child
+    # defaults; non-object schemas throw (:1082-1086)
+    import pytest
+    st = pa.struct({"a": pa.int64(), "b": pa.string()})
+    t = pa.table({"x": pa.array([None, {"a": 7, "b": None}], type=st)})
+    s = jr.object({"a": jr.number().default(42), "b": jr.string().default("d")}).default()
+    res = run(obj({"x": s}), t)
+    assert res.value["x"].to_pylist() == [{"a": 42, "b": "d"}, {"a": 7, "b": "d"}]
+    # noDefaults skips deep defaults too
+    res2 = run(obj({"x": s}), t, prefs={"no_defaults": True})
+    assert res2.value["x"].to_pylist()[0] is None
+    with pytest.raises(ValueError):
+        jr.number().default()
+
+
+def test_empty_reset():
+    # base.js:1229-1271 — empty() no-arg resets; flag removed from describe
+    s = jr.string().empty("").empty()
+    assert "empty" not in s.describe().get("flags", {})
+    t = pa.table({"x": [""]})
+    res = run(obj({"x": s.min(1)}), t)
+    assert [bool(b) for b in res.ok] == [False]
