@@ -598,9 +598,11 @@ def _q_events_running(sf_dir: str):
             "head_sum": pa.array([head_sum]), "tail_sum": pa.array([tail_sum]),
         })
 
-    descs = (pa.concat_tables(ray.get(
+    from joi_ray._env import collect_tables
+
+    descs = (collect_tables(
         ds.map_batches(pass_a, batch_format="pyarrow", batch_size=None,
-                       **REMOTE_KWARGS).to_arrow_refs()))
+                       **REMOTE_KWARGS))
         .to_pandas().sort_values(["bk_u", "bk_t", "bk_e"]).reset_index(drop=True))
     offsets: dict[tuple, float] = {}
     carry_user, carry_sum = None, 0.0
@@ -706,9 +708,11 @@ def _q_events_sessions(sf_dir: str):
     # global batch order by sorting descriptors on the first-row key (first
     # keys are non-decreasing across batches of a sorted dataset), then
     # check each consecutive batch pair for a same-user close adjacency.
-    edges = pa.concat_tables(ray.get(
-        parts.map_batches(lambda t: t.filter(pc.greater(t["kind"], 0)),
-                          batch_format="pyarrow", **REMOTE_KWARGS).to_arrow_refs())).to_pandas()
+    from joi_ray._env import collect_tables
+
+    edges = collect_tables(
+        parts.map_batches(lambda t: t.filter(pc.greater(t["kind"], 0)) if t.num_columns else t,
+                          batch_format="pyarrow", **REMOTE_KWARGS)).to_pandas()
     edges = edges.rename(columns={"user_id": "first_user", "p_events": "last_user",
                                   "b_ts": "first_ts", "b_ts2": "last_ts"})
     edges = edges.sort_values(["first_user", "first_ts", "last_user", "last_ts"]).reset_index(drop=True)
@@ -1520,6 +1524,9 @@ def _q_dedup_ngram(sf_dir: str):
     j = left.join(right, join_type="inner", num_partitions=njoin, on=("band", "band_hash"),
                   aggregator_ray_remote_args={"num_cpus": 0.5})
     def half_pairs(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
         f = t.filter(pc.less(t["id_a"], t["id_b"])).select(["id_a", "id_b"])
         # per-batch pre-dedup: same-bucket pairs repeat across bands
         g = f.group_by(["id_a", "id_b"]).aggregate([([], "count_all")])
@@ -1529,7 +1536,10 @@ def _q_dedup_ngram(sf_dir: str):
     # global distinct on the driver: the pair set is ∝ candidates (not
     # corpus) and a Ray groupby over millions of singleton groups pays
     # ~30us/group — np.unique on the collected pairs is ~100x cheaper
-    raw = pa.concat_tables(ray.get(pairs.to_arrow_refs()))
+    from joi_ray._env import collect_tables
+
+    raw = collect_tables(
+        pairs, schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]))
     pair_mat = np.stack(
         [pc.cast(raw["id_a"].combine_chunks(), pa.int64()).to_numpy(zero_copy_only=False),
          pc.cast(raw["id_b"].combine_chunks(), pa.int64()).to_numpy(zero_copy_only=False)],
@@ -1548,7 +1558,7 @@ def _q_dedup_ngram(sf_dir: str):
         lambda t: t.filter(pc.is_in(pc.cast(t["doc_id"].combine_chunks(), pa.int64()),
                                     value_set=ray.get(idref))),
         batch_format="pyarrow", **REMOTE_KWARGS)
-    tref = ray.put(pa.concat_tables(ray.get(ctext.to_arrow_refs())))
+    tref = ray.put(collect_tables(ctext))
 
     def verify(t: pa.Table) -> pa.Table:
         from joi_ray.ops.dedup import minhash_signatures
@@ -1630,7 +1640,9 @@ def _q_minhash_pairs(sf_dir: str):
     exp = base.map_batches(subset_expand, batch_format="pyarrow", **REMOTE_KWARGS).materialize()
     cands = minhash_duplicate_pairs(exp, "text", "doc_id", threshold=0.25,
                                     num_perm=64, bands=32, k=7, concurrency=2)
-    texts_t = pa.concat_tables(ray.get(exp.to_arrow_refs()))
+    from joi_ray._env import collect_tables as _ct
+
+    texts_t = _ct(exp)
     tref = ray.put(texts_t)
 
     def verify(t: pa.Table) -> pa.Table:

@@ -151,6 +151,20 @@ valid = _root_shortcut("valid")
 when = _root_shortcut("when")
 
 __version__ = "0.1.0"
+version = __version__  # Joi.version analog (lib/index.js:80)
+
+from . import extend as extend  # extension surface (register_rule / external)
+
+
+def types() -> dict:
+    """Map of type constructors (``Joi.types()``, lib/index.js:169-178)."""
+    return {
+        "alternatives": alternatives, "any": any_, "array": array,
+        "boolean": boolean, "binary": binary, "date": date,
+        "function": function_, "link": link, "number": number,
+        "object": object, "string": string, "symbol": symbol,
+    }
+
 
 # workers must be able to unpickle joi_ray-named stage callables regardless
 # of the driver's cwd; idempotent no-op when imported from the repo root

@@ -92,3 +92,25 @@ def quiet_ray_data_logs() -> bool:
 
     logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").setLevel(logging.ERROR)
     return True
+
+
+def collect_tables(ds, schema=None):
+    """Materialize a Dataset's blocks into ONE Arrow table, tolerating the
+    zero-row EMPTY-SCHEMA blocks Ray Data's groupby/join paths can emit
+    under some block splits (concat_tables raises on those).  ``schema``
+    supplies the result schema when every block is empty.  Result-bounded:
+    only call on aggregate-sized outputs, never a corpus."""
+    import pyarrow as pa
+    import ray
+
+    blocks = ray.get(ds.to_arrow_refs())
+    tbls = [t for t in blocks if t.num_rows > 0 and t.num_columns > 0]
+    if not tbls:
+        typed = [t for t in blocks if t.num_columns > 0]
+        if typed:
+            return typed[0]  # empty but carries the schema
+        if schema is not None:
+            return pa.table({f.name: pa.array([], f.type) for f in schema})
+        return pa.table({})
+    names = tbls[0].column_names
+    return pa.concat_tables([t.select(names) for t in tbls])

@@ -65,8 +65,10 @@ def dedup_exact(ds, col: str, id_col: str):
     paid Ray's per-group overhead on mostly-singleton groups."""
     import ray
 
+    from .._env import collect_tables
+
     dup = exact_duplicate_groups(ds, col, id_col)
-    dup_t = pa.concat_tables(ray.get(dup.to_arrow_refs()))
+    dup_t = collect_tables(dup)
     dref = ray.put(dup_t)
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -369,7 +371,9 @@ def minhash_canonical(ds, text_col: str, id_col: str, *, num_perm: int = 64, ban
         # no shuffle for the re-key at all.  Stay pyarrow end-to-end: a
         # batch_format="pandas" stage fused ahead of an Aggregate drags the
         # whole sort-shuffle onto a pandas slow path (~5x measured).
-        dup_t = pa.concat_tables(ray.get(dup.to_arrow_refs()))
+        from .._env import collect_tables
+
+        dup_t = collect_tables(dup)
         bref = ray.put(dup_t)
 
         def members(t: pa.Table) -> pa.Table:
@@ -407,7 +411,11 @@ def minhash_canonical(ds, text_col: str, id_col: str, *, num_perm: int = 64, ban
     # size is within a small factor of the RESULT the caller is about to
     # hold anyway (dup docs, +1 row per batch a doc spans) — finish the min
     # on the driver instead of paying a Ray aggregate's per-group overhead
-    pre_t = pa.concat_tables(ray.get(pre.to_arrow_refs())).to_pandas()
+    from .._env import collect_tables
+
+    pre_t = collect_tables(pre).to_pandas()
+    if pre_t.empty:
+        return pd.DataFrame({id_col: [], "canonical": []})
     out = (pre_t.groupby(id_col, as_index=False)["pmin"].min()
            .rename(columns={"pmin": "canonical"}))
     return out[[id_col, "canonical"]]

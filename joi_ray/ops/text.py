@@ -347,10 +347,12 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id", *,
             "partial_df": pc.cast(vc.field("counts"), pa.int64()),
         })
 
-    df_tbl = pa.concat_tables(ray.get(
+    from .._env import collect_tables
+
+    df_tbl = collect_tables(
         tf_ds.map_batches(df_partials, batch_format="pyarrow", **REMOTE_KWARGS)
-        .groupby("term").aggregate(Sum("partial_df", alias_name="df"))
-        .to_arrow_refs()))
+        .groupby("term").aggregate(Sum("partial_df", alias_name="df")),
+        schema=pa.schema([("term", pa.string()), ("df", pa.int64())]))
     if min_df > 1:
         df_tbl = df_tbl.filter(pc.greater_equal(df_tbl["df"], min_df))
     vref = ray.put((df_tbl["term"].combine_chunks(),
