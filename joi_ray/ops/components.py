@@ -125,7 +125,7 @@ def connected_components(
         .groupby("node")
         .min("label")
         .map_batches(
-            lambda t: t.rename_columns(["node", "label"]),
+            lambda t: t.rename_columns(["node", "label"]) if t.num_columns else t,
             batch_format="pyarrow",
             **REMOTE_KWARGS,
         )
@@ -137,10 +137,14 @@ def connected_components(
         if prev_sum is not None and cur == prev_sum:
             break
         prev_sum = cur
+        # driver-side type capture for typed-empty guards (never call
+        # Dataset.schema() inside a worker UDF)
+        _ls = labels.schema()
+        _nt, _lt = _ls.types[0], _ls.types[1]
         # edge relaxation: ship each edge's endpoint labels both ways
         ea = edges.join(
             labels.map_batches(
-                lambda t: t.rename_columns(["a", "la"]),
+                lambda t: t.rename_columns(["a", "la"]) if t.num_columns else t,
                 batch_format="pyarrow",
                 **REMOTE_KWARGS,
             ),
@@ -151,6 +155,9 @@ def connected_components(
         )
 
         def relax(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return pa.table({"node": pa.array([], _nt),
+                                 "label": pa.array([], _lt)})
             la = t["la"].combine_chunks()
             return pa.table(
                 {
@@ -170,7 +177,7 @@ def connected_components(
             .groupby("node")
             .min("label")
             .map_batches(
-                lambda t: t.rename_columns(["node", "label"]),
+                lambda t: t.rename_columns(["node", "label"]) if t.num_columns else t,
                 batch_format="pyarrow",
                 **REMOTE_KWARGS,
             )
@@ -179,7 +186,7 @@ def connected_components(
         # pointer jump: node -> label -> label(label)
         jump = merged.join(
             merged.map_batches(
-                lambda t: t.rename_columns(["label", "label2"]),
+                lambda t: t.rename_columns(["label", "label2"]) if t.num_columns else t,
                 batch_format="pyarrow",
                 **REMOTE_KWARGS,
             ),
@@ -190,6 +197,9 @@ def connected_components(
         )
 
         def pick(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return pa.table({"node": pa.array([], _nt),
+                                 "label": pa.array([], _lt)})
             lbl = pc.min_element_wise(
                 t["label"], pc.coalesce(t["label2"], t["label"])
             )
@@ -200,7 +210,7 @@ def connected_components(
             .groupby("node")
             .min("label")
             .map_batches(
-                lambda t: t.rename_columns(["node", "label"]),
+                lambda t: t.rename_columns(["node", "label"]) if t.num_columns else t,
                 batch_format="pyarrow",
                 **REMOTE_KWARGS,
             )

@@ -236,12 +236,15 @@ def minhash_duplicate_pairs(ds, text_col: str, id_col: str, *, threshold: float 
     njoin = join_num_partitions()
     j = left.join(right, join_type="inner", num_partitions=njoin, on=("band", "band_hash"),
                   aggregator_ray_remote_args={"num_cpus": 0.5})
+    _id_t = banded.schema().types[0]  # driver-side: never call Dataset.schema() in a worker
 
     def est_pairs(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.less(t["id_a"], t["id_b"]))
-        if t.num_rows == 0:
-            return pa.table({"id_a": pa.array([], banded.schema().types[0]),
-                             "id_b": pa.array([], banded.schema().types[0]),
+        # join partitions with no matches can emit schema-less empties
+        if t.num_columns:
+            t = t.filter(pc.less(t["id_a"], t["id_b"]))
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.table({"id_a": pa.array([], _id_t),
+                             "id_b": pa.array([], _id_t),
                              "est_jaccard": pa.array([], pa.float64())})
         sa = np.frombuffer(b"".join(t["sig_a"].combine_chunks().to_pylist()),
                            dtype=np.int64).reshape(-1, num_perm)
@@ -528,14 +531,17 @@ def simhash_duplicate_pairs(ds, text_col: str, id_col: str, *, max_hamming: int 
     left = banded.map_batches(lambda t: _rename(t, "_a"), batch_format="pyarrow", **REMOTE_KWARGS)
     right = banded.map_batches(lambda t: _rename(t, "_b"), batch_format="pyarrow", **REMOTE_KWARGS)
     njoin = join_num_partitions()
+    _id_t = banded.schema().types[0]  # driver-side: never call Dataset.schema() in a worker
     j = left.join(right, join_type="inner", num_partitions=njoin, on=("band", "band_val"),
                   aggregator_ray_remote_args={"num_cpus": 0.5})
 
     def ham_pairs(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.less(t["id_a"], t["id_b"]))
-        if t.num_rows == 0:
-            return pa.table({"id_a": pa.array([], banded.schema().types[0]),
-                             "id_b": pa.array([], banded.schema().types[0]),
+        # join partitions with no matches can emit schema-less empties
+        if t.num_columns:
+            t = t.filter(pc.less(t["id_a"], t["id_b"]))
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.table({"id_a": pa.array([], _id_t),
+                             "id_b": pa.array([], _id_t),
                              "hamming": pa.array([], pa.int64())})
         ha = t["sim_a"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
         hb = t["sim_b"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -697,8 +703,10 @@ def embedding_duplicate_pairs(ds, emb_col: str, id_col: str, *, threshold: float
         return data[start: start + n * width].view(np.float32).reshape(n, width // 4)
 
     def cos_pairs(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.less(t["id_a"], t["id_b"]))
-        if t.num_rows == 0:
+        # join partitions with no matches can emit schema-less empties
+        if t.num_columns:
+            t = t.filter(pc.less(t["id_a"], t["id_b"]))
+        if t.num_rows == 0 or t.num_columns == 0:
             return pa.table({"id_a": pa.array([], id_type), "id_b": pa.array([], id_type),
                              "cosine": pa.array([], pa.float64())})
         va = _unpack(t["vec_a"], t.num_rows)
