@@ -54,6 +54,11 @@ def make_external(args: dict):
     fn = resolve_callable(args["fn"])
 
     def kernel(arr: pa.Array, env: Env) -> RuleOut:
+        if env.prefs.get("externals", True) is False:
+            # prefs.externals=false skips external hooks entirely
+            # (test/validator.js:288-303)
+            return RuleOut(ok=np.ones(len(arr), dtype=bool), new_value=None,
+                           context={"fn": args["fn"]})
         out = fn(arr)
         ok, new_value = np.ones(len(arr), dtype=bool), None
         if isinstance(out, tuple):

@@ -137,3 +137,26 @@ def test_cli_describe_and_infer_subprocess(tmp_path):
     ).stdout
     inferred = json.loads(out2)
     assert inferred["keys"]["lang"]["type"] == "string"
+
+
+def test_externals_false_pref_skips_hooks():
+    # test/validator.js:288-303 — prefs.externals=false skips external rules
+    import pyarrow as pa
+    import joi_ray as jr
+    from joi_ray import compile_schema
+
+    calls = []
+
+    def hook(arr):
+        calls.append(len(arr))
+        import numpy as np
+        return np.zeros(len(arr), dtype=bool)  # would fail every row
+
+    import tests.test_extend_modify as me
+    me._ext_hook = hook
+    s = jr.object({"x": jr.string().external("tests.test_extend_modify:_ext_hook")})
+    t = pa.table({"x": ["a"]})
+    res = compile_schema(s, prefs={"externals": False}).validate_table(t)
+    assert list(res.ok) == [True] and calls == []
+    res2 = compile_schema(s).validate_table(t)
+    assert list(res2.ok) == [False] and calls == [1]
