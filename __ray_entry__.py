@@ -965,6 +965,19 @@ def _q_token_counts(sf_dir: str):
     return out.select_columns(["doc_id", "ws_tokens"])
 
 
+def _q_chunking(sf_dir: str):
+    """Overlapping token-window chunking (size=6, stride=4): the training
+    data prep step before packing/tokenization.  Vectorized flat-map
+    (joi_ray/ops/text.py chunk_documents); the oracle recomputes chunks via
+    generate_series + array slicing over the same whitespace tokens."""
+    import ray.data as rd
+
+    from joi_ray.ops.text import chunk_documents
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_documents(ds, size=6, stride=4)
+
+
 def _q_ann_top5(sf_dir: str):
     import ray.data as rd
 
@@ -2016,6 +2029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_region_revenue": _q_join_region,
         "events_sliding": _q_events_sliding,
         "token_counts": _q_token_counts,
+        "chunking": _q_chunking,
         "union_distinct": _q_union_distinct,
         "systematic_sample": _q_systematic_sample,
         "hash_split_counts": _q_hash_split,
@@ -2291,6 +2305,21 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens
             FROM documents
+        """,
+        "chunking": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS t,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n
+              FROM documents
+            )
+            SELECT doc_id, gs.g AS chunk_idx,
+                   array_to_string(t[(gs.g*4)+1 : (gs.g*4)+6], ' ') AS chunk_text,
+                   least(gs.g*4 + 6, n) - gs.g*4 AS n_tokens
+            FROM toks, LATERAL (
+              SELECT unnest(generate_series(0, CAST(ceil(n/4.0) AS BIGINT))) AS g) gs
+            WHERE n > 0 AND gs.g*4 < n
         """,
         "ann_top5": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0, 5))

@@ -389,3 +389,61 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id", *,
 
     return tf_ds.map_batches(score_topk, batch_format="pyarrow",
                              batch_size=None, **REMOTE_KWARGS)
+
+
+def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id", *,
+                    size: int = 256, stride: int | None = None):
+    """Split documents into overlapping token-window chunks — the training
+    data prep step before packing/tokenization.  Chunk ``g`` of a doc covers
+    whitespace tokens ``[g*stride, g*stride+size)``; chunks are emitted while
+    ``g*stride < n_tokens`` (the final ragged window included), an empty or
+    whitespace-only doc emits none.  Fully vectorized: a flat token gather
+    (np.arange offset trick, overlap duplicated) feeds one ListArray +
+    ``pc.binary_join`` — no Python loop over rows or chunks.  Streaming
+    flat-map shape: output rows ≈ input x (n/stride), each batch
+    independent, so 100 TB chunks the same way sf0.001 does."""
+    if stride is None:
+        stride = size
+    assert size >= 1 and 1 <= stride <= size, "need 1 <= stride <= size"
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks()
+        s = pc.utf8_trim_whitespace(pc.fill_null(batch[text_col].combine_chunks(), ""))
+        toks = pc.split_pattern_regex(s, r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pc.equal(pc.utf8_length(s), 0).to_numpy(zero_copy_only=False)
+        n_i = np.where(empty, 0, lens)
+        c_i = np.where(n_i == 0, 0, (np.maximum(n_i, 1) - 1) // stride + 1)
+        total_c = int(c_i.sum())
+        if total_c == 0:
+            return pa.table({id_col: pa.array([], ids.type),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string()),
+                             "n_tokens": pa.array([], pa.int64())})
+        doc_rep = np.repeat(np.arange(len(ids), dtype=np.int64), c_i)
+        coff = np.concatenate([[0], np.cumsum(c_i)[:-1]])
+        chunk_idx = np.arange(total_c, dtype=np.int64) - np.repeat(coff, c_i)
+        tok_start = chunk_idx * stride
+        tok_end = np.minimum(tok_start + size, n_i[doc_rep])
+        out_lens = tok_end - tok_start
+        flat = pc.list_flatten(toks)
+        # flat token base offset of each doc within the batch
+        base = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        ooff = np.concatenate([[0], np.cumsum(out_lens)[:-1]])
+        idx = (np.arange(int(out_lens.sum()), dtype=np.int64)
+               - np.repeat(ooff, out_lens)
+               + np.repeat(base[doc_rep] + tok_start, out_lens))
+        taken = flat.take(pa.array(idx))
+        offsets = np.concatenate([[0], np.cumsum(out_lens)]).astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), taken)
+        text_out = pc.binary_join(lst, " ")
+        return pa.table({
+            id_col: ids.take(pa.array(doc_rep)),
+            "chunk_idx": pa.array(chunk_idx),
+            "chunk_text": text_out,
+            "n_tokens": pa.array(out_lens),
+        })
+
+    from .._env import REMOTE_KWARGS
+
+    return ds.map_batches(chunks, batch_format="pyarrow", **REMOTE_KWARGS)

@@ -774,3 +774,23 @@ def test_stratified_sample_deterministic_and_stratum_scoped():
     lo = stratified_sample_batch(t.slice(0, 1000), rates={"en": 0.25, "zh": 0.5})
     hi = stratified_sample_batch(t.slice(1000), rates={"en": 0.25, "zh": 0.5})
     assert pa.concat_tables([lo, hi]).equals(out1)
+
+
+def test_chunk_documents(ray_session):
+    import ray.data as rd
+
+    from joi_ray.ops.text import chunk_documents
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": ["d1", "d2", "d3", "d4"],
+        "text": ["a b c d e f g", "x  y", "   ", None],
+    }))
+    out = chunk_documents(ds, size=4, stride=3).to_pandas().sort_values(
+        ["doc_id", "chunk_idx"]).reset_index(drop=True)
+    assert out["chunk_text"].tolist() == ["a b c d", "d e f g", "g", "x y"]
+    assert out["n_tokens"].tolist() == [4, 4, 1, 2]
+    assert out["chunk_idx"].tolist() == [0, 1, 2, 0]
+    # non-overlapping default stride: full partition of tokens
+    out2 = chunk_documents(ds, size=3).to_pandas()
+    d1 = out2[out2.doc_id == "d1"].sort_values("chunk_idx")
+    assert d1["chunk_text"].tolist() == ["a b c", "d e f", "g"]
