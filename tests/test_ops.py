@@ -794,3 +794,33 @@ def test_chunk_documents(ray_session):
     out2 = chunk_documents(ds, size=3).to_pandas()
     d1 = out2[out2.doc_id == "d1"].sort_values("chunk_idx")
     assert d1["chunk_text"].tolist() == ["a b c", "d e f", "g"]
+
+
+def test_chunk_documents_property_vs_python(ray_session):
+    """Randomized chunking vs a direct Python reference."""
+    import random
+
+    import ray.data as rd
+
+    from joi_ray.ops.text import chunk_documents
+
+    rng = random.Random(11)
+    words = ["tok%d" % i for i in range(50)]
+    docs = []
+    for i in range(80):
+        n = rng.randint(0, 30)
+        docs.append(" ".join(rng.choice(words) for _ in range(n)))
+    ids = [f"d{i:03d}" for i in range(len(docs))]
+    size, stride = 7, 5
+    expected = []
+    for did, text in zip(ids, docs):
+        toks = text.split()
+        g = 0
+        while g * stride < len(toks):
+            w = toks[g * stride: g * stride + size]
+            expected.append((did, g, " ".join(w), len(w)))
+            g += 1
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": docs})).repartition(5)
+    got = chunk_documents(ds, size=size, stride=stride).to_pandas()
+    got_t = sorted(map(tuple, got[["doc_id", "chunk_idx", "chunk_text", "n_tokens"]].values.tolist()))
+    assert got_t == sorted(expected)
