@@ -247,6 +247,15 @@ def run_bench() -> dict:
         "text", "doc_id", k=3).count()
     queries["tfidf_top3"] = round(time.time() - t0, 3)
 
+    # ---- overlapping token-window chunking over the expanded corpus
+    t0 = time.time()
+    from joi_ray.ops.text import chunk_documents
+
+    n_chunks = chunk_documents(
+        flat.map_batches(expand_uid, batch_format="pyarrow", batch_size=exp_bs),
+        "text", "doc_id", size=256, stride=192).count()
+    queries["chunking"] = round(time.time() - t0, 3)
+
     # ---- cleaning mode: stream only schema-passing rows (normalized)
     t0 = time.time()
     from joi_ray.pipelines.validate import filter_valid
