@@ -887,14 +887,16 @@ class ArraySchema(Schema):
     def __init__(self):
         super().__init__("array")
 
-    def items(self, *schemas: Schema) -> "ArraySchema":
+    def items(self, *schemas) -> "ArraySchema":
+        schemas = [compile_literal(v) for v in schemas]
         if self.flags.get("single") and _has_array_item(schemas):
             raise ValueError("Cannot specify array item with single rule enabled")
         s = self._clone()
         s.terms.setdefault("items", []).extend(schemas)
         return s
 
-    def ordered(self, *schemas: Schema) -> "ArraySchema":
+    def ordered(self, *schemas) -> "ArraySchema":
+        schemas = [compile_literal(v) for v in schemas]
         if self.flags.get("single") and _has_array_item(schemas):
             raise ValueError("Cannot specify array item with single rule enabled")
         s = self._clone()
@@ -960,7 +962,7 @@ class ObjectSchema(Schema):
         # (object()) allows any key; empty term (object({}) / keys({}))
         # forbids all keys
         if keys is not None:
-            self.terms["keys"] = dict(keys)
+            self.terms["keys"] = {k: compile_literal(v) for k, v in keys.items()}
 
     def keys(self, keys: dict[str, Schema] | None = None) -> "ObjectSchema":
         s = self._clone()
@@ -969,7 +971,8 @@ class ObjectSchema(Schema):
         elif not keys:  # keys({}) -> allow none (object.js:264-266)
             s.terms["keys"] = {}
         else:
-            s.terms.setdefault("keys", {}).update(keys)
+            s.terms.setdefault("keys", {}).update(
+                {k: compile_literal(v) for k, v in keys.items()})
         return s
 
     def append(self, keys: dict[str, Schema] | None = None) -> "ObjectSchema":
@@ -1086,9 +1089,9 @@ class AlternativesSchema(Schema):
     def __init__(self):
         super().__init__("alternatives")
 
-    def try_(self, *schemas: Schema) -> "AlternativesSchema":
+    def try_(self, *schemas) -> "AlternativesSchema":
         s = self._clone()
-        s.terms.setdefault("matches", []).extend(schemas)
+        s.terms.setdefault("matches", []).extend(compile_literal(v) for v in schemas)
         return s
 
     def when(self, condition, *, is_=None, then=None, otherwise=None, switch=None) -> "AlternativesSchema":
@@ -1235,11 +1238,16 @@ _BUILDERS = {
 def compile_literal(value) -> Schema:
     """Literal sugar (``/root/reference/lib/compile.js:31-77``): a plain dict
     becomes object().keys, a list of schemas alternatives().try, a compiled
-    regex string().pattern, a scalar a typed valid(x)."""
+    regex string().pattern, a scalar a typed valid(x), a Ref any().valid(ref),
+    None any().valid(None)."""
     import re as _re
 
     if isinstance(value, Schema):
         return value
+    if value is None:
+        return any_().valid(None)
+    if isinstance(value, Ref):
+        return any_().valid(value)
     if isinstance(value, _re.Pattern):
         return string().pattern(value.pattern)
     if isinstance(value, dict):

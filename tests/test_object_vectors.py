@@ -326,3 +326,30 @@ def test_empty_reset():
     t = pa.table({"x": [""]})
     res = run(obj({"x": s.min(1)}), t)
     assert [bool(b) for b in res.ok] == [False]
+
+
+def test_literal_sugar_in_containers():
+    # lib/compile.js:31-77 — dicts, lists, scalars, regexes compile to
+    # schemas inside keys()/items()/try_() (test/index.js:178-481)
+    import re
+    s = jr.object({
+        "a": {"b": jr.number()},          # dict -> object().keys
+        "c": [1, 2],                      # list -> alternatives(valid(1), valid(2))
+        "d": "x",                         # scalar -> string().valid('x')
+        "rx": re.compile(r"^a+$"),        # regex -> string().pattern
+    })
+    t = pa.table({
+        "a": pa.array([{"b": 5}, {"b": 5}], type=pa.struct({"b": pa.int64()})),
+        "c": [1, 3], "d": ["x", "y"], "rx": ["aaa", "b"],
+    })
+    res = run(obj({"x": jr.any_()}).keys({"a": s}), pa.table(
+        {"x": [None, None], "a": pa.array([None, None], type=pa.null())}))
+    res = run(s, t)
+    assert [bool(b) for b in res.ok] == [True, False]
+    assert sorted(codes(res, 1)) == ["alternatives.match", "any.only", "string.pattern.base"]
+    # array items literal
+    arr = jr.array().items("keep")
+    t2 = pa.table({"x": pa.array([["keep", "keep"], ["keep", "drop"]],
+                                 type=pa.list_(pa.string()))})
+    res2 = run(obj({"x": arr}), t2)
+    assert [bool(b) for b in res2.ok] == [True, False]
