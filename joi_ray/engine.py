@@ -1836,24 +1836,28 @@ def compile_schema(schema: Schema | dict, prefs: dict | None = None, id_column: 
 
 
 class ValidationFailure(ValueError):
-    def __init__(self, violations: pa.Table):
+    def __init__(self, violations: pa.Table, message: str | None = None):
         self.violations = violations
         first = violations.to_pylist()[:3]
-        super().__init__(f"{violations.num_rows} violation(s); first: {first}")
+        prefix = f"{message} " if message else ""
+        super().__init__(f"{prefix}{violations.num_rows} violation(s); first: {first}")
 
 
-def assert_(tbl: pa.Table, schema: "Schema | dict", prefs: dict | None = None, id_column: str | None = None) -> None:
+def assert_(tbl: pa.Table, schema: "Schema | dict", prefs: dict | None = None, id_column: str | None = None,
+            message: str | None = None) -> None:
     """Validate-or-raise without returning the normalized table (the
-    ``Joi.assert`` analog)."""
-    attempt(tbl, schema, prefs, id_column)
+    ``Joi.assert`` analog; ``message`` prefixes the raised error —
+    lib/index.js:83-103)."""
+    attempt(tbl, schema, prefs, id_column, message)
 
 
-def attempt(tbl: pa.Table, schema: Schema | dict, prefs: dict | None = None, id_column: str | None = None) -> pa.Table:
+def attempt(tbl: pa.Table, schema: Schema | dict, prefs: dict | None = None, id_column: str | None = None,
+            message: str | None = None) -> pa.Table:
     """Validate-or-raise convenience (the ``Joi.attempt`` analog,
     ``/root/reference/lib/index.js:54-59``): returns the normalized table or
     raises ``ValidationFailure`` carrying the violation rows."""
     res = compile_schema(schema, prefs, id_column).validate_table(tbl)
     errors = res.violations.filter(pc.equal(res.violations["severity"], "error"))
     if errors.num_rows:
-        raise ValidationFailure(errors)
+        raise ValidationFailure(errors, message)
     return res.value
