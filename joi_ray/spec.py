@@ -500,34 +500,81 @@ class Schema:
     def id_(self, name: str) -> "Schema":
         return self._flag("id", name)
 
+    def id(self, name: str) -> "Schema":
+        """Set the schema's modify id (``lib/modify.js`` Ids; overriding an
+        existing id or a non-string throws — test/modify.js:576-592)."""
+        if not name or not isinstance(name, str):
+            raise ValueError("id must be a non-empty string")
+        if "id" in self.flags:
+            raise ValueError(f"Cannot override schema id {self.flags['id']}")
+        return self._flag("id", name)
+
+    def _resolve_child(self, seg: str):
+        """Find a direct child by modify id: object keys match their key
+        name or an explicit id flag; array items/ordered and alternatives
+        branches match by explicit id only (lib/modify.js Ids.Store)."""
+        for k, v in self.terms.get("keys", {}).items():
+            if v.flags.get("id", k) == seg:
+                return ("keys", k, v)
+        for term in ("items", "ordered", "matches"):
+            for i, v in enumerate(self.terms.get(term, [])):
+                if isinstance(v, Schema):
+                    if v.flags.get("id") == seg:
+                        return (term, i, v)
+                elif isinstance(v, dict):  # conditional alternatives entry
+                    for branch in ("then", "otherwise", "peek"):
+                        b = v.get(branch)
+                        if isinstance(b, Schema) and b.flags.get("id") == seg:
+                            return (term, (i, branch), b)
+        return None
+
     def extract(self, path: str) -> "Schema":
-        """Reach a subschema by dotted key path (``lib/base.js:488-506``)."""
+        """Reach a subschema by dotted id path (``lib/base.js:488-506``;
+        ids default to object key names, arrays/alternatives need explicit
+        ``id()`` — test/modify.js:19-101)."""
         node = self
         for part in path.split("."):
-            keys = node.terms.get("keys", {})
-            if part not in keys:
+            hit = node._resolve_child(part)
+            if hit is None:
                 raise KeyError(f"no subschema at {path!r} (missing {part!r})")
-            node = keys[part]
+            node = hit[2]
         return node
 
     def fork(self, paths, adjuster) -> "Schema":
         """Return a clone with the subschemas at ``paths`` rewritten by
-        ``adjuster(schema) -> schema`` (``lib/modify.js:12-142``)."""
+        ``adjuster(schema) -> schema`` (``lib/modify.js:12-142``); paths
+        traverse object keys, array items/ordered and alternatives branches
+        via the same id resolution as ``extract``."""
         if isinstance(paths, str):
             paths = [paths]
         s = self._clone()
         for path in paths:
             parts = path.split(".")
+
             def rewrite(node: "Schema", parts: list[str]) -> "Schema":
                 if not parts:
                     return adjuster(node)
-                n = node._clone()
-                keys = dict(n.terms.get("keys", {}))
-                if parts[0] not in keys:
+                hit = node._resolve_child(parts[0])
+                if hit is None:
                     raise KeyError(f"no subschema at {path!r}")
-                keys[parts[0]] = rewrite(keys[parts[0]], parts[1:])
-                n.terms["keys"] = keys
+                term, where, child = hit
+                n = node._clone()
+                if term == "keys":
+                    keys = dict(n.terms.get("keys", {}))
+                    keys[where] = rewrite(keys[where], parts[1:])
+                    n.terms["keys"] = keys
+                else:
+                    entries = list(n.terms.get(term, []))
+                    if isinstance(where, tuple):
+                        i, branch = where
+                        entry = dict(entries[i])
+                        entry[branch] = rewrite(entry[branch], parts[1:])
+                        entries[i] = entry
+                    else:
+                        entries[where] = rewrite(entries[where], parts[1:])
+                    n.terms[term] = entries
                 return n
+
             s = rewrite(s, parts)
         return s
 

@@ -160,3 +160,38 @@ def test_externals_false_pref_skips_hooks():
     assert list(res.ok) == [True] and calls == []
     res2 = compile_schema(s).validate_table(t)
     assert list(res2.ok) == [False] and calls == [1]
+
+
+def test_id_extract_fork_containers():
+    # modify.js:19-101 extract via ids; :447-574 fork into arrays and
+    # alternatives branches; :576-592 id() asserts
+    import pytest
+
+    import joi_ray as jr
+
+    s2 = jr.object({"a": jr.number().id("x")})
+    assert s2.extract("x").type == "number"
+    with pytest.raises(ValueError):
+        jr.number().id("a").id("b")
+    with pytest.raises(ValueError):
+        jr.number().id("")
+
+    arr = jr.object({"lst": jr.array().items(jr.number().id("it"))})
+    f = arr.fork("lst.it", lambda sc: sc.max(5))
+    rules = f.describe()["keys"]["lst"]["items"][0].get("rules", [])
+    assert any(r["name"] == "max" for r in rules)
+    assert arr.extract("lst.it").type == "number"
+    # original untouched (immutability, modify.js:131-171)
+    assert not any(r["name"] == "max"
+                   for r in arr.describe()["keys"]["lst"]["items"][0].get("rules", []))
+
+    alt = jr.object({"v": jr.alternatives(jr.number().id("n"), jr.string().id("s"))})
+    f2 = alt.fork("v.s", lambda sc: sc.min(2))
+    d = f2.describe()["keys"]["v"]["matches"][1]
+    assert any(r["name"] == "min" for r in d.get("rules", []))
+    # fork into a conditional when branch
+    alt3 = jr.object({"v": jr.alternatives().when(
+        "c", is_=1, then=jr.string().id("th"))})
+    f3 = alt3.fork("v.th", lambda sc: sc.min(3))
+    d3 = f3.describe()["keys"]["v"]["matches"][0]["then"]
+    assert any(r["name"] == "min" for r in d3.get("rules", []))
