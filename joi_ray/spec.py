@@ -439,6 +439,8 @@ class Schema:
         ``switch`` is a list of {"is": ..., "then": ...} entries.
         """
         s = self._clone()
+        _b = lambda v: v if v is None or isinstance(v, Schema) else compile_literal(v)
+        then, otherwise = _b(then), _b(otherwise)
         if isinstance(condition, Schema):
             if is_ is not None or switch is not None:
                 raise ValueError('"is_"/"switch" cannot be used with a schema condition'
@@ -454,7 +456,8 @@ class Schema:
         entry = {"ref": cond}
         if switch is not None:
             entry["switch"] = [
-                {"is": c["is"], "then": c["then"], **({"otherwise": c["otherwise"]} if "otherwise" in c else {})}
+                {"is": c["is"], "then": _b(c["then"]),
+                 **({"otherwise": _b(c["otherwise"])} if "otherwise" in c else {})}
                 for c in switch
             ]
         else:
