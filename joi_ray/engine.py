@@ -1534,7 +1534,25 @@ def _eval_structural_rule(node, cr, arr, env, path, scope, missing, resolved, fa
             r = args["ref"]
             schema = args["schema"]
             cnode = CNode(schema if isinstance(schema, Schema) else build(schema), env.prefs)
-            subject = env.resolve_ref(r, n) if not pa.types.is_struct(arr.type) else combine(pc.struct_field(arr, r.path))
+            if pa.types.is_struct(arr.type):
+                # subject path resolves within the object's own value,
+                # dotted segments walking struct fields; refs inside the
+                # assert schema resolve with the object prepended to the
+                # ancestor chain (object.js:221-224 — ancestors:
+                # [value, ...state.ancestors])
+                from .kernels.util import _walk_ref_path
+
+                subject = combine(_walk_ref_path(arr, r.parts, n))
+
+                def _own_child(seg, _arr=arr, _n=n):
+                    t = _arr.type
+                    if t.get_field_index(seg) >= 0:
+                        return pc.struct_field(_arr, seg)
+                    return pa.nulls(_n)
+
+                env = env.child(_own_child)
+            else:
+                subject = env.resolve_ref(r, n)
             if not isinstance(subject, (pa.Array, pa.ChunkedArray)):
                 subject = pa.array([subject] * n)
             ok = node_validity(cnode, combine(subject), env, active)

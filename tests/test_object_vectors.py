@@ -353,3 +353,16 @@ def test_literal_sugar_in_containers():
                                  type=pa.list_(pa.string()))})
     res2 = run(obj({"x": arr}), t2)
     assert [bool(b) for b in res2.ok] == [True, False]
+
+
+def test_assert_nested_ref_subject():
+    # object.js:984-1027 — assert subject path walks nested keys; refs in
+    # the assert schema resolve against the object's own children
+    st = pa.struct({"a": pa.struct({"b": pa.int64()}), "d": pa.int64()})
+    t = pa.table({"x": pa.array(
+        [{"a": {"b": 1}, "d": 1}, {"a": {"b": 1}, "d": 2}], type=st)})
+    s = jr.object({"a": jr.object({"b": jr.number()}), "d": jr.number()}).assert_(
+        jr.ref("a.b"), jr.number().valid(jr.ref("d")), "must equal d")
+    res = run(obj({"x": s}), t)
+    assert [bool(b) for b in res.ok] == [True, False]
+    assert codes(res, 1) == ["object.assert"]
