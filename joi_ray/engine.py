@@ -642,8 +642,22 @@ def eval_node(
     if node.invalid_missing:
         pass  # null in invalid(): joi invalid(null) -> missing is an error only if present-as-null; N/A in Arrow
 
-    # ---- base type errors from coercion
-    add_err(f"{node.type}.base", base_fail & ~resolved, seq=-1)
+    # ---- base type errors from coercion; date picks a format-specific
+    # code (date.js:39-49: strict -> date.strict, iso -> date.isoDate,
+    # timestamp -> date.timestamp.{javascript|unix})
+    base_code = f"{node.type}.base"
+    if node.type == "date":
+        if not env.convert:
+            base_code = "date.strict"
+        else:
+            fmt = node.flags.get("format")
+            if fmt == "iso":
+                base_code = "date.isoDate"
+            elif fmt == "ms":
+                base_code = "date.timestamp.javascript"
+            elif fmt == "s":
+                base_code = "date.timestamp.unix"
+    add_err(base_code, base_fail & ~resolved, seq=-1)
 
     # ---- number base checks: NaN / Infinity / unsafe magnitude
     if node.type == "number" and (pa.types.is_floating(arr.type) or pa.types.is_integer(arr.type)):

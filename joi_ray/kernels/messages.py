@@ -68,6 +68,10 @@ MESSAGES: dict[str, str] = {
     "boolean.base": '"{label}" must be a boolean',
     # date
     "date.base": '"{label}" must be a number of milliseconds or valid date string',
+    "date.strict": '"{label}" must be a valid date',
+    "date.timestamp.javascript": '"{label}" must be a valid timestamp or number of milliseconds',
+    "date.timestamp.unix": '"{label}" must be a valid timestamp or number of seconds',
+    "date.isoDate": '"{label}" must be a valid ISO 8601 date',
     "date.format": '"{label}" must be in {format} format',
     "date.min": '"{label}" must be larger than or equal to "{limit}"',
     "date.max": '"{label}" must be less than or equal to "{limit}"',

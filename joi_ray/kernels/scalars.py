@@ -108,15 +108,47 @@ def coerce_date(arr: pa.Array, env: Env, flags: dict):
                         pa.py_buffer(ms_vals.tobytes())])
             fail = ~valid & ~was_null
             return out, fail
-        if fmt != "iso":
-            # default (javascript) format also accepts numeric strings as
-            # ms-epoch (date.js:178-183: /^[+-]?\d+(\.\d+)?$/ -> Number);
-            # unix format interprets them as seconds
-            numeric = s.str.fullmatch(r"[+-]?\d+(\.\d+)?", na=False)
-            if numeric.any():
-                vals = pd.to_numeric(s, errors="coerce") * (1000 if fmt == "s" else 1)
-                as_ms = pd.to_datetime(vals, unit="ms", errors="coerce")
-                parsed = parsed.where(~numeric, as_ms)
+        if fmt in ("ms", "s"):
+            # timestamp formats multiply the JS-Number coercion of the
+            # string (date.js:195-208: `value * mult` — scientific notation
+            # included; whitespace-only is null).  ISO parses never apply.
+            blank = s.str.fullmatch(r"\s*", na=True)
+            vals = pd.to_numeric(s.str.strip(), errors="coerce") * (1000 if fmt == "s" else 1)
+            vals[blank.to_numpy(dtype=bool)] = np.nan
+            as_ms = pd.to_datetime(vals, unit="ms", errors="coerce")
+            out = pa.Array.from_pandas(as_ms.astype("datetime64[ms]"), type=ts)
+            fail = as_bool_np(pc.is_null(out), n) & ~was_null
+            return out, fail
+        # plain date(): numeric strings are ms-epoch (date.js:178-183:
+        # /^[+-]?\d+(\.\d+)?$/ -> Number), everything else goes through the
+        # JS legacy Date(string) model — approximated for the residual
+        # non-ISO rows with pandas' free-form parser (documented: V8's
+        # legacy grammar and pandas disagree on exotic forms)
+        numeric = s.str.fullmatch(r"[+-]?\d+(\.\d+)?", na=False)
+        if numeric.any():
+            vals = pd.to_numeric(s, errors="coerce")
+            as_ms = pd.to_datetime(vals, unit="ms", errors="coerce")
+            parsed = parsed.where(~numeric, as_ms)
+        residual = parsed.isna() & s.notna() & ~numeric
+        if residual.any():
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                free = pd.to_datetime(s[residual], errors="coerce", utc=True)
+                nat = free.isna()
+                if nat.any():
+                    # a trailing UTC/GMT zone name trips dateutil on
+                    # digit-dash forms ('1-1-2013 UTC'); strip and re-parse
+                    stripped = s[residual][nat].str.replace(
+                        r"\s+(UTC|GMT)\s*$", "", regex=True, case=False)
+                    free = free.where(~nat, pd.to_datetime(
+                        stripped, errors="coerce", utc=True))
+            try:
+                free = free.dt.tz_localize(None)
+            except (TypeError, AttributeError):
+                pass
+            parsed = parsed.where(~residual, free)
         out = pa.Array.from_pandas(parsed.astype("datetime64[ms]"), type=ts)
         fail = as_bool_np(pc.is_null(out), n) & ~was_null
         return out, fail

@@ -890,7 +890,9 @@ class DateSchema(Schema):
         return self._flag("format", "iso")
 
     def timestamp(self, unit: str = "javascript") -> "DateSchema":
-        return self._flag("format", {"javascript": "ms", "unix": "s"}.get(unit, unit))
+        if unit not in ("javascript", "unix"):
+            raise ValueError('"type" must be one of [javascript, unix] (date.js:120-126)')
+        return self._flag("format", {"javascript": "ms", "unix": "s"}[unit])
 
 
 class BinarySchema(Schema):

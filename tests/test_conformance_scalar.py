@@ -131,7 +131,8 @@ def test_date_ref_limit_cross_column():
 
 def test_date_iso_rejects_numeric():
     check(jr.date().iso(), [("2024-01-01", True)])
-    check(jr.date().iso(), [(1_700_000_000_000, False, "date.base")], column_type=pa.int64())
+    # format=iso failures carry date.isoDate (date.js:48)
+    check(jr.date().iso(), [(1_700_000_000_000, False, "date.isoDate")], column_type=pa.int64())
 
 
 def test_boolean_truthy_case_sensitivity():

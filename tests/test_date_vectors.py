@@ -9,6 +9,7 @@ import pyarrow as pa
 import joi_ray as jr
 from joi_ray import compile_schema
 from joi_ray import object as obj
+from tests.helper import check
 
 # (input, valid) — test/types/date.js:429-538 verbatim
 ISO_VECTORS = [
@@ -124,3 +125,41 @@ def test_js_iso_parse_rejects_invalid_calendar():
     assert _js_iso_parse_ms("2013-06-07T25:00") is None
     assert _js_iso_parse_ms("2013-06-07T24:00:01") is None
     assert _js_iso_parse_ms("-000000-01-01") is None       # JS: -000000 invalid
+
+
+def test_date_plain_legacy_forms():
+    # date.js:137-163 — plain date() accepts JS-Date legacy string forms
+    # and numeric-string ms-epoch; invalid strings -> date.base
+    res = check(jr.date(), [
+        ("1-1-2013 UTC", True),
+        ("1357948800000", True),
+        ("Jan 1 2013", True),
+        ("not a valid date", False, "date.base"),
+    ])
+
+
+def test_date_timestamp_number_coercion():
+    # date.js:1218-1287 — JS Number() semantics: decimals, scientific
+    # notation; blank / non-numeric -> date.timestamp.javascript
+    check(jr.date().timestamp(), [
+        ("1452126061677.0000", True),
+        ("1.452126061677e+12", True),
+        ("1E3", True),
+        (",", False, "date.timestamp.javascript"),
+        ("123A,0xA", False, "date.timestamp.javascript"),
+        ("1-1-2013 UTC", False, "date.timestamp.javascript"),
+        ("", False, "date.timestamp.javascript"),
+    ])
+    check(jr.date().timestamp("unix"), [
+        ("1452126061.677", True),
+        ("x", False, "date.timestamp.unix"),
+    ])
+
+
+def test_date_format_codes_and_asserts():
+    # date.js:39-49 code selection; :120-126 type assert; strict mode
+    import pytest
+    check(jr.date().iso(), [("1-1-2013", False, "date.isoDate")])
+    check(jr.date(), [("2013-01-01", False, "date.strict")], prefs={"convert": False})
+    with pytest.raises(ValueError):
+        jr.date().timestamp("not allowed")
