@@ -256,3 +256,42 @@ def test_json_roundtrip_validates_identically(ks, data):
     assert list(a.ok) == list(b.ok)
     assert a.violations.to_pylist() == b.violations.to_pylist()
     assert a.value["v"].to_pylist() == b.value["v"].to_pylist()
+
+
+# ---- manifest round-trip over randomly composed schemas including the
+# round-3 surfaces (keys-term variants, conditional alternatives, ref
+# options, deep defaults) — mirrors test/helper.js:25-27 suite-wide check
+_leaf = st.sampled_from([
+    jr.string(), jr.string().min(1).max(5), jr.number().integer(),
+    jr.boolean(), jr.date().iso(), jr.any_().valid("x", 1),
+    jr.string().valid(jr.ref("a", map=[["x", "y"]])),
+    jr.number().min(jr.ref("...cap")),
+    jr.number().default(jr.ref("a")),
+    jr.string().empty("").empty(),
+])
+
+
+def _containers(children):
+    return st.one_of(
+        st.builds(lambda c: jr.object({"k": c}), children),
+        st.builds(lambda c: jr.object({"k": c}).keys(), children),
+        st.builds(lambda c: jr.object({}).keys({"k": c}), children),
+        st.builds(lambda c: jr.array().items(c), children),
+        st.builds(lambda c: jr.alternatives(c, jr.number()), children),
+        st.builds(lambda c: jr.alternatives().when("b", is_=5, then=c, otherwise="z"), children),
+        st.builds(lambda c: jr.alternatives().when(jr.number().min(0), then=c), children),
+        st.builds(lambda c: jr.object({"a": c.required() if c.type != "alternatives" else c}).default(), children),
+    )
+
+
+_schemas = st.recursive(_leaf, _containers, max_leaves=4)
+
+
+@given(_schemas)
+def test_manifest_roundtrip_random_schemas(s):
+    d = s.describe()
+    rebuilt = jr.build(d)
+    assert rebuilt == s, (d, rebuilt.describe())
+    # describe output is pure JSON
+    import json
+    json.dumps(d)
