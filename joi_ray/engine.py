@@ -607,15 +607,19 @@ def eval_node(
         if not warn:
             np.logical_or(failed, mask, out=failed)
 
-    # ---- presence (lib/validator.js:168-190)
-    presence = node.flags.get("presence", "optional")
+    # ---- presence (lib/validator.js:168-190): the explicit flag wins,
+    # else prefs.presence supplies the default for every node
+    presence = node.flags.get("presence") or env.prefs.get("presence", "optional")
     if node.allow_missing:
         resolved |= missing
     elif presence == "required":
         add_err("any.required", missing, seq=-3)
     elif presence == "forbidden":
+        # joi returns immediately on a present forbidden value
+        # (validator.js:188-190) — any.unknown is the ONLY error; no
+        # valids/base/rules run for those rows
         add_err("any.unknown", present, seq=-3)
-        resolved |= missing
+        resolved |= missing | present
     else:
         resolved |= missing
 
@@ -719,12 +723,21 @@ def eval_node(
         if out.new_value is not None:
             arr = out.new_value
         bad = active & ~out.ok
+        if out.item_rows is not None:
+            keep = active[out.item_rows]
+            add_err(cr.code, bad, out.context, seq=cr.seq, warn=cr.warn,
+                    message=cr.message, item_rows=out.item_rows[keep],
+                    item_index=out.item_index[keep])
+            continue
         add_err(cr.code, bad, out.context, seq=cr.seq, warn=cr.warn, message=cr.message)
 
     # ---- finalize (lib/validator.js:351-430); noDefaults pref skips
     # default/failover substitution (test/base.js:1104-1155)
     no_defaults = env.prefs.get("no_defaults", False)
-    if ("default" in node.flags and presence not in ("required", "forbidden")
+    # joi's finalize substitutes the default whenever the value is undefined
+    # regardless of presence (validator.js:383-386): required-missing rows
+    # carry any.required AND the default in the output value
+    if ("default" in node.flags
             and not no_defaults and node.flags["default"] != Schema._DEEP_DEFAULT):
         dv = node.flags["default"]
         fill_mask = missing & scope
@@ -1830,10 +1843,26 @@ class CompiledSchema:
             ctx_json = json.dumps(rec.context, default=str, sort_keys=True) if rec.context else "{}"
             # message priority: per-rule override > prefs.messages map > catalog
             override = rec.message or k_messages.lookup_override(rec.code, self.prefs)
-            msg = render(rec.code, rec.path, rec.context, override)
+            # joi renders the label from the FULL state path including the
+            # item index ("b[0]", errors.js:87-107) unless a label flag
+            # overrides it; item errors therefore need one render per
+            # distinct index (bounded by max list length, not row count).
+            if "label" not in (rec.context or {}) and (items >= 0).any():
+                by_item = {
+                    int(it): render(
+                        rec.code,
+                        rec.path if it < 0 else f"{rec.path}[{int(it)}]",
+                        rec.context,
+                        override,
+                    )
+                    for it in np.unique(items)
+                }
+                msg_l.extend([by_item[int(it)] for it in items])
+            else:
+                msg = render(rec.code, rec.path, rec.context, override)
+                msg_l.extend([msg] * k)
             path_l.extend([rec.path] * k)
             code_l.extend([rec.code] * k)
-            msg_l.extend([msg] * k)
             ctx_l.extend([ctx_json] * k)
             sev_l.extend(["warn" if rec.warn else "error"] * k)
             seq_l.extend([rec.seq] * k)

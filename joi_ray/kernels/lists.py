@@ -68,7 +68,7 @@ def make_unique(args):
 
     def kernel(arr, env: Env) -> RuleOut:
         n = len(arr)
-        flat, parents, _ = _item_values(arr, by)
+        flat, parents, positions = _item_values(arr, by)
         ok = np.ones(n, dtype=bool)
         if not len(parents):
             return RuleOut(ok=ok, context={"path": by})
@@ -78,18 +78,27 @@ def make_unique(args):
             from collections import defaultdict
 
             groups: dict[int, list] = defaultdict(list)
-            for v, p in zip(flat.to_pylist(), parents):
+            for v, p, pos in zip(flat.to_pylist(), parents, positions):
                 if ignore_undefined and v is None:
                     continue
-                groups[int(p)].append(v)
-            for p, items in groups.items():
-                if any(
-                    comparator(items[i], items[j])
-                    for i in range(len(items))
-                    for j in range(i + 1, len(items))
-                ):
+                groups[int(p)].append((v, int(pos)))
+            bad_rows, bad_pos = [], []
+            for p, items in sorted(groups.items()):
+                hit = None
+                for j in range(1, len(items)):
+                    if any(comparator(items[i][0], items[j][0]) for i in range(j)):
+                        hit = items[j][1]
+                        break
+                if hit is not None:
                     ok[p] = False
-            return RuleOut(ok=ok, context={"path": by})
+                    bad_rows.append(p)
+                    bad_pos.append(hit)
+            return RuleOut(
+                ok=ok,
+                context={"path": by},
+                item_rows=np.asarray(bad_rows, dtype=np.int64),
+                item_index=np.asarray(bad_pos, dtype=np.int32),
+            ) if bad_rows else RuleOut(ok=ok, context={"path": by})
         s = flat.to_pandas()
         if pa.types.is_nested(flat.type):
             # deep-equal fallback (array.js:497): canonical JSON as the
@@ -97,15 +106,24 @@ def make_unique(args):
             s = s.map(
                 lambda v: None if v is None else json.dumps(v, sort_keys=True, default=str)
             )
-        df = pd.DataFrame({"p": parents, "v": s})
+        df = pd.DataFrame({"p": parents, "v": s, "pos": positions})
         if ignore_undefined:
             df = df[df["v"].notna()]
         # nulls participate by default: two null items are duplicates
         # (array.js:476 — ignoreUndefined turns that off)
         dup = df.duplicated(subset=["p", "v"], keep="first")
-        bad_parents = np.unique(df.loc[dup, "p"].to_numpy())
+        # joi stops at the FIRST duplicate per row and reports it at the
+        # later occurrence's position (array.js:461-495: "[2]" for
+        # [1,2,1,2]) — one error per row, item-indexed
+        firsts = df.loc[dup, ["p", "pos"]].groupby("p", sort=True)["pos"].min()
+        bad_parents = firsts.index.to_numpy()
         ok[bad_parents] = False
-        return RuleOut(ok=ok, context={"path": by})
+        return RuleOut(
+            ok=ok,
+            context={"path": by},
+            item_rows=bad_parents.astype(np.int64),
+            item_index=firsts.to_numpy().astype(np.int32),
+        )
 
     return kernel
 

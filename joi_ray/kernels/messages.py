@@ -189,6 +189,18 @@ def _stringify(v) -> str:
         return "[" + ", ".join(_stringify(x) for x in v) + "]"
     if isinstance(v, bool):
         return "true" if v else "false"
+    if isinstance(v, float):
+        # JS Number.prototype.toString: integral values render without a
+        # decimal point ("2", not "2.0"); -0 renders "0"
+        import math as _math
+
+        if _math.isnan(v):
+            return "NaN"
+        if _math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
+        if v.is_integer() and abs(v) < 1e21:
+            return str(int(v))
+        return str(v)
     if isinstance(v, (bytes, bytearray)):
         # joi renders Buffers via .toString() (utf8): "must be one of [hello]"
         return bytes(v).decode("utf-8", errors="replace")

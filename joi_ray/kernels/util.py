@@ -49,6 +49,10 @@ class RuleOut:
     ok: np.ndarray                    # True = pass (or not applicable)
     context: dict = field(default_factory=dict)
     new_value: Optional[pa.Array] = None   # convert rules rewrite the column
+    # span-level failures: parallel arrays of (row, item position) so the
+    # error renders at the offending list element ("b[2]", errors.js:87-107)
+    item_rows: Optional[np.ndarray] = None
+    item_index: Optional[np.ndarray] = None
 
 
 @dataclass

@@ -137,7 +137,7 @@ def test_array_excludes_forbidden_items():  # array.js:145-153, 206-218
     t = pa.table({"a": pa.array([["x"], ["1"]], pa.list_(pa.string()))})
     v = _viol(s, t)
     assert [x["code"] for x in v] == ["array.excludes", "array.excludes"]
-    assert v[0]["message"] == '"a" contains an excluded value'
+    assert v[0]["message"] == '"a[0]" contains an excluded value'  # label includes index (verified vs reference)
     # exclusion-only items: non-matching values pass untouched
     s2 = obj({"a": jr.array().items(jr.string().valid("bad").forbidden())})
     t2 = pa.table({"a": pa.array([["ok"], ["bad"]], pa.list_(pa.string()))})

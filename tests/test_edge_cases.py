@@ -88,10 +88,14 @@ def test_unknown_pref_vs_flag_priority():
     assert list(res.ok) == [True]
 
 
-def test_forbidden_with_default_does_not_fill():
+def test_forbidden_with_default_fills():
     res = V(obj({"x": jr.string().forbidden().default("d")}), pa.table({"x": pa.array([None], pa.string())}))
-    # forbidden + missing is fine; default must not resurrect the column value
-    assert res.value["x"].to_pylist() == [None]
+    # joi's finalize applies the default whenever the value is undefined,
+    # regardless of presence (validator.js:383-386) — verified against the
+    # reference: Joi.string().forbidden().default('d').validate(undefined)
+    # returns {value: 'd'} with no error
+    assert res.value["x"].to_pylist() == ["d"]
+    assert list(res.ok) == [True]
 
 
 def test_dictionary_large_string_chunked_inputs():

@@ -1,0 +1,414 @@
+"""Differential harness: run the REFERENCE joi (via node + tools/refshim)
+and joi_ray over the same (schema manifest, rows, prefs) and diff results.
+
+The reference process is long-lived (one node spawn per harness), speaking
+line-delimited JSON over stdio (see tools/refshim/refrunner.js for the
+marker conventions that carry undefined/NaN/Date/Buffer through JSON).
+
+Usage:
+    ref = RefJoi()
+    devs = diff_case(ref, schema, rows, col_types, prefs={...})
+    # devs == []  <=>  parity on ok-mask, error (path, code) sets,
+    #                  messages, warnings, and converted values.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+import subprocess
+from datetime import datetime, timezone
+
+import pyarrow as pa
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RUNNER = os.path.join(REPO, "tools", "refshim", "refrunner.js")
+SHIM_PATH = os.path.join(REPO, "tools", "refshim", "node_modules")
+
+#: sentinel for "key absent from this row" (joi: undefined)
+MISSING = object()
+
+
+def node_available() -> bool:
+    try:
+        subprocess.run(["node", "--version"], capture_output=True, timeout=10)
+        return True
+    except Exception:
+        return False
+
+
+class RefJoi:
+    """Long-lived reference-joi subprocess."""
+
+    def __init__(self):
+        env = dict(os.environ, NODE_PATH=SHIM_PATH)
+        self.proc = subprocess.Popen(
+            ["node", RUNNER],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+            text=True,
+        )
+        self._id = 0
+
+    def close(self):
+        if self.proc.poll() is None:
+            self.proc.stdin.close()
+            self.proc.wait(timeout=10)
+
+    def validate(
+        self,
+        manifest: dict | None,
+        rows: list,
+        prefs: dict | None = None,
+        spec: dict | None = None,
+    ) -> list[dict]:
+        """rows: list of dicts of python values (MISSING drops the key).
+        Returns per-row {'value','errors','warnings'} with markers decoded.
+        Pass either a describe() `manifest` (consumed by Joi.build) or a
+        builder-call `spec` (replayed through the public Joi API)."""
+        self._id += 1
+        req = {
+            "id": self._id,
+            "manifest": manifest,
+            "prefs": _to_marker(prefs or {}),
+            "rows": [_row_to_marker(r) for r in rows],
+        }
+        if spec is not None:
+            req["spec"] = spec
+        self.proc.stdin.write(json.dumps(req) + "\n")
+        self.proc.stdin.flush()
+        line = self.proc.stdout.readline()
+        if not line:
+            err = self.proc.stderr.read()
+            raise RuntimeError(f"refrunner died: {err}")
+        resp = json.loads(line)
+        if not resp.get("ok"):
+            raise RefJoiError(resp.get("error", "unknown"))
+        out = []
+        for r in resp["results"]:
+            out.append(
+                {
+                    "value": _from_marker(r["value"]),
+                    "errors": r["errors"],
+                    "warnings": r["warnings"],
+                }
+            )
+        return out
+
+
+class RefJoiError(RuntimeError):
+    pass
+
+
+# -- marker (de)serialization ------------------------------------------------
+
+def _row_to_marker(row: dict) -> dict:
+    return {k: _to_marker(v) for k, v in row.items() if v is not MISSING}
+
+
+def _to_marker(v):
+    if v is MISSING:
+        return {"$undef": True}
+    if isinstance(v, float):
+        if math.isnan(v):
+            return {"$nan": True}
+        if math.isinf(v):
+            return {"$inf": 1 if v > 0 else -1}
+        if v == 0 and math.copysign(1, v) < 0:
+            return {"$negz": True}
+        return v
+    if isinstance(v, (bytes, bytearray)):
+        import base64
+
+        return {"$bin": base64.b64encode(bytes(v)).decode()}
+    if isinstance(v, datetime):
+        return {"$date": int(v.timestamp() * 1000)}
+    if isinstance(v, dict):
+        return {k: _to_marker(x) for k, x in v.items() if x is not MISSING}
+    if isinstance(v, (list, tuple)):
+        return [_to_marker(x) for x in v]
+    return v
+
+
+def _from_marker(v):
+    if isinstance(v, dict):
+        if v.get("$undef"):
+            return MISSING
+        if v.get("$nan"):
+            return float("nan")
+        if "$inf" in v:
+            return math.inf if v["$inf"] > 0 else -math.inf
+        if v.get("$negz"):
+            return -0.0
+        if "$date" in v:
+            return datetime.fromtimestamp(v["$date"] / 1000, tz=timezone.utc)
+        if "$bin" in v:
+            import base64
+
+            return base64.b64decode(v["$bin"])
+        if "$js" in v:
+            return v
+        return {k: _from_marker(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_from_marker(x) for x in v]
+    return v
+
+
+# -- builder-call specs (python interpretation) -------------------------------
+
+_RESERVED = {
+    "is", "and", "or", "not", "with", "assert", "try", "break", "from",
+    "in", "if", "else", "raise", "return", "import", "lambda", "id",
+}
+
+
+def _py_name(name: str) -> str:
+    s = re.sub(r"(?<!^)(?=[A-Z])", "_", name).lower()
+    if s in _RESERVED:
+        s += "_"
+    return s
+
+
+def _conv_arg(v):
+    import joi_ray as jr
+
+    if isinstance(v, dict):
+        if "$s" in v:
+            return build_spec_py(v["$s"])
+        if "$ref" in v:
+            opts = {_py_name(k): _conv_arg(x) for k, x in (v.get("$o") or {}).items()}
+            return jr.ref(v["$ref"], **opts)
+        if "$re" in v:
+            return v["$re"]
+        if any(k in v for k in ("$undef", "$nan", "$inf", "$negz", "$date", "$bin")):
+            x = _from_marker(v)
+            return None if x is MISSING else x
+        return {k: _conv_arg(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_conv_arg(x) for x in v]
+    return v
+
+
+def build_spec_py(spec):
+    """Interpret a builder-call spec against the joi_ray public API (the
+    node side replays the same spec through the real Joi — see
+    tools/refshim/refrunner.js)."""
+    import joi_ray as jr
+
+    if not isinstance(spec, dict):
+        return spec  # literal sugar
+    ctor = getattr(jr, _py_name(spec["t"]), None) or getattr(jr, spec["t"] + "_")
+    s = ctor(*[_conv_arg(a) for a in spec.get("a", [])])
+    for call in spec.get("c", []):
+        name, *args = call
+        kwargs = {}
+        if args and isinstance(args[-1], dict) and "$kw" in args[-1]:
+            kwargs = {_py_name(k): _conv_arg(x) for k, x in args[-1]["$kw"].items()}
+            args = args[:-1]
+        s = getattr(s, _py_name(name))(*[_conv_arg(a) for a in args], **kwargs)
+    return s
+
+
+def rows_from_table(tbl: pa.Table) -> list[dict]:
+    """tbl.to_pylist() with Arrow nulls mapped to MISSING (undefined):
+    the engine's convention is that a null cell/field/item is an ABSENT
+    value (JS undefined), since Arrow cannot carry a null-vs-missing
+    distinction."""
+
+    def conv(v):
+        if v is None:
+            return MISSING
+        if isinstance(v, dict):
+            return {k: conv(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [conv(x) for x in v]
+        return v
+
+    return [{k: conv(v) for k, v in row.items()} for row in tbl.to_pylist()]
+
+
+# -- joi_ray side ------------------------------------------------------------
+
+_SEG_RX = re.compile(r"\.|\[(\d+)\]")
+
+
+def _path_to_joi(path: str, item_index: int) -> tuple:
+    """violations.path ('a.b[2].c') + item_index -> joi d.path tuple."""
+    segs: list = []
+    buf = ""
+    i = 0
+    while i < len(path):
+        c = path[i]
+        if c == ".":
+            if buf:
+                segs.append(buf)
+                buf = ""
+            i += 1
+        elif c == "[":
+            j = path.index("]", i)
+            if buf:
+                segs.append(buf)
+                buf = ""
+            segs.append(int(path[i + 1 : j]))
+            i = j + 1
+        else:
+            buf += c
+            i += 1
+    if buf:
+        segs.append(buf)
+    if item_index is not None and item_index >= 0:
+        segs.append(item_index)
+    return tuple(segs)
+
+
+def run_joi_ray(schema, tbl: pa.Table, prefs: dict | None = None):
+    from joi_ray import compile_schema
+
+    cs = compile_schema(schema, prefs=prefs)
+    return cs.validate_table(tbl)
+
+
+_PY_PREF_MAP = {
+    "abortEarly": "abort_early",
+    "allowUnknown": "allow_unknown",
+    "stripUnknown": "strip_unknown",
+    "noDefaults": "no_defaults",
+    "convert": "convert",
+    "presence": "presence",
+    "context": "context",
+    "errors": "errors",
+    "externals": "externals",
+    "messages": "messages",
+    "dateFormat": "date_format",
+}
+
+
+def prefs_to_py(js_prefs: dict) -> dict:
+    out = {}
+    for k, v in (js_prefs or {}).items():
+        out[_PY_PREF_MAP.get(k, k)] = v
+    return out
+
+
+# -- comparison --------------------------------------------------------------
+
+def _values_close(a, b, *, depth=0) -> bool:
+    """ref value vs joi_ray value; undefined/absent ~ None (Arrow can't
+    distinguish), numbers by float equality (NaN==NaN), dates by epoch."""
+    if a is MISSING:
+        a = None
+    if b is MISSING:
+        b = None
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, bool) or isinstance(b, bool):
+        return a is b if isinstance(a, bool) and isinstance(b, bool) else False
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) or math.isnan(fb):
+            return math.isnan(fa) and math.isnan(fb)
+        return fa == fb
+    if isinstance(a, datetime) or isinstance(b, datetime):
+        ta = a.timestamp() if isinstance(a, datetime) else None
+        tb = b.timestamp() if isinstance(b, datetime) else None
+        return ta == tb
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(
+            _values_close(x, y, depth=depth + 1) for x, y in zip(a, b)
+        )
+    if isinstance(a, dict) and isinstance(b, dict):
+        keys = set()
+        for d in (a, b):
+            keys |= {k for k, v in d.items() if v is not MISSING and v is not None}
+        return all(
+            _values_close(a.get(k, None), b.get(k, None), depth=depth + 1) for k in keys
+        )
+    return a == b
+
+
+def diff_case(
+    ref: RefJoi,
+    schema,
+    tbl: pa.Table,
+    js_prefs: dict | None = None,
+    *,
+    compare_messages: bool = True,
+    compare_values: bool = True,
+    rows_override: list | None = None,
+    spec: dict | None = None,
+) -> list[dict]:
+    """Validate `tbl` under `schema` on both engines; return deviations.
+
+    rows_override: explicit per-row dicts to send to the reference (use
+    MISSING for absent keys) when tbl's pylist form is not faithful
+    (e.g. absent-vs-null distinctions).
+    """
+    js_prefs = {"abortEarly": False, **(js_prefs or {})}
+    manifest = schema.describe() if spec is None else None
+    rows = rows_override if rows_override is not None else rows_from_table(tbl)
+    ref_out = ref.validate(manifest, rows, js_prefs, spec=spec)
+    res = run_joi_ray(schema, tbl, prefs=prefs_to_py(js_prefs))
+
+    devs: list[dict] = []
+    viol = res.violations.to_pylist()
+    by_row: dict[int, list[dict]] = {}
+    for v in viol:
+        by_row.setdefault(v["row"], []).append(v)
+
+    for i, rr in enumerate(ref_out):
+        ref_errs = rr["errors"] or []
+        ray_errs = [v for v in by_row.get(i, []) if v["severity"] == "error"]
+        ref_ok = not ref_errs
+        ray_ok = bool(res.ok[i])
+        ctx = {"row": i, "input": rows[i] if i < len(rows) else None}
+        if ref_ok != ray_ok:
+            devs.append(
+                {
+                    **ctx,
+                    "kind": "ok_mask",
+                    "ref": [(tuple(e["path"]), e["type"], e["message"]) for e in ref_errs],
+                    "ray": [
+                        (v["path"], v["item_index"], v["code"], v["message"]) for v in ray_errs
+                    ],
+                }
+            )
+            continue
+        # error sets: (path, code)
+        ref_set = sorted((tuple(e["path"]), e["type"]) for e in ref_errs)
+        ray_set = sorted(
+            (_path_to_joi(v["path"], v["item_index"]), v["code"]) for v in ray_errs
+        )
+        if ref_set != ray_set:
+            devs.append({**ctx, "kind": "codes", "ref": ref_set, "ray": ray_set})
+        elif compare_messages:
+            ref_msgs = sorted(
+                (tuple(e["path"]), e["type"], e["message"]) for e in ref_errs
+            )
+            ray_msgs = sorted(
+                (_path_to_joi(v["path"], v["item_index"]), v["code"], v["message"])
+                for v in ray_errs
+            )
+            if ref_msgs != ray_msgs:
+                devs.append({**ctx, "kind": "messages", "ref": ref_msgs, "ray": ray_msgs})
+        # warnings
+        ref_warn = sorted((tuple(e["path"]), e["type"]) for e in (rr["warnings"] or []))
+        ray_warn = sorted(
+            (_path_to_joi(v["path"], v["item_index"]), v["code"])
+            for v in by_row.get(i, [])
+            if v["severity"] == "warn"
+        )
+        if ref_warn != ray_warn:
+            devs.append({**ctx, "kind": "warnings", "ref": ref_warn, "ray": ray_warn})
+        # converted values (ok rows only: failed-row partial values are
+        # compared by the dedicated vector tests, not the fuzzer)
+        if compare_values and ref_ok:
+            ray_val = res.value.slice(i, 1).to_pylist()[0]
+            if not _values_close(rr["value"], ray_val):
+                devs.append(
+                    {**ctx, "kind": "value", "ref": rr["value"], "ray": ray_val}
+                )
+    return devs

@@ -1,0 +1,341 @@
+"""Differential fuzzer: random (schema, table, prefs) cases replayed through
+BOTH the reference joi (node, via tools/refshim) and joi_ray, diffing ok
+masks, error (path, code) sets, messages, warnings and converted values.
+
+Schemas are generated as builder-call SPECS (see tools/diffref.py
+build_spec_py / tools/refshim/refrunner.js buildSpec) so each side
+constructs its schema through its own public API — no manifest translation
+that could mask semantic differences.
+
+Usage:
+    python tools/fuzz_spec.py [N_CASES] [START_SEED]
+Deviations are appended to /tmp/fuzz_devs.jsonl with full repro info.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+
+import pyarrow as pa
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from diffref import MISSING, RefJoi, RefJoiError, diff_case, build_spec_py  # noqa: E402
+
+# ---------------------------------------------------------------- value pools
+
+STRINGS = [
+    "", "a", "ab", "abc", "ABC", "x1", " pad ", "hello", "Hello World",
+    "abc123", "αβ", "123", "12.5", "true", "-7", "0", "1e3", "xyzzy", "x",
+    "yy", "aaa", "zzzz", "A1", "  ", "3",
+]
+NUMBERS = [0.0, 1.0, -1.0, 2.0, 3.0, 5.0, 10.0, 0.5, -2.5, 100.0, 7.0, 42.0,
+           1e10, 3.5, -0.0, 6.0, 8.0, 1024.0, 65536.0, 123456.0]
+NUMSTRINGS = ["1", "2.5", "-3", "0", "1e3", "abc", "", " 7 ", "10", "0x1f",
+              "12", "5", "Infinity", "NaN", "3.0"]
+BOOLSTRINGS = ["true", "false", "TRUE", "False", "yes", "no", "Y", "N", "1",
+               "0", "", "maybe"]
+ISODATES = ["2019-02-03", "2019-02-03T10:30:00Z", "2020-13-01", "not a date",
+            "2021-06-15T08:00:00.123Z", "1970-01-01", "2019-02-30",
+            "2019-W06-6", "2019-034"]
+PATTERNS = ["^[a-z]+$", "\\d", "^x", "[A-Z]{2}", "^[a-z0-9]+$"]
+
+
+class Gen:
+    def __init__(self, rng: random.Random):
+        self.r = rng
+
+    def maybe(self, p=0.5):
+        return self.r.random() < p
+
+    def pick(self, xs):
+        return self.r.choice(xs)
+
+    # ---------------------------------------------------------- leaf schemas
+
+    def leaf_spec(self, family: str, sibling_nums: list[str]) -> dict:
+        r = self.r
+        c: list = []
+        if family == "number":
+            for rule in ("min", "max", "greater", "less"):
+                if self.maybe(0.22):
+                    lim = (
+                        {"$ref": self.pick(sibling_nums)}
+                        if sibling_nums and self.maybe(0.25)
+                        else r.randint(-5, 50)
+                    )
+                    c.append([rule, lim])
+            if self.maybe(0.25):
+                c.append(["integer"])
+            if self.maybe(0.15):
+                c.append(["multiple", r.randint(2, 5)])
+            if self.maybe(0.08):
+                c.append(["port"])
+            if self.maybe(0.12):
+                c.append([self.pick(["positive", "negative"])])
+            spec = {"t": "number", "c": c}
+        elif family == "string":
+            if self.maybe(0.3):
+                c.append(["min", r.randint(0, 4)])
+            if self.maybe(0.3):
+                c.append(["max", r.randint(3, 10)])
+            if self.maybe(0.12):
+                c.append(["length", r.randint(1, 5)])
+            if self.maybe(0.2):
+                c.append(["pattern", {"$re": self.pick(PATTERNS)}])
+            if self.maybe(0.15):
+                c.append([self.pick(["alphanum", "token"])])
+            if self.maybe(0.15):
+                c.append([self.pick(["lowercase", "uppercase"])])
+            if self.maybe(0.12):
+                c.append(["trim"])
+            if self.maybe(0.1):
+                c.append(["insensitive"])
+            spec = {"t": "string", "c": c}
+        elif family == "boolean":
+            if self.maybe(0.4):
+                c.append(["truthy", "yes", "Y"])
+            if self.maybe(0.4):
+                c.append(["falsy", "no", "N"])
+            spec = {"t": "boolean", "c": c}
+        elif family == "date":
+            if self.maybe(0.4):
+                c.append(["iso"])
+            for rule in ("min", "max", "greater", "less"):
+                if self.maybe(0.15):
+                    c.append([rule, "2019-06-01"])
+            spec = {"t": "date", "c": c}
+        else:
+            raise ValueError(family)
+        self.any_mods(spec, family)
+        return spec
+
+    def any_mods(self, spec: dict, family: str):
+        """valid/invalid/default/presence/empty/label on any leaf."""
+        c = spec["c"]
+        pool = {
+            "number": NUMBERS[:8],
+            "string": STRINGS[:8],
+            "boolean": [True, False],
+            "date": [],
+        }[family]
+        if pool and self.maybe(0.12):
+            c.append(["valid"] + self.r.sample(pool, self.r.randint(1, min(3, len(pool)))))
+        elif pool and self.maybe(0.1):
+            c.append(["invalid"] + self.r.sample(pool, self.r.randint(1, min(2, len(pool)))))
+        if pool and self.maybe(0.12):
+            c.append(["default", self.pick(pool)])
+        if self.maybe(0.25):
+            c.append([self.pick(["required", "optional", "forbidden"])])
+        if family == "string" and self.maybe(0.15):
+            c.append(["empty", ""])
+        if self.maybe(0.08):
+            c.append(["label", "L" + str(self.r.randint(1, 9))])
+
+    # ------------------------------------------------------------- columns
+
+    def column(self, name: str, sibling_nums: list[str], col_names: list[str]):
+        """-> (spec, arrow_type, value_fn)"""
+        r = self.r
+        kind = self.pick(
+            ["number", "number", "string", "string", "boolean", "date",
+             "numstr", "boolstr", "array", "struct", "alts", "whencol",
+             "concat"]
+        )
+        if kind == "number":
+            return (self.leaf_spec("number", sibling_nums), pa.float64(),
+                    lambda: self.pick(NUMBERS))
+        if kind == "numstr":  # number schema over a string column (coercion)
+            return (self.leaf_spec("number", sibling_nums), pa.string(),
+                    lambda: self.pick(NUMSTRINGS))
+        if kind == "string":
+            return (self.leaf_spec("string", []), pa.string(),
+                    lambda: self.pick(STRINGS))
+        if kind == "boolean":
+            return (self.leaf_spec("boolean", []), pa.bool_(),
+                    lambda: self.pick([True, False]))
+        if kind == "boolstr":
+            return (self.leaf_spec("boolean", []), pa.string(),
+                    lambda: self.pick(BOOLSTRINGS))
+        if kind == "date":
+            return (self.leaf_spec("date", []), pa.string(),
+                    lambda: self.pick(ISODATES))
+        if kind == "array":
+            elem_family = self.pick(["number", "string"])
+            item = self.leaf_spec(elem_family, [])
+            c: list = [["items", {"$s": item}]]
+            if self.maybe(0.3):
+                c.append(["min", r.randint(0, 2)])
+            if self.maybe(0.3):
+                c.append(["max", r.randint(2, 5)])
+            if self.maybe(0.3):
+                c.append(["unique"])  # options require a comparator in joi
+            if self.maybe(0.3):
+                c.append(["sparse"])
+            pool = NUMBERS[:8] if elem_family == "number" else STRINGS[:10]
+            at = pa.list_(pa.float64() if elem_family == "number" else pa.string())
+
+            def gen_list():
+                n = r.randint(0, 4)
+                return [
+                    None if self.maybe(0.12) else self.pick(pool) for _ in range(n)
+                ]
+
+            return ({"t": "array", "c": c}, at, gen_list)
+        if kind == "struct":
+            f1 = self.leaf_spec("number", [])
+            f2 = self.leaf_spec("string", [])
+            c = []
+            dep = self.pick(["and", "or", "xor", "with", "without", "nand", None])
+            if dep in ("and", "or", "xor", "nand"):
+                c.append([dep, "p", "q"])
+            elif dep in ("with", "without"):
+                c.append([dep, "p", ["q"]])
+            if self.maybe(0.2):
+                c.append(["unknown"])
+            spec = {"t": "object", "a": [{"p": {"$s": f1}, "q": {"$s": f2}}], "c": c}
+            at = pa.struct([("p", pa.float64()), ("q", pa.string())])
+
+            def gen_struct():
+                return {
+                    "p": None if self.maybe(0.3) else self.pick(NUMBERS[:6]),
+                    "q": None if self.maybe(0.3) else self.pick(STRINGS[:8]),
+                }
+
+            return (spec, at, gen_struct)
+        if kind == "alts":
+            b1 = self.leaf_spec("string", [])
+            b2 = self.leaf_spec("string", [])
+            spec = {"t": "alternatives", "a": [{"$s": b1}, {"$s": b2}]}
+            return (spec, pa.string(), lambda: self.pick(STRINGS))
+        if kind == "whencol":
+            base_family = self.pick(["number", "string"])
+            base = self.leaf_spec(base_family, [])
+            others = [n for n in col_names if n != name]
+            cond = self.pick(others) if others else name
+            then_delta = self.leaf_spec(base_family, [])
+            kw: dict = {"then": {"$s": then_delta}}
+            # joi requires "is" (or switch) for ref conditions
+            # (alternatives.js when assert)
+            kw["is"] = self.pick(NUMBERS[:5] + STRINGS[:5])
+            if self.maybe(0.4):
+                kw["otherwise"] = {"$s": self.leaf_spec(base_family, [])}
+            base.setdefault("c", []).append(["when", cond, {"$kw": kw}])
+            pool = NUMBERS if base_family == "number" else STRINGS
+            at = pa.float64() if base_family == "number" else pa.string()
+            return (base, at, lambda: self.pick(pool))
+        if kind == "concat":
+            fam = self.pick(["number", "string"])
+            s1 = self.leaf_spec(fam, [])
+            s2 = self.leaf_spec(fam, [])
+            s1.setdefault("c", []).append(["concat", {"$s": s2}])
+            pool = NUMBERS if fam == "number" else STRINGS
+            at = pa.float64() if fam == "number" else pa.string()
+            return (s1, at, lambda: self.pick(pool))
+        raise ValueError(kind)
+
+
+PREFS_POOL = [
+    {},
+    {},
+    {"convert": False},
+    {"stripUnknown": True},
+    {"allowUnknown": True},
+    {"presence": "required"},
+    {"abortEarly": True},
+    {"noDefaults": True},
+]
+
+
+def gen_case(seed: int):
+    r = random.Random(seed)
+    g = Gen(r)
+    ncols = r.randint(1, 4)
+    names = ["a", "b", "c", "d"][:ncols]
+    # decide which columns are numbers first so refs have targets
+    cols = {}
+    sibling_nums: list[str] = []
+    for n in names:
+        spec, at, fn = g.column(n, [s for s in sibling_nums if s != n], names)
+        cols[n] = (spec, at, fn)
+        if at == pa.float64():
+            sibling_nums.append(n)
+    nrows = r.randint(6, 16)
+    arrays = {}
+    for n, (spec, at, fn) in cols.items():
+        vals = [None if r.random() < 0.15 else fn() for _ in range(nrows)]
+        arrays[n] = pa.array(vals, type=at)
+    tbl = pa.table(arrays)
+    root_spec = {"t": "object", "a": [{n: {"$s": cols[n][0]} for n in names}]}
+    prefs = dict(r.choice(PREFS_POOL))
+    return root_spec, tbl, prefs
+
+
+def run_fuzz(n_cases: int, start_seed: int = 0, out_path="/tmp/fuzz_devs.jsonl"):
+    ref = RefJoi()
+    total_devs = 0
+    bad_cases = 0
+    build_errors = 0
+    kinds: dict[str, int] = {}
+    try:
+        with open(out_path, "a") as out:
+            for seed in range(start_seed, start_seed + n_cases):
+                root_spec, tbl, prefs = gen_case(seed)
+                try:
+                    schema = build_spec_py(root_spec)
+                except Exception as e:  # spec invalid for joi_ray
+                    try:
+                        ref.validate(None, [], prefs, spec=root_spec)
+                        kinds["build_py_only"] = kinds.get("build_py_only", 0) + 1
+                        out.write(json.dumps({"seed": seed, "kind": "build_py_only",
+                                              "err": str(e), "spec": root_spec}) + "\n")
+                    except RefJoiError:
+                        pass  # both reject: fine
+                    build_errors += 1
+                    continue
+                try:
+                    devs = diff_case(ref, schema, tbl, prefs, spec=root_spec)
+                except RefJoiError as e:
+                    if "build_ref_only" not in kinds:
+                        kinds["build_ref_only"] = 0
+                    kinds["build_ref_only"] += 1
+                    out.write(json.dumps({"seed": seed, "kind": "build_ref_only",
+                                          "err": str(e)[:500], "spec": root_spec}) + "\n")
+                    bad_cases += 1
+                    continue
+                if devs:
+                    bad_cases += 1
+                    total_devs += len(devs)
+                    for d in devs:
+                        kinds[d["kind"]] = kinds.get(d["kind"], 0) + 1
+                    out.write(
+                        json.dumps(
+                            {
+                                "seed": seed,
+                                "prefs": prefs,
+                                "spec": root_spec,
+                                "devs": devs[:6],
+                            },
+                            default=str,
+                        )
+                        + "\n"
+                    )
+                if (seed - start_seed + 1) % 50 == 0:
+                    print(
+                        f"[{seed + 1 - start_seed}/{n_cases}] cases-with-devs={bad_cases} "
+                        f"devs={total_devs} kinds={kinds}",
+                        flush=True,
+                    )
+    finally:
+        ref.close()
+    print(f"DONE: {n_cases} cases, {bad_cases} with deviations, {total_devs} total; kinds={kinds}")
+    return bad_cases
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    s = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    run_fuzz(n, s)

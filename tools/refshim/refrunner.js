@@ -1,0 +1,129 @@
+'use strict';
+// Differential-test runner: executes the REFERENCE joi library
+// (/root/reference/lib, loaded read-only via the hand-written @hapi shims
+// in ./node_modules) over (manifest, prefs, rows) requests so joi_ray's
+// results can be diffed against the real implementation.
+//
+// Protocol (line-delimited JSON on stdin/stdout):
+//   request : {"id": N, "manifest": <describe() output> | null,
+//              "prefs": {<joi camelCase prefs>}, "rows": [<row>, ...]}
+//   response: {"id": N, "ok": true, "results": [{"value": V,
+//              "errors": [{"path": [...], "type": code, "message": m}]|null,
+//              "warnings": [...]|null}, ...]}
+//           | {"id": N, "ok": false, "error": "..."}
+//
+// Non-JSON JS values cross the pipe as markers (both directions):
+//   undefined -> {"$undef": true}      NaN      -> {"$nan": true}
+//   Date      -> {"$date": epochMs}    +/-Inf   -> {"$inf": 1|-1}
+//   Buffer    -> {"$bin": base64}      -0       -> {"$negz": true}
+
+const readline = require('readline');
+const Joi = require('/root/reference/lib');
+
+const deser = (v) => {
+    if (v === null || typeof v !== 'object') return v;
+    if (Array.isArray(v)) return v.map(deser);
+    if (v.$undef) return undefined;
+    if (v.$nan) return NaN;
+    if (v.$inf) return v.$inf > 0 ? Infinity : -Infinity;
+    if (v.$negz) return -0;
+    if (v.$date !== undefined) return new Date(v.$date);
+    if (v.$bin !== undefined) return Buffer.from(v.$bin, 'base64');
+    const o = {};
+    for (const k of Object.keys(v)) o[k] = deser(v[k]);
+    return o;
+};
+
+const ser = (v) => {
+    if (v === undefined) return { $undef: true };
+    if (v === null) return null;
+    if (typeof v === 'number') {
+        if (Number.isNaN(v)) return { $nan: true };
+        if (!Number.isFinite(v)) return { $inf: v > 0 ? 1 : -1 };
+        if (Object.is(v, -0)) return { $negz: true };
+        return v;
+    }
+    if (typeof v === 'bigint') return Number(v);
+    if (v instanceof Date) return { $date: v.getTime() };
+    if (Buffer.isBuffer(v)) return { $bin: v.toString('base64') };
+    if (Array.isArray(v)) return v.map(ser);
+    if (typeof v === 'object') {
+        const o = {};
+        for (const k of Object.keys(v)) {
+            if (v[k] !== undefined) o[k] = ser(v[k]);
+        }
+        return o;
+    }
+    if (typeof v === 'symbol' || typeof v === 'function') return { $js: String(v) };
+    return v;
+};
+
+// -- builder-call specs -------------------------------------------------
+// A spec constructs a schema through the PUBLIC Joi API (no manifest
+// translation, so joi's own call-time rewrites — e.g. base.js:319-366
+// when() -> alternatives — run authentically):
+//   {"t": "number", "a": [...ctor args], "c": [["min", 2], ["when", {...}]]}
+// Args may contain markers: {"$s": spec} nested schema, {"$ref": "path",
+// "$o": {...}} a Joi.ref, {"$re": "pat", "$f": "i"} a RegExp, {"$kw": {..}}
+// a trailing options object, plus the value markers above.
+
+const convArg = (v) => {
+    if (v === null || typeof v !== 'object') return v;
+    if (Array.isArray(v)) return v.map(convArg);
+    if (v.$s !== undefined) return buildSpec(v.$s);
+    if (v.$ref !== undefined) return Joi.ref(v.$ref, convArg(v.$o || {}));
+    if (v.$re !== undefined) return new RegExp(v.$re, v.$f || '');
+    if (v.$kw !== undefined) return convArg(v.$kw);
+    if (v.$undef || v.$nan || v.$inf || v.$negz || v.$date !== undefined || v.$bin !== undefined) return deser(v);
+    const o = {};
+    for (const k of Object.keys(v)) o[k] = convArg(v[k]);
+    return o;
+};
+
+const buildSpec = (spec) => {
+    if (spec === null || typeof spec !== 'object' || Array.isArray(spec)) return spec;  // literal sugar
+    let s = Joi[spec.t](...(spec.a || []).map(convArg));
+    for (const call of spec.c || []) {
+        const [name, ...args] = call;
+        s = s[name](...args.map(convArg));
+    }
+    return s;
+};
+
+const details = (err) => {
+    if (!err) return null;
+    return err.details.map((d) => ({
+        path: d.path,
+        type: d.type,
+        message: d.message,
+    }));
+};
+
+const rl = readline.createInterface({ input: process.stdin, terminal: false });
+rl.on('line', (line) => {
+    if (!line.trim()) return;
+    let req;
+    try {
+        req = JSON.parse(line);
+    } catch (e) {
+        process.stdout.write(JSON.stringify({ id: null, ok: false, error: 'bad json: ' + e.message }) + '\n');
+        return;
+    }
+    try {
+        const schema = req.spec !== undefined ? buildSpec(req.spec) : Joi.build(req.manifest);
+        const prefs = deser(req.prefs || {});
+        const results = [];
+        for (const raw of req.rows) {
+            const row = deser(raw);
+            const r = schema.validate(row, prefs);
+            results.push({
+                value: ser(r.value),
+                errors: details(r.error),
+                warnings: r.warning ? details(r.warning) : null,
+            });
+        }
+        process.stdout.write(JSON.stringify({ id: req.id, ok: true, results }) + '\n');
+    } catch (e) {
+        process.stdout.write(JSON.stringify({ id: req.id, ok: false, error: String(e && e.stack || e) }) + '\n');
+    }
+});
