@@ -2125,7 +2125,9 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'any.only', (SELECT count(*) FROM m WHERE r = 35)
               UNION ALL SELECT 'any.unknown', (SELECT count(*) FROM m WHERE r = 35)
               UNION ALL SELECT 'string.empty', (SELECT count(*) FROM m WHERE r = 41)
-              UNION ALL SELECT 'string.min', (SELECT count(*) FROM m WHERE r = 41)
+              -- (r=41 seeds '' under a min rule: joi emits ONLY
+              -- string.empty — a base error aborts before rules,
+              -- validator.js:236-247 — so no string.min bucket)
               UNION ALL SELECT 'array.sort', (SELECT count(*) FROM m WHERE r = 53)
               UNION ALL SELECT 'referential.missing', (SELECT count(*) FROM m WHERE r = 47)
             ) WHERE n > 0

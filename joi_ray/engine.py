@@ -366,12 +366,28 @@ def _scalar_for(value, arr_type):
 
 
 def _coerce(node: CNode, arr: pa.Array, env: Env):
-    """Type coercion phase -> (new_arr, base_fail_mask, extra_errs)."""
+    """Type coercion phase -> (new_arr, base_fail_mask).  Number coercion
+    may also emit coerce-stage errors (number.unsafe round-trip check);
+    those go through ``_coerce3`` which every caller of the number path
+    uses."""
+    arr2, fail, _ = _coerce3(node, arr, env)
+    return arr2, fail
+
+
+def _coerce3(node: CNode, arr: pa.Array, env: Env):
+    """-> (new_arr, base_fail_mask, coerce_errs) where coerce_errs is a
+    list of (code, mask) that joi reports INSTEAD of continuing — a coerce
+    error always aborts early (validator.js:150-156)."""
+    if node.type == "number":
+        return k_numbers.coerce(arr, env, node.flags)
+    arr2, fail = _coerce2(node, arr, env)
+    return arr2, fail, []
+
+
+def _coerce2(node: CNode, arr: pa.Array, env: Env):
     n = len(arr)
     t = node.type
     zeros = np.zeros(n, dtype=bool)
-    if t == "number":
-        return k_numbers.coerce(arr, env, node.flags)
     if t == "boolean":
         return k_scalars.coerce_boolean(arr, env, node.terms, node.flags)
     if t == "date":
@@ -532,7 +548,7 @@ def eval_node(
         return _eval_alternatives(node, arr, env, path, scope, errors)
 
     # ---- coerce
-    arr, base_fail = _coerce(node, arr, env)
+    arr, base_fail, coerce_errs = _coerce3(node, arr, env)
 
     # string convert-phase rules (normalize -> case -> trim) run at coerce
     # time, BEFORE valids/empty (string/index.js:68-135; they are then
@@ -607,6 +623,12 @@ def eval_node(
         if not warn:
             np.logical_or(failed, mask, out=failed)
 
+    # ---- coerce-stage errors always abort early (validator.js:150-156):
+    # the row gets ONLY this error — no presence/valids/base/rules
+    for _code, _cmask in coerce_errs:
+        add_err(_code, _cmask & scope, seq=-4)
+        resolved |= _cmask
+
     # ---- presence (lib/validator.js:168-190): the explicit flag wins,
     # else prefs.presence supplies the default for every node
     presence = node.flags.get("presence") or env.prefs.get("presence", "optional")
@@ -617,9 +639,12 @@ def eval_node(
     elif presence == "forbidden":
         # joi returns immediately on a present forbidden value
         # (validator.js:188-190) — any.unknown is the ONLY error; no
-        # valids/base/rules run for those rows
-        add_err("any.unknown", present, seq=-3)
-        resolved |= missing | present
+        # valids/base/rules run for those rows.  "Present" here includes
+        # uncoercible values (joi's coerce emits no error for them; the
+        # base check they would have hit never runs)
+        add_err("any.unknown", ~missing & scope & ~resolved, seq=-3)
+        resolved |= True  # everything settled at this stage
+        base_fail = np.zeros(n, dtype=bool)
     else:
         resolved |= missing
 
@@ -632,7 +657,10 @@ def eval_node(
         if base_fail.any():
             in_allow_orig = in_allow | _set_membership(original, node.allow_static, node.allow_refs, insensitive, env)
         if node.flags.get("only"):
-            miss_set = active & ~in_allow_orig & ~base_fail
+            # joi raises any.only even for rows that will also fail the
+            # base type check (valids stage precedes base validate and
+            # only abortEarly suppresses the second error)
+            miss_set = active & ~in_allow_orig
             add_err("any.only", miss_set, {"valids": node.allow_static}, seq=-2)
             resolved |= in_allow_orig
         else:
@@ -661,26 +689,40 @@ def eval_node(
                 base_code = "date.timestamp.javascript"
             elif fmt == "s":
                 base_code = "date.timestamp.unix"
+    # rows with base-stage errors skip the rules loop entirely (joi's
+    # "Base error always aborts early", validator.js:236-247) — track them
+    base_errored = base_fail & ~resolved
     add_err(base_code, base_fail & ~resolved, seq=-1)
 
     # ---- number base checks: NaN / Infinity / unsafe magnitude
     if node.type == "number" and (pa.types.is_floating(arr.type) or pa.types.is_integer(arr.type)):
         arr, base_errs = k_numbers.base_check(arr, env, node.flags)
         for code, mask, ctx in base_errs:
-            add_err(code, mask & ~missing & ~resolved, ctx, seq=-1)
+            m = mask & ~missing & ~resolved
+            base_errored |= m
+            add_err(code, m, ctx, seq=-1)
 
     # ---- string base: empty string is an error (string/index.js:139-148)
     if node.type == "string" and (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
         allow_empty = any(v == "" for v in node.allow_static)
         if not allow_empty:
             empty_mask = as_bool_np(pc.equal(pc.utf8_length(arr), 0), n)
-            add_err("string.empty", empty_mask & scope & ~missing & ~resolved, seq=-1)
+            m = empty_mask & scope & ~missing & ~resolved
+            base_errored |= m
+            add_err("string.empty", m, seq=-1)
 
     # ---- structural recursion
     if node.type == "array" and (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)):
+        # array ITEMS are rules in joi (array.js items/ordered are rule
+        # entries), so item errors do NOT suppress length/unique rules
         arr = _eval_array(node, arr, env, path, scope, resolved, failed, add_err)
     elif node.type == "object" and pa.types.is_struct(arr.type):
+        # object keys+dependencies live in def.validate (object.js:68) —
+        # a child error suppresses the object's OWN rules for that row
+        failed_before_children = failed.copy()
         arr = _eval_object(node, arr, env, path, scope, resolved, failed, errors, add_err)
+        base_errored |= failed & ~failed_before_children
+    resolved |= base_errored
 
     # ---- rules loop (lib/validator.js:260-320)
     # Per-value joi returns before the rules loop when the base type check
@@ -1828,7 +1870,8 @@ class CompiledSchema:
                 idc = pc.cast(idc, pa.string())
             ids = idc
         rows_l, item_l, path_l, code_l, msg_l, ctx_l, sev_l, seq_l = [], [], [], [], [], [], [], []
-        for rec in errors:
+        rec_l: list = []  # emission order (joi's traversal order)
+        for rec_idx, rec in enumerate(errors):
             if getattr(rec, "rows", None) is not None:
                 rows = rec.rows
                 items = rec.item_index if rec.item_index is not None else np.full(len(rows), -1, np.int32)
@@ -1866,6 +1909,7 @@ class CompiledSchema:
             ctx_l.extend([ctx_json] * k)
             sev_l.extend(["warn" if rec.warn else "error"] * k)
             seq_l.extend([rec.seq] * k)
+            rec_l.extend([rec_idx] * k)
         if not rows_l:
             empty = {name: pa.array([], type=t) for name, t in zip(VIOLATION_SCHEMA.names, VIOLATION_SCHEMA.types)}
             return pa.table(empty)
@@ -1885,11 +1929,51 @@ class CompiledSchema:
                 "context": pa.array(ctx_l, type=pa.string()),
                 "severity": pa.array(sev_l, type=pa.string()),
                 "_seq": pa.array(seq_l, type=pa.int32()),
+                "_rec": pa.array(rec_l, type=pa.int32()),
             }
         )
+        if self.prefs.get("abort_early", True):
+            # joi returns on the FIRST error of the whole validate() call
+            # (validator.js: every errors-bearing branch finalizes under
+            # abortEarly) — per table row that is the single error with the
+            # lowest (emission order, item index); warnings pass through
+            t = _abort_early_filter(t)
         # deterministic order (FIXTURES.md determinism rules): (row, path, seq, item)
         t = t.sort_by([("row", "ascending"), ("path", "ascending"), ("_seq", "ascending"), ("item_index", "ascending")])
-        return t.drop_columns(["_seq"])
+        return t.drop_columns(["_seq", "_rec"])
+
+
+def _abort_early_filter(t: pa.Table) -> pa.Table:
+    """abortEarly keeps, per row, the single earliest error in evaluation
+    order (emission index, then item index) plus any warnings emitted
+    BEFORE it — matching joi's return-on-first-error traversal."""
+    if t.num_rows == 0:
+        return t
+    sev = np.asarray(t["severity"].to_pylist())
+    rows = t["row"].to_numpy()
+    recs = t["_rec"].to_numpy().astype(np.int64)
+    items = t["item_index"].to_numpy().astype(np.int64)
+    is_err = sev == "error"
+    err_idx = np.nonzero(is_err)[0]
+    if len(err_idx) == 0:
+        return t
+    order = np.lexsort((items[err_idx], recs[err_idx], rows[err_idx]))
+    sorted_rows = rows[err_idx][order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = sorted_rows[1:] != sorted_rows[:-1]
+    keep_err = err_idx[order[first]]
+    # first-error key per row, for gating warnings
+    first_key: dict[int, tuple] = {
+        int(rows[i]): (int(recs[i]), int(items[i])) for i in keep_err
+    }
+    keep = np.zeros(t.num_rows, dtype=bool)
+    keep[keep_err] = True
+    warn_idx = np.nonzero(~is_err)[0]
+    for i in warn_idx:
+        fk = first_key.get(int(rows[i]))
+        if fk is None or (int(recs[i]), int(items[i])) < fk:
+            keep[i] = True
+    return t.filter(pa.array(keep))
 
 
 def compile_schema(schema: Schema | dict, prefs: dict | None = None, id_column: str | None = None) -> CompiledSchema:

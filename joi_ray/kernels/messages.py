@@ -186,9 +186,25 @@ def _stringify(v) -> str:
     """joi's template array rendering (lib/template.js internals.stringify
     with wrapArrays): ``[a, b]`` — elements bare, joined with ', '."""
     if isinstance(v, (list, tuple)):
-        return "[" + ", ".join(_stringify(x) for x in v) + "]"
+        # joi inserts ', ' only when the accumulated string is non-empty
+        # (template.js:327-331) — a leading '' item leaves no separator:
+        # ['', 'a'] renders "[a]" while ['a', ''] renders "[a, ]"
+        partial = ""
+        for x in v:
+            partial = partial + (", " if partial else "") + _stringify(x)
+        return "[" + partial + "]"
+    if v is None:
+        return "null"
     if isinstance(v, bool):
         return "true" if v else "false"
+    if hasattr(v, "isoformat"):  # datetime: joi renders via toISOString
+        # (template.js date with prefs.dateFormat 'iso' default)
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):
+            ms = v.microsecond // 1000
+            base = v.strftime("%Y-%m-%dT%H:%M:%S")
+            return f"{base}.{ms:03d}Z"
     if isinstance(v, float):
         # JS Number.prototype.toString: integral values render without a
         # decimal point ("2", not "2.0"); -0 renders "0"

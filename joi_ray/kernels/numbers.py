@@ -13,24 +13,136 @@ from .util import Env, RuleOut, as_bool_np, cmp_mask
 
 MAX_SAFE = 2**53 - 1
 
+# joi's string->number gate (number.js:10): anything else — 'Infinity',
+# 'NaN', hex, empty/blank — is NOT coerced and fails the base type check
+NUMBER_RX = r"^\s*[+-]?(?:(?:\d+(?:\.\d*)?)|(?:\.\d+))(?:[eE][+-]?\d+)?\s*$"
+
+
+def js_number_to_string(v: float) -> str:
+    """ECMA-262 Number::toString(10): shortest round-trip digits, fixed
+    notation for 1e-6 <= |v| < 1e21, exponent notation outside."""
+    import math
+    from decimal import Decimal
+
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "Infinity" if v > 0 else "-Infinity"
+    if v == 0:
+        return "0"
+    sign = "-" if v < 0 else ""
+    d = Decimal(repr(abs(v)))
+    _, digits, exp = d.as_tuple()
+    s = "".join(map(str, digits)).rstrip("0") or "0"
+    # value = 0.s * 10^npos  (npos = decimal point position)
+    npos = len(digits) + exp
+    k = len(s)
+    if k <= npos <= 21:
+        body = s + "0" * (npos - k)
+    elif 0 < npos <= 21:
+        body = s[:npos] + "." + s[npos:]
+    elif -6 < npos <= 0:
+        body = "0." + "0" * (-npos) + s
+    elif k == 1:
+        body = s + "e" + ("+" if npos - 1 >= 0 else "-") + str(abs(npos - 1))
+    else:
+        body = s[0] + "." + s[1:] + "e" + ("+" if npos - 1 >= 0 else "-") + str(abs(npos - 1))
+    return sign + body
+
+
+def _normalize_exponent(s: "object"):
+    """Vectorized port of number.js:302-310 over a pandas str Series."""
+    return (
+        s.str.replace(r"\.(\d*[1-9])?0+e", r".\1e", regex=True, n=1)
+        .str.replace(r"\.e", "e", regex=True, n=1)
+        .str.replace(r"e\+", "e", regex=True, n=1)
+        .str.replace(r"^\+", "", regex=True, n=1)
+        .str.replace(r"^(-?)0+([1-9])", r"\1\2", regex=True, n=1)
+    )
+
+
+def _normalize_decimal(s):
+    """Vectorized port of number.js:313-329."""
+    s = (
+        s.str.replace(r"^\+", "", regex=True, n=1)
+        .str.replace(r"\.0+$", "", regex=True, n=1)
+        .str.replace(r"^(-?)\.([^\.]*)$", r"\g<1>0.\2", regex=True, n=1)
+        .str.replace(r"^(-?)0+([1-9])", r"\1\2", regex=True, n=1)
+    )
+    trailing = s.str.contains(".", regex=False) & s.str.endswith("0")
+    if trailing.any():
+        s = s.where(~trailing, s.str.replace(r"0+$", "", regex=True, n=1))
+    return s
+
 
 def coerce(arr: pa.Array, env: Env, flags: dict):
-    """string -> number parse with safe-range verification
-    (``number.js:28-63``); returns (new_arr, base_fail_mask)."""
+    """string -> number parse mirroring joi's coerce (number.js:28-63):
+    the numberRx gate, parseFloat, and — unless the unsafe flag — the
+    round-trip fidelity check that flags silent precision loss as
+    number.unsafe AT COERCE TIME (which aborts before rules).
+    Returns (new_arr, base_fail_mask, coerce_errs)."""
     import pandas as pd
 
     n = len(arr)
+    zeros = np.zeros(n, dtype=bool)
     if pa.types.is_floating(arr.type) or pa.types.is_integer(arr.type) or pa.types.is_decimal(arr.type):
-        return arr, np.zeros(n, dtype=bool)
+        return arr, zeros, []
     if pa.types.is_boolean(arr.type) or not env.convert:
-        return arr, ~as_bool_np(pc.is_null(arr), n)
+        return arr, ~as_bool_np(pc.is_null(arr), n), []
     if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        s = arr.to_pandas()
         was_null = as_bool_np(pc.is_null(arr), n)
-        parsed = pd.to_numeric(arr.to_pandas(), errors="coerce")
+        matched = s.str.match(NUMBER_RX, na=False)
+        trimmed = s.str.strip()
+        parsed = pd.to_numeric(trimmed.where(matched), errors="coerce")
         out = pa.Array.from_pandas(parsed, type=pa.float64())
-        fail = as_bool_np(pc.is_null(out), n) & ~was_null
-        return out, fail
-    return arr, ~as_bool_np(pc.is_null(arr), n)
+        fail = (~matched.to_numpy(dtype=bool, na_value=False)) & ~was_null
+        coerce_errs = []
+        if not flags.get("unsafe"):
+            unsafe = _roundtrip_unsafe(trimmed, parsed, matched)
+            if unsafe.any():
+                coerce_errs.append(("number.unsafe", unsafe))
+        return out, fail, coerce_errs
+    return arr, ~as_bool_np(pc.is_null(arr), n), []
+
+
+def _roundtrip_unsafe(trimmed, parsed, matched) -> np.ndarray:
+    """number.js:40-58: a matched numeric string is unsafe when the parsed
+    double does not reproduce the written digits (normalized)."""
+    import pandas as pd
+
+    cand = matched & parsed.notna()
+    n = len(trimmed)
+    unsafe = np.zeros(n, dtype=bool)
+    if not cand.any():
+        return unsafe
+    sub = trimmed[cand]
+    val = parsed[cand]
+    has_e = sub.str.contains("e", case=False, regex=False)
+    # exponent form: rebuild `${value / 10^exp}e${exp}` and compare
+    if has_e.any():
+        es = sub[has_e]
+        ev = val[has_e]
+        exps = es.str.extract(r"[eE]([+-]?\d+)", expand=False)
+        rebuilt = []
+        for raw, v, ex in zip(es, ev, exps):
+            p = np.power(np.float64(10.0), np.float64(int(ex)))
+            with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+                mant = np.float64(v) / p
+            rebuilt.append(f"{js_number_to_string(float(mant))}e{ex}")
+        bad = _normalize_exponent(pd.Series(rebuilt, index=es.index)) != _normalize_exponent(es)
+        unsafe[es.index[bad]] = True
+    plain = ~has_e
+    if plain.any():
+        ps = sub[plain]
+        pv = val[plain]
+        jsstr = pd.Series([js_number_to_string(float(v)) for v in pv], index=ps.index)
+        # toString in exponent form (>=1e21 / <1e-6) skips the check
+        # (number.js:49-51)
+        chk = ~jsstr.str.contains("e", regex=False)
+        bad = chk & (jsstr != _normalize_decimal(ps))
+        unsafe[ps.index[bad]] = True
+    return unsafe
 
 
 def base_check(arr: pa.Array, env: Env, flags: dict):

@@ -163,8 +163,18 @@ def _date_limit(limit, env: Env):
     if hasattr(limit, "kind"):  # Ref
         return limit, {"limit": f"ref:{limit.path}"}
     if isinstance(limit, str):
-        return int(pd.Timestamp(limit).value // 10**6), {"limit": limit}
-    return int(limit), {"limit": limit}
+        # joi normalizes date limits to Date objects at rule creation
+        # (date.js compare args), so the error context renders the ISO
+        # form ("2019-06-01T00:00:00.000Z"), not the source string
+        ms = int(pd.Timestamp(limit).value // 10**6)
+        return ms, {"limit": _ms_to_dt(ms)}
+    return int(limit), {"limit": _ms_to_dt(int(limit))}
+
+
+def _ms_to_dt(ms: int):
+    from datetime import datetime, timezone
+
+    return datetime.fromtimestamp(ms / 1000, tz=timezone.utc)
 
 
 def make_date_compare(op: str):

@@ -1142,6 +1142,11 @@ class AlternativesSchema(Schema):
         super().__init__("alternatives")
 
     def try_(self, *schemas) -> "AlternativesSchema":
+        # joi's try() takes a single schema OR an array of schemas
+        # (alternatives.js try rule: schemas = [].concat(schemas)); accept
+        # the array form too so joi programs port verbatim
+        if len(schemas) == 1 and isinstance(schemas[0], (list, tuple)):
+            schemas = tuple(schemas[0])
         s = self._clone()
         s.terms.setdefault("matches", []).extend(compile_literal(v) for v in schemas)
         return s

@@ -209,7 +209,9 @@ class Gen:
         if kind == "alts":
             b1 = self.leaf_spec("string", [])
             b2 = self.leaf_spec("string", [])
-            spec = {"t": "alternatives", "a": [{"$s": b1}, {"$s": b2}]}
+            # reference v16-rc2 quirk: alternatives(A, B) / try(A, B) keep
+            # only the first schema; the ARRAY form keeps all — use it
+            spec = {"t": "alternatives", "a": [[{"$s": b1}, {"$s": b2}]]}
             return (spec, pa.string(), lambda: self.pick(STRINGS))
         if kind == "whencol":
             base_family = self.pick(["number", "string"])
