@@ -322,12 +322,55 @@ class _TakeEnv(Env):
         return v
 
 
+def _type_family(t: pa.DataType) -> str:
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_decimal(t):
+        return "num"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return "ts"
+    return str(t)
+
+
+def _value_family(v) -> str:
+    import datetime as _dt
+
+    if isinstance(v, bool):  # before int — bool is an int subclass
+        return "bool"
+    if isinstance(v, (int, float)):
+        return "num"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, (bytes, bytearray)):
+        return "bin"
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return "ts"
+    return type(v).__name__
+
+
 def _set_membership(arr: pa.Array, values: list, refs: list[Ref], insensitive: bool, env: Env) -> np.ndarray:
     n = len(arr)
     m = np.zeros(n, dtype=bool)
     if values:
         probe = arr
+        # joi's valids compare with DEEP-STRICT equality (values.js via
+        # hoek deepEqual): 0 !== false, "1" !== 1 — so a cross-family cast
+        # (float 0.0 -> bool false) must never create a match.  Keep only
+        # same-family values (None always compares — valid(null)).
+        fam = _type_family(arr.type)
+        values = [v for v in values if v is None or isinstance(v, Ref) or _value_family(v) == fam]
+        if not values:
+            return _set_membership_refs(arr, refs, env, m, n)
         vals = values
+        if pa.types.is_floating(arr.type):
+            # JS ===: -0 equals 0, but Arrow's is_in hashes the bit pattern
+            # and treats them as distinct — normalize both sides (+0.0)
+            probe = pc.add(probe, pa.scalar(0.0, type=arr.type))
+            vals = [v + 0.0 if isinstance(v, float) and v == 0 else v for v in values]
         if insensitive and pa.types.is_string(arr.type):
             probe = pc.utf8_lower(arr)
             vals = [v.lower() if isinstance(v, str) else v for v in values]
@@ -340,6 +383,10 @@ def _set_membership(arr: pa.Array, values: list, refs: list[Ref], insensitive: b
                     m |= as_bool_np(pc.equal(probe, pa.scalar(v, type=probe.type)), n)
                 except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
                     continue
+    return _set_membership_refs(arr, refs, env, m, n)
+
+
+def _set_membership_refs(arr: pa.Array, refs: list[Ref], env: Env, m: np.ndarray, n: int) -> np.ndarray:
     for r in refs:
         col = env.resolve_ref(r, n)
         try:
@@ -581,7 +628,7 @@ def eval_node(
     failed = np.zeros(n, dtype=bool)
     resolved = np.zeros(n, dtype=bool)
 
-    def add_err(code, mask, ctx=None, seq=10_000, warn=False, message=None, item_rows=None, item_index=None, path_override=None):
+    def add_err(code, mask, ctx=None, seq=10_000, warn=False, message=None, item_rows=None, item_index=None, path_override=None, values=None, group=None, soft=False):
         mask = mask & scope
         p = path_override if path_override is not None else path
         if "label" in node.flags and path_override is None:
@@ -611,6 +658,9 @@ def eval_node(
             rec = ErrRec(code, mask, p, ctx or {}, seq, warn, message)
             rec.rows = item_rows
             rec.item_index = item_index
+            if values is not None:
+                rec.values = [v for v, k in zip(values, keep) if k]
+            rec.order, rec.soft = group, soft
             errors.append(rec)
             if not warn:
                 failed[item_rows] = True
@@ -619,6 +669,8 @@ def eval_node(
             return
         rec = ErrRec(code, mask, p, ctx or {}, seq, warn, message)
         rec.rows = None
+        rec.values = values
+        rec.order, rec.soft = group, soft
         errors.append(rec)
         if not warn:
             np.logical_or(failed, mask, out=failed)
@@ -756,22 +808,45 @@ def eval_node(
             idx = np.nonzero(active)[0]
             idx_arr = pa.array(idx)
             sub_env = _TakeEnv(env, idx_arr)
-            out = cr.fn(arr.take(idx_arr), sub_env)
+            sub_arr = arr.take(idx_arr)
+            out = cr.fn(sub_arr, sub_env)
+            not_ok = ~out.ok
+            ref_err = out.context.pop("__ref_err__", None) if out.context else None
+            if ref_err is not None:
+                # ref-resolved arg failed the rule's assert: any.ref fires
+                # INSTEAD of the rule error (lib/validator.js:281-293)
+                rsub, rctx = ref_err
+                rmask = np.zeros(n, dtype=bool)
+                rmask[idx[rsub]] = True
+                add_err("any.ref", rmask, rctx, seq=cr.seq, warn=cr.warn, message=cr.message)
+                not_ok = not_ok & ~rsub
             bad = np.zeros(n, dtype=bool)
-            bad[idx[~out.ok]] = True
-            add_err(cr.code, bad, out.context, seq=cr.seq, warn=cr.warn, message=cr.message)
+            bad[idx[not_ok]] = True
+            vals = None
+            if cr.code in k_messages.VALUE_CODES and not_ok.any():
+                vals = sub_arr.filter(pa.array(not_ok)).to_pylist()
+            add_err(cr.code, bad, out.context, seq=cr.seq, warn=cr.warn, message=cr.message, values=vals)
             continue
         out = cr.fn(arr, env)
         if out.new_value is not None:
             arr = out.new_value
         bad = active & ~out.ok
+        ref_err = out.context.pop("__ref_err__", None) if out.context else None
+        if ref_err is not None:
+            rmask, rctx = ref_err
+            rmask = rmask & active
+            add_err("any.ref", rmask, rctx, seq=cr.seq, warn=cr.warn, message=cr.message)
+            bad = bad & ~rmask
         if out.item_rows is not None:
             keep = active[out.item_rows]
             add_err(cr.code, bad, out.context, seq=cr.seq, warn=cr.warn,
                     message=cr.message, item_rows=out.item_rows[keep],
                     item_index=out.item_index[keep])
             continue
-        add_err(cr.code, bad, out.context, seq=cr.seq, warn=cr.warn, message=cr.message)
+        vals = None
+        if cr.code in k_messages.VALUE_CODES and bad.any():
+            vals = arr.take(pa.array(np.nonzero(bad)[0])).to_pylist()
+        add_err(cr.code, bad, out.context, seq=cr.seq, warn=cr.warn, message=cr.message, values=vals)
 
     # ---- finalize (lib/validator.js:351-430); noDefaults pref skips
     # default/failover substitution (test/base.js:1104-1155)
@@ -906,7 +981,9 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
     # types; alternatives builds ErrRecs directly)
     _lbl = ({"label": node.flags["label"]} if "label" in node.flags else {})
     _err_start = len(errors)
-    presence = node.flags.get("presence", "optional")
+    # prefs.presence supplies the default here exactly as for scalar nodes
+    # (validator.js:168-190 runs before the type dispatch)
+    presence = node.flags.get("presence") or env.prefs.get("presence", "optional")
     resolved = np.zeros(n, dtype=bool)
     if presence == "required":
         req = missing & scope
@@ -1044,9 +1121,34 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
     return NodeResult(value=value, errors=errors, missing=missing, failed=failed)
 
 
+def _converted_sparse_items(node, add_err, sub, live, nulls_flat, parents, positions, n, grp):
+    """An item that validated CLEANLY but whose converted value is
+    undefined (empty('') conversion) errors array.sparse in a non-sparse
+    array — and joi's inclusions loop records it WITHOUT aborting early
+    (array.js:286-292, unlike every other sparse site), hence soft."""
+    if node.flags.get("sparse") or sub.value is None or not len(nulls_flat):
+        return
+    out_null = as_bool_np(pc.is_null(sub.value), len(nulls_flat))
+    failed_items = sub.failed if sub.failed is not None else np.zeros(len(nulls_flat), bool)
+    became = live & ~nulls_flat & out_null & ~failed_items
+    if became.any():
+        add_err(
+            "array.sparse",
+            np.zeros(n, bool),
+            item_rows=parents[became],
+            item_index=positions[became].astype(np.int32),
+            seq=-1,
+            group=grp,
+            soft=True,
+        )
+
+
 def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, failed, add_err) -> pa.Array:
     n = len(arr)
     flat, parents, positions = k_lists.flatten_with_parents(arr)
+    # joi's items loop is ITEM-outer (array.js:140+): all errors of the
+    # items stage interleave by position, so they share one ordering group
+    items_grp = object()
 
     # sparse: null items forbidden unless flag (array.js:454-466)
     if not node.flags.get("sparse") and len(parents):
@@ -1058,6 +1160,7 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                 item_rows=parents[nulls],
                 item_index=positions[nulls].astype(np.int32),
                 seq=-1,
+                group=items_grp,
             )
 
     if not len(parents):
@@ -1088,7 +1191,8 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
             if len(rows) == 0:
                 continue
             add_err(rec.code, np.zeros(n, bool), rec.context, seq=rec.seq, warn=rec.warn,
-                    message=rec.message, item_rows=rows, item_index=idx, path_override=rec.path)
+                    message=rec.message, item_rows=rows, item_index=idx, path_override=rec.path,
+                    values=getattr(rec, "values", None), group=items_grp)
 
     def exclusion_node(ic):
         # forbidden item schemas are EXCLUSIONS (array.js:145-153): a value
@@ -1110,20 +1214,27 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
 
     new_flat = None
     n_items = len(flat)
+    # joi's items loop SKIPS undefined entries in non-sparse arrays — the
+    # sparse check already errored them and `continue`s (array.js:154-164);
+    # with sparse() they flow through item validation like any value
+    nulls_flat = as_bool_np(pc.is_null(flat), n_items) if n_items else np.zeros(0, bool)
+    item_live = np.ones(n_items, dtype=bool) if node.flags.get("sparse") else ~nulls_flat
     if len(inclusions) == 1 and not exclusions and not node.ordered and not strip_arrays:
         # single inclusion: the item's ACTUAL errors surface, not
         # array.includes (array.js:304-315 `jl === 1`)
         child_env = make_child_env()
         ic = node.items[0]
-        sub = eval_node(ic, flat, child_env, path)
+        sub = eval_node(ic, flat, child_env, path, scope=item_live)
         lift_item_errors(sub, path)
         new_flat = sub.value
+        _converted_sparse_items(node, add_err, sub, item_live, nulls_flat,
+                                parents, positions, n, items_grp)
         if ic.flags.get("presence") == "required":
             # the lone required schema must still claim >=1 item per row;
             # misses error even on empty arrays (array.js:341 + :674-699)
             rows_with = np.zeros(n, dtype=bool)
             if sub.failed is not None and n_items:
-                ok_items = ~sub.failed
+                ok_items = ~sub.failed & item_live
                 rows_with[np.unique(parents[ok_items])] = True
             miss = ~null_mask(arr) & ~rows_with & scope
             if miss.any():
@@ -1134,11 +1245,11 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                     add_err("array.includesRequiredUnknowns", miss, {"unknownMisses": 1})
     elif node.items or node.ordered:
         child_env = make_child_env()
-        item_scope_all = np.ones(n_items, dtype=bool)
+        item_scope_all = item_live.copy()
         matched_any = np.zeros(n_items, dtype=bool)
         if node.ordered:
             for i, oc in enumerate(node.ordered):
-                pos_mask = positions == i
+                pos_mask = (positions == i) & item_live
                 if not pos_mask.any():
                     continue
                 sub = eval_node(oc, flat, child_env, path, scope=pos_mask)
@@ -1209,6 +1320,8 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                 ic = inclusions[0]
                 sub = eval_node(ic, flat, child_env, path, scope=remaining)
                 lift_item_errors(sub, path)
+                _converted_sparse_items(node, add_err, sub, remaining, nulls_flat,
+                                        parents, positions, n, items_grp)
                 ok = ~sub.failed if sub.failed is not None else np.ones(n_items, bool)
                 hit = remaining & ok
                 if ic.flags.get("strip"):
@@ -1458,7 +1571,29 @@ def _eval_object(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fa
 
     def resolve_sibling(name: str):
         if name in results:
-            return results[name].value
+            res = results[name]
+            val = combine(res.value) if isinstance(res.value, pa.ChunkedArray) else res.value
+            f = res.failed
+            if f is not None and f.any() and name in children:
+                # joi assigns result.value into the object ONLY when the
+                # child validated cleanly (object.js:125-140): an errored
+                # key keeps its ORIGINAL value, so later sibling refs see
+                # the raw input (e.g. a required-missing key with a default
+                # resolves undefined, raising any.ref on ref-limit rules)
+                orig = combine(children[name]) if isinstance(children[name], pa.ChunkedArray) else children[name]
+                try:
+                    fm = pa.array(f)
+                    if orig.type == val.type:
+                        val = pc.if_else(fm, orig, val)
+                    else:
+                        # cross-type originals (string input to a number
+                        # key) can't share the column; undefined is the
+                        # joi-equivalent for the consumers that matter
+                        # (rule-arg asserts fail either way -> any.ref)
+                        val = pc.if_else(fm, pa.nulls(n, val.type), val)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                    pass
+            return val
         if name in children:
             return children[name]
         return pa.nulls(n)  # refs to absent keys resolve undefined (lib/ref.js)
@@ -1561,11 +1696,21 @@ def _dep_presence(name, results, children, parent_present, n, separator="."):
     top = parts[0]
     if top in results:
         cur = results[top].value
+        present = ~null_mask(cur)
+        # joi only writes result.value back into the object when the child
+        # validated cleanly (object.js:125-140): an ERRORED key keeps its
+        # ORIGINAL input value, so dependencies see the raw presence there
+        # (e.g. q='' with empty('')+required: errored, still "present")
+        res_failed = getattr(results[top], "failed", None)
+        if res_failed is not None and res_failed.any() and top in children:
+            orig_present = ~null_mask(children[top])
+            present = np.where(res_failed, orig_present, present)
     elif top in children:
         cur = children[top]
+        present = ~null_mask(cur)
     else:
         return None
-    mask = ~null_mask(cur) & parent_present
+    mask = present & parent_present
     for p in parts[1:]:
         if not pa.types.is_struct(cur.type) or cur.type.get_field_index(p) < 0:
             return np.zeros(n, dtype=bool)
@@ -1645,10 +1790,13 @@ def _topo_keys(keys: dict[str, CNode]) -> list[str]:
         for v in s.allow_vals + s.invalid_vals:
             if isinstance(v, Ref) and getattr(v, "level", None) == 1:
                 out.add(v.parts[0] if v.parts else v.path)
-        for w in s.terms.get("whens", []):
-            r = w.get("ref")
-            if isinstance(r, Ref) and getattr(r, "level", None) == 1:
-                out.add(r.parts[0] if r.parts else r.path)
+        dv = s.flags.get("default")
+        if isinstance(dv, Ref) and getattr(dv, "level", None) == 1:
+            out.add(dv.parts[0] if dv.parts else dv.path)
+        # NOTE deliberately NOT when-condition refs: the reference's
+        # alternatives type never registers them (lib/types/alternatives.js
+        # has no _refs.register), so they don't feed the key topo sort —
+        # a when() sees the RAW sibling unless something else orders it
 
     for k, cn in keys.items():
         collect(cn.schema, deps[k])
@@ -1747,7 +1895,23 @@ class CompiledSchema:
 
         def resolve_sibling(name: str):
             if name in results:
-                return results[name].value
+                res = results[name]
+                val = combine(res.value) if isinstance(res.value, pa.ChunkedArray) else res.value
+                f = res.failed
+                if f is not None and f.any() and name in columns:
+                    # joi leaves an ERRORED key's original value in place
+                    # (object.js:125-140), so later refs see the raw input —
+                    # see _eval_object.resolve_sibling for the full note
+                    orig = combine(columns[name])
+                    try:
+                        fm = pa.array(f)
+                        if orig.type == val.type:
+                            val = pc.if_else(fm, orig, val)
+                        else:
+                            val = pc.if_else(fm, pa.nulls(n, val.type), val)
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                        pass
+                return val
             if name in columns:
                 return columns[name]
             return pa.nulls(n)  # refs to absent columns resolve undefined
@@ -1871,6 +2035,8 @@ class CompiledSchema:
             ids = idc
         rows_l, item_l, path_l, code_l, msg_l, ctx_l, sev_l, seq_l = [], [], [], [], [], [], [], []
         rec_l: list = []  # emission order (joi's traversal order)
+        soft_l: list = []  # non-aborting errors (see ErrRec.soft)
+        group_first: dict[int, int] = {}  # ordering-group -> first emission index
         for rec_idx, rec in enumerate(errors):
             if getattr(rec, "rows", None) is not None:
                 rows = rec.rows
@@ -1890,7 +2056,20 @@ class CompiledSchema:
             # item index ("b[0]", errors.js:87-107) unless a label flag
             # overrides it; item errors therefore need one render per
             # distinct index (bounded by max list length, not row count).
-            if "label" not in (rec.context or {}) and (items >= 0).any():
+            if getattr(rec, "values", None) is not None:
+                # the message embeds the offending value ({[.]},
+                # string/index.js:760-763) — render per fired row; bounded
+                # by the violation count, not the batch size
+                msg_l.extend(
+                    render(
+                        rec.code,
+                        rec.path if it < 0 else f"{rec.path}[{int(it)}]",
+                        {**rec.context, "value": v},
+                        override,
+                    )
+                    for it, v in zip(items, rec.values)
+                )
+            elif "label" not in (rec.context or {}) and (items >= 0).any():
                 by_item = {
                     int(it): render(
                         rec.code,
@@ -1909,7 +2088,13 @@ class CompiledSchema:
             ctx_l.extend([ctx_json] * k)
             sev_l.extend(["warn" if rec.warn else "error"] * k)
             seq_l.extend([rec.seq] * k)
-            rec_l.extend([rec_idx] * k)
+            # recs sharing an ordering group collapse to the group's first
+            # emission index so their errors interleave by item position
+            # (joi's item-outer array loop)
+            g = getattr(rec, "order", None)
+            eff = rec_idx if g is None else group_first.setdefault(id(g), rec_idx)
+            rec_l.extend([eff] * k)
+            soft_l.extend([bool(getattr(rec, "soft", False))] * k)
         if not rows_l:
             empty = {name: pa.array([], type=t) for name, t in zip(VIOLATION_SCHEMA.names, VIOLATION_SCHEMA.types)}
             return pa.table(empty)
@@ -1930,46 +2115,49 @@ class CompiledSchema:
                 "severity": pa.array(sev_l, type=pa.string()),
                 "_seq": pa.array(seq_l, type=pa.int32()),
                 "_rec": pa.array(rec_l, type=pa.int32()),
+                "_soft": pa.array(soft_l, type=pa.bool_()),
             }
         )
         if self.prefs.get("abort_early", True):
-            # joi returns on the FIRST error of the whole validate() call
-            # (validator.js: every errors-bearing branch finalizes under
-            # abortEarly) — per table row that is the single error with the
-            # lowest (emission order, item index); warnings pass through
+            # joi returns at the FIRST aborting error of the whole
+            # validate() call — per table row that is the earliest non-soft
+            # error by (emission order, item index); soft errors and
+            # warnings emitted BEFORE it ride along (array.js:286-292)
             t = _abort_early_filter(t)
         # deterministic order (FIXTURES.md determinism rules): (row, path, seq, item)
         t = t.sort_by([("row", "ascending"), ("path", "ascending"), ("_seq", "ascending"), ("item_index", "ascending")])
-        return t.drop_columns(["_seq", "_rec"])
+        return t.drop_columns(["_seq", "_rec", "_soft"])
 
 
 def _abort_early_filter(t: pa.Table) -> pa.Table:
-    """abortEarly keeps, per row, the single earliest error in evaluation
-    order (emission index, then item index) plus any warnings emitted
-    BEFORE it — matching joi's return-on-first-error traversal."""
+    """abortEarly keeps, per row, everything joi would have accumulated
+    when it returned: the earliest NON-SOFT error in evaluation order
+    (emission index, then item index), plus any soft errors / warnings
+    whose key precedes it.  Rows with only soft errors keep them all."""
     if t.num_rows == 0:
         return t
     sev = np.asarray(t["severity"].to_pylist())
     rows = t["row"].to_numpy()
     recs = t["_rec"].to_numpy().astype(np.int64)
     items = t["item_index"].to_numpy().astype(np.int64)
+    soft = t["_soft"].to_numpy(zero_copy_only=False).astype(bool)
     is_err = sev == "error"
-    err_idx = np.nonzero(is_err)[0]
-    if len(err_idx) == 0:
+    hard_idx = np.nonzero(is_err & ~soft)[0]
+    if len(hard_idx) == 0:
         return t
-    order = np.lexsort((items[err_idx], recs[err_idx], rows[err_idx]))
-    sorted_rows = rows[err_idx][order]
+    order = np.lexsort((items[hard_idx], recs[hard_idx], rows[hard_idx]))
+    sorted_rows = rows[hard_idx][order]
     first = np.ones(len(order), dtype=bool)
     first[1:] = sorted_rows[1:] != sorted_rows[:-1]
-    keep_err = err_idx[order[first]]
-    # first-error key per row, for gating warnings
+    keep_err = hard_idx[order[first]]
+    # first aborting-error key per row, gating soft errors and warnings
     first_key: dict[int, tuple] = {
         int(rows[i]): (int(recs[i]), int(items[i])) for i in keep_err
     }
     keep = np.zeros(t.num_rows, dtype=bool)
     keep[keep_err] = True
-    warn_idx = np.nonzero(~is_err)[0]
-    for i in warn_idx:
+    other_idx = np.nonzero(~is_err | soft)[0]
+    for i in other_idx:
         fk = first_key.get(int(rows[i]))
         if fk is None or (int(recs[i]), int(items[i])) < fk:
             keep[i] = True

@@ -45,7 +45,7 @@ def make_list_compare(op: str):
         limit = args["limit"]
 
         def kernel(arr, env: Env) -> RuleOut:
-            ok, ctx = cmp_mask(list_lengths(arr), op, limit, env)
+            ok, ctx = cmp_mask(list_lengths(arr), op, limit, env, arg="limit")
             return RuleOut(ok=ok, context=ctx)
 
         return kernel

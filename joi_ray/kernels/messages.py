@@ -18,6 +18,7 @@ MESSAGES: dict[str, str] = {
     "any.invalid": '"{label}" contains an invalid value',
     "any.only": '"{label}" must be one of {valids}',
     "any.custom": '"{label}" failed custom validation',
+    "any.ref": '"{label}" {arg} references "{ref}" which {reason}',
     "any.warning": '"{label}" triggered warning {code}',
     # string
     "string.base": '"{label}" must be a string',
@@ -25,10 +26,12 @@ MESSAGES: dict[str, str] = {
     "string.min": '"{label}" length must be at least {limit} characters long',
     "string.max": '"{label}" length must be less than or equal to {limit} characters long',
     "string.length": '"{label}" length must be {limit} characters long',
-    "string.pattern.base": '"{label}" fails to match the required pattern',
-    "string.pattern.name": '"{label}" fails to match the {name} pattern',
-    "string.pattern.invert.base": '"{label}" matches the inverted pattern',
-    "string.pattern.invert.name": '"{label}" matches the inverted {name} pattern',
+    # the {value} token is joi's {[.]} (the offending value, raw-stringified)
+    # — string/index.js:760-763; {regex} renders as a JS literal (/src/)
+    "string.pattern.base": '"{label}" with value "{value}" fails to match the required pattern: {regex}',
+    "string.pattern.name": '"{label}" with value "{value}" fails to match the {name} pattern',
+    "string.pattern.invert.base": '"{label}" with value "{value}" matches the inverted pattern: {regex}',
+    "string.pattern.invert.name": '"{label}" with value "{value}" matches the inverted {name} pattern',
     "string.alphanum": '"{label}" must only contain alpha-numeric characters',
     "string.token": '"{label}" must only contain alpha-numeric and underscore characters',
     "string.hex": '"{label}" must only contain hexadecimal characters',
@@ -147,6 +150,18 @@ def lookup_override(code: str, prefs: dict) -> str | None:
     return v if isinstance(v, str) else None
 
 
+#: codes whose catalog message embeds the offending value (joi's {[.]}
+#: token) and therefore need per-fired-row rendering
+VALUE_CODES = frozenset(
+    {
+        "string.pattern.base",
+        "string.pattern.name",
+        "string.pattern.invert.base",
+        "string.pattern.invert.name",
+    }
+)
+
+
 def render(code: str, path: str, context: dict, override: str | None = None) -> str:
     """Render the static message for an error family.  Per-row ``{value}``
     interpolation is intentionally omitted (violation rows carry the doc id
@@ -162,7 +177,11 @@ def render(code: str, path: str, context: dict, override: str | None = None) -> 
     out = tmpl
     out = out.replace("{#label}", str(label)).replace("{label}", str(label))
     for k, v in context.items():
-        s = _stringify(v)
+        if k == "regex" and isinstance(v, str) and not v.startswith("/"):
+            # joi stringifies the RegExp object: String(/\d/) === "/\\d/"
+            s = f"/{v}/"
+        else:
+            s = _stringify(v)
         out = out.replace("{#%s}" % k, s).replace("{%s}" % k, s)
     if "{" in out and _looks_dynamic(out):
         from .template import compile_template

@@ -198,7 +198,34 @@ def make_multiple(args):
         b, ctx = (env.resolve_ref(base, n), {"multiple": f"ref:{base.path}"}) if hasattr(base, "kind") else (base, {"multiple": base})
         v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
         if isinstance(b, (pa.Array, pa.ChunkedArray)):
-            b = np.asarray(b.to_numpy(zero_copy_only=False), dtype=np.float64)
+            from .util import combine as _combine
+
+            ba = _combine(b) if isinstance(b, pa.ChunkedArray) else b
+            t = ba.type
+            is_num = pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_decimal(t)
+            if is_num and not pa.types.is_boolean(t):
+                b = np.asarray(ba.cast(pa.float64(), safe=False).to_numpy(zero_copy_only=False), dtype=np.float64)
+                b = np.where(as_bool_np(pc.is_null(ba), n), np.nan, b)
+                with np.errstate(invalid="ignore"):
+                    refbad = ~(np.isfinite(b) & (b > 0))
+            else:
+                b = np.full(n, np.nan)
+                refbad = np.ones(n, dtype=bool)
+            if refbad.any():
+                # ref arg assert (number.js:178-184): finite positive number,
+                # else any.ref fires instead (validator.js:281-293)
+                ctx["__ref_err__"] = (
+                    refbad,
+                    {"arg": "base", "ref": f"ref:{base.path}", "reason": "must be a positive number"},
+                )
+        elif hasattr(base, "kind"):  # scalar resolution (context refs)
+            okb = isinstance(b, (int, float)) and not isinstance(b, bool) and np.isfinite(b) and b > 0
+            if not okb:
+                ctx["__ref_err__"] = (
+                    np.ones(n, dtype=bool),
+                    {"arg": "base", "ref": f"ref:{base.path}", "reason": "must be a positive number"},
+                )
+                b = np.nan
         with np.errstate(invalid="ignore", divide="ignore"):
             rem = np.mod(v, b)
             ok = np.isclose(rem, 0) | np.isclose(rem, b) | np.isnan(v)

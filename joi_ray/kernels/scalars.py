@@ -148,6 +148,21 @@ def coerce_date(arr: pa.Array, env: Env, flags: dict):
                 free = free.dt.tz_localize(None)
             except (TypeError, AttributeError):
                 pass
+            # V8 parses ISO-shaped strings itself before the legacy grammar,
+            # rolling an out-of-range day forward ('2019-02-30' -> Mar 2);
+            # pandas rejects those, so re-parse the still-NaT rows with the
+            # JS model (expanded years / 24:00 / day rollover)
+            still = free.isna()
+            if still.any():
+                from .strings import _js_iso_parse_ms
+
+                repl = {}
+                for ix in still[still].index:
+                    r = _js_iso_parse_ms(str(s.loc[ix]).strip())
+                    if r is not None:
+                        repl[ix] = pd.Timestamp(r, unit="ms")
+                if repl:
+                    free = free.fillna(pd.Series(repl))
             parsed = parsed.where(~residual, free)
         out = pa.Array.from_pandas(parsed.astype("datetime64[ms]"), type=ts)
         fail = as_bool_np(pc.is_null(out), n) & ~was_null
@@ -185,9 +200,9 @@ def make_date_compare(op: str):
             lim, ctx = _date_limit(limit, env)
             ints = pc.cast(arr, pa.int64())
             if hasattr(lim, "kind"):
-                ok, _ = cmp_mask(arr, op, lim, env)
+                ok, _ = cmp_mask(arr, op, lim, env, arg="date")
             else:
-                ok, _ = cmp_mask(ints, op, lim, env)
+                ok, _ = cmp_mask(ints, op, lim, env, arg="date")
             return RuleOut(ok=ok, context=ctx)
 
         return kernel
@@ -252,7 +267,7 @@ def make_binary_compare(op: str, eq: bool = False):
         limit = args["limit"]
 
         def kernel(arr, env: Env) -> RuleOut:
-            ok, ctx = cmp_mask(pc.binary_length(arr), "eq" if eq else op, limit, env)
+            ok, ctx = cmp_mask(pc.binary_length(arr), "eq" if eq else op, limit, env, arg="limit")
             return RuleOut(ok=ok, context=ctx)
 
         return kernel

@@ -207,7 +207,7 @@ def _len_rule(op: str):
         enc = args.get("encoding")
 
         def kernel(arr, env: Env) -> RuleOut:
-            ok, ctx = cmp_mask(_measure(arr, enc), op, args["limit"], env)
+            ok, ctx = cmp_mask(_measure(arr, enc), op, args["limit"], env, arg="limit")
             return RuleOut(ok=ok, context=ctx)
 
         return kernel
@@ -500,8 +500,11 @@ def _js_iso_parse_ms(s: str) -> int | None:
         y = int(g["year"])
     mo = int(g["month"]) if g["month"] else 1
     d = int(g["day"]) if g["day"] else 1
-    if not (1 <= mo <= 12) or not (1 <= d <= _days_in_month(y, mo)):
+    if not (1 <= mo <= 12) or not (1 <= d <= 31):
         return None
+    # V8 accepts any day 01-31 and rolls past-month-end forward via MakeDay
+    # ('2019-02-30' -> Mar 2) — _days_from_civil is linear in d, so the
+    # overflow day advances the epoch count naturally
     hh = int(g["hh"]) if g["hh"] else 0
     mm = int(g["mm"]) if g["mm"] else 0
     ss = int(g["ss"]) if g["ss"] else 0

@@ -75,6 +75,17 @@ class ErrRec:
     warn: bool = False
     message: Optional[str] = None     # custom message override
     item_index: Optional[np.ndarray] = None  # aligned with mask.nonzero()
+    #: per-fired-row values, aligned with rows/mask.nonzero() order, for the
+    #: few messages that embed the offending value ({[.]} in joi templates,
+    #: e.g. string.pattern.* — string/index.js:760-763)
+    values: Optional[list] = None
+    #: abortEarly ordering group (opaque identity): recs sharing a group
+    #: take the group's FIRST emission index and interleave by item index —
+    #: joi's item-outer array loop
+    order: Optional[object] = None
+    #: non-aborting error: joi records it WITHOUT returning under abortEarly
+    #: (the inclusions-loop converted-to-undefined sparse, array.js:286-292)
+    soft: bool = False
 
 
 class Env:
@@ -231,19 +242,125 @@ def resolve_limit(limit, env: Env, n: int):
     return limit, {"limit": limit}
 
 
-def cmp_mask(arr, op: str, limit, env: Env) -> tuple[np.ndarray, dict]:
+#: per-arg-kind (assert, reason) mirroring the reference rule definitions:
+#: number compare Common.isNumber (number.js:116), length limits
+#: Common.limit (common.js:134, string/array/binary), date compare
+#: normalize+assert (date.js:71-77)
+_ARG_REASONS = {
+    "number": "must be a number",
+    "limit": "must be a positive integer",
+    "date": "must have a valid date format",
+}
+
+
+def _ref_arg_check(lim: pa.Array, arg: str, n: int) -> tuple[pa.Array, np.ndarray]:
+    """Validate a ref-resolved limit column against the rule's arg assert
+    (lib/validator.js:281-293) -> (normalized_lim, bad_mask)."""
+    t = lim.type
+    is_num = pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_decimal(t)
+    if arg == "date":
+        if pa.types.is_timestamp(t) or pa.types.is_date(t):
+            return lim, as_bool_np(pc.is_null(lim), n)
+        if is_num and not pa.types.is_boolean(t):
+            # epoch ms -> Date (date.js normalize via internals.parse)
+            lim = pc.cast(pc.cast(lim, pa.int64(), safe=False), pa.timestamp("ms"), safe=False)
+            return lim, as_bool_np(pc.is_null(lim), n)
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            try:
+                lim = pc.cast(lim, pa.timestamp("ms"))
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                import pandas as pd
+
+                parsed = pd.to_datetime(lim.to_pandas(), errors="coerce", utc=True)
+                try:
+                    parsed = parsed.dt.tz_localize(None)
+                except (TypeError, AttributeError):
+                    pass
+                lim = pa.Array.from_pandas(parsed.astype("datetime64[ms]"), type=pa.timestamp("ms"))
+            return lim, as_bool_np(pc.is_null(lim), n)
+        return lim, np.ones(n, dtype=bool)
+    if not is_num or pa.types.is_boolean(t):
+        return lim, np.ones(n, dtype=bool)
+    bad = as_bool_np(pc.is_null(lim), n)
+    if pa.types.is_floating(t):
+        fl = lim.to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore"):
+            bad |= np.isnan(fl)
+            if arg == "limit":
+                bad |= ~((np.floor(fl) == fl) & (fl >= 0) & (fl <= 2**53 - 1))
+    elif arg == "limit":
+        iv = lim.to_numpy(zero_copy_only=False)
+        bad |= ~((iv >= 0) & (iv <= 2**53 - 1))
+    return lim, bad
+
+
+def _scalar_ref_arg_ok(v, arg: str) -> bool:
+    import datetime as _dt
+    import math as _math
+
+    if v is None:
+        return False
+    if arg == "date":
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            return True
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return not (isinstance(v, float) and _math.isnan(v))
+        if isinstance(v, str):
+            import pandas as pd
+
+            return not pd.isna(pd.to_datetime(v, errors="coerce", utc=True))
+        return False
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        return False
+    if isinstance(v, float) and (_math.isnan(v) or _math.isinf(v)):
+        return False
+    if arg == "limit":
+        return float(v).is_integer() and 0 <= v <= 2**53 - 1
+    return True
+
+
+def cmp_mask(arr, op: str, limit, env: Env, arg: str = "number") -> tuple[np.ndarray, dict]:
     """Shared compare kernel (the analog of ``lib/types/number.js:102-120``
     and ``lib/types/date.js:56-79``): vectorized column-vs-scalar or
-    column-vs-column comparison; Ref limits become sibling columns."""
+    column-vs-column comparison; Ref limits become sibling columns.
+
+    When the limit is a Ref, joi validates the per-row resolved value
+    against the rule's arg assert and raises ``any.ref`` instead of the
+    rule error (lib/validator.js:281-293); the offending mask travels back
+    in ``ctx["__ref_err__"]`` for the rules loop to emit."""
     n = len(arr)
     lim, ctx = resolve_limit(limit, env, n)
     if isinstance(lim, (pa.Array, pa.ChunkedArray)):
         lim = combine(lim)
+        refbad = None
+        if isinstance(limit, Ref):
+            lim, refbad = _ref_arg_check(lim, arg, n)
+            if refbad.any():
+                ctx["__ref_err__"] = (
+                    refbad,
+                    {
+                        "arg": "date" if arg == "date" else "limit",
+                        "ref": f"ref:{limit.path}",
+                        "reason": _ARG_REASONS[arg],
+                    },
+                )
         if lim.type != arr.type:
             try:
                 lim = pc.cast(lim, arr.type)
-            except pa.ArrowInvalid:
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
                 lim = pc.cast(lim, arr.type, safe=False)
+    elif isinstance(limit, Ref):
+        # scalar resolution (context refs): same assert, whole batch
+        if not _scalar_ref_arg_ok(lim, arg):
+            ctx["__ref_err__"] = (
+                np.ones(n, dtype=bool),
+                {
+                    "arg": "date" if arg == "date" else "limit",
+                    "ref": f"ref:{limit.path}",
+                    "reason": _ARG_REASONS[arg],
+                },
+            )
+            lim = None
     fn = {"ge": pc.greater_equal, "le": pc.less_equal, "gt": pc.greater, "lt": pc.less, "eq": pc.equal}[op]
     ok = as_bool_np(fn(arr, lim), n, fill=True)  # null limit/val -> pass (skipped by active)
     return ok, ctx

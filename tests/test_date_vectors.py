@@ -118,13 +118,18 @@ def test_js_iso_parse_property_vs_pandas():
 def test_js_iso_parse_rejects_invalid_calendar():
     from joi_ray.kernels.strings import _js_iso_parse_ms
 
-    assert _js_iso_parse_ms("2013-02-29") is None          # not a leap year
+    # V8 rolls an out-of-range day-of-month forward via MakeDay (verified
+    # against node: new Date('2013-02-29') === 2013-03-01T00:00:00.000Z)
+    assert _js_iso_parse_ms("2013-02-29") == _js_iso_parse_ms("2013-03-01")
     assert _js_iso_parse_ms("2012-02-29") is not None      # leap year
-    assert _js_iso_parse_ms("2013-04-31") is None
-    assert _js_iso_parse_ms("2013-13-01") is None
+    assert _js_iso_parse_ms("2013-04-31") == _js_iso_parse_ms("2013-05-01")
+    assert _js_iso_parse_ms("2013-13-01") is None          # month 13: Invalid
+    assert _js_iso_parse_ms("2013-01-00") is None          # day 00: Invalid
     assert _js_iso_parse_ms("2013-06-07T25:00") is None
     assert _js_iso_parse_ms("2013-06-07T24:00:01") is None
-    assert _js_iso_parse_ms("-000000-01-01") is None       # JS: -000000 invalid
+    # documented deviation: V8's LEGACY parser resurrects '-000000-01-01'
+    # as 2001-01-01; we treat it as Invalid (ES-spec ISO behavior)
+    assert _js_iso_parse_ms("-000000-01-01") is None
 
 
 def test_date_plain_legacy_forms():
