@@ -315,8 +315,8 @@ class _TakeEnv(Env):
         super().__init__(base.prefs, base._resolve_sibling, base.ancestors)
         self._idx = idx_arr
 
-    def resolve_ref(self, r, n):
-        v = super().resolve_ref(r, len(self._idx))
+    def resolve_ref(self, r, n, mode: str = "strict"):
+        v = super().resolve_ref(r, len(self._idx), mode=mode)
         if isinstance(v, (pa.Array, pa.ChunkedArray)):
             return combine(v).take(self._idx)
         return v
@@ -612,13 +612,25 @@ def eval_node(
     # ---- empty: values (or matching schemas) treated as missing
     # (lib/validator.js:162-165; empty(schema) per lib/base.js:124-134)
     if node.empty_values or node.empty_schemas:
+        # the empty check probes the TRIMMED value when a trim() rule is
+        # enabled, and matches under DEFAULT prefs (convert on) regardless
+        # of the caller's convert setting (validator.js:162-163 passes
+        # internals.trim(value, schema) and Common.defaults)
+        probe = arr
+        if (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)) and any(
+            r.get("name") == "trim" and r.get("args", {}).get("enabled", True)
+            for r in node.schema.rules
+        ):
+            probe = pc.utf8_trim_whitespace(arr)
         em = (
-            _set_membership(arr, node.empty_values, [], node.flags.get("insensitive", False), env)
+            _set_membership(probe, node.empty_values, [], node.flags.get("insensitive", False), env)
             if node.empty_values
             else np.zeros(n, dtype=bool)
         )
-        for es in node.empty_schemas:
-            em |= node_validity(es, arr, env, scope) & ~null_mask(arr)
+        if node.empty_schemas:
+            eenv = Env({"convert": True}, getattr(env, "_resolve_sibling", None), env.ancestors)
+            for es in node.empty_schemas:
+                em |= node_validity(es, probe, eenv, scope) & ~null_mask(probe)
         if em.any():
             arr = pc.if_else(pa.array(em), pa.nulls(n, arr.type), arr)
 
@@ -705,6 +717,24 @@ def eval_node(
     active = scope & ~missing & ~resolved & ~failed
     if node.allow_static or node.allow_refs:
         in_allow = _set_membership(arr, node.allow_static, node.allow_refs, insensitive, env)
+        # a valids MATCH replaces the value with the stored valid in convert
+        # mode (validator.js:197-201) — visible for insensitive string
+        # matches: 'ABC' with valid('abc').insensitive() converts to 'abc'
+        if (
+            insensitive
+            and env.convert
+            and in_allow.any()
+            and (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type))
+        ):
+            lowered = pc.utf8_lower(arr)
+            replaced = np.zeros(n, dtype=bool)
+            for v in node.allow_static:
+                if not isinstance(v, str):
+                    continue
+                hit = in_allow & ~replaced & as_bool_np(pc.equal(lowered, v.lower()), n)
+                if hit.any():
+                    arr = pc.if_else(pa.array(hit), pa.scalar(v, type=arr.type), arr)
+                    replaced |= hit
         in_allow_orig = in_allow
         if base_fail.any():
             in_allow_orig = in_allow | _set_membership(original, node.allow_static, node.allow_refs, insensitive, env)
@@ -892,6 +922,17 @@ def eval_node(
                     s = _scalar_for(dv, arr.type)
                     if s is not None:
                         arr = pc.if_else(pa.array(fill_mask), s, arr)
+                    elif not (~missing & ~failed & scope).any():
+                        # the default's type can't live in the input column
+                        # (e.g. number default over an all-failing string
+                        # column under convert:false) and NO clean kept
+                        # value needs the old type — rebuild in the
+                        # default's type so the fill still lands (joi's
+                        # heterogeneous object would hold the raw number)
+                        try:
+                            arr = pa.array([dv if m else None for m in fill_mask])
+                        except (pa.ArrowInvalid, pa.ArrowTypeError):
+                            pass
     if "failover" in node.flags and not no_defaults:
         fv = node.flags["failover"]
         fo_mask = failed & scope
@@ -962,6 +1003,32 @@ def node_validity(node: CNode, arr, env: Env, scope: np.ndarray) -> np.ndarray:
     return ok
 
 
+def _failed_overlay(res: NodeResult, orig, n: int, mode: str):
+    """joi writes result.value into the object ONLY when the child
+    validated cleanly (object.js:125-140): an errored key keeps its
+    ORIGINAL value, so later sibling refs see the raw input (e.g. a
+    required-missing key with a default resolves undefined, raising
+    any.ref on ref-limit rules).  Cross-type originals (string input to a
+    number key) can't share the Arrow column: "strict" consumers (rule
+    args) get undefined — asserts fail either way -> any.ref; "loose"
+    consumers (when-conditions, whose schema re-coerces the raw value)
+    get the converted value."""
+    val = combine(res.value) if isinstance(res.value, pa.ChunkedArray) else res.value
+    f = res.failed
+    if f is None or not f.any() or orig is None:
+        return val
+    orig = combine(orig) if isinstance(orig, pa.ChunkedArray) else orig
+    try:
+        fm = pa.array(f)
+        if orig.type == val.type:
+            return pc.if_else(fm, orig, val)
+        if mode == "strict":
+            return pc.if_else(fm, pa.nulls(n, val.type), val)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+        pass
+    return val
+
+
 def _resolve_when_ref(r, arr, env: Env, n: int):
     """Resolve a when-condition ref; a self ref ('.a', ancestor level 0 —
     lib/ref.js:40-49, test/ref.js:40-61) reaches into the node's OWN value
@@ -970,7 +1037,7 @@ def _resolve_when_ref(r, arr, env: Env, n: int):
         from .kernels.util import _walk_ref_path
 
         return env._ref_post(r, _walk_ref_path(arr, r.parts, n))
-    return env.resolve_ref(r, n)
+    return env.resolve_ref(r, n, mode="loose")
 
 
 def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeResult:
@@ -1079,7 +1146,11 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
                     continue
                 per_rec.append((rec, rmask))
                 count += rmask
-                if not rec.code.endswith(".base"):
+                # joi destructures [type, code] = report.code.split('.') —
+                # so 'string.pattern.base' has code 'pattern', NOT base
+                # (alternatives.js:79-86)
+                parts = rec.code.split(".")
+                if len(parts) != 2 or parts[1] != "base":
                     nonbase |= rmask
         single = nomatch & (count == 1)
         for rec, rmask in per_rec:
@@ -1095,10 +1166,23 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
             errors.append(rec)
         types_mask = nomatch & (count > 1) & ~nonbase
         if types_mask.any():
-            types = sorted({bt for bt, _ in branch_outcomes})
-            rec = ErrRec("alternatives.types", types_mask, path, {"types": types, **_lbl}, 0)
-            rec.rows = None
-            errors.append(rec)
+            # joi pushes one type per branch ERROR in order, duplicates
+            # included (alternatives.js:73-87) — rows may differ, so split
+            # recs by per-row type signature
+            rows_t = np.nonzero(types_mask)[0]
+            per_row: dict[int, list] = {int(r): [] for r in rows_t}
+            for rec, rmask in per_rec:
+                t = rec.code.split(".")[0]
+                for r in rows_t[rmask[rows_t]]:
+                    per_row[int(r)].append(t)
+            sigs: dict[tuple, np.ndarray] = {}
+            for r, ts in per_row.items():
+                m = sigs.setdefault(tuple(ts), np.zeros(n, dtype=bool))
+                m[r] = True
+            for ts, m in sigs.items():
+                rec = ErrRec("alternatives.types", m, path, {"types": list(ts), **_lbl}, 0)
+                rec.rows = None
+                errors.append(rec)
         match_mask = nomatch & (count > 1) & nonbase
         if match_mask.any():
             rec = ErrRec("alternatives.match", match_mask, path, {**_lbl}, 0)
@@ -1127,7 +1211,7 @@ def _converted_sparse_items(node, add_err, sub, live, nulls_flat, parents, posit
     array — and joi's inclusions loop records it WITHOUT aborting early
     (array.js:286-292, unlike every other sparse site), hence soft."""
     if node.flags.get("sparse") or sub.value is None or not len(nulls_flat):
-        return
+        return None
     out_null = as_bool_np(pc.is_null(sub.value), len(nulls_flat))
     failed_items = sub.failed if sub.failed is not None else np.zeros(len(nulls_flat), bool)
     became = live & ~nulls_flat & out_null & ~failed_items
@@ -1141,6 +1225,8 @@ def _converted_sparse_items(node, add_err, sub, live, nulls_flat, parents, posit
             group=grp,
             soft=True,
         )
+        return became
+    return None
 
 
 def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, failed, add_err) -> pa.Array:
@@ -1227,8 +1313,19 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
         sub = eval_node(ic, flat, child_env, path, scope=item_live)
         lift_item_errors(sub, path)
         new_flat = sub.value
-        _converted_sparse_items(node, add_err, sub, item_live, nulls_flat,
-                                parents, positions, n, items_grp)
+        became = _converted_sparse_items(node, add_err, sub, item_live, nulls_flat,
+                                         parents, positions, n, items_grp)
+        # joi assigns value[i] = res.value only on SUCCESS (array.js:286-297):
+        # sparse-converted items AND errored items keep the original value,
+        # keeping later rules (unique) off synthetic undefineds
+        restore = became if became is not None else np.zeros(len(nulls_flat), bool)
+        if sub.failed is not None:
+            restore = restore | (item_live & sub.failed)
+        if restore.any() and new_flat is not None:
+            try:
+                new_flat = pc.if_else(pa.array(restore), flat, combine(new_flat))
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                pass
         if ic.flags.get("presence") == "required":
             # the lone required schema must still claim >=1 item per row;
             # misses error even on empty arrays (array.js:341 + :674-699)
@@ -1569,31 +1666,9 @@ def _eval_object(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fa
             add_err(code, scope & parent_present, ctx, seq=-2)
     results: dict[str, NodeResult] = {}
 
-    def resolve_sibling(name: str):
+    def resolve_sibling(name: str, mode: str = "strict"):
         if name in results:
-            res = results[name]
-            val = combine(res.value) if isinstance(res.value, pa.ChunkedArray) else res.value
-            f = res.failed
-            if f is not None and f.any() and name in children:
-                # joi assigns result.value into the object ONLY when the
-                # child validated cleanly (object.js:125-140): an errored
-                # key keeps its ORIGINAL value, so later sibling refs see
-                # the raw input (e.g. a required-missing key with a default
-                # resolves undefined, raising any.ref on ref-limit rules)
-                orig = combine(children[name]) if isinstance(children[name], pa.ChunkedArray) else children[name]
-                try:
-                    fm = pa.array(f)
-                    if orig.type == val.type:
-                        val = pc.if_else(fm, orig, val)
-                    else:
-                        # cross-type originals (string input to a number
-                        # key) can't share the column; undefined is the
-                        # joi-equivalent for the consumers that matter
-                        # (rule-arg asserts fail either way -> any.ref)
-                        val = pc.if_else(fm, pa.nulls(n, val.type), val)
-                except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
-                    pass
-            return val
+            return _failed_overlay(results[name], children.get(name), n, mode)
         if name in children:
             return children[name]
         return pa.nulls(n)  # refs to absent keys resolve undefined (lib/ref.js)
@@ -1893,25 +1968,9 @@ class CompiledSchema:
                 errors.append(rec)
                 failed[:] = True
 
-        def resolve_sibling(name: str):
+        def resolve_sibling(name: str, mode: str = "strict"):
             if name in results:
-                res = results[name]
-                val = combine(res.value) if isinstance(res.value, pa.ChunkedArray) else res.value
-                f = res.failed
-                if f is not None and f.any() and name in columns:
-                    # joi leaves an ERRORED key's original value in place
-                    # (object.js:125-140), so later refs see the raw input —
-                    # see _eval_object.resolve_sibling for the full note
-                    orig = combine(columns[name])
-                    try:
-                        fm = pa.array(f)
-                        if orig.type == val.type:
-                            val = pc.if_else(fm, orig, val)
-                        else:
-                            val = pc.if_else(fm, pa.nulls(n, val.type), val)
-                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
-                        pass
-                return val
+                return _failed_overlay(results[name], columns.get(name), n, mode)
             if name in columns:
                 return columns[name]
             return pa.nulls(n)  # refs to absent columns resolve undefined

@@ -116,14 +116,22 @@ class Env:
     def abort_early(self) -> bool:
         return self.prefs.get("abort_early", True)
 
-    def resolve_ref(self, r: Ref, n: int):
+    def resolve_ref(self, r: Ref, n: int, mode: str = "strict"):
         """Resolve a Ref to an Arrow array (length n) or a Python scalar.
 
         Dotted paths traverse struct fields; the virtual ``length`` segment
         resolves list/string lengths (lib/ref.js resolve walks JS
         properties, so ``a.length`` reaches the array length — ref.js
         test:618-673).  ``map``/``adjust`` options post-process the
-        resolved value (lib/ref.js:145-151)."""
+        resolved value (lib/ref.js:145-151).
+
+        ``mode`` controls how rows whose sibling FAILED validation resolve
+        when its original input type clashes with the converted column
+        (joi keeps the raw JS value there — object.js:125-140):
+        "strict" (rule args) -> undefined, so arg asserts raise any.ref
+        like the raw value would; "loose" (when-conditions) -> the
+        converted value, which the condition schema's own coercion would
+        have produced from the raw input anyway."""
         parts = r.parts
         if r.kind == "context":
             ctx = self.prefs.get("context", {})
@@ -155,7 +163,10 @@ class Env:
         if level == 1:
             if self._resolve_sibling is None:
                 raise KeyError(f"sibling ref {r.path} outside an object scope")
-            base = self._resolve_sibling(parts[0])
+            try:
+                base = self._resolve_sibling(parts[0], mode=mode)
+            except TypeError:
+                base = self._resolve_sibling(parts[0])
         else:
             idx = level - 1
             if idx > len(self.ancestors):
@@ -278,9 +289,11 @@ def _ref_arg_check(lim: pa.Array, arg: str, n: int) -> tuple[pa.Array, np.ndarra
                     pass
                 lim = pa.Array.from_pandas(parsed.astype("datetime64[ms]"), type=pa.timestamp("ms"))
             return lim, as_bool_np(pc.is_null(lim), n)
-        return lim, np.ones(n, dtype=bool)
+        return pa.nulls(n), np.ones(n, dtype=bool)
     if not is_num or pa.types.is_boolean(t):
-        return lim, np.ones(n, dtype=bool)
+        # family mismatch: every row fails the assert; null the column so
+        # the compare cast below can't crash on (e.g.) string -> float
+        return pa.nulls(n), np.ones(n, dtype=bool)
     bad = as_bool_np(pc.is_null(lim), n)
     if pa.types.is_floating(t):
         fl = lim.to_numpy(zero_copy_only=False)

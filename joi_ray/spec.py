@@ -143,6 +143,40 @@ def _decode(v: Any) -> Any:
     return v
 
 
+def _dedup_values(existing: list, new_values) -> list:
+    """joi's Values container is a SET (lib/values.js add skips an already-
+    present entry): re-adding a value is a no-op, so valid(-1, -1) keeps one
+    -1.  JS SameValueZero typing: true !== 1, so bools never collapse into
+    numbers (Python's True == 1 would)."""
+
+    def key(v):
+        # JS has ONE number type: 10 and 10.0 are the same valid — but
+        # true must stay distinct from 1 (SameValueZero typing)
+        if isinstance(v, bool):
+            return ("bool", v)
+        if isinstance(v, (int, float)):
+            return ("num", float(v))
+        return (type(v).__name__, v)
+
+    seen = set()
+    for v in existing:
+        try:
+            seen.add(key(v))
+        except TypeError:
+            pass  # unhashable (dict/list/schema): always appended
+    out = []
+    for v in new_values:
+        try:
+            k = key(v)
+        except TypeError:
+            out.append(v)
+            continue
+        if k not in seen:
+            seen.add(k)
+            out.append(v)
+    return out
+
+
 class Schema:
     """Immutable schema node.  Every fluent method returns a clone.
 
@@ -210,7 +244,7 @@ class Schema:
 
     def allow(self, *values) -> "Schema":
         s = self._clone()
-        s.allow_vals.extend(values)
+        s.allow_vals.extend(_dedup_values(s.allow_vals, values))
         return s
 
     def valid(self, *values) -> "Schema":
@@ -222,7 +256,7 @@ class Schema:
 
     def invalid(self, *values) -> "Schema":
         s = self._clone()
-        s.invalid_vals.extend(values)
+        s.invalid_vals.extend(_dedup_values(s.invalid_vals, values))
         return s
 
     disallow = invalid
@@ -487,8 +521,10 @@ class Schema:
         s.rules.extend(incoming)
         # valids/invalids merge with cross-removal (lib/base.js:410-411 via
         # Values.merge: source invalids leave the valid set and vice versa)
-        s.allow_vals = [v for v in s.allow_vals if v not in other.invalid_vals] + list(other.allow_vals)
-        s.invalid_vals = [v for v in s.invalid_vals if v not in other.allow_vals] + list(other.invalid_vals)
+        kept_allow = [v for v in s.allow_vals if v not in other.invalid_vals]
+        s.allow_vals = kept_allow + _dedup_values(kept_allow, other.allow_vals)
+        kept_invalid = [v for v in s.invalid_vals if v not in other.allow_vals]
+        s.invalid_vals = kept_invalid + _dedup_values(kept_invalid, other.invalid_vals)
         s.prefs.update(other.prefs)
         for k, v in other.terms.items():
             if k == "keys" and "keys" in s.terms:

@@ -1,0 +1,314 @@
+"""Regression vectors distilled from differential fuzzing against the real
+reference library (tools/fuzz_spec.py + tools/refshim).  Every expectation
+here was confirmed by running @hapi/joi v16.0.0-rc2 under node; the tests
+re-assert them without needing node.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+import joi_ray as jr
+from joi_ray.engine import compile_schema
+
+
+def _violations(schema, tbl, prefs=None):
+    prefs = {"abort_early": False, **(prefs or {})}
+    return compile_schema(schema, prefs=prefs).validate_table(tbl).violations.to_pandas()
+
+
+def _codes(df, row=None):
+    d = df if row is None else df[df.row == row]
+    return list(zip(d["path"], d["code"]))
+
+
+# ---------------------------------------------------------------- messages
+
+
+def test_pattern_message_embeds_value_and_regex():
+    # string/index.js:760: '"{{#label}}" with value "{[.]}" fails to match
+    # the required pattern: {{#regex}}' — regex renders as a JS literal
+    df = _violations(jr.object({"b": jr.string().pattern(r"^x")}), pa.table({"b": ["123"]}))
+    assert df["message"][0] == '"b" with value "123" fails to match the required pattern: /^x/'
+
+
+def test_pattern_message_per_item_value():
+    s = jr.object({"a": jr.array().items(jr.string().pattern(r"\d"))})
+    tbl = pa.table({"a": pa.array([["Hello World", "hello"]], type=pa.list_(pa.string()))})
+    msgs = list(_violations(s, tbl)["message"])
+    assert msgs == [
+        '"a[0]" with value "Hello World" fails to match the required pattern: /\\d/',
+        '"a[1]" with value "hello" fails to match the required pattern: /\\d/',
+    ]
+
+
+# ---------------------------------------------------------------- any.ref
+
+
+def test_any_ref_on_undefined_ref_limit():
+    # validator.js:281-293: a ref-resolved rule arg failing its assert
+    # raises any.ref INSTEAD of the rule error
+    s = jr.object({"a": jr.number(), "b": jr.number().max(jr.ref("a"))})
+    tbl = pa.table({"a": pa.array([None, 3.0], type=pa.float64()), "b": [65536.0, 5.0]})
+    df = _violations(s, tbl)
+    assert _codes(df, 0) == [("b", "any.ref")]
+    assert df[df.row == 0]["message"].iloc[0] == '"b" limit references "ref:a" which must be a number'
+    assert _codes(df, 1) == [("b", "number.max")]
+
+
+def test_any_ref_wrong_family_ref_limit():
+    # a string column as a number limit fails typeof === 'number'
+    s = jr.object({"a": jr.string(), "b": jr.number().min(jr.ref("a"))})
+    tbl = pa.table({"a": ["abc"], "b": [1.0]})
+    assert _codes(_violations(s, tbl), 0) == [("b", "any.ref")]
+
+
+def test_any_ref_multiple_positive_number():
+    # number.js:178-184: multiple's base must be a finite positive number
+    s = jr.object({"a": jr.number(), "b": jr.number().multiple(jr.ref("a"))})
+    tbl = pa.table({"a": pa.array([None, -2.0, 5.0], type=pa.float64()), "b": [10.0, 10.0, 10.0]})
+    df = _violations(s, tbl)
+    assert _codes(df, 0) == [("b", "any.ref")]
+    assert _codes(df, 1) == [("b", "any.ref")]
+    assert _codes(df, 2) == []
+    assert "must be a positive number" in df[df.row == 0]["message"].iloc[0]
+
+
+def test_errored_sibling_resolves_original_value():
+    # object.js:125-140: result.value is written back ONLY on success, so a
+    # required-missing key with a default still resolves undefined for later
+    # sibling refs (verified: reference emits any.ref here, fuzz seed 20149)
+    s = jr.object({
+        "a": jr.number().min(30).default(1.0).required(),
+        "b": jr.number().greater(jr.ref("a")),
+    })
+    tbl = pa.table({"a": pa.array([None, 50.0], type=pa.float64()), "b": pa.array([10.0, 60.0])})
+    df = _violations(s, tbl)
+    assert ("b", "any.ref") in _codes(df, 0)
+    assert _codes(df, 1) == []
+
+
+# ---------------------------------------------------------------- dates
+
+
+def test_js_date_day_rollover():
+    # V8 MakeDay rolls an out-of-range day forward: new Date('2019-02-30')
+    # === 2019-03-02 (verified under node); month 13 stays Invalid
+    import datetime
+
+    s = jr.object({"a": jr.date()})
+    tbl = pa.table({"a": ["2019-02-30", "2020-13-01", "2019-04-31"]})
+    res = compile_schema(s, prefs={"abort_early": False}).validate_table(tbl)
+    vals = res.value.column("a").to_pylist()
+    assert vals[0] == datetime.datetime(2019, 3, 2)
+    assert vals[1] is None
+    assert vals[2] == datetime.datetime(2019, 5, 1)
+    assert _codes(res.violations.to_pandas()) == [("a", "date.base")]
+
+
+def test_iso_date_day_rollover():
+    import datetime
+
+    s = jr.object({"a": jr.date().iso()})
+    tbl = pa.table({"a": ["2019-02-29", "2019-02-30T10:00:00Z"]})
+    res = compile_schema(s, prefs={"abort_early": False}).validate_table(tbl)
+    assert res.value.column("a").to_pylist() == [
+        datetime.datetime(2019, 3, 1),
+        datetime.datetime(2019, 3, 2, 10, 0),
+    ]
+
+
+# ---------------------------------------------------------------- valids
+
+
+def test_valid_strict_type_families():
+    # hoek deepEqual: 0 !== false and '1' !== 1 — a float valid value must
+    # never match a boolean column through an Arrow cast
+    s = jr.object({"c": jr.boolean(), "b": jr.string().min(2).when("c", is_=0.0, then=jr.string().forbidden())})
+    tbl = pa.table({"c": [False], "b": ["x"]})
+    assert _codes(_violations(s, tbl), 0) == [("b", "string.min")]
+
+
+def test_valid_negative_zero_matches_zero():
+    # JS ===: -0 equals 0 (Arrow's is_in hashes them apart — normalized)
+    s = jr.object({"d": jr.number().valid(0.0)})
+    tbl = pa.table({"d": [-0.0]})
+    assert _codes(_violations(s, tbl), 0) == []
+
+
+# ---------------------------------------------------------------- presence
+
+
+def test_alternatives_presence_from_prefs():
+    s = jr.object({"b": jr.alternatives().try_(jr.string(), jr.number())})
+    tbl = pa.table({"b": pa.array([None], type=pa.string())})
+    df = _violations(s, tbl, prefs={"presence": "required"})
+    assert _codes(df, 0) == [("b", "any.required")]
+
+
+# ---------------------------------------------------------------- arrays
+
+
+def test_nonsparse_undefined_items_skip_item_schema():
+    # array.js:154-164: undefined items error array.sparse and `continue` —
+    # the (required) item schema never sees them
+    s = jr.object({"a": jr.array().items(jr.number().required())})
+    tbl = pa.table({"a": pa.array([[None, 5.0]], type=pa.list_(pa.float64()))})
+    df = _violations(s, tbl)
+    assert _codes(df, 0) == [("a", "array.sparse")]
+
+
+def test_sparse_undefined_items_do_reach_item_schema():
+    # with sparse(), undefined items flow through item validation
+    # (verified under node: any.required + includesRequiredUnknowns)
+    s = jr.object({"a": jr.array().sparse().items(jr.number().required())})
+    tbl = pa.table({"a": pa.array([[None]], type=pa.list_(pa.float64()))})
+    codes = [c for _, c in _codes(_violations(s, tbl), 0)]
+    assert "any.required" in codes
+    assert "array.includesRequiredUnknowns" in codes
+    assert "array.sparse" not in codes
+
+
+def test_converted_to_undefined_item_is_sparse_error():
+    # array.js:286-292: an item that validates cleanly but converts to
+    # undefined (empty('')) errors array.sparse — WITHOUT aborting early
+    s = jr.object({"a": jr.array().items(jr.string().empty("").valid("ab", "abc123"))})
+    tbl = pa.table({"a": pa.array([["ab", "", "zzz"]], type=pa.list_(pa.string()))})
+    df = _violations(s, tbl, prefs={"abort_early": True})
+    # set-compare: row order inside the table follows the repo's
+    # deterministic (row, path, seq, item) convention, not joi's push order
+    got = {(p, int(i), c) for p, i, c in zip(df["path"], df["item_index"], df["code"])}
+    assert got == {("a", 1, "array.sparse"), ("a", 2, "any.only")}
+
+
+# ---------------------------------------------------------------- deps
+
+
+def test_dependency_sees_original_value_of_errored_key():
+    # and(p,q): q='' with empty('')+required errors any.required, but the
+    # object keeps q='' (original) — so the and() dependency counts it
+    # PRESENT and does not fire (object.js:125-155)
+    s = jr.object({
+        "p": jr.number(),
+        "q": jr.string().empty("").required(),
+    }).and_("p", "q")
+    tbl = pa.table({"p": [3.0], "q": [""]})
+    df = _violations(s, tbl)
+    assert _codes(df, 0) == [("q", "any.required")]
+
+
+def test_dependency_fires_on_truly_missing_errored_key():
+    s = jr.object({
+        "p": jr.number(),
+        "q": jr.string().required(),
+    }).and_("p", "q")
+    tbl = pa.table({"p": [3.0], "q": pa.array([None], type=pa.string())})
+    codes = [c for _, c in _codes(_violations(s, tbl), 0)]
+    assert "object.and" in codes and "any.required" in codes
+
+
+# ---------------------------------------------------------------- abortEarly
+
+
+def test_abort_early_keeps_first_error_only():
+    s = jr.object({"a": jr.number().min(10), "b": jr.string().min(3)})
+    tbl = pa.table({"a": [1.0], "b": ["x"]})
+    df = _violations(s, tbl, prefs={"abort_early": True})
+    assert _codes(df, 0) == [("a", "number.min")]
+
+
+def test_base_error_aborts_rules():
+    # validator.js:236-247: '' under string.min emits ONLY string.empty
+    s = jr.object({"c": jr.string().min(3)})
+    tbl = pa.table({"c": [""]})
+    assert _codes(_violations(s, tbl), 0) == [("c", "string.empty")]
+
+
+# ------------------------------------------------------- round-2 findings
+
+
+def test_alternatives_match_not_types_for_pattern_base():
+    # alternatives.js:79-86 destructures [type, code] = code.split('.') —
+    # 'string.pattern.base' has code 'pattern', so mixed pattern failures
+    # union into alternatives.match, NOT alternatives.types
+    s = jr.object({"a": jr.alternatives().try_(
+        jr.string().pattern(r"\d"),
+        jr.string().min(1).pattern(r"^x"),
+    )})
+    tbl = pa.table({"a": ["abc"]})
+    codes = [c for _, c in _codes(_violations(s, tbl), 0)]
+    assert codes == ["alternatives.match"]
+
+
+def test_alternatives_types_for_all_base():
+    s = jr.object({"a": jr.alternatives().try_(jr.number(), jr.boolean())})
+    tbl = pa.table({"a": ["zzz"]})
+    df = _violations(s, tbl)
+    assert [c for _, c in _codes(df, 0)] == ["alternatives.types"]
+    assert json.loads(df["context"][0])["types"] == ["number", "boolean"]
+
+
+def test_valids_set_dedups():
+    # lib/values.js is a Set: valid(-1) twice (incl. via concat) keeps one;
+    # 10 and 10.0 are the same JS number
+    s = jr.object({"a": jr.number().valid(0.5, 10.0, -1.0).concat(jr.number().valid(-1.0, 1.0))})
+    tbl = pa.table({"a": [8.0]})
+    msg = _violations(s, tbl)["message"][0]
+    assert msg == '"a" must be one of [0.5, 10, -1, 1]'
+
+
+def test_insensitive_valid_match_rewrites_value():
+    # validator.js:197-201: a valids match replaces the value with the
+    # stored valid in convert mode — 'ABC' -> 'abc'
+    s = jr.object({"a": jr.string().insensitive().valid("ab", "a", "abc")})
+    tbl = pa.table({"a": ["ABC"]})
+    res = compile_schema(s, prefs={"abort_early": False}).validate_table(tbl)
+    assert res.value.column("a").to_pylist() == ["abc"]
+    assert res.violations.num_rows == 0
+
+
+def test_empty_check_trims_and_converts():
+    # validator.js:162-163: the empty probe is TRIMMED when trim() is
+    # enabled and matched under DEFAULT prefs even with convert:false
+    s = jr.object({"a": jr.string().trim().valid("abc").empty("")})
+    tbl = pa.table({"a": ["  "]})
+    res = compile_schema(s, prefs={"abort_early": False, "convert": False}).validate_table(tbl)
+    assert res.violations.num_rows == 0
+    assert res.value.column("a").to_pylist() == [None]
+
+
+def test_forbidden_missing_still_fills_default():
+    # validator.js:172-174 -> finalize: forbidden + undefined returns
+    # through finalize, which applies the default
+    s = jr.object({"b": jr.number().max(-3).default(-1.0).forbidden()})
+    tbl = pa.table({"b": pa.array([None], type=pa.string())})
+    res = compile_schema(s, prefs={"abort_early": False, "convert": False}).validate_table(tbl)
+    assert res.violations.num_rows == 0
+    assert res.value.column("b").to_pylist() == [-1.0]
+
+
+def test_when_condition_coerces_string_ref():
+    # Joi.compile(0) is a TYPED number schema (compile.js:65-67), so the
+    # is-condition coerces a sibling string '0' and matches
+    s = jr.object({
+        "a": jr.number().max(38).forbidden(),
+        "b": jr.number().min(39).valid(10.0).when("a", is_=0.0, then=jr.number().integer()),
+    })
+    tbl = pa.table({"a": ["0"], "b": [-2.5]})
+    codes = [c for p, c in _codes(_violations(s, tbl), 0) if p == "b"]
+    assert "number.integer" in codes
+
+
+def test_errored_item_keeps_original_for_unique():
+    # array.js:286-297: value[i] is assigned only on success, so an
+    # errored/empty-converted item keeps its original value and never
+    # collides with a true undefined in unique()
+    s = jr.object({"a": jr.array().items(jr.string().empty("").required()).unique()})
+    tbl = pa.table({"a": pa.array([[None, "hello", ""]], type=pa.list_(pa.string()))})
+    df = _violations(s, tbl, prefs={"presence": "required"})
+    codes = [c for _, c in _codes(df, 0)]
+    assert "array.unique" not in codes
+    assert "array.sparse" in codes and "any.required" in codes
