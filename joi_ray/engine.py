@@ -183,11 +183,16 @@ class CNode:
                     convert_phase=(self.type == "string" and name in _STRING_CONVERT_RULES),
                 )
             )
+        # convert-phase rules get a dedicated normalize->case->trim ordered
+        # VIEW for the coerce-time pass; the main list keeps REGISTRATION
+        # order — under convert:false they validate in the rules loop and
+        # abortEarly's first-error depends on that order
+        self.convert_rules: list = []
         if self.type == "string":
             order = {n: i for i, n in enumerate(k_strings.CONVERT_ORDER)}
-            conv = sorted((r for r in self.rules if r.convert_phase), key=lambda r: order[r.name])
-            rest = [r for r in self.rules if not r.convert_phase]
-            self.rules = conv + rest
+            self.convert_rules = sorted(
+                (r for r in self.rules if r.convert_phase), key=lambda r: order[r.name]
+            )
 
         # --- children
         t = schema.terms
@@ -603,11 +608,10 @@ def eval_node(
     if node.type == "string" and env.convert and (
         pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
     ):
-        for cr in node.rules:
-            if cr.convert_phase:
-                out = cr.fn(arr, env)
-                if out.new_value is not None:
-                    arr = out.new_value
+        for cr in node.convert_rules:
+            out = cr.fn(arr, env)
+            if out.new_value is not None:
+                arr = out.new_value
 
     # ---- empty: values (or matching schemas) treated as missing
     # (lib/validator.js:162-165; empty(schema) per lib/base.js:124-134)
@@ -1040,6 +1044,50 @@ def _resolve_when_ref(r, arr, env: Env, n: int):
     return env.resolve_ref(r, n, mode="loose")
 
 
+def _finalize_branch_values(arr, branch_values, n: int):
+    """Adopt matching branches' CONVERTED values (joi returns the branch
+    result verbatim — alternatives.js:37-40, so a number branch coerces
+    '0' -> 0).  Arrow limitation: rows matched by branches with DIFFERENT
+    output types (number vs boolean vs string) cannot share one column —
+    in that case keep the ORIGINAL values everywhere (value-equivalent,
+    tracked as a representational deviation) rather than corrupt any row
+    through lossy casts."""
+    pairs = [
+        (m, combine(v) if isinstance(v, pa.ChunkedArray) else v)
+        for m, v in branch_values
+        if v is not None
+    ]
+    if not pairs:
+        return arr
+    out_types = {v.type for _, v in pairs}
+    if len(out_types) > 1 and not all(t == arr.type for t in out_types):
+        # mixed branch output types: adopt what shares the input type
+        # (trim/case rewrites, empty-conversions); the cross-type rows keep
+        # their original value (the documented repr limit)
+        value = arr
+        for m, v in pairs:
+            if v.type == arr.type:
+                try:
+                    value = pc.if_else(pa.array(m), v, value)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                    pass
+        return value
+    target = next(iter(out_types))
+    if target == arr.type:
+        value = arr
+    else:
+        try:
+            value = pc.cast(arr, target, safe=False)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+            value = pa.nulls(n, target)
+    for m, v in pairs:
+        try:
+            value = pc.if_else(pa.array(m), v, value)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+            pass
+    return value
+
+
 def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeResult:
     n = len(arr)
     missing = null_mask(arr)
@@ -1078,6 +1126,7 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
     matched = np.zeros(n, dtype=bool)
     decided = np.zeros(n, dtype=bool)  # conditional-branch rows: result final
     value = arr
+    branch_values: list[tuple[np.ndarray, object]] = []  # (rows, converted)
     branch_outcomes: list[tuple[str, list]] = []
     for m in node.matches:
         still = active & ~matched & ~decided
@@ -1091,10 +1140,7 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
             matched |= hit
             branch_outcomes.append((m["schema"].type, sub.errors))
             if hit.any():
-                try:
-                    value = pc.if_else(pa.array(hit), sub.value, value)
-                except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
-                    pass
+                branch_values.append((hit, sub.value))
             continue
         # conditional entry (alternatives.when): the selected branch's
         # result is returned AS-IS — pass or fail, later matches are not
@@ -1117,10 +1163,8 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
             errors.extend(sub.errors)
             failed |= sel & sub.failed
             if ok_rows.any():
-                try:
-                    value = pc.if_else(pa.array(ok_rows), sub.value, value)
-                except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
-                    pass
+                branch_values.append((ok_rows, sub.value))
+    value = _finalize_branch_values(arr, branch_values, n)
     nomatch = active & ~matched & ~decided
     if nomatch.any():
         # error union per row (alternatives.js:60-91): no branch errors ->
@@ -1205,11 +1249,12 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
     return NodeResult(value=value, errors=errors, missing=missing, failed=failed)
 
 
-def _converted_sparse_items(node, add_err, sub, live, nulls_flat, parents, positions, n, grp):
+def _converted_sparse_items(node, add_err, sub, live, nulls_flat, parents, positions, n, grp, soft=True):
     """An item that validated CLEANLY but whose converted value is
     undefined (empty('') conversion) errors array.sparse in a non-sparse
-    array — and joi's inclusions loop records it WITHOUT aborting early
-    (array.js:286-292, unlike every other sparse site), hence soft."""
+    array.  joi's INCLUSIONS loop records it WITHOUT aborting early
+    (array.js:286-292, soft=True); the ordered loop DOES abort
+    (array.js:201-207, soft=False)."""
     if node.flags.get("sparse") or sub.value is None or not len(nulls_flat):
         return None
     out_null = as_bool_np(pc.is_null(sub.value), len(nulls_flat))
@@ -1223,7 +1268,7 @@ def _converted_sparse_items(node, add_err, sub, live, nulls_flat, parents, posit
             item_index=positions[became].astype(np.int32),
             seq=-1,
             group=grp,
-            soft=True,
+            soft=soft,
         )
         return became
     return None
@@ -1240,14 +1285,26 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
     if not node.flags.get("sparse") and len(parents):
         nulls = as_bool_np(pc.is_null(flat), len(flat))
         if nulls.any():
-            add_err(
-                "array.sparse",
-                np.zeros(n, bool),
-                item_rows=parents[nulls],
-                item_index=positions[nulls].astype(np.int32),
-                seq=-1,
-                group=items_grp,
-            )
+            sparse_mask = nulls
+            if node.ordered and not node.items:
+                # joi BREAKs the items loop at the first beyond-slots
+                # NON-undefined item (array.js:222-231) — sparse checks
+                # after that position never run
+                L = len(node.ordered)
+                beyond_live = (positions >= L) & ~nulls
+                if beyond_live.any():
+                    cutoff = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+                    np.minimum.at(cutoff, parents[beyond_live], positions[beyond_live])
+                    sparse_mask = nulls & (positions < cutoff[parents])
+            if sparse_mask.any():
+                add_err(
+                    "array.sparse",
+                    np.zeros(n, bool),
+                    item_rows=parents[sparse_mask],
+                    item_index=positions[sparse_mask].astype(np.int32),
+                    seq=-1,
+                    group=items_grp,
+                )
 
     if not len(parents):
         return arr
@@ -1351,15 +1408,43 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                     continue
                 sub = eval_node(oc, flat, child_env, path, scope=pos_mask)
                 lift_item_errors(sub, path)
+                became_o = _converted_sparse_items(node, add_err, sub, pos_mask, nulls_flat,
+                                                   parents, positions, n, items_grp, soft=False)
+                # matched slots adopt converted values (array.js:209
+                # value[i] = res.value); cross-type slot conversions can't
+                # share the list column (repr limit)
+                if sub.value is not None:
+                    adopt = pos_mask & ~(sub.failed if sub.failed is not None else np.zeros(n_items, bool))
+                    if became_o is not None:
+                        adopt = adopt & ~became_o
+                    if adopt.any():
+                        base = new_flat if new_flat is not None else flat
+                        try:
+                            new_flat = pc.if_else(pa.array(adopt), combine(sub.value), combine(base))
+                        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                            pass
                 matched_any |= pos_mask
             beyond = positions >= len(node.ordered)
             if beyond.any() and not node.items:
-                # ONE row-level error, pos = first beyond index
-                # (array.js:220-231; abortEarly=false vector :1164-1185)
+                # ONE row-level error at the first beyond NON-UNDEFINED
+                # item (an undefined one sparse-errors and `continue`s —
+                # array.js:154-164 precedes :222-231), then joi BREAKs
                 L = len(node.ordered)
-                rows_over = np.zeros(n, dtype=bool)
-                rows_over[np.unique(parents[beyond])] = True
-                add_err("array.orderedLength", rows_over & scope, {"pos": L, "limit": L})
+                beyond_live = beyond & item_live
+                by_pos: dict[int, list] = {}
+                seen_rows: set = set()
+                order_idx = np.lexsort((positions[beyond_live], parents[beyond_live]))
+                bl_parents = parents[beyond_live][order_idx]
+                bl_pos = positions[beyond_live][order_idx]
+                for rrow, ppos in zip(bl_parents, bl_pos):
+                    if int(rrow) in seen_rows:
+                        continue
+                    seen_rows.add(int(rrow))
+                    by_pos.setdefault(int(ppos), []).append(int(rrow))
+                for ppos, rws in by_pos.items():
+                    rows_over = np.zeros(n, dtype=bool)
+                    rows_over[rws] = True
+                    add_err("array.orderedLength", rows_over & scope, {"pos": ppos, "limit": L})
                 matched_any |= beyond
             # required ordered slots beyond the input length are misses
             # (array.js:348-350 fillOrderedErrors -> fillMissedErrors;
@@ -1417,9 +1502,21 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                 ic = inclusions[0]
                 sub = eval_node(ic, flat, child_env, path, scope=remaining)
                 lift_item_errors(sub, path)
-                _converted_sparse_items(node, add_err, sub, remaining, nulls_flat,
-                                        parents, positions, n, items_grp)
+                became2 = _converted_sparse_items(node, add_err, sub, remaining, nulls_flat,
+                                                  parents, positions, n, items_grp)
                 ok = ~sub.failed if sub.failed is not None else np.ones(n_items, bool)
+                # matched items adopt the schema's converted value
+                # (array.js:297 value[i] = res.value); failed / sparse-
+                # converted / out-of-scope items keep the original
+                if sub.value is not None:
+                    keep_orig = ~(remaining & ok)
+                    if became2 is not None:
+                        keep_orig = keep_orig | became2
+                    base = new_flat if new_flat is not None else flat
+                    try:
+                        new_flat = pc.if_else(pa.array(keep_orig), combine(base), combine(sub.value))
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                        pass
                 hit = remaining & ok
                 if ic.flags.get("strip"):
                     strip_items |= hit
@@ -1876,20 +1973,22 @@ def _topo_keys(keys: dict[str, CNode]) -> list[str]:
     for k, cn in keys.items():
         collect(cn.schema, deps[k])
         deps[k] &= set(keys)
-    out, seen = [], set()
-
-    def visit(k, stack):
-        if k in seen or k in stack:
-            return
-        stack.add(k)
-        for d in sorted(deps.get(k, ())):
-            visit(d, stack)
-        stack.discard(k)
-        seen.add(k)
-        out.append(k)
-
-    for k in keys:
-        visit(k, set())
+    # @hapi/topo keeps INSERTION order and only defers a dependent past its
+    # targets ({b,c,a-after-c,d} -> [b, c, a, d], not [c, a, b, d]) — the
+    # evaluation (and with abortEarly, the first-error) order depends on it.
+    # Kahn's algorithm picking the earliest-inserted ready node mirrors that.
+    order = {k: i for i, k in enumerate(keys)}
+    out, done = [], set()
+    remaining = list(keys)
+    while remaining:
+        ready = [k for k in remaining if deps[k] <= done]
+        if not ready:  # cycle: fall back to insertion order for the rest
+            out.extend(remaining)
+            break
+        nxt = min(ready, key=lambda k: order[k])
+        out.append(nxt)
+        done.add(nxt)
+        remaining.remove(nxt)
     return out
 
 

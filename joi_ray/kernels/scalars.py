@@ -121,53 +121,78 @@ def coerce_date(arr: pa.Array, env: Env, flags: dict):
             return out, fail
         # plain date(): numeric strings are ms-epoch (date.js:178-183:
         # /^[+-]?\d+(\.\d+)?$/ -> Number), everything else goes through the
-        # JS legacy Date(string) model — approximated for the residual
-        # non-ISO rows with pandas' free-form parser (documented: V8's
-        # legacy grammar and pandas disagree on exotic forms)
-        numeric = s.str.fullmatch(r"[+-]?\d+(\.\d+)?", na=False)
-        if numeric.any():
-            vals = pd.to_numeric(s, errors="coerce")
-            as_ms = pd.to_datetime(vals, unit="ms", errors="coerce")
-            parsed = parsed.where(~numeric, as_ms)
-        residual = parsed.isna() & s.notna() & ~numeric
-        if residual.any():
-            import warnings
-
-            with warnings.catch_warnings():
-                warnings.simplefilter("ignore")
-                free = pd.to_datetime(s[residual], errors="coerce", utc=True)
-                nat = free.isna()
-                if nat.any():
-                    # a trailing UTC/GMT zone name trips dateutil on
-                    # digit-dash forms ('1-1-2013 UTC'); strip and re-parse
-                    stripped = s[residual][nat].str.replace(
-                        r"\s+(UTC|GMT)\s*$", "", regex=True, case=False)
-                    free = free.where(~nat, pd.to_datetime(
-                        stripped, errors="coerce", utc=True))
-            try:
-                free = free.dt.tz_localize(None)
-            except (TypeError, AttributeError):
-                pass
-            # V8 parses ISO-shaped strings itself before the legacy grammar,
-            # rolling an out-of-range day forward ('2019-02-30' -> Mar 2);
-            # pandas rejects those, so re-parse the still-NaT rows with the
-            # JS model (expanded years / 24:00 / day rollover)
-            still = free.isna()
-            if still.any():
-                from .strings import _js_iso_parse_ms
-
-                repl = {}
-                for ix in still[still].index:
-                    r = _js_iso_parse_ms(str(s.loc[ix]).strip())
-                    if r is not None:
-                        repl[ix] = pd.Timestamp(r, unit="ms")
-                if repl:
-                    free = free.fillna(pd.Series(repl))
-            parsed = parsed.where(~residual, free)
+        # JS legacy Date(string) model
+        parsed = _js_parse_plain_date_strings(s, parsed)
         out = pa.Array.from_pandas(parsed.astype("datetime64[ms]"), type=ts)
         fail = as_bool_np(pc.is_null(out), n) & ~was_null
         return out, fail
     return arr, ~was_null
+
+
+def js_parse_date_strings(s):
+    """Full JS `new Date(string)` model over a pandas string Series ->
+    datetime64[ms] Series: numeric strings are ms-epoch, then ISO (with
+    V8 day rollover), then the legacy free-form grammar.  Used by plain
+    date() coercion and by date-ref arg normalization (date.js
+    internals.parse, validator.js:281-293)."""
+    import pandas as pd
+
+    parsed = pd.to_datetime(s, errors="coerce", utc=True, format="ISO8601")
+    try:
+        parsed = parsed.dt.tz_localize(None)
+    except (TypeError, AttributeError):
+        pass
+    return _js_parse_plain_date_strings(s, parsed)
+
+
+def _js_parse_plain_date_strings(s, parsed):
+    """Fill the non-ISO residue of ``parsed`` (numeric epoch strings, the
+    legacy free-form grammar via pandas — documented: V8's legacy grammar
+    and pandas disagree on exotic forms — and the JS ISO parser with V8's
+    day rollover)."""
+    import pandas as pd
+
+    numeric = s.str.fullmatch(r"[+-]?\d+(\.\d+)?", na=False)
+    if numeric.any():
+        vals = pd.to_numeric(s, errors="coerce")
+        as_ms = pd.to_datetime(vals, unit="ms", errors="coerce")
+        parsed = parsed.where(~numeric, as_ms)
+    residual = parsed.isna() & s.notna() & ~numeric
+    if residual.any():
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            free = pd.to_datetime(s[residual], errors="coerce", utc=True)
+            nat = free.isna()
+            if nat.any():
+                # a trailing UTC/GMT zone name trips dateutil on
+                # digit-dash forms ('1-1-2013 UTC'); strip and re-parse
+                stripped = s[residual][nat].str.replace(
+                    r"\s+(UTC|GMT)\s*$", "", regex=True, case=False)
+                free = free.where(~nat, pd.to_datetime(
+                    stripped, errors="coerce", utc=True))
+        try:
+            free = free.dt.tz_localize(None)
+        except (TypeError, AttributeError):
+            pass
+        # V8 parses ISO-shaped strings itself before the legacy grammar,
+        # rolling an out-of-range day forward ('2019-02-30' -> Mar 2);
+        # pandas rejects those, so re-parse the still-NaT rows with the
+        # JS model (expanded years / 24:00 / day rollover)
+        still = free.isna()
+        if still.any():
+            from .strings import _js_iso_parse_ms
+
+            repl = {}
+            for ix in still[still].index:
+                r = _js_iso_parse_ms(str(s.loc[ix]).strip())
+                if r is not None:
+                    repl[ix] = pd.Timestamp(r, unit="ms")
+            if repl:
+                free = free.fillna(pd.Series(repl))
+        parsed = parsed.where(~residual, free)
+    return parsed
 
 
 def _date_limit(limit, env: Env):
@@ -200,9 +225,13 @@ def make_date_compare(op: str):
             lim, ctx = _date_limit(limit, env)
             ints = pc.cast(arr, pa.int64())
             if hasattr(lim, "kind"):
-                ok, _ = cmp_mask(arr, op, lim, env, arg="date")
+                ok, ctx2 = cmp_mask(arr, op, lim, env, arg="date")
             else:
-                ok, _ = cmp_mask(ints, op, lim, env, arg="date")
+                ok, ctx2 = cmp_mask(ints, op, lim, env, arg="date")
+            # the ref-arg assert failure mask must survive into the rules
+            # loop (any.ref, validator.js:281-293) — ctx is otherwise ours
+            if "__ref_err__" in ctx2:
+                ctx = {**ctx, "__ref_err__": ctx2["__ref_err__"]}
             return RuleOut(ok=ok, context=ctx)
 
         return kernel

@@ -245,10 +245,10 @@ def _walk_ref_path(base, parts: list[str], n: int):
     return cur
 
 
-def resolve_limit(limit, env: Env, n: int):
+def resolve_limit(limit, env: Env, n: int, mode: str = "strict"):
     """A rule limit may be a literal or a Ref -> (value_or_array, ctx_repr)."""
     if isinstance(limit, Ref):
-        v = env.resolve_ref(limit, n)
+        v = env.resolve_ref(limit, n, mode=mode)
         return v, {"limit": f"ref:{limit.path}"}
     return limit, {"limit": limit}
 
@@ -272,22 +272,20 @@ def _ref_arg_check(lim: pa.Array, arg: str, n: int) -> tuple[pa.Array, np.ndarra
     if arg == "date":
         if pa.types.is_timestamp(t) or pa.types.is_date(t):
             return lim, as_bool_np(pc.is_null(lim), n)
-        if is_num and not pa.types.is_boolean(t):
-            # epoch ms -> Date (date.js normalize via internals.parse)
+        if is_num or pa.types.is_boolean(t):
+            # epoch ms -> Date (date.js:172-226 internals.parse falls
+            # through to new Date(value), and JS coerces booleans to 0/1 —
+            # new Date(true) === epoch-1ms, a VALID date)
             lim = pc.cast(pc.cast(lim, pa.int64(), safe=False), pa.timestamp("ms"), safe=False)
             return lim, as_bool_np(pc.is_null(lim), n)
         if pa.types.is_string(t) or pa.types.is_large_string(t):
-            try:
-                lim = pc.cast(lim, pa.timestamp("ms"))
-            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-                import pandas as pd
+            # date.js normalize goes through internals.parse == the full
+            # JS Date(string) model: numeric strings are ms-epoch, ISO
+            # rolls the day over, then the legacy grammar
+            from .scalars import js_parse_date_strings
 
-                parsed = pd.to_datetime(lim.to_pandas(), errors="coerce", utc=True)
-                try:
-                    parsed = parsed.dt.tz_localize(None)
-                except (TypeError, AttributeError):
-                    pass
-                lim = pa.Array.from_pandas(parsed.astype("datetime64[ms]"), type=pa.timestamp("ms"))
+            parsed = js_parse_date_strings(lim.to_pandas())
+            lim = pa.Array.from_pandas(parsed.astype("datetime64[ms]"), type=pa.timestamp("ms"))
             return lim, as_bool_np(pc.is_null(lim), n)
         return pa.nulls(n), np.ones(n, dtype=bool)
     if not is_num or pa.types.is_boolean(t):
@@ -342,7 +340,11 @@ def cmp_mask(arr, op: str, limit, env: Env, arg: str = "number") -> tuple[np.nda
     rule error (lib/validator.js:281-293); the offending mask travels back
     in ``ctx["__ref_err__"]`` for the rules loop to emit."""
     n = len(arr)
-    lim, ctx = resolve_limit(limit, env, n)
+    # date args resolve LOOSE: joi's normalize (internals.parse) coerces
+    # the raw value through the full Date model, so the converted value of
+    # an errored sibling parses the same way the raw one would; number and
+    # limit args assert typeof on the RAW value -> strict
+    lim, ctx = resolve_limit(limit, env, n, mode="loose" if arg == "date" else "strict")
     if isinstance(lim, (pa.Array, pa.ChunkedArray)):
         lim = combine(lim)
         refbad = None

@@ -330,6 +330,42 @@ def _values_close(a, b, *, depth=0) -> bool:
     return a == b
 
 
+def _values_repr_equiv(ref_v, ray_v) -> bool:
+    """True when the two values differ only by numeric-string
+    representation (ray 'n' vs ref n, or vice versa), recursively."""
+    if isinstance(ref_v, bool) and isinstance(ray_v, str):
+        return ray_v.lower() in ("true", "false") and (ray_v.lower() == "true") is ref_v
+    if isinstance(ray_v, bool) and isinstance(ref_v, str):
+        return ref_v.lower() in ("true", "false") and (ref_v.lower() == "true") is ray_v
+    if isinstance(ref_v, (int, float)) and not isinstance(ref_v, bool) and isinstance(ray_v, str):
+        try:
+            return float(ray_v) == float(ref_v)
+        except ValueError:
+            return False
+    if isinstance(ray_v, (int, float)) and not isinstance(ray_v, bool) and isinstance(ref_v, str):
+        try:
+            return float(ref_v) == float(ray_v)
+        except ValueError:
+            return False
+    if isinstance(ref_v, dict) and isinstance(ray_v, dict):
+        keys = set()
+        for d in (ref_v, ray_v):
+            keys |= {k for k, v in d.items() if v is not MISSING and v is not None}
+        return all(
+            _values_close(ref_v.get(k), ray_v.get(k))
+            or _values_repr_equiv(ref_v.get(k), ray_v.get(k))
+            for k in keys
+        )
+    if isinstance(ref_v, (list, tuple)) and isinstance(ray_v, (list, tuple)):
+        # heterogeneous item conversions (ordered slots converting some
+        # positions to numbers) can't share one Arrow list column either
+        return len(ref_v) == len(ray_v) and all(
+            _values_close(x, y) or _values_repr_equiv(x, y)
+            for x, y in zip(ref_v, ray_v)
+        )
+    return False
+
+
 def diff_case(
     ref: RefJoi,
     schema,
@@ -408,7 +444,15 @@ def diff_case(
         if compare_values and ref_ok:
             ray_val = res.value.slice(i, 1).to_pylist()[0]
             if not _values_close(rr["value"], ray_val):
+                kind = "value"
+                if _values_repr_equiv(rr["value"], ray_val):
+                    # KNOWN representational limit: an alternatives column
+                    # whose rows match branches with DIFFERENT converted
+                    # types (number vs string) cannot be one Arrow column —
+                    # the minority rows keep a value-equivalent string.
+                    # Tracked separately so real value bugs stay visible.
+                    kind = "value_repr"
                 devs.append(
-                    {**ctx, "kind": "value", "ref": rr["value"], "ray": ray_val}
+                    {**ctx, "kind": kind, "ref": rr["value"], "ray": ray_val}
                 )
     return devs
