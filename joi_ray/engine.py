@@ -322,6 +322,15 @@ class _TakeEnv(Env):
 
     def resolve_ref(self, r, n, mode: str = "strict"):
         v = super().resolve_ref(r, len(self._idx), mode=mode)
+        if isinstance(v, tuple) and len(v) == 3:
+            val, orig, f = v
+            if isinstance(val, (pa.Array, pa.ChunkedArray)):
+                val = combine(val).take(self._idx)
+            if isinstance(orig, (pa.Array, pa.ChunkedArray)):
+                orig = combine(orig).take(self._idx)
+            if f is not None:
+                f = f[np.asarray(self._idx)]
+            return (val, orig, f)
         if isinstance(v, (pa.Array, pa.ChunkedArray)):
             return combine(v).take(self._idx)
         return v
@@ -568,15 +577,12 @@ def eval_node(
             _merge_into(merged, eval_node(w["then"], arr, env, path, scope=sel_then), sel_then)
             _merge_into(merged, eval_node(w["otherwise"], arr, env, path, scope=sel_other), sel_other)
             return merged
-        ref_arr = _resolve_when_ref(w["ref"], arr, env, n)
-        if not isinstance(ref_arr, (pa.Array, pa.ChunkedArray)):
-            ref_arr = pa.array([ref_arr] * n)
-        ref_arr = combine(ref_arr)
+        ref_resolved = _resolve_when_ref(w["ref"], arr, env, n)
         if "switch" in w:
             remaining = scope.copy()
             merged = NodeResult(value=arr, missing=np.zeros(n, bool), failed=np.zeros(n, bool))
             for is_c, then_c in w["switch"]:
-                cond = node_validity(is_c, ref_arr, env, remaining)
+                cond = _when_condition(is_c, ref_resolved, env, remaining, n)
                 sel = remaining & cond
                 remaining = remaining & ~cond
                 sub = eval_node(then_c, arr, env, path, scope=sel)
@@ -584,7 +590,7 @@ def eval_node(
             sub = eval_node(w["otherwise"], arr, env, path, scope=remaining)
             _merge_into(merged, sub, remaining)
             return merged
-        cond = node_validity(w["is"], ref_arr, env, scope)
+        cond = _when_condition(w["is"], ref_resolved, env, scope, n)
         sel_then = scope & cond
         sel_other = scope & ~cond
         merged = NodeResult(value=arr, missing=np.zeros(n, bool), failed=np.zeros(n, bool))
@@ -1020,8 +1026,14 @@ def _failed_overlay(res: NodeResult, orig, n: int, mode: str):
     val = combine(res.value) if isinstance(res.value, pa.ChunkedArray) else res.value
     f = res.failed
     if f is None or not f.any() or orig is None:
+        if mode == "dual":
+            return (val, None, None)
         return val
     orig = combine(orig) if isinstance(orig, pa.ChunkedArray) else orig
+    if mode == "dual":
+        # consumer resolves per row itself: converted for clean rows, the
+        # RAW original (through its own type's semantics) for errored rows
+        return (val, orig, f)
     try:
         fm = pa.array(f)
         if orig.type == val.type:
@@ -1036,12 +1048,33 @@ def _failed_overlay(res: NodeResult, orig, n: int, mode: str):
 def _resolve_when_ref(r, arr, env: Env, n: int):
     """Resolve a when-condition ref; a self ref ('.a', ancestor level 0 —
     lib/ref.js:40-49, test/ref.js:40-61) reaches into the node's OWN value
-    via struct-field walk instead of the sibling scope."""
+    via struct-field walk instead of the sibling scope.  Sibling refs
+    resolve DUAL (converted, original, failed-mask) so the condition can
+    probe the RAW value of an errored key exactly like joi."""
     if getattr(r, "level", None) == 0:
         from .kernels.util import _walk_ref_path
 
         return env._ref_post(r, _walk_ref_path(arr, r.parts, n))
-    return env.resolve_ref(r, n, mode="loose")
+    return env.resolve_ref(r, n, mode="dual")
+
+
+def _when_condition(is_node: CNode, resolved, env: Env, scope: np.ndarray, n: int) -> np.ndarray:
+    """Evaluate an is-condition against a (possibly dual-resolved) ref:
+    rows whose sibling ERRORED match against the raw original (joi's
+    value[key] keeps it, object.js:125-140), the rest against the
+    converted value — each re-coerced by the condition schema itself."""
+    if isinstance(resolved, tuple) and len(resolved) == 3:
+        val, orig, f = resolved
+        val = combine(val) if isinstance(val, pa.ChunkedArray) else val
+        c1 = node_validity(is_node, val, env, scope)
+        if f is None or orig is None:
+            return c1
+        orig = combine(orig) if isinstance(orig, pa.ChunkedArray) else orig
+        c2 = node_validity(is_node, orig, env, scope)
+        return np.where(f, c2, c1)
+    if not isinstance(resolved, (pa.Array, pa.ChunkedArray)):
+        resolved = pa.array([resolved] * n)
+    return node_validity(is_node, combine(resolved), env, scope)
 
 
 def _finalize_branch_values(arr, branch_values, n: int):
@@ -1148,10 +1181,7 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
         if "peek" in m:
             cond = node_validity(m["peek"], arr, env, still)
         else:
-            ref_arr = _resolve_when_ref(m["ref"], arr, env, n)
-            if not isinstance(ref_arr, (pa.Array, pa.ChunkedArray)):
-                ref_arr = pa.array([ref_arr] * n)
-            cond = node_validity(m["is"], combine(ref_arr), env, still)
+            cond = _when_condition(m["is"], _resolve_when_ref(m["ref"], arr, env, n), env, still, n)
         for branch, sel in (("then", still & cond), ("otherwise", still & ~cond)):
             bn = m.get(branch)
             if bn is None or not sel.any():
@@ -1492,6 +1522,7 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                         {},
                         item_rows=parents[bad],
                         item_index=positions[bad].astype(np.int32),
+                        group=items_grp,
                     )
                 matched_any |= bad
                 remaining = remaining & ~bad
@@ -1552,6 +1583,7 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                         {},
                         item_rows=parents[nomatch],
                         item_index=positions[nomatch].astype(np.int32),
+                        group=items_grp,
                     )
             # required item schemas: each OCCURRENCE must claim a DISTINCT
             # item (array.js:235-243 — a matched required is spliced out, so

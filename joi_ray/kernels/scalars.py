@@ -115,6 +115,7 @@ def coerce_date(arr: pa.Array, env: Env, flags: dict):
             blank = s.str.fullmatch(r"\s*", na=True)
             vals = pd.to_numeric(s.str.strip(), errors="coerce") * (1000 if fmt == "s" else 1)
             vals[blank.to_numpy(dtype=bool)] = np.nan
+            vals = vals.where(np.abs(vals) <= 8.64e15)  # JS Date range; inf overflows pandas
             as_ms = pd.to_datetime(vals, unit="ms", errors="coerce")
             out = pa.Array.from_pandas(as_ms.astype("datetime64[ms]"), type=ts)
             fail = as_bool_np(pc.is_null(out), n) & ~was_null
@@ -129,12 +130,18 @@ def coerce_date(arr: pa.Array, env: Env, flags: dict):
     return arr, ~was_null
 
 
-def js_parse_date_strings(s):
-    """Full JS `new Date(string)` model over a pandas string Series ->
-    datetime64[ms] Series: numeric strings are ms-epoch, then ISO (with
-    V8 day rollover), then the legacy free-form grammar.  Used by plain
-    date() coercion and by date-ref arg normalization (date.js
-    internals.parse, validator.js:281-293)."""
+def js_parse_date_strings(s, numeric: str = "epoch"):
+    """JS date model over a pandas string Series -> datetime64[ms] Series.
+
+    numeric="epoch" is joi's internals.parse for typeof string: a numeric
+    string (/^[+-]?\\d+(\\.\\d+)?$/, NO exponent) is parseFloat -> epoch ms
+    (date.js:195-200), everything else `new Date(string)`.
+
+    numeric="legacy" is the bare `new Date(string)` constructor — the path
+    a ref-resolved BUFFER takes (typeof object skips the numeric shortcut,
+    new Date coerces via toString into V8's legacy grammar where '123' is
+    the YEAR 123).  3-6 pure digits -> year; V8's month-only ('12') and
+    decimal ('12.5') forms stay Invalid here (documented corner)."""
     import pandas as pd
 
     parsed = pd.to_datetime(s, errors="coerce", utc=True, format="ISO8601")
@@ -142,20 +149,31 @@ def js_parse_date_strings(s):
         parsed = parsed.dt.tz_localize(None)
     except (TypeError, AttributeError):
         pass
-    return _js_parse_plain_date_strings(s, parsed)
+    return _js_parse_plain_date_strings(s, parsed, numeric_epoch=(numeric == "epoch"))
 
 
-def _js_parse_plain_date_strings(s, parsed):
-    """Fill the non-ISO residue of ``parsed`` (numeric epoch strings, the
-    legacy free-form grammar via pandas — documented: V8's legacy grammar
-    and pandas disagree on exotic forms — and the JS ISO parser with V8's
-    day rollover)."""
+def _js_parse_plain_date_strings(s, parsed, numeric_epoch: bool = True):
+    """Fill the non-ISO residue of ``parsed`` (numeric epoch strings when
+    joi's typeof-string shortcut applies, V8's digit month/year grammar,
+    the legacy free-form grammar via pandas — documented: V8 and pandas
+    disagree on exotic forms — and the JS ISO parser with day rollover)."""
     import pandas as pd
 
-    numeric = s.str.fullmatch(r"[+-]?\d+(\.\d+)?", na=False)
+    parsed = parsed.astype("datetime64[ms]")
+    if numeric_epoch:
+        numeric = s.str.fullmatch(r"[+-]?\d+(\.\d+)?", na=False)
+    else:
+        # the bare new Date(string) path (ref-resolved Buffers) has no
+        # epoch shortcut: digits fall to V8's month/year grammar below;
+        # signed/decimal forms stay Invalid here (documented corner)
+        numeric = s.str.fullmatch(r"(?!x)x", na=False)
+        parsed = parsed.where(~s.str.fullmatch(r"[+-]\d+(\.\d+)?|\d+\.\d+", na=False), pd.NaT)
     if numeric.any():
-        vals = pd.to_numeric(s, errors="coerce")
-        as_ms = pd.to_datetime(vals, unit="ms", errors="coerce")
+        vals = pd.to_numeric(s.where(numeric), errors="coerce")
+        # JS Date range is ±8.64e15 ms; beyond it (or inf) -> Invalid Date.
+        # pandas raises OverflowError instead of coercing, so pre-null.
+        vals = vals.where(np.abs(vals) <= 8.64e15)
+        as_ms = pd.to_datetime(vals, unit="ms", errors="coerce").astype("datetime64[ms]")
         parsed = parsed.where(~numeric, as_ms)
     residual = parsed.isna() & s.notna() & ~numeric
     if residual.any():
@@ -179,18 +197,39 @@ def _js_parse_plain_date_strings(s, parsed):
         # V8 parses ISO-shaped strings itself before the legacy grammar,
         # rolling an out-of-range day forward ('2019-02-30' -> Mar 2);
         # pandas rejects those, so re-parse the still-NaT rows with the
-        # JS model (expanded years / 24:00 / day rollover)
+        # JS model (expanded years / 24:00 / day rollover).  Bare digit
+        # strings that reach the legacy grammar are a MONTH ('7' -> July
+        # 2001, '0' -> Jan 2000) or a YEAR ('123' -> 0123-01-01) — V8
+        # dateparser semantics, verified under node.
+        free = free.astype("datetime64[ms]")
         still = free.isna()
         if still.any():
-            from .strings import _js_iso_parse_ms
+            from .strings import _days_from_civil, _js_iso_parse_ms
 
             repl = {}
             for ix in still[still].index:
-                r = _js_iso_parse_ms(str(s.loc[ix]).strip())
+                raw = str(s.loc[ix]).strip()
+                r = _js_iso_parse_ms(raw)
+                if r is None and raw.isdigit():
+                    if len(raw) <= 2:
+                        m = int(raw)
+                        if m == 0:
+                            r = _days_from_civil(2000, 1, 1) * 86400000
+                        elif m <= 12:
+                            r = _days_from_civil(2001, m, 1) * 86400000
+                    elif len(raw) <= 6:
+                        r = _days_from_civil(int(raw), 1, 1) * 86400000
                 if r is not None:
-                    repl[ix] = pd.Timestamp(r, unit="ms")
+                    repl[ix] = r
             if repl:
-                free = free.fillna(pd.Series(repl))
+                # build the fill in ms resolution explicitly: year 123 is
+                # outside pandas' ns range and a plain Series() would
+                # round-trip through ns and raise OutOfBoundsDatetime
+                fill = pd.Series(
+                    np.array(list(repl.values()), dtype="int64").view("datetime64[ms]"),
+                    index=list(repl.keys()),
+                )
+                free = free.fillna(fill)
         parsed = parsed.where(~residual, free)
     return parsed
 

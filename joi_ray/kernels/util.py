@@ -167,6 +167,13 @@ class Env:
                 base = self._resolve_sibling(parts[0], mode=mode)
             except TypeError:
                 base = self._resolve_sibling(parts[0])
+            if isinstance(base, tuple) and len(base) == 3:
+                val, orig, f = base
+                if f is None or parts[1:]:
+                    # no failed rows, or a dotted path (degrade to the
+                    # converted side): plain resolution
+                    return self._ref_post(r, _walk_ref_path(val, parts[1:], n))
+                return (self._ref_post(r, val), self._ref_post(r, orig), f)
         else:
             idx = level - 1
             if idx > len(self.ancestors):
@@ -287,6 +294,17 @@ def _ref_arg_check(lim: pa.Array, arg: str, n: int) -> tuple[pa.Array, np.ndarra
             parsed = js_parse_date_strings(lim.to_pandas())
             lim = pa.Array.from_pandas(parsed.astype("datetime64[ms]"), type=pa.timestamp("ms"))
             return lim, as_bool_np(pc.is_null(lim), n)
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            # a Buffer skips joi's typeof-string numeric shortcut: isNaN
+            # coerces it via toString (Number(Buffer('123')) === 123 so the
+            # gate passes), then new Date(buffer) ALSO stringifies — V8's
+            # legacy grammar, where '123' is the YEAR 123
+            from .scalars import js_parse_date_strings
+
+            txt = pc.cast(lim, pa.string(), safe=False)
+            parsed = js_parse_date_strings(txt.to_pandas(), numeric="legacy")
+            lim = pa.Array.from_pandas(parsed.astype("datetime64[ms]"), type=pa.timestamp("ms"))
+            return lim, as_bool_np(pc.is_null(lim), n)
         return pa.nulls(n), np.ones(n, dtype=bool)
     if not is_num or pa.types.is_boolean(t):
         # family mismatch: every row fails the assert; null the column so
@@ -330,6 +348,29 @@ def _scalar_ref_arg_ok(v, arg: str) -> bool:
     return True
 
 
+def _align_compare_types(arr, lim):
+    """Bring a value column and a ref-resolved limit column to a common
+    comparable type.  Numeric pairs widen to float64 — joi compares JS
+    numbers, and downcasting a 1e10 limit into an int32 length column
+    would wrap and flip the comparison."""
+    if lim.type == arr.type:
+        return arr, lim
+
+    def _num(t):
+        return pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_decimal(t)
+
+    if _num(arr.type) and _num(lim.type):
+        f64 = pa.float64()
+        return (
+            arr if arr.type == f64 else pc.cast(arr, f64, safe=False),
+            lim if lim.type == f64 else pc.cast(lim, f64, safe=False),
+        )
+    try:
+        return arr, pc.cast(lim, arr.type)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        return arr, pc.cast(lim, arr.type, safe=False)
+
+
 def cmp_mask(arr, op: str, limit, env: Env, arg: str = "number") -> tuple[np.ndarray, dict]:
     """Shared compare kernel (the analog of ``lib/types/number.js:102-120``
     and ``lib/types/date.js:56-79``): vectorized column-vs-scalar or
@@ -340,11 +381,35 @@ def cmp_mask(arr, op: str, limit, env: Env, arg: str = "number") -> tuple[np.nda
     rule error (lib/validator.js:281-293); the offending mask travels back
     in ``ctx["__ref_err__"]`` for the rules loop to emit."""
     n = len(arr)
-    # date args resolve LOOSE: joi's normalize (internals.parse) coerces
-    # the raw value through the full Date model, so the converted value of
-    # an errored sibling parses the same way the raw one would; number and
-    # limit args assert typeof on the RAW value -> strict
-    lim, ctx = resolve_limit(limit, env, n, mode="loose" if arg == "date" else "strict")
+    # date args resolve DUAL: joi normalizes the per-row value through
+    # internals.parse, and an errored sibling keeps its RAW value whose
+    # TYPE picks the parse path (string '123' -> epoch 123, Buffer '123'
+    # -> legacy year 123); number and limit args assert typeof -> strict
+    lim, ctx = resolve_limit(limit, env, n, mode="dual" if arg == "date" else "strict")
+    if isinstance(lim, tuple) and len(lim) == 3:
+        val, orig, f = lim
+        val = combine(val) if isinstance(val, pa.ChunkedArray) else val
+        orig = combine(orig) if isinstance(orig, pa.ChunkedArray) else orig
+        lim_v, bad_v = _ref_arg_check(val, arg, n)
+        lim_o, bad_o = _ref_arg_check(orig, arg, n)
+        try:
+            lim = pc.if_else(pa.array(f), lim_o, lim_v)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+            lim = lim_v
+        refbad = np.where(f, bad_o, bad_v)
+        if refbad.any():
+            ctx["__ref_err__"] = (
+                refbad,
+                {
+                    "arg": "date" if arg == "date" else "limit",
+                    "ref": f"ref:{limit.path}",
+                    "reason": _ARG_REASONS[arg],
+                },
+            )
+        arr2, lim = _align_compare_types(arr, lim)
+        fn = {"ge": pc.greater_equal, "le": pc.less_equal, "gt": pc.greater, "lt": pc.less, "eq": pc.equal}[op]
+        ok = as_bool_np(fn(arr2, lim), n, fill=True)
+        return ok, ctx
     if isinstance(lim, (pa.Array, pa.ChunkedArray)):
         lim = combine(lim)
         refbad = None
@@ -359,11 +424,7 @@ def cmp_mask(arr, op: str, limit, env: Env, arg: str = "number") -> tuple[np.nda
                         "reason": _ARG_REASONS[arg],
                     },
                 )
-        if lim.type != arr.type:
-            try:
-                lim = pc.cast(lim, arr.type)
-            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-                lim = pc.cast(lim, arr.type, safe=False)
+        arr, lim = _align_compare_types(arr, lim)
     elif isinstance(limit, Ref):
         # scalar resolution (context refs): same assert, whole batch
         if not _scalar_ref_arg_ok(lim, arg):
