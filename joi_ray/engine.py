@@ -28,7 +28,7 @@ from .kernels import strings as k_strings
 from .kernels import structs as k_structs
 from .kernels import messages as k_messages
 from .kernels.messages import render
-from .kernels.util import Env, ErrRec, as_bool_np, combine, null_mask
+from .kernels.util import AltView, Env, ErrRec, as_bool_np, combine, null_mask
 
 DEFAULT_PREFS = {
     "convert": True,          # lib/common.js:25
@@ -324,7 +324,9 @@ class _TakeEnv(Env):
         v = super().resolve_ref(r, len(self._idx), mode=mode)
         if isinstance(v, tuple) and len(v) == 3:
             val, orig, f = v
-            if isinstance(val, (pa.Array, pa.ChunkedArray)):
+            if isinstance(val, AltView):
+                val = val.take(self._idx)
+            elif isinstance(val, (pa.Array, pa.ChunkedArray)):
                 val = combine(val).take(self._idx)
             if isinstance(orig, (pa.Array, pa.ChunkedArray)):
                 orig = combine(orig).take(self._idx)
@@ -737,10 +739,15 @@ def eval_node(
             and (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type))
         ):
             lowered = pc.utf8_lower(arr)
-            replaced = np.zeros(n, dtype=bool)
-            for v in node.allow_static:
-                if not isinstance(v, str):
-                    continue
+            # joi's Values.get checks EXACT membership first (values.js:74)
+            # — only insensitive-rescued rows take the stored spelling
+            str_valids = [v for v in node.allow_static if isinstance(v, str)]
+            replaced = (
+                as_bool_np(pc.is_in(arr, value_set=pa.array(str_valids, type=arr.type)), n)
+                if str_valids
+                else np.zeros(n, dtype=bool)
+            )
+            for v in str_valids:
                 hit = in_allow & ~replaced & as_bool_np(pc.equal(lowered, v.lower()), n)
                 if hit.any():
                     arr = pc.if_else(pa.array(hit), pa.scalar(v, type=arr.type), arr)
@@ -1025,15 +1032,19 @@ def _failed_overlay(res: NodeResult, orig, n: int, mode: str):
     get the converted value."""
     val = combine(res.value) if isinstance(res.value, pa.ChunkedArray) else res.value
     f = res.failed
+    # alternatives with mixed-type branch conversions carry the per-row
+    # TYPED values in an AltView — dual consumers (ref args / conditions)
+    # must see those, not the originals the column had to keep
+    alt = getattr(res, "alt_view", None)
     if f is None or not f.any() or orig is None:
         if mode == "dual":
-            return (val, None, None)
+            return (alt if alt is not None else val, None, None)
         return val
     orig = combine(orig) if isinstance(orig, pa.ChunkedArray) else orig
     if mode == "dual":
         # consumer resolves per row itself: converted for clean rows, the
         # RAW original (through its own type's semantics) for errored rows
-        return (val, orig, f)
+        return (alt if alt is not None else val, orig, f)
     try:
         fm = pa.array(f)
         if orig.type == val.type:
@@ -1065,8 +1076,14 @@ def _when_condition(is_node: CNode, resolved, env: Env, scope: np.ndarray, n: in
     converted value — each re-coerced by the condition schema itself."""
     if isinstance(resolved, tuple) and len(resolved) == 3:
         val, orig, f = resolved
-        val = combine(val) if isinstance(val, pa.ChunkedArray) else val
-        c1 = node_validity(is_node, val, env, scope)
+        if isinstance(val, AltView):
+            c1 = node_validity(is_node, combine(val.base), env, scope)
+            for m, a in val.pairs:
+                if m.any():
+                    c1 = np.where(m, node_validity(is_node, combine(a), env, scope), c1)
+        else:
+            val = combine(val) if isinstance(val, pa.ChunkedArray) else val
+            c1 = node_validity(is_node, val, env, scope)
         if f is None or orig is None:
             return c1
         orig = combine(orig) if isinstance(orig, pa.ChunkedArray) else orig
@@ -1091,12 +1108,13 @@ def _finalize_branch_values(arr, branch_values, n: int):
         if v is not None
     ]
     if not pairs:
-        return arr
+        return arr, None
     out_types = {v.type for _, v in pairs}
     if len(out_types) > 1 and not all(t == arr.type for t in out_types):
         # mixed branch output types: adopt what shares the input type
         # (trim/case rewrites, empty-conversions); the cross-type rows keep
-        # their original value (the documented repr limit)
+        # their original value in the COLUMN (the documented repr limit)
+        # and expose the typed per-row values via an AltView for refs
         value = arr
         for m, v in pairs:
             if v.type == arr.type:
@@ -1104,7 +1122,7 @@ def _finalize_branch_values(arr, branch_values, n: int):
                     value = pc.if_else(pa.array(m), v, value)
                 except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
                     pass
-        return value
+        return value, AltView(value, pairs)
     target = next(iter(out_types))
     if target == arr.type:
         value = arr
@@ -1118,7 +1136,7 @@ def _finalize_branch_values(arr, branch_values, n: int):
             value = pc.if_else(pa.array(m), v, value)
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
             pass
-    return value
+    return value, None
 
 
 def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeResult:
@@ -1194,7 +1212,7 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
             failed |= sel & sub.failed
             if ok_rows.any():
                 branch_values.append((ok_rows, sub.value))
-    value = _finalize_branch_values(arr, branch_values, n)
+    value, alt_view = _finalize_branch_values(arr, branch_values, n)
     nomatch = active & ~matched & ~decided
     if nomatch.any():
         # error union per row (alternatives.js:60-91): no branch errors ->
@@ -1276,7 +1294,12 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
                 m = err_fn(rec.code, rec.path, dict(rec.context or {}))
                 if isinstance(m, str):
                     rec.message = m
-    return NodeResult(value=value, errors=errors, missing=missing, failed=failed)
+    nr = NodeResult(value=value, errors=errors, missing=missing, failed=failed)
+    if alt_view is not None:
+        # ref consumers (rule args, when-conditions) need the per-row
+        # TYPED values the single column couldn't hold
+        nr.alt_view = alt_view
+    return nr
 
 
 def _converted_sparse_items(node, add_err, sub, live, nulls_flat, parents, positions, n, grp, soft=True):
@@ -2320,10 +2343,17 @@ class CompiledSchema:
 
 
 def _abort_early_filter(t: pa.Table) -> pa.Table:
-    """abortEarly keeps, per row, everything joi would have accumulated
-    when it returned: the earliest NON-SOFT error in evaluation order
-    (emission index, then item index), plus any soft errors / warnings
-    whose key precedes it.  Rows with only soft errors keep them all."""
+    """abortEarly keeps, per row, exactly what joi accumulates before it
+    returns, walking errors in evaluation order (emission index, then item
+    index):
+
+    - a NON-SOFT error aborts immediately (kept, everything after drops);
+    - a SOFT error (the inclusions-loop converted-sparse) does NOT abort
+      its own node — later errors from the SAME ordering group ride along
+      — but once the node returns, the PARENT key loop sees result.errors
+      and aborts (object.js:125-128), so the first error from a DIFFERENT
+      group after a soft one is never reached;
+    - warnings ride along until the abort point."""
     if t.num_rows == 0:
         return t
     sev = np.asarray(t["severity"].to_pylist())
@@ -2332,25 +2362,28 @@ def _abort_early_filter(t: pa.Table) -> pa.Table:
     items = t["item_index"].to_numpy().astype(np.int64)
     soft = t["_soft"].to_numpy(zero_copy_only=False).astype(bool)
     is_err = sev == "error"
-    hard_idx = np.nonzero(is_err & ~soft)[0]
-    if len(hard_idx) == 0:
-        return t
-    order = np.lexsort((items[hard_idx], recs[hard_idx], rows[hard_idx]))
-    sorted_rows = rows[hard_idx][order]
-    first = np.ones(len(order), dtype=bool)
-    first[1:] = sorted_rows[1:] != sorted_rows[:-1]
-    keep_err = hard_idx[order[first]]
-    # first aborting-error key per row, gating soft errors and warnings
-    first_key: dict[int, tuple] = {
-        int(rows[i]): (int(recs[i]), int(items[i])) for i in keep_err
-    }
+    order = np.lexsort((items, recs, rows))
     keep = np.zeros(t.num_rows, dtype=bool)
-    keep[keep_err] = True
-    other_idx = np.nonzero(~is_err | soft)[0]
-    for i in other_idx:
-        fk = first_key.get(int(rows[i]))
-        if fk is None or (int(recs[i]), int(items[i])) < fk:
+    cur_row = None
+    soft_group = None  # rec index of the group holding a pending abort
+    aborted = False
+    for i in order:
+        r = int(rows[i])
+        if r != cur_row:
+            cur_row, soft_group, aborted = r, None, False
+        if aborted:
+            continue
+        if not is_err[i]:  # warning
             keep[i] = True
+            continue
+        if soft_group is not None and int(recs[i]) != soft_group:
+            aborted = True  # the soft error's node returned; parent aborts
+            continue
+        keep[i] = True
+        if soft[i]:
+            soft_group = int(recs[i])
+        else:
+            aborted = True
     return t.filter(pa.array(keep))
 
 

@@ -206,19 +206,35 @@ def _js_parse_plain_date_strings(s, parsed, numeric_epoch: bool = True):
         if still.any():
             from .strings import _days_from_civil, _js_iso_parse_ms
 
+            import re as _re
+
             repl = {}
             for ix in still[still].index:
                 raw = str(s.loc[ix]).strip()
                 r = _js_iso_parse_ms(raw)
-                if r is None and raw.isdigit():
-                    if len(raw) <= 2:
-                        m = int(raw)
-                        if m == 0:
+                mnum = _re.fullmatch(r"[+-]?(\d+)(?:\.(\d+))?", raw) if r is None else None
+                if mnum is not None:
+                    a, b = int(mnum.group(1)), mnum.group(2)
+                    if b is None:
+                        # bare number (sign ignored): 0 -> Jan 2000,
+                        # 1-12 -> that month of 2001, 3-6 digits -> year
+                        if a == 0:
                             r = _days_from_civil(2000, 1, 1) * 86400000
-                        elif m <= 12:
-                            r = _days_from_civil(2001, m, 1) * 86400000
-                    elif len(raw) <= 6:
-                        r = _days_from_civil(int(raw), 1, 1) * 86400000
+                        elif a <= 12:
+                            r = _days_from_civil(2001, a, 1) * 86400000
+                        elif 100 <= a <= 999999:
+                            r = _days_from_civil(a, 1, 1) * 86400000
+                    else:
+                        # A.B decimal grammar: month.day of 2001 with day
+                        # rollover ('2.29' -> Mar 1); '0.B' -> month B of
+                        # 2000; B==0 -> Invalid — all verified under node
+                        b = int(b)
+                        if b == 0:
+                            r = None
+                        elif a == 0 and 1 <= b <= 12:
+                            r = _days_from_civil(2000, b, 1) * 86400000
+                        elif 1 <= a <= 12 and 1 <= b <= 31:
+                            r = _days_from_civil(2001, a, b) * 86400000
                 if r is not None:
                     repl[ix] = r
             if repl:

@@ -88,6 +88,25 @@ class ErrRec:
     soft: bool = False
 
 
+class AltView:
+    """Per-row TYPED view of an alternatives column whose branches
+    converted to different types (number vs boolean vs string): the value
+    COLUMN had to keep originals (one Arrow type), but ref consumers need
+    the per-row converted value joi would see (value.b === true).  ``base``
+    is the column as stored; ``pairs`` are (row-mask, converted-array) per
+    matching branch."""
+
+    def __init__(self, base, pairs):
+        self.base = base
+        self.pairs = pairs
+
+    def take(self, idx):
+        return AltView(
+            combine(self.base).take(idx),
+            [(m[np.asarray(idx)], combine(a).take(idx)) for m, a in self.pairs],
+        )
+
+
 class Env:
     """Per-batch evaluation environment.
 
@@ -169,11 +188,15 @@ class Env:
                 base = self._resolve_sibling(parts[0])
             if isinstance(base, tuple) and len(base) == 3:
                 val, orig, f = base
-                if f is None or parts[1:]:
-                    # no failed rows, or a dotted path (degrade to the
-                    # converted side): plain resolution
-                    return self._ref_post(r, _walk_ref_path(val, parts[1:], n))
-                return (self._ref_post(r, val), self._ref_post(r, orig), f)
+                if parts[1:]:
+                    # dotted path: degrade to the converted column
+                    base_v = val.base if isinstance(val, AltView) else val
+                    return self._ref_post(r, _walk_ref_path(base_v, parts[1:], n))
+                if f is None and not isinstance(val, AltView):
+                    return self._ref_post(r, val)
+                post_val = val if isinstance(val, AltView) else self._ref_post(r, val)
+                post_orig = self._ref_post(r, orig) if orig is not None else None
+                return (post_val, post_orig, f)
         else:
             idx = level - 1
             if idx > len(self.ancestors):
@@ -271,9 +294,25 @@ _ARG_REASONS = {
 }
 
 
-def _ref_arg_check(lim: pa.Array, arg: str, n: int) -> tuple[pa.Array, np.ndarray]:
+def _ref_arg_check(lim, arg: str, n: int) -> tuple[pa.Array, np.ndarray]:
     """Validate a ref-resolved limit column against the rule's arg assert
     (lib/validator.js:281-293) -> (normalized_lim, bad_mask)."""
+    if isinstance(lim, AltView):
+        # mixed-type alternatives: check each branch's converted rows with
+        # its own type's model, the uncovered rest with the base column
+        lim_v, bad_v = _ref_arg_check(lim.base, arg, n)
+        for m, a in lim.pairs:
+            if not m.any():
+                continue
+            lim_i, bad_i = _ref_arg_check(a, arg, n)
+            if pa.types.is_null(lim_v.type) and not pa.types.is_null(lim_i.type):
+                lim_v = pa.nulls(n, lim_i.type)
+            try:
+                lim_v = pc.if_else(pa.array(m), lim_i, lim_v)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                pass
+            bad_v = np.where(m, bad_i, bad_v)
+        return lim_v, bad_v
     t = lim.type
     is_num = pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_decimal(t)
     if arg == "date":
@@ -292,6 +331,41 @@ def _ref_arg_check(lim: pa.Array, arg: str, n: int) -> tuple[pa.Array, np.ndarra
             from .scalars import js_parse_date_strings
 
             parsed = js_parse_date_strings(lim.to_pandas())
+            lim = pa.Array.from_pandas(parsed.astype("datetime64[ms]"), type=pa.timestamp("ms"))
+            return lim, as_bool_np(pc.is_null(lim), n)
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            # joi's gate runs isNaN(value) FIRST for non-strings
+            # (date.js:178-182): Number([5]) === 5 passes, Number([1,2])
+            # is NaN -> null -> any.ref.  Survivors go through new
+            # Date(array) == the legacy STRING grammar of the ','-join
+            # ([5] -> '5' -> May 2001; [] -> '' -> Invalid).
+            import pandas as pd
+            import re as _re
+
+            from .numbers import js_number_to_string
+            from .scalars import js_parse_date_strings
+
+            def el(x):
+                if x is None:
+                    return ""
+                if isinstance(x, bool):
+                    return "true" if x else "false"
+                if isinstance(x, (int, float)):
+                    return js_number_to_string(float(x))
+                return str(x)
+
+            num_gate = _re.compile(r"\s*[+-]?(\d+(\.\d+)?|\.\d+)?([eE][+-]?\d+)?\s*")
+            joined, gate_ok = [], []
+            for v in lim.to_pylist():
+                if v is None:
+                    joined.append(None)
+                    gate_ok.append(False)
+                    continue
+                j = ",".join(el(x) for x in v)
+                joined.append(j)
+                gate_ok.append(num_gate.fullmatch(j) is not None)
+            parsed = js_parse_date_strings(pd.Series(joined, dtype="object"), numeric="legacy")
+            parsed = parsed.where(pd.Series(gate_ok))
             lim = pa.Array.from_pandas(parsed.astype("datetime64[ms]"), type=pa.timestamp("ms"))
             return lim, as_bool_np(pc.is_null(lim), n)
         if pa.types.is_binary(t) or pa.types.is_large_binary(t):
@@ -389,14 +463,17 @@ def cmp_mask(arr, op: str, limit, env: Env, arg: str = "number") -> tuple[np.nda
     if isinstance(lim, tuple) and len(lim) == 3:
         val, orig, f = lim
         val = combine(val) if isinstance(val, pa.ChunkedArray) else val
-        orig = combine(orig) if isinstance(orig, pa.ChunkedArray) else orig
         lim_v, bad_v = _ref_arg_check(val, arg, n)
-        lim_o, bad_o = _ref_arg_check(orig, arg, n)
-        try:
-            lim = pc.if_else(pa.array(f), lim_o, lim_v)
-        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
-            lim = lim_v
-        refbad = np.where(f, bad_o, bad_v)
+        if f is None or orig is None:
+            lim, refbad = lim_v, bad_v
+        else:
+            orig = combine(orig) if isinstance(orig, pa.ChunkedArray) else orig
+            lim_o, bad_o = _ref_arg_check(orig, arg, n)
+            try:
+                lim = pc.if_else(pa.array(f), lim_o, lim_v)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                lim = lim_v
+            refbad = np.where(f, bad_o, bad_v)
         if refbad.any():
             ctx["__ref_err__"] = (
                 refbad,

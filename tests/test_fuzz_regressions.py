@@ -312,3 +312,114 @@ def test_errored_item_keeps_original_for_unique():
     codes = [c for _, c in _codes(df, 0)]
     assert "array.unique" not in codes
     assert "array.sparse" in codes and "any.required" in codes
+
+
+# --------------------------------------------------- rounds 3-4 findings
+
+
+def test_topo_keeps_insertion_order():
+    # @hapi/topo: b,c,d keep insertion order, a (after c) defers — with
+    # abortEarly the FIRST error must come from b, not from the hoisted c
+    s = jr.object({
+        "a": jr.date().min(jr.ref("c")),
+        "b": jr.string().valid("x1"),
+        "c": jr.date(),
+        "d": jr.string(),
+    })
+    tbl = pa.table({"a": ["2019-01-01"], "b": ["zz"], "c": ["not a date"], "d": ["ok"]})
+    df = _violations(s, tbl, prefs={"abort_early": True})
+    assert _codes(df, 0) == [("b", "any.only")]
+
+
+def test_convert_false_rule_order_under_abort_early():
+    # case rules validate in REGISTRATION order in the rules loop when
+    # convert is off — pattern (registered first) wins the abort
+    s = jr.object({"c": jr.string().pattern(r"[A-Z]{2}").uppercase()})
+    tbl = pa.table({"c": ["xyzzy"]})
+    df = _violations(s, tbl, prefs={"abort_early": True, "convert": False})
+    assert [c for _, c in _codes(df, 0)] == ["string.pattern.base"]
+
+
+def test_alternatives_adopt_branch_conversion():
+    # alternatives.js:37-40: the matching branch's result is returned
+    # verbatim — the number branch coerces '0' to 0.  (When DIFFERENT-type
+    # branches match different rows, originals are kept — the documented
+    # value_repr column limit.)
+    s = jr.object({"a": jr.alternatives().try_(jr.number().max(5), jr.number().min(100))})
+    tbl = pa.table({"a": ["0", "123"]})
+    res = compile_schema(s, prefs={"abort_early": False}).validate_table(tbl)
+    assert res.value.column("a").to_pylist() == [0.0, 123.0]
+    assert res.violations.num_rows == 0
+
+
+def test_ordered_slot_adopts_conversion():
+    s = jr.object({"a": jr.array().ordered(jr.string().uppercase(), jr.string())})
+    tbl = pa.table({"a": pa.array([["a", "b"]], type=pa.list_(pa.string()))})
+    res = compile_schema(s, prefs={"abort_early": False}).validate_table(tbl)
+    assert res.value.column("a").to_pylist() == [["A", "b"]]
+
+
+def test_ordered_break_suppresses_later_sparse():
+    # array.js:222-231: the first beyond-slots NON-undefined item raises
+    # array.orderedLength (per-row pos) and BREAKs — later sparse checks
+    # never run; undefined beyond-items sparse instead of orderedLength
+    s = jr.object({"a": jr.array().ordered(jr.string())})
+    tbl = pa.table({"a": pa.array([["x", "y", None], ["x", None]], type=pa.list_(pa.string()))})
+    df = _violations(s, tbl)
+    assert _codes(df, 0) == [("a", "array.orderedLength")]
+    assert json.loads(df[df.row == 0]["context"].iloc[0])["pos"] == 1
+    assert _codes(df, 1) == [("a", "array.sparse")]
+
+
+def test_date_ref_arg_full_js_parse():
+    # date.js internals.parse: numeric string '123' -> epoch 123 (valid),
+    # '2019-02-30' rolls to Mar 2 (valid), 'hello' -> any.ref
+    s = jr.object({"a": jr.date().min(jr.ref("b")), "b": jr.string()})
+    tbl = pa.table({"a": ["2019-01-01"] * 3, "b": ["123", "2019-02-30", "hello"]})
+    df = _violations(s, tbl)
+    assert _codes(df, 0) == []                      # epoch 123 < 2019
+    assert _codes(df, 1) == [("a", "date.min")]     # Mar 2 2019 > Jan 1
+    assert _codes(df, 2) == [("a", "any.ref")]
+
+
+def test_date_ref_arg_uses_raw_value_of_errored_key():
+    # an errored number key keeps its RAW string for the date arg:
+    # ' 7 ' fails joi's numeric regex (spaces) and legacy-parses to
+    # July 2001 — valid, so the compare runs instead of any.ref
+    s = jr.object({
+        "a": jr.number().min(43),
+        "b": jr.date().min(jr.ref("a")),
+    })
+    tbl = pa.table({"a": [" 7 "], "b": ["2021-06-15"]})
+    df = _violations(s, tbl)
+    codes = [c for p, c in _codes(df, 0) if p == "b"]
+    assert codes == []  # 2021 >= 2001-07: passes, no any.ref
+
+
+def test_when_condition_probes_raw_value_of_errored_key():
+    # a='0' fails boolean.base; the when ref sees the RAW '0', which the
+    # number-typed is-schema coerces to 0 -> then branch applies
+    s = jr.object({
+        "a": jr.boolean(),
+        "b": jr.number().positive().when("a", is_=0.0, then=jr.number().min(20)),
+    })
+    tbl = pa.table({"a": ["0"], "b": [10.0]})
+    df = _violations(s, tbl)
+    assert ("b", "number.min") in _codes(df, 0)
+
+
+def test_huge_ref_limit_does_not_wrap_length_column():
+    # a 1e10 limit must not downcast into the int32 length column
+    s = jr.object({"a": jr.number(), "d": jr.string().max(jr.ref("a"))})
+    tbl = pa.table({"a": [1e10], "d": ["xyzzy"]})
+    assert _codes(_violations(s, tbl), 0) == []
+
+
+def test_excludes_wins_abort_early_over_later_sparse():
+    # joi's items loop is item-outer: excludes at item 0 aborts before the
+    # sparse check at item 1 ever runs
+    s = jr.object({"a": jr.array().items(jr.string().forbidden(), jr.number())})
+    tbl = pa.table({"a": pa.array([["ab", None, "cd"]], type=pa.list_(pa.string()))})
+    df = _violations(s, tbl, prefs={"abort_early": True})
+    got = [(c, int(i)) for c, i in zip(df["code"], df["item_index"])]
+    assert got == [("array.excludes", 0)]
