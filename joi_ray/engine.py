@@ -2037,9 +2037,14 @@ def _topo_keys(keys: dict[str, CNode]) -> list[str]:
     remaining = list(keys)
     while remaining:
         ready = [k for k in remaining if deps[k] <= done]
-        if not ready:  # cycle: fall back to insertion order for the rest
-            out.extend(remaining)
-            break
+        if not ready:
+            # the reference REFUSES cyclic key dependencies at build time
+            # (@hapi/topo: 'item added into group <k> created a
+            # dependencies error' via object.js:601-606)
+            raise ValueError(
+                f"cyclic key dependencies among {sorted(remaining)} "
+                "(reference @hapi/topo raises at schema build)"
+            )
         nxt = min(ready, key=lambda k: order[k])
         out.append(nxt)
         done.add(nxt)
@@ -2362,6 +2367,31 @@ def _abort_early_filter(t: pa.Table) -> pa.Table:
     items = t["item_index"].to_numpy().astype(np.int64)
     soft = t["_soft"].to_numpy(zero_copy_only=False).astype(bool)
     is_err = sev == "error"
+    if not soft.any():
+        # fast path (no converted-sparse in the batch — the common case):
+        # vectorized first-error-per-row + preceding warnings
+        hard_idx = np.nonzero(is_err)[0]
+        if len(hard_idx) == 0:
+            return t
+        order = np.lexsort((items[hard_idx], recs[hard_idx], rows[hard_idx]))
+        sorted_rows = rows[hard_idx][order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = sorted_rows[1:] != sorted_rows[:-1]
+        keep_err = hard_idx[order[first]]
+        keep = np.zeros(t.num_rows, dtype=bool)
+        keep[keep_err] = True
+        warn_idx = np.nonzero(~is_err)[0]
+        if len(warn_idx):
+            first_rec = np.full(int(rows.max()) + 1, np.iinfo(np.int64).max, dtype=np.int64)
+            first_item = np.full(int(rows.max()) + 1, np.iinfo(np.int64).max, dtype=np.int64)
+            first_rec[rows[keep_err]] = recs[keep_err]
+            first_item[rows[keep_err]] = items[keep_err]
+            w_rows = rows[warn_idx]
+            before = (recs[warn_idx] < first_rec[w_rows]) | (
+                (recs[warn_idx] == first_rec[w_rows]) & (items[warn_idx] < first_item[w_rows])
+            )
+            keep[warn_idx[before]] = True
+        return t.filter(pa.array(keep))
     order = np.lexsort((items, recs, rows))
     keep = np.zeros(t.num_rows, dtype=bool)
     cur_row = None
