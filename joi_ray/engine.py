@@ -2276,15 +2276,26 @@ class CompiledSchema:
             # distinct index (bounded by max list length, not row count).
             if getattr(rec, "values", None) is not None:
                 # the message embeds the offending value ({[.]},
-                # string/index.js:760-763) — render per fired row; bounded
-                # by the violation count, not the batch size
+                # string/index.js:760-763): render the TEMPLATE once per
+                # distinct item label (leaving {value} in place), then one
+                # str.replace per fired row — bounded by the violation
+                # count and free of the template machinery per row
+                base_cache: dict[int, str] = {}
+
+                def _base_for(it: int) -> str:
+                    b = base_cache.get(it)
+                    if b is None:
+                        b = render(
+                            rec.code,
+                            rec.path if it < 0 else f"{rec.path}[{it}]",
+                            rec.context,
+                            override,
+                        )
+                        base_cache[it] = b
+                    return b
+
                 msg_l.extend(
-                    render(
-                        rec.code,
-                        rec.path if it < 0 else f"{rec.path}[{int(it)}]",
-                        {**rec.context, "value": v},
-                        override,
-                    )
+                    _base_for(int(it)).replace("{value}", k_messages.stringify(v))
                     for it, v in zip(items, rec.values)
                 )
             elif "label" not in (rec.context or {}) and (items >= 0).any():

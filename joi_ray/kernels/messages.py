@@ -201,6 +201,11 @@ def render(code: str, path: str, context: dict, override: str | None = None) -> 
     return out
 
 
+def stringify(v) -> str:
+    """Public alias: joi's template value rendering (see _stringify)."""
+    return _stringify(v)
+
+
 def _stringify(v) -> str:
     """joi's template array rendering (lib/template.js internals.stringify
     with wrapArrays): ``[a, b]`` — elements bare, joined with ', '."""
