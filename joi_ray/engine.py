@@ -72,6 +72,12 @@ class NodeResult:
     failed: Optional[np.ndarray] = None
     strip: bool = False
     raw_value: Optional[pa.Array] = None
+    #: CONVERTED values of a raw()-flagged node: joi shadows them
+    #: (validator.js:414-417) so sibling refs resolve the converted value
+    #: even though the output keeps the original — and the shadow is set
+    #: in finalize, i.e. even for rows that ERRORED
+    shadow_value: Optional[pa.Array] = None
+    shadow_mask: Optional[np.ndarray] = None  # rows holding a shadow entry
 
 
 _RULE_FACTORIES = {
@@ -284,6 +290,11 @@ class CNode:
                     if "otherwise" in sw:
                         entry["otherwise"] = CNode(base.concat(sw["otherwise"]), prefs)
                 entry["switch"] = cases
+                # a top-level otherwise (when(ref, switch=[...], otherwise=X))
+                # is joi's alt.otherwise (base.js:345-353); the last case's
+                # otherwise wins only when no top-level one exists
+                if w.get("otherwise") is not None:
+                    entry["otherwise"] = CNode(base.concat(w["otherwise"]), prefs)
                 entry.setdefault("otherwise", CNode(base, prefs))
             else:
                 entry["is"] = self._compile_is(w.get("is"), prefs)
@@ -977,11 +988,30 @@ def eval_node(
         failed=failed,
         strip=bool(node.flags.get("strip")),
         raw_value=original,
+        shadow_value=arr if node.flags.get("raw") else None,
+        shadow_mask=scope.copy() if node.flags.get("raw") else None,
     )
 
 
 def _apply_cast(arr: pa.Array, to: str) -> pa.Array:
     if to == "string":
+        if pa.types.is_floating(arr.type) or pa.types.is_integer(arr.type):
+            # number cast: JS Number.prototype.toString (number.js:272-279)
+            # — 5.0 renders '5', 1e10 '10000000000', not Arrow's '1e+10'
+            return pa.array(
+                [None if v is None else k_numbers.js_number_to_string(float(v)) for v in arr.to_pylist()],
+                type=pa.string(),
+            )
+        if pa.types.is_timestamp(arr.type) or pa.types.is_date(arr.type):
+            # date cast: Template.date == toISOString under the default
+            # 'iso' dateFormat (date.js:145-151)
+            out = []
+            for v in pc.cast(arr, pa.timestamp("ms")).to_pylist():
+                if v is None:
+                    out.append(None)
+                else:
+                    out.append(f"{v.strftime('%Y-%m-%dT%H:%M:%S')}.{v.microsecond // 1000:03d}Z")
+            return pa.array(out, type=pa.string())
         return pc.cast(arr, pa.string())
     if to == "number":
         if pa.types.is_timestamp(arr.type):
@@ -1000,11 +1030,37 @@ def _merge_into(merged: NodeResult, sub: NodeResult, sel: np.ndarray):
         merged.missing = merged.missing | (sub.missing & sel)
     if sub.failed is not None:
         merged.failed = merged.failed | (sub.failed & sel)
-    if len(sel) and sel.any():
+    if len(sel) and sel.any() and sub.value is not None:
+        sel_arr = pa.array(sel)
+        sub_val = combine(sub.value) if isinstance(sub.value, pa.ChunkedArray) else sub.value
         try:
-            merged.value = pc.if_else(pa.array(sel), sub.value, merged.value)
+            merged.value = pc.if_else(sel_arr, sub_val, merged.value)
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
-            pass
+            # cross-type branch output (a cast('string') branch over a
+            # float column): promote the merged column to the branch type
+            try:
+                base = pc.cast(merged.value, sub_val.type, safe=False)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                base = pa.nulls(len(sel), sub_val.type)
+            try:
+                merged.value = pc.if_else(sel_arr, sub_val, base)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                pass
+    # shadow entries (raw-flagged branches) survive the merge per row
+    if sub.shadow_value is not None and len(sel) and sel.any():
+        sm = sub.shadow_mask if sub.shadow_mask is not None else np.ones(len(sel), bool)
+        eff = sel & sm
+        if eff.any():
+            sv = combine(sub.shadow_value) if isinstance(sub.shadow_value, pa.ChunkedArray) else sub.shadow_value
+            if merged.shadow_value is None:
+                merged.shadow_value = sv
+                merged.shadow_mask = eff.copy()
+            else:
+                try:
+                    merged.shadow_value = pc.if_else(pa.array(eff), sv, merged.shadow_value)
+                    merged.shadow_mask = merged.shadow_mask | eff
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                    pass
     merged.strip = merged.strip or sub.strip
 
 
@@ -1032,10 +1088,28 @@ def _failed_overlay(res: NodeResult, orig, n: int, mode: str):
     get the converted value."""
     val = combine(res.value) if isinstance(res.value, pa.ChunkedArray) else res.value
     f = res.failed
-    # alternatives with mixed-type branch conversions carry the per-row
-    # TYPED values in an AltView — dual consumers (ref args / conditions)
-    # must see those, not the originals the column had to keep
+    # a raw()-flagged key outputs the ORIGINAL, but joi shadows the
+    # converted value in finalize — EVEN for errored rows — and refs hit
+    # the shadow first (validator.js:414-417, ref.js _resolve).  Shadowed
+    # rows therefore resolve the converted value and stop counting as
+    # failed for the raw-original overlay below.
+    sh = getattr(res, "shadow_value", None)
     alt = getattr(res, "alt_view", None)
+    if sh is not None:
+        sh = combine(sh) if isinstance(sh, pa.ChunkedArray) else sh
+        shm = getattr(res, "shadow_mask", None)
+        shm = shm if shm is not None else np.ones(n, dtype=bool)
+        try:
+            if sh.type == val.type:
+                val = pc.if_else(pa.array(shm), sh, val)
+            else:
+                # cross-type shadow (cast branch): per-row typed view
+                pairs = ([(m, a) for m, a in alt.pairs] if isinstance(alt, AltView) else [])
+                alt = AltView(val, pairs + [(shm, sh)])
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+            pass
+        if f is not None:
+            f = f & ~shm
     if f is None or not f.any() or orig is None:
         if mode == "dual":
             return (alt if alt is not None else val, None, None)

@@ -455,11 +455,13 @@ def cmp_mask(arr, op: str, limit, env: Env, arg: str = "number") -> tuple[np.nda
     rule error (lib/validator.js:281-293); the offending mask travels back
     in ``ctx["__ref_err__"]`` for the rules loop to emit."""
     n = len(arr)
-    # date args resolve DUAL: joi normalizes the per-row value through
-    # internals.parse, and an errored sibling keeps its RAW value whose
-    # TYPE picks the parse path (string '123' -> epoch 123, Buffer '123'
-    # -> legacy year 123); number and limit args assert typeof -> strict
-    lim, ctx = resolve_limit(limit, env, n, mode="dual" if arg == "date" else "strict")
+    # rule args resolve DUAL: joi validates the per-row value (converted
+    # for clean siblings, the RAW original for errored ones —
+    # object.js:125-140) against the arg assert, and the TYPE of each side
+    # picks its own semantics (a cast('string') key fails Common.limit on
+    # clean rows while its raw float passes on failed rows; a Buffer '123'
+    # legacy-parses to year 123 while the string '123' is epoch 123)
+    lim, ctx = resolve_limit(limit, env, n, mode="dual")
     if isinstance(lim, tuple) and len(lim) == 3:
         val, orig, f = lim
         val = combine(val) if isinstance(val, pa.ChunkedArray) else val

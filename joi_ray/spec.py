@@ -494,6 +494,16 @@ class Schema:
                  **({"otherwise": _b(c["otherwise"])} if "otherwise" in c else {})}
                 for c in switch
             ]
+            if otherwise is not None:
+                # top-level otherwise with switch = joi's alt.otherwise
+                # (base.js:345-353; asserts it's not ALSO inside the
+                # last case — alternatives.js:238-240)
+                if "otherwise" in entry["switch"][-1]:
+                    raise ValueError(
+                        'Cannot specify "otherwise" inside and outside a '
+                        '"switch" (lib/types/alternatives.js:238)'
+                    )
+                entry["otherwise"] = otherwise
         else:
             entry["is"] = is_
             if then is not None:

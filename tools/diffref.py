@@ -330,6 +330,19 @@ def _values_close(a, b, *, depth=0) -> bool:
     return a == b
 
 
+_SHADOW_RX = re.compile(r'with value "\[[^"]* -> [^"]*\]"')
+
+
+def _shadow_map_render(ref_msg: str, ray_msg: str) -> bool:
+    """True when the two messages differ only by joi's shadow-Map value
+    render ('with value "[c -> abc]"' vs the actual value)."""
+    if not _SHADOW_RX.search(ref_msg):
+        return False
+    return _SHADOW_RX.sub("with value <X>", ref_msg) == re.sub(
+        r'with value "[^"]*"', "with value <X>", ray_msg
+    )
+
+
 def _values_repr_equiv(ref_v, ray_v) -> bool:
     """True when the two values differ only by numeric-string
     representation (ray 'n' vs ref n, or vice versa), recursively."""
@@ -429,7 +442,19 @@ def diff_case(
                 for v in ray_errs
             )
             if ref_msgs != ray_msgs:
-                devs.append({**ctx, "kind": "messages", "ref": ref_msgs, "ray": ray_msgs})
+                kind = "messages"
+                if all(
+                    a == b or _shadow_map_render(a[2], b[2])
+                    for a, b in zip(ref_msgs, ray_msgs)
+                ) and len(ref_msgs) == len(ray_msgs):
+                    # KNOWN v16-rc2 BUG: '{[.]}' renders the internal
+                    # shadow Map ('with value "[c -> abc]"') instead of
+                    # the actual value when a sibling was shadowed
+                    # (ref.js:_resolve shadow.get([]) returns the Map;
+                    # template.js:313-320 renders Maps as [k -> v]).
+                    # We render the real value — tracked, not a failure.
+                    kind = "message_shadow_bug"
+                devs.append({**ctx, "kind": kind, "ref": ref_msgs, "ray": ray_msgs})
         # warnings
         ref_warn = sorted((tuple(e["path"]), e["type"]) for e in (rr["warnings"] or []))
         ray_warn = sorted(

@@ -134,6 +134,12 @@ class Gen:
             c.append(["empty", ""])
         if self.maybe(0.08):
             c.append(["label", "L" + str(self.r.randint(1, 9))])
+        if self.maybe(0.05):
+            c.append(["raw"])
+        if family == "number" and self.maybe(0.05):
+            c.append(["cast", "string"])
+        elif family == "date" and self.maybe(0.05):
+            c.append(["cast", self.pick(["number", "string"])])
 
     # ------------------------------------------------------------- columns
 
@@ -143,7 +149,8 @@ class Gen:
         kind = self.pick(
             ["number", "number", "string", "string", "boolean", "date",
              "numstr", "boolstr", "array", "struct", "alts", "whencol",
-             "concat", "binary", "strref", "dateref", "ordered", "mixedalts"]
+             "concat", "binary", "strref", "dateref", "ordered", "mixedalts",
+             "switchcol", "peekcol"]
         )
         if kind == "number":
             return (self.leaf_spec("number", sibling_nums), pa.float64(),
@@ -283,6 +290,34 @@ class Gen:
                 return [None if self.maybe(0.1) else self.pick(pool) for _ in range(k)]
 
             return ({"t": "array", "c": c}, at, gen_olist)
+        if kind == "switchcol":
+            # when(ref, switch=[{is, then}, ...], otherwise) — base.js
+            # switch form; cases are literal is-values
+            base_family = self.pick(["number", "string"])
+            base = self.leaf_spec(base_family, [])
+            others = [n for n in col_names if n != name]
+            cond = self.pick(others) if others else name
+            pool_is = NUMBERS[:5] + STRINGS[:5] + [True, False]
+            cases = [
+                {"is": self.pick(pool_is), "then": {"$s": self.leaf_spec(base_family, [])}}
+                for _ in range(r.randint(1, 3))
+            ]
+            kw: dict = {"switch": cases}
+            if self.maybe(0.5):
+                kw["otherwise"] = {"$s": self.leaf_spec(base_family, [])}
+            base.setdefault("c", []).append(["when", cond, {"$kw": kw}])
+            pool = NUMBERS if base_family == "number" else STRINGS
+            at = pa.float64() if base_family == "number" else pa.string()
+            return (base, at, lambda: self.pick(pool))
+        if kind == "peekcol":
+            # when(schema, {then, otherwise}) — the peek form evaluated
+            # against the node's OWN value (alternatives.js:192)
+            base = self.leaf_spec("string", [])
+            peek = {"$s": {"t": "string", "c": [["min", r.randint(1, 4)]]}}
+            kw = {"then": {"$s": self.leaf_spec("string", [])},
+                  "otherwise": {"$s": self.leaf_spec("string", [])}}
+            base.setdefault("c", []).append(["when", peek, {"$kw": kw}])
+            return (base, pa.string(), lambda: self.pick(STRINGS))
         if kind == "mixedalts":
             # branches from different families: exercises alternatives.types
             # vs alternatives.match unions
@@ -365,9 +400,11 @@ def run_fuzz(n_cases: int, start_seed: int = 0, out_path="/tmp/fuzz_devs.jsonl")
                     bad_cases += 1
                     continue
                 # value_repr = documented Arrow single-type-column limit
-                # (heterogeneous alternatives conversions): tracked in the
-                # kinds tally and the jsonl, but not a failing case
-                hard = [d for d in devs if d["kind"] != "value_repr"]
+                # (heterogeneous alternatives conversions); message_shadow_bug
+                # = joi v16-rc2 rendering the internal shadow Map as the
+                # value.  Tracked in the kinds tally and the jsonl, but not
+                # failing cases.
+                hard = [d for d in devs if d["kind"] not in ("value_repr", "message_shadow_bug")]
                 if devs:
                     bad_cases += 1 if hard else 0
                     total_devs += len(devs)
