@@ -423,3 +423,79 @@ def test_excludes_wins_abort_early_over_later_sparse():
     df = _violations(s, tbl, prefs={"abort_early": True})
     got = [(c, int(i)) for c, i in zip(df["code"], df["item_index"])]
     assert got == [("array.excludes", 0)]
+
+
+# --------------------------------------------------- rounds 5-6 findings
+
+
+def test_switch_top_level_otherwise():
+    # base.js:345-353: when(ref, switch=[...], otherwise=X) puts X on the
+    # last expanded match entry
+    s = jr.object({
+        "a": jr.number().required().when("b", switch=[{"is": 3.0, "then": jr.number().valid(3.0)}],
+                                         otherwise=jr.number().greater(27)),
+        "b": jr.number(),
+    })
+    tbl = pa.table({"a": [0.0], "b": [1.0]})
+    assert _codes(_violations(s, tbl), 0) == [("a", "number.greater")]
+
+
+def test_switch_rejects_double_otherwise():
+    import pytest
+
+    with pytest.raises(ValueError):
+        jr.number().when("b", switch=[{"is": 1.0, "then": jr.number(), "otherwise": jr.number()}],
+                         otherwise=jr.number())
+
+
+def test_number_cast_string_js_format():
+    s = jr.object({"a": jr.number().cast("string")})
+    res = compile_schema(s, prefs={"abort_early": False}).validate_table(pa.table({"a": [1e10, 5.0]}))
+    assert res.value.column("a").to_pylist() == ["10000000000", "5"]
+
+
+def test_date_cast_string_iso_format():
+    s = jr.object({"a": jr.date().cast("string")})
+    res = compile_schema(s, prefs={"abort_early": False}).validate_table(
+        pa.table({"a": ["2021-06-15T08:00:00.123Z"]}))
+    assert res.value.column("a").to_pylist() == ["2021-06-15T08:00:00.123Z"]
+
+
+def test_cast_string_key_fails_limit_assert_for_refs():
+    # joi assigns the CAST value into the object, so a ref-limit sees a
+    # string and Common.limit raises any.ref — on CLEAN rows; on errored
+    # rows the raw number passes the assert (dual resolution)
+    s = jr.object({
+        "a": jr.number().min(45).cast("string"),
+        "b": jr.string().max(jr.ref("a")),
+    })
+    tbl = pa.table({"a": [100.0, 5.0], "b": ["xy", "xy"]})
+    df = _violations(s, tbl)
+    assert _codes(df, 0) == [("b", "any.ref")]          # clean: '100' string
+    codes1 = [c for p, c in _codes(df, 1) if p == "b"]
+    assert codes1 == []                                  # errored: raw 5.0 valid limit, 2 <= 5
+
+
+def test_raw_key_shadows_converted_value_for_refs():
+    # validator.js:414-417: raw() keeps the original in the output but
+    # shadows the converted value — refs resolve the shadow
+    s = jr.object({
+        "a": jr.number().raw(),
+        "b": jr.number().max(jr.ref("a")),
+    })
+    tbl = pa.table({"a": ["5"], "b": [10.0]})
+    res = compile_schema(s, prefs={"abort_early": False}).validate_table(tbl)
+    assert res.value.column("a").to_pylist() == ["5"]   # output keeps original
+    assert _codes(res.violations.to_pandas(), 0) == [("b", "number.max")]  # ref saw 5
+
+
+def test_raw_default_missing_key_shadow():
+    # a raw()+default key that is MISSING: output stays missing (original
+    # undefined), but the shadow holds the default for refs
+    s = jr.object({
+        "b": jr.number().default(2.0).raw(),
+        "c": jr.string().max(jr.ref("b")),
+    })
+    tbl = pa.table({"b": pa.array([None], type=pa.float64()), "c": ["ABC"]})
+    df = _violations(s, tbl)
+    assert ("c", "string.max") in _codes(df, 0)
