@@ -1850,7 +1850,12 @@ def _eval_patterns(node: CNode, unknown: list[str], get_child, set_result, env: 
             hit = True
             pmatched[i].append(f)
             child_path = f"{path}.{f}" if path else f
-            sub = eval_node(p["node"], get_child(f), env, child_path, scope=kscope)
+            child = get_child(f)
+            # joi only walks keys PRESENT in the object (object.js:112
+            # unprocessed = Object.keys(value)): a null/absent cell never
+            # reaches the pattern schema, so presence prefs don't apply
+            sub = eval_node(p["node"], child, env, child_path,
+                            scope=kscope & ~null_mask(combine(child)))
             set_result(f, sub)
             if p["exclusive"]:
                 break
@@ -2097,7 +2102,19 @@ def _topo_keys(keys: dict[str, CNode]) -> list[str]:
         # NOTE deliberately NOT when-condition refs: the reference's
         # alternatives type never registers them (lib/types/alternatives.js
         # has no _refs.register), so they don't feed the key topo sort —
-        # a when() sees the RAW sibling unless something else orders it
+        # a when() sees the RAW sibling unless something else orders it.
+        # Branch SCHEMAS however are registered sub-schemas
+        # ($_mutateRegister propagates their refs), so their own rule refs
+        # do count.
+        for w in s.terms.get("whens", []):
+            for br in ("then", "otherwise"):
+                if isinstance(w.get(br), Schema):
+                    collect(w[br], out)
+            for sw in w.get("switch", []) or []:
+                if isinstance(sw.get("then"), Schema):
+                    collect(sw["then"], out)
+                if isinstance(sw.get("otherwise"), Schema):
+                    collect(sw["otherwise"], out)
 
     for k, cn in keys.items():
         collect(cn.schema, deps[k])

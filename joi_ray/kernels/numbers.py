@@ -195,6 +195,9 @@ def make_multiple(args):
 
     def kernel(arr, env: Env) -> RuleOut:
         n = len(arr)
+        # strict resolution is exact for multiple's assert (finite>0): the
+        # same-type raw overlay covers errored rows, and cross-type raws
+        # (strings/buffers) fail typeof===number exactly like undefined
         b, ctx = (env.resolve_ref(base, n), {"multiple": f"ref:{base.path}"}) if hasattr(base, "kind") else (base, {"multiple": base})
         v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
         if isinstance(b, (pa.Array, pa.ChunkedArray)):

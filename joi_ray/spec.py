@@ -757,6 +757,10 @@ class StringSchema(Schema):
         return self._rule("length", {"limit": limit, "encoding": encoding}, single=True)
 
     def pattern(self, regex: str, *, invert: bool = False, name: str | None = None) -> "StringSchema":
+        import re as _re
+
+        if isinstance(regex, _re.Pattern):  # joi takes a RegExp object
+            regex = regex.pattern
         return self._rule("pattern", {"regex": regex, "invert": invert, "name": name})
 
     regex = pattern
@@ -1146,6 +1150,10 @@ class ObjectSchema(Schema):
         the source, ``ignore_undefined`` skips the rename per row when the
         source value is null."""
         s = self._clone()
+        import re as _re
+
+        if isinstance(from_, _re.Pattern):  # joi accepts a RegExp source
+            from_, regex = from_.pattern, True
         entry: dict[str, Any] = {"from": from_, "to": to}
         if regex:
             entry["regex"] = True
@@ -1171,7 +1179,11 @@ class ObjectSchema(Schema):
         ``matches`` is a schema the ARRAY OF MATCHED KEY NAMES must satisfy
         (``object.pattern.match`` on failure, object.js:970-1041)."""
         s = self._clone()
-        entry: dict[str, Any] = {"regex": regex, "schema": schema}
+        import re as _re
+
+        if isinstance(regex, _re.Pattern):  # joi accepts a RegExp directly
+            regex = regex.pattern
+        entry: dict[str, Any] = {"regex": regex, "schema": compile_literal(schema)}
         if exclusive:
             entry["exclusive"] = True
         if matches is not None:

@@ -183,7 +183,9 @@ def _conv_arg(v):
             opts = {_py_name(k): _conv_arg(x) for k, x in (v.get("$o") or {}).items()}
             return jr.ref(v["$ref"], **opts)
         if "$re" in v:
-            return v["$re"]
+            # a RegExp on the node side: pass the compiled form so APIs
+            # that branch on RegExp-vs-string (rename) see the same thing
+            return re.compile(v["$re"])
         if any(k in v for k in ("$undef", "$nan", "$inf", "$negz", "$date", "$bin")):
             x = _from_marker(v)
             return None if x is MISSING else x

@@ -150,7 +150,7 @@ class Gen:
             ["number", "number", "string", "string", "boolean", "date",
              "numstr", "boolstr", "array", "struct", "alts", "whencol",
              "concat", "binary", "strref", "dateref", "ordered", "mixedalts",
-             "switchcol", "peekcol"]
+             "switchcol", "peekcol", "patstruct", "renstruct"]
         )
         if kind == "number":
             return (self.leaf_spec("number", sibling_nums), pa.float64(),
@@ -318,6 +318,53 @@ class Gen:
                   "otherwise": {"$s": self.leaf_spec("string", [])}}
             base.setdefault("c", []).append(["when", peek, {"$kw": kw}])
             return (base, pa.string(), lambda: self.pick(STRINGS))
+        if kind == "patstruct":
+            # object patterns: unknown keys matching a regex validate with
+            # the pattern schema (object.js:340-369)
+            f1 = self.leaf_spec("number", [])
+            pat_schema = self.leaf_spec(self.pick(["number", "string"]), [])
+            c = [["pattern", {"$re": self.pick(["^q", "^[xy]", "z$"])}, {"$s": pat_schema}]]
+            if self.maybe(0.3):
+                c.append(["unknown"])
+            spec = {"t": "object", "a": [{"p": {"$s": f1}}], "c": c}
+            pat_type = pa.float64() if pat_schema["t"] == "number" else pa.string()
+            fields = [("p", pa.float64()), ("q1", pat_type), ("xx", pa.string())]
+            at = pa.struct(fields)
+
+            def gen_pat():
+                pool_p = NUMBERS[:6]
+                pool_q = NUMBERS[:6] if pat_schema["t"] == "number" else STRINGS[:8]
+                return {
+                    "p": None if self.maybe(0.3) else self.pick(pool_p),
+                    "q1": None if self.maybe(0.3) else self.pick(pool_q),
+                    "xx": None if self.maybe(0.5) else self.pick(STRINGS[:6]),
+                }
+
+            return (spec, at, gen_pat)
+        if kind == "renstruct":
+            # renames: plain and regex sources (object.js:387-415)
+            f1 = self.leaf_spec("number", [])
+            f2 = self.leaf_spec("string", [])
+            c = []
+            if self.maybe(0.5):
+                c.append(["rename", "src", "p", {"$kw": {}}])
+            else:
+                kw = {}
+                if self.maybe(0.4):
+                    kw["multiple"] = True
+                c.append(["rename", {"$re": "^s"}, "p", {"$kw": kw}])
+            if self.maybe(0.3):
+                c.append(["unknown"])
+            spec = {"t": "object", "a": [{"p": {"$s": f1}, "q": {"$s": f2}}], "c": c}
+            at = pa.struct([("src", pa.float64()), ("q", pa.string())])
+
+            def gen_ren():
+                return {
+                    "src": None if self.maybe(0.3) else self.pick(NUMBERS[:6]),
+                    "q": None if self.maybe(0.3) else self.pick(STRINGS[:8]),
+                }
+
+            return (spec, at, gen_ren)
         if kind == "mixedalts":
             # branches from different families: exercises alternatives.types
             # vs alternatives.match unions
