@@ -989,11 +989,22 @@ def eval_node(
         strip=bool(node.flags.get("strip")),
         raw_value=original,
         shadow_value=arr if node.flags.get("raw") else None,
-        shadow_mask=scope.copy() if node.flags.get("raw") else None,
+        # joi's shadow records the value as finalize saw it — for a row
+        # whose COERCION failed that is still the original ('1' stays a
+        # string when boolean coercion missed), which our converted column
+        # holds as null; those rows fall back to the raw-original path
+        shadow_mask=(
+            scope & ~(null_mask(arr) & ~null_mask(original))
+            if node.flags.get("raw")
+            else None
+        ),
     )
 
 
 def _apply_cast(arr: pa.Array, to: str) -> pa.Array:
+    """joi's cast defs are gated by a `from` predicate (validator.js:390-
+    394 `if (caster.from(value))`): a value that never coerced (e.g. a
+    string under convert:false) passes through UNCAST."""
     if to == "string":
         if pa.types.is_floating(arr.type) or pa.types.is_integer(arr.type):
             # number cast: JS Number.prototype.toString (number.js:272-279)
@@ -1012,16 +1023,29 @@ def _apply_cast(arr: pa.Array, to: str) -> pa.Array:
                 else:
                     out.append(f"{v.strftime('%Y-%m-%dT%H:%M:%S')}.{v.microsecond // 1000:03d}Z")
             return pa.array(out, type=pa.string())
-        return pc.cast(arr, pa.string())
+        if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type):
+            # binary cast: buffer.toString() (binary.js cast def)
+            return pc.cast(arr, pa.string(), safe=False)
+        if pa.types.is_boolean(arr.type):
+            # boolean cast: value.toString() -> 'true'/'false'
+            return pc.if_else(arr, pa.scalar("true"), pa.scalar("false"))
+        return arr  # from-gate: value never coerced (e.g. convert:false)
     if to == "number":
         if pa.types.is_timestamp(arr.type):
             return pc.cast(pc.cast(arr, pa.timestamp("ms")), pa.int64())
+        if pa.types.is_date(arr.type):
+            return pc.cast(pc.cast(arr, pa.timestamp("ms")), pa.int64())
         if pa.types.is_boolean(arr.type):
             return pc.cast(arr, pa.int8())
-        return pc.cast(arr, pa.float64())
+        if pa.types.is_floating(arr.type) or pa.types.is_integer(arr.type):
+            return arr  # already a number
+        return arr  # from-gate: not a Date/boolean
     if to in ("set", "map"):
         return arr  # JS Set/Map casts are N/A-by-design in Arrow (SURVEY §2.3)
-    return pc.cast(arr, to)
+    try:
+        return pc.cast(arr, to)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+        return arr
 
 
 def _merge_into(merged: NodeResult, sub: NodeResult, sel: np.ndarray):
@@ -1376,6 +1400,65 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
     return nr
 
 
+def _adopt_items(adopt: np.ndarray, sub_value, base, n_items: int, failed=None):
+    """Single-schema convenience wrapper over _adopt_items_multi."""
+    return _adopt_items_multi([(adopt, sub_value)], base, failed, n_items)
+
+
+def _adopt_items_multi(pairs, base, failed_any, n_items: int):
+    """Merge converted item values into the flat array (array.js:209/297
+    value[i] = res.value), all adopting schemas at once so earlier slots
+    can't be clobbered by a later slot's type promotion.  Cross-type
+    conversions (number items over a string list) promote the base when
+    every CLEAN kept item survives the promoted type; FAILED kept items
+    may fall to null (joi keeps their raw value, never value-compared).
+    Mixed adopted types: only same-as-base adoptions land (repr limit)."""
+    pairs = [
+        (m, combine(v) if isinstance(v, pa.ChunkedArray) else v)
+        for m, v in pairs
+        if v is not None and m.any()
+    ]
+    if not pairs:
+        return None
+    base = combine(base) if isinstance(base, pa.ChunkedArray) else base
+    types = {v.type for _, v in pairs}
+    if len(types) == 1 and next(iter(types)) != base.type:
+        T = next(iter(types))
+        adopt_all = np.zeros(n_items, dtype=bool)
+        for m, _ in pairs:
+            adopt_all |= m
+        base2 = None
+        if pa.types.is_floating(T) and (
+            pa.types.is_string(base.type) or pa.types.is_large_string(base.type)
+        ):
+            import pandas as pd
+
+            base2 = pa.Array.from_pandas(pd.to_numeric(base.to_pandas(), errors="coerce"), type=T)
+        else:
+            try:
+                base2 = pc.cast(base, T, safe=False)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                base2 = None
+        if base2 is None:
+            return None
+        lost = null_mask(base2) & ~null_mask(base) & ~adopt_all
+        if failed_any is not None:
+            lost = lost & ~failed_any
+        if lost.any():
+            return None
+        base = base2
+    out, changed = base, False
+    for m, v in pairs:
+        if v.type != base.type:
+            continue  # mixed slot types: repr limit for this slot
+        try:
+            out = pc.if_else(pa.array(m), v, out)
+            changed = True
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+            pass
+    return out if changed else None
+
+
 def _converted_sparse_items(node, add_err, sub, live, nulls_flat, parents, positions, n, grp, soft=True):
     """An item that validated CLEANLY but whose converted value is
     undefined (empty('') conversion) errors array.sparse in a non-sparse
@@ -1501,15 +1584,17 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                                          parents, positions, n, items_grp)
         # joi assigns value[i] = res.value only on SUCCESS (array.js:286-297):
         # sparse-converted items AND errored items keep the original value,
-        # keeping later rules (unique) off synthetic undefineds
+        # keeping later rules (unique) off synthetic undefineds/defaults.
+        # Build from the ORIGINALS and adopt only the clean conversions —
+        # a failed type-clash restore must never leak converted values.
         restore = became if became is not None else np.zeros(len(nulls_flat), bool)
         if sub.failed is not None:
             restore = restore | (item_live & sub.failed)
-        if restore.any() and new_flat is not None:
-            try:
-                new_flat = pc.if_else(pa.array(restore), flat, combine(new_flat))
-            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
-                pass
+        adopt = item_live & ~restore
+        if sub.value is not None and adopt.any():
+            new_flat = _adopt_items(adopt, sub.value, flat, n_items, failed=sub.failed)
+        else:
+            new_flat = None
         if ic.flags.get("presence") == "required":
             # the lone required schema must still claim >=1 item per row;
             # misses error even on empty arrays (array.js:341 + :674-699)
@@ -1529,6 +1614,8 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
         item_scope_all = item_live.copy()
         matched_any = np.zeros(n_items, dtype=bool)
         if node.ordered:
+            slot_pairs: list = []
+            slot_failed = np.zeros(n_items, dtype=bool)
             for i, oc in enumerate(node.ordered):
                 pos_mask = (positions == i) & item_live
                 if not pos_mask.any():
@@ -1538,19 +1625,23 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                 became_o = _converted_sparse_items(node, add_err, sub, pos_mask, nulls_flat,
                                                    parents, positions, n, items_grp, soft=False)
                 # matched slots adopt converted values (array.js:209
-                # value[i] = res.value); cross-type slot conversions can't
-                # share the list column (repr limit)
+                # value[i] = res.value); merged in ONE pass after the loop
+                # so a later slot's type promotion can't clobber an earlier
+                # slot's adopted values
                 if sub.value is not None:
                     adopt = pos_mask & ~(sub.failed if sub.failed is not None else np.zeros(n_items, bool))
                     if became_o is not None:
                         adopt = adopt & ~became_o
                     if adopt.any():
-                        base = new_flat if new_flat is not None else flat
-                        try:
-                            new_flat = pc.if_else(pa.array(adopt), combine(sub.value), combine(base))
-                        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
-                            pass
+                        slot_pairs.append((adopt, sub.value))
+                if sub.failed is not None:
+                    slot_failed |= pos_mask & sub.failed
                 matched_any |= pos_mask
+            if slot_pairs:
+                new_flat = _adopt_items_multi(
+                    slot_pairs, new_flat if new_flat is not None else flat,
+                    slot_failed | ~item_live, n_items,
+                ) or new_flat
             beyond = positions >= len(node.ordered)
             if beyond.any() and not node.items:
                 # ONE row-level error at the first beyond NON-UNDEFINED
@@ -1641,10 +1732,7 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                     if became2 is not None:
                         keep_orig = keep_orig | became2
                     base = new_flat if new_flat is not None else flat
-                    try:
-                        new_flat = pc.if_else(pa.array(keep_orig), combine(base), combine(sub.value))
-                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
-                        pass
+                    new_flat = _adopt_items(~keep_orig, sub.value, base, n_items, failed=sub.failed) or new_flat
                 hit = remaining & ok
                 if ic.flags.get("strip"):
                     strip_items |= hit
