@@ -499,3 +499,47 @@ def test_raw_default_missing_key_shadow():
     tbl = pa.table({"b": pa.array([None], type=pa.float64()), "c": ["ABC"]})
     df = _violations(s, tbl)
     assert ("c", "string.max") in _codes(df, 0)
+
+
+# --------------------------------------------------- rounds 7-8 findings
+
+
+def test_pattern_keys_skip_absent_cells():
+    # object.js:112: unprocessed = Object.keys(value) — a null/absent cell
+    # never reaches the pattern schema, so presence prefs don't apply
+    s = jr.object({"p": jr.number()}).pattern(r"^q", jr.number().min(10))
+    tbl = pa.table({"x": pa.array([{"p": 1.0, "q1": None}],
+                                  type=pa.struct([("p", pa.float64()), ("q1", pa.float64())]))})
+    outer = jr.object({"x": s})
+    df = compile_schema(outer, prefs={"abort_early": False, "presence": "required"}).validate_table(tbl).violations.to_pandas()
+    assert not any(c == "any.required" and p.startswith("x.q1") for p, c in zip(df["path"], df["code"]))
+
+
+def test_cast_from_gate_under_convert_false():
+    # validator.js:390-394: cast applies only when caster.from(value) —
+    # a string that never coerced under convert:false stays uncast
+    s = jr.object({"a": jr.date().cast("number")})
+    tbl = pa.table({"a": ["2021-06-15T08:00:00.123Z"]})
+    res = compile_schema(s, prefs={"abort_early": False, "convert": False}).validate_table(tbl)
+    assert res.value.column("a").to_pylist() == ["2021-06-15T08:00:00.123Z"]
+
+
+def test_ordered_mixed_slots_single_pass_adoption():
+    # a number slot's promotion must not clobber an earlier string slot's
+    # adopted value: mixed slot types keep the original column (repr limit)
+    s = jr.object({"a": jr.array().ordered(jr.string().uppercase(), jr.number())})
+    tbl = pa.table({"a": pa.array([["abc", "1.0"]], type=pa.list_(pa.string()))})
+    res = compile_schema(s, prefs={"abort_early": False}).validate_table(tbl)
+    vals = res.value.column("a").to_pylist()[0]
+    assert vals[0] in ("ABC", "abc")  # never null
+
+
+def test_failed_items_never_leak_defaults_into_unique():
+    # a sparse array whose items all error: unique compares the ORIGINAL
+    # values, not converted/defaulted ones ([2, undefined, 2] -> dup @2)
+    s = jr.object({"c": jr.array().sparse().items(
+        jr.number().min(10).default(2.0).cast("string")).unique()})
+    tbl = pa.table({"c": pa.array([[2.0, None, 2.0]], type=pa.list_(pa.float64()))})
+    df = _violations(s, tbl, prefs={"presence": "required"})
+    uq = [(int(i)) for c, i in zip(df["code"], df["item_index"]) if c == "array.unique"]
+    assert uq == [2]
