@@ -1421,11 +1421,24 @@ def _adopt_items_multi(pairs, base, failed_any, n_items: int):
     if not pairs:
         return None
     base = combine(base) if isinstance(base, pa.ChunkedArray) else base
-    types = {v.type for _, v in pairs}
-    if len(types) == 1 and next(iter(types)) != base.type:
-        T = next(iter(types))
+    out, changed = base, False
+    # stage 1: same-type adoptions land directly
+    for m, v in pairs:
+        if v.type == base.type:
+            try:
+                out = pc.if_else(pa.array(m), v, out)
+                changed = True
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                pass
+    # stage 2: cross-type adoptions promote the column IF all clean kept
+    # items survive the promoted type (string-slot values are equivalent
+    # through the cast; truly heterogeneous CLEAN rows stay original —
+    # the repr limit)
+    cross = [(m, v) for m, v in pairs if v.type != base.type]
+    if cross and len({v.type for _, v in cross}) == 1:
+        T = cross[0][1].type
         adopt_all = np.zeros(n_items, dtype=bool)
-        for m, _ in pairs:
+        for m, _ in cross:
             adopt_all |= m
         base2 = None
         if pa.types.is_floating(T) and (
@@ -1433,29 +1446,26 @@ def _adopt_items_multi(pairs, base, failed_any, n_items: int):
         ):
             import pandas as pd
 
-            base2 = pa.Array.from_pandas(pd.to_numeric(base.to_pandas(), errors="coerce"), type=T)
+            base2 = pa.Array.from_pandas(pd.to_numeric(out.to_pandas(), errors="coerce"), type=T)
         else:
             try:
-                base2 = pc.cast(base, T, safe=False)
+                base2 = pc.cast(out, T, safe=False)
             except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
                 base2 = None
-        if base2 is None:
-            return None
-        lost = null_mask(base2) & ~null_mask(base) & ~adopt_all
-        if failed_any is not None:
-            lost = lost & ~failed_any
-        if lost.any():
-            return None
-        base = base2
-    out, changed = base, False
-    for m, v in pairs:
-        if v.type != base.type:
-            continue  # mixed slot types: repr limit for this slot
-        try:
-            out = pc.if_else(pa.array(m), v, out)
-            changed = True
-        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
-            pass
+        if base2 is not None:
+            lost = null_mask(base2) & ~null_mask(out) & ~adopt_all
+            if failed_any is not None:
+                lost = lost & ~failed_any
+            if not lost.any():
+                out2, ok2 = base2, False
+                for m, v in cross:
+                    try:
+                        out2 = pc.if_else(pa.array(m), v, out2)
+                        ok2 = True
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                        pass
+                if ok2:
+                    return out2
     return out if changed else None
 
 
@@ -1638,9 +1648,12 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                     slot_failed |= pos_mask & sub.failed
                 matched_any |= pos_mask
             if slot_pairs:
+                # beyond-slot items are tolerable for the type promotion:
+                # their rows carry array.orderedLength (or array.includes
+                # failures downstream), so their values are never compared
                 new_flat = _adopt_items_multi(
                     slot_pairs, new_flat if new_flat is not None else flat,
-                    slot_failed | ~item_live, n_items,
+                    slot_failed | ~item_live | (positions >= len(node.ordered)), n_items,
                 ) or new_flat
             beyond = positions >= len(node.ordered)
             if beyond.any() and not node.items:
