@@ -1224,6 +1224,23 @@ def _finalize_branch_values(arr, branch_values, n: int):
     target = next(iter(out_types))
     if target == arr.type:
         value = arr
+    elif (
+        pa.types.is_struct(target)
+        and pa.types.is_struct(arr.type)
+        and all(arr.type.get_field_index(f.name) >= 0 for f in target)
+    ):
+        # a stripping object branch narrows the struct: project the base
+        # onto the branch's field subset (joi's value drops stripped keys)
+        value = pa.StructArray.from_arrays(
+            [combine(pc.struct_field(arr, f.name)) for f in target],
+            names=[f.name for f in target],
+            mask=pa.array(null_mask(arr)),
+        )
+        if value.type != target:
+            try:
+                value = pc.cast(value, target, safe=False)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                value = pa.nulls(n, target)
     else:
         try:
             value = pc.cast(arr, target, safe=False)

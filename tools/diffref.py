@@ -362,21 +362,21 @@ def _values_repr_equiv(ref_v, ray_v) -> bool:
             return float(ref_v) == float(ray_v)
         except ValueError:
             return False
-    if isinstance(ref_v, dict) and isinstance(ray_v, dict):
-        keys = set()
-        for d in (ref_v, ray_v):
-            keys |= {k for k, v in d.items() if v is not MISSING and v is not None}
-        return all(
-            _values_close(ref_v.get(k), ray_v.get(k))
-            or _values_repr_equiv(ref_v.get(k), ray_v.get(k))
-            for k in keys
-        )
     if isinstance(ref_v, (list, tuple)) and isinstance(ray_v, (list, tuple)):
         # heterogeneous item conversions (ordered slots converting some
         # positions to numbers) can't share one Arrow list column either
         return len(ref_v) == len(ray_v) and all(
             _values_close(x, y) or _values_repr_equiv(x, y)
             for x, y in zip(ref_v, ray_v)
+        )
+    if isinstance(ref_v, dict) and isinstance(ray_v, dict):
+        # row-varying STRUCT SHAPE: a stripping alternatives branch drops
+        # keys per row; the Arrow struct column keeps all fields, so the
+        # ray side may be a SUPERSET with equal shared values
+        ref_keys = {k for k, v in ref_v.items() if v is not None and v is not MISSING}
+        return ref_keys <= set(ray_v) and all(
+            _values_close(ref_v[k], ray_v.get(k)) or _values_repr_equiv(ref_v[k], ray_v.get(k))
+            for k in ref_keys
         )
     return False
 

@@ -150,7 +150,8 @@ class Gen:
             ["number", "number", "string", "string", "boolean", "date",
              "numstr", "boolstr", "array", "struct", "alts", "whencol",
              "concat", "binary", "strref", "dateref", "ordered", "mixedalts",
-             "switchcol", "peekcol", "patstruct", "renstruct"]
+             "switchcol", "peekcol", "patstruct", "renstruct", "deepstruct",
+             "altobj"]
         )
         if kind == "number":
             return (self.leaf_spec("number", sibling_nums), pa.float64(),
@@ -365,6 +366,49 @@ class Gen:
                 }
 
             return (spec, at, gen_ren)
+        if kind == "deepstruct":
+            # object-in-object with an inner dependency and a cross-level
+            # ref (inner rule referencing the OUTER sibling via '...')
+            inner_leaf = self.leaf_spec("number", [])
+            inner = {"t": "object", "a": [{"x": {"$s": inner_leaf},
+                                           "y": {"$s": self.leaf_spec("string", [])}}]}
+            if self.maybe(0.4):
+                dep = self.pick(["and", "xor", "with"])
+                # joi: and/xor take FLAT peers; with takes (key, [peers])
+                inner["c"] = [[dep, "x", ["y"] if dep == "with" else "y"]]
+            c = []
+            if self.maybe(0.3):
+                c.append(["unknown"])
+            spec = {"t": "object", "a": [{"inner": {"$s": inner},
+                                          "top": {"$s": self.leaf_spec("number", [])}}], "c": c}
+            at = pa.struct([("inner", pa.struct([("x", pa.float64()), ("y", pa.string())])),
+                            ("top", pa.float64())])
+
+            def gen_deep():
+                return {
+                    "inner": None if self.maybe(0.2) else {
+                        "x": None if self.maybe(0.3) else self.pick(NUMBERS[:6]),
+                        "y": None if self.maybe(0.3) else self.pick(STRINGS[:8]),
+                    },
+                    "top": None if self.maybe(0.3) else self.pick(NUMBERS[:6]),
+                }
+
+            return (spec, at, gen_deep)
+        if kind == "altobj":
+            # alternatives over STRUCT values: object branches with
+            # different key requirements
+            b1 = {"t": "object", "a": [{"p": {"$s": {"t": "number", "c": [["required"]]}}}]}
+            b2 = {"t": "object", "a": [{"q": {"$s": {"t": "string", "c": [["required"]]}}}]}
+            spec = {"t": "alternatives", "a": [[{"$s": b1}, {"$s": b2}]]}
+            at = pa.struct([("p", pa.float64()), ("q", pa.string())])
+
+            def gen_altobj():
+                return {
+                    "p": None if self.maybe(0.5) else self.pick(NUMBERS[:5]),
+                    "q": None if self.maybe(0.5) else self.pick(STRINGS[:6]),
+                }
+
+            return (spec, at, gen_altobj)
         if kind == "mixedalts":
             # branches from different families: exercises alternatives.types
             # vs alternatives.match unions
