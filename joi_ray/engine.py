@@ -1015,14 +1015,16 @@ def _apply_cast(arr: pa.Array, to: str) -> pa.Array:
             )
         if pa.types.is_timestamp(arr.type) or pa.types.is_date(arr.type):
             # date cast: Template.date == toISOString under the default
-            # 'iso' dateFormat (date.js:145-151)
-            out = []
-            for v in pc.cast(arr, pa.timestamp("ms")).to_pylist():
-                if v is None:
-                    out.append(None)
-                else:
-                    out.append(f"{v.strftime('%Y-%m-%dT%H:%M:%S')}.{v.microsecond // 1000:03d}Z")
-            return pa.array(out, type=pa.string())
+            # 'iso' dateFormat (date.js:145-151).  Format from epoch-ms via
+            # the JS-exact formatter: strftime %Y drops zero-padding for
+            # years <1000 and can't render the expanded ±YYYYYY forms
+            from .kernels.strings import _js_iso_format
+
+            ints = pc.cast(pc.cast(arr, pa.timestamp("ms")), pa.int64())
+            return pa.array(
+                [None if v is None else _js_iso_format(v) for v in ints.to_pylist()],
+                type=pa.string(),
+            )
         if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type):
             # binary cast: buffer.toString() (binary.js cast def)
             return pc.cast(arr, pa.string(), safe=False)

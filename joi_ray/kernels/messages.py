@@ -226,9 +226,13 @@ def _stringify(v) -> str:
         import datetime as _dt
 
         if isinstance(v, _dt.datetime):
-            ms = v.microsecond // 1000
-            base = v.strftime("%Y-%m-%dT%H:%M:%S")
-            return f"{base}.{ms:03d}Z"
+            # JS toISOString zero-pads years <1000 ("0123-..."), which
+            # strftime %Y does not — format from epoch-ms instead
+            from .strings import _js_iso_format
+
+            vv = v if v.tzinfo else v.replace(tzinfo=_dt.timezone.utc)
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            return _js_iso_format((vv - epoch) // _dt.timedelta(milliseconds=1))
     if isinstance(v, float):
         # JS Number.prototype.toString: integral values render without a
         # decimal point ("2", not "2.0"); -0 renders "0"

@@ -261,7 +261,17 @@ def _date_limit(limit, env: Env):
         # joi normalizes date limits to Date objects at rule creation
         # (date.js compare args), so the error context renders the ISO
         # form ("2019-06-01T00:00:00.000Z"), not the source string
-        ms = int(pd.Timestamp(limit).value // 10**6)
+        try:
+            ms = int(pd.Timestamp(limit).value // 10**6)
+        except (ValueError, OverflowError, pd.errors.OutOfBoundsDatetime):
+            # outside pandas' ns range (years <1677 / >2262) but a valid JS
+            # Date — parse through the ISO grammar directly
+            from .strings import _js_iso_parse_ms
+
+            parsed = _js_iso_parse_ms(limit)
+            if parsed is None:
+                raise ValueError(f"invalid date limit {limit!r}")
+            ms = parsed
         return ms, {"limit": _ms_to_dt(ms)}
     return int(limit), {"limit": _ms_to_dt(int(limit))}
 
@@ -269,7 +279,16 @@ def _date_limit(limit, env: Env):
 def _ms_to_dt(ms: int):
     from datetime import datetime, timezone
 
-    return datetime.fromtimestamp(ms / 1000, tz=timezone.utc)
+    try:
+        return datetime.fromtimestamp(ms / 1000, tz=timezone.utc)
+    except (ValueError, OverflowError, OSError):
+        # epoch-ms inside the JS Date range (±8.64e15) but outside Python's
+        # datetime years 1-9999 (e.g. date().max(3e14) = year 11479): fall
+        # back to the JS toISOString text so the schema still compiles and
+        # the error context renders exactly what joi would
+        from .strings import _js_iso_format
+
+        return _js_iso_format(int(ms))
 
 
 def make_date_compare(op: str):

@@ -143,20 +143,46 @@ def _decode(v: Any) -> Any:
     return v
 
 
+def _value_key(v):
+    """SameValueZero identity key for joi's Values container.  JS has ONE
+    number type: 10 and 10.0 are the same valid — but true must stay distinct
+    from 1 (Python's True == 1 would collapse them)."""
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, (int, float)):
+        return ("num", float(v))
+    return (type(v).__name__, v)
+
+
+def _regex_source(regex):
+    """Accept a compiled ``re.Pattern`` the way joi accepts a RegExp object,
+    PRESERVING its flags: re.compile('abc', re.I) must behave like /abc/i,
+    not like a case-sensitive /abc/.  Flags translate to an inline group
+    (``(?i)abc``) understood by both Python ``re`` and Arrow's RE2.
+    Unsupported-by-RE2 flags (re.VERBOSE) raise instead of silently
+    changing semantics."""
+    import re as _re
+
+    if not isinstance(regex, _re.Pattern):
+        return regex
+    if regex.flags & _re.VERBOSE:
+        raise ValueError("re.VERBOSE patterns are not supported; inline the whitespace")
+    inline = "".join(
+        ch
+        for flag, ch in ((_re.IGNORECASE, "i"), (_re.MULTILINE, "m"), (_re.DOTALL, "s"))
+        if regex.flags & flag
+    )
+    # re.UNICODE is implied for str patterns in Python 3 — not a JS flag
+    return f"(?{inline}){regex.pattern}" if inline else regex.pattern
+
+
 def _dedup_values(existing: list, new_values) -> list:
     """joi's Values container is a SET (lib/values.js add skips an already-
     present entry): re-adding a value is a no-op, so valid(-1, -1) keeps one
     -1.  JS SameValueZero typing: true !== 1, so bools never collapse into
     numbers (Python's True == 1 would)."""
 
-    def key(v):
-        # JS has ONE number type: 10 and 10.0 are the same valid — but
-        # true must stay distinct from 1 (SameValueZero typing)
-        if isinstance(v, bool):
-            return ("bool", v)
-        if isinstance(v, (int, float)):
-            return ("num", float(v))
-        return (type(v).__name__, v)
+    key = _value_key
 
     seen = set()
     for v in existing:
@@ -530,10 +556,31 @@ class Schema:
         s.rules = [r for r in s.rules if r["name"] not in incoming_singles]
         s.rules.extend(incoming)
         # valids/invalids merge with cross-removal (lib/base.js:410-411 via
-        # Values.merge: source invalids leave the valid set and vice versa)
-        kept_allow = [v for v in s.allow_vals if v not in other.invalid_vals]
+        # Values.merge: source invalids leave the valid set and vice versa).
+        # Removal is SameValueZero-keyed like _dedup_values — Values.remove
+        # is deep-strict (true !== 1), so plain Python `in` (True == 1)
+        # would wrongly drop True when removing 1.
+        def _keyed_remove(kept: list, removals: list) -> list:
+            rm = set()
+            for v in removals:
+                try:
+                    rm.add(_value_key(v))
+                except TypeError:
+                    pass  # unhashable removals never match (parity: reference
+                    # Values.remove uses identity for objects)
+            out = []
+            for v in kept:
+                try:
+                    if _value_key(v) in rm:
+                        continue
+                except TypeError:
+                    pass
+                out.append(v)
+            return out
+
+        kept_allow = _keyed_remove(s.allow_vals, other.invalid_vals)
         s.allow_vals = kept_allow + _dedup_values(kept_allow, other.allow_vals)
-        kept_invalid = [v for v in s.invalid_vals if v not in other.allow_vals]
+        kept_invalid = _keyed_remove(s.invalid_vals, other.allow_vals)
         s.invalid_vals = kept_invalid + _dedup_values(kept_invalid, other.invalid_vals)
         s.prefs.update(other.prefs)
         for k, v in other.terms.items():
@@ -757,10 +804,7 @@ class StringSchema(Schema):
         return self._rule("length", {"limit": limit, "encoding": encoding}, single=True)
 
     def pattern(self, regex: str, *, invert: bool = False, name: str | None = None) -> "StringSchema":
-        import re as _re
-
-        if isinstance(regex, _re.Pattern):  # joi takes a RegExp object
-            regex = regex.pattern
+        regex = _regex_source(regex)  # joi takes a RegExp object, flags kept
         return self._rule("pattern", {"regex": regex, "invert": invert, "name": name})
 
     regex = pattern
@@ -860,7 +904,7 @@ class StringSchema(Schema):
 
         s = self._clone()
         if isinstance(pattern, _re.Pattern):
-            entry = {"pattern": pattern.pattern, "replacement": replacement, "literal": False}
+            entry = {"pattern": _regex_source(pattern), "replacement": replacement, "literal": False}
         else:
             entry = {"pattern": pattern, "replacement": replacement, "literal": True}
         s.terms.setdefault("replacements", []).append(entry)
@@ -1153,7 +1197,7 @@ class ObjectSchema(Schema):
         import re as _re
 
         if isinstance(from_, _re.Pattern):  # joi accepts a RegExp source
-            from_, regex = from_.pattern, True
+            from_, regex = _regex_source(from_), True
         entry: dict[str, Any] = {"from": from_, "to": to}
         if regex:
             entry["regex"] = True
@@ -1181,8 +1225,7 @@ class ObjectSchema(Schema):
         s = self._clone()
         import re as _re
 
-        if isinstance(regex, _re.Pattern):  # joi accepts a RegExp directly
-            regex = regex.pattern
+        regex = _regex_source(regex)  # joi accepts a RegExp directly, flags kept
         entry: dict[str, Any] = {"regex": regex, "schema": compile_literal(schema)}
         if exclusive:
             entry["exclusive"] = True
@@ -1364,7 +1407,7 @@ def compile_literal(value) -> Schema:
     if isinstance(value, Ref):
         return any_().valid(value)
     if isinstance(value, _re.Pattern):
-        return string().pattern(value.pattern)
+        return string().pattern(value)
     if isinstance(value, dict):
         return ObjectSchema({k: compile_literal(v) for k, v in value.items()})
     if isinstance(value, (list, tuple)):
