@@ -574,8 +574,16 @@ def _q_events_running(sf_dir: str):
     import ray
     import ray.data as rd
 
-    ds = (rd.read_parquet(f"{sf_dir}/events.parquet",
-                          columns=["event_id", "user_id", "ts", "value"])
+    from joi_ray._env import sort_num_blocks
+
+    cols = ["event_id", "user_id", "ts", "value"]
+    # bound the block count BEFORE the sort: Ray's sort pays per-block
+    # sample + exchange costs that dominated at the default row-group
+    # granularity (370 blocks -> 11-15 s for a 195 MB sort; 64 blocks ->
+    # ~2.5 s, measured round 4)
+    est = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols).size_bytes()
+    ds = (rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols,
+                          override_num_blocks=sort_num_blocks(est))
           .sort(["user_id", "ts", "event_id"]).materialize())
     # fixture-scale only: split small outputs so the carry path is
     # exercised (many blocks -> user-straddling edges); at scale the sort
@@ -583,7 +591,15 @@ def _q_events_running(sf_dir: str):
     if ds.num_blocks() < 12:
         ds = ds.repartition(12).materialize()
 
+    _DESC_SCHEMA = pa.schema([
+        ("bk_u", pa.int64()), ("bk_t", pa.int64()), ("bk_e", pa.int64()),
+        ("first_user", pa.int64()), ("last_user", pa.int64()),
+        ("head_sum", pa.float64()), ("tail_sum", pa.float64()),
+    ])
+
     def pass_a(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # range partitioning can leave empty blocks
+            return _DESC_SCHEMA.empty_table()
         u = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         v = t["value"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
         e = t["event_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
@@ -618,6 +634,11 @@ def _q_events_running(sf_dir: str):
     oref = ray.put(offsets)
 
     def pass_b(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([
+                ("event_id", pa.int64()), ("user_id", pa.int64()),
+                ("running_value", pa.float64()),
+            ]).empty_table()
         offs = ray.get(oref)
         u = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         v = t["value"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)

@@ -80,6 +80,23 @@ def join_num_partitions() -> int:
     return cpu // 2
 
 
+def sort_num_blocks(est_bytes: int, *, target_block_bytes: int = 128 << 20) -> int:
+    """Input block count for a dataset that is about to be globally sorted.
+
+    Ray's sort pays per-input-block costs (one sample task + an
+    all-to-all exchange entry per block): 6M rows split across 370
+    row-group-sized blocks sorted in ~11-15 s where the same data in 64
+    blocks sorts in ~2-3 s (measured, 32 CPUs).  Pick blocks proportional
+    to cluster CPUs for parallelism, but never smaller than
+    ``target_block_bytes`` per block — at 100-TB inputs the byte bound
+    dominates and keeps per-block memory flat."""
+    import ray
+
+    cpu = int(ray.cluster_resources().get("CPU", 8))
+    by_bytes = -(-max(est_bytes, 1) // target_block_bytes)  # ceil
+    return max(2 * cpu, by_bytes)
+
+
 def quiet_ray_data_logs() -> bool:
     """Silence Ray Data's per-task schema-hash warning in THIS process.
 

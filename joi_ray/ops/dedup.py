@@ -192,7 +192,7 @@ class MinHashStage:
 
 def minhash_duplicate_pairs(ds, text_col: str, id_col: str, *, threshold: float = 0.7,
                             num_perm: int = 64, bands: int = 16, k: int = 7,
-                            concurrency=4, max_group: int = 64):
+                            concurrency=None, max_group: int = 64):
     """Near-duplicate pairs via MinHash-LSH.  Candidates come from a
     distributed band-bucket self-join (not a groupby().map_groups over
     millions of tiny buckets — Ray's sort-aggregate pays per-group overhead
@@ -205,10 +205,11 @@ def minhash_duplicate_pairs(ds, text_col: str, id_col: str, *, threshold: float 
     from ray.data.aggregate import Max
 
     banded = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, k=k),
+        _minhash_fn,
+        fn_kwargs=dict(text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, k=k,
+                       emit_sig=True),
         batch_format="pyarrow",
-        concurrency=concurrency, **REMOTE_KWARGS).materialize()
+        **({"concurrency": concurrency} if concurrency else {}), **REMOTE_KWARGS).materialize()
 
     def _sig_to_binary(col) -> pa.Array:
         # acero hash joins reject fixed_size_list payload columns — carry
@@ -283,7 +284,7 @@ def _minhash_fn(batch: pa.Table, **kw) -> pa.Table:
 
 
 def minhash_canonical(ds, text_col: str, id_col: str, *, num_perm: int = 64, bands: int = 16,
-                      k: int = 7, concurrency=4, scratch_dir: str | None = None,
+                      k: int = 7, concurrency=None, scratch_dir: str | None = None,
                       num_partitions: int | None = None, output_path: str | None = None):
     """Scalable keep-first near-dup assignment without pair materialization.
 
@@ -472,6 +473,9 @@ def simhash_batch(texts: pd.Series, seed: int = 42) -> np.ndarray:
 
 
 class SimHashStage:
+    """Stateless (hyperplanes are implicit in the hash function) — run via
+    the task-mode ``_simhash_fn`` below, never as an actor pool."""
+
     def __init__(self, text_col: str, id_col: str):
         self.text_col, self.id_col = text_col, id_col
 
@@ -488,7 +492,11 @@ class SimHashStage:
         return t
 
 
-def simhash_duplicate_pairs(ds, text_col: str, id_col: str, *, max_hamming: int = 3, concurrency=4,
+def _simhash_fn(batch: pa.Table, *, text_col: str, id_col: str) -> pa.Table:
+    return SimHashStage(text_col, id_col)(batch)
+
+
+def simhash_duplicate_pairs(ds, text_col: str, id_col: str, *, max_hamming: int = 3, concurrency=None,
                             max_group: int = 256):
     """Near-dup pairs with hamming(simhash) <= max_hamming via 4×16-bit
     pigeonhole banding (any pair within distance 3 matches on >=1 band)."""
@@ -515,8 +523,9 @@ def simhash_duplicate_pairs(ds, text_col: str, id_col: str, *, max_hamming: int 
     from ray.data.aggregate import Min
 
     sigs = ds.map_batches(
-        SimHashStage, fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
-        batch_format="pyarrow", concurrency=concurrency, **REMOTE_KWARGS)
+        _simhash_fn, fn_kwargs=dict(text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+        **({"concurrency": concurrency} if concurrency else {}), **REMOTE_KWARGS)
     banded = sigs.map_batches(explode_bands, batch_format="pyarrow", **REMOTE_KWARGS).materialize()
 
     # distributed band-bucket self-join (no tiny-group map_groups; Ray's
@@ -561,7 +570,7 @@ def simhash_duplicate_pairs(ds, text_col: str, id_col: str, *, max_hamming: int 
     return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
-def simhash_buckets(ds, text_col: str, id_col: str, *, concurrency=4):
+def simhash_buckets(ds, text_col: str, id_col: str, *, concurrency=None):
     """Scalable simhash dup-bucket stats: signatures -> 4x16-bit pigeonhole
     band rows -> two-phase count (per-batch partials, then one native
     groupby-sum).  Returns a Dataset of (band, band_val, n) with n>1 — the
@@ -638,7 +647,7 @@ def _emb_bucket_fn(batch: pa.Table, *, emb_col: str, id_col: str, n_bits: int, s
 
 
 def embedding_duplicate_pairs(ds, emb_col: str, id_col: str, *, threshold: float = 0.95,
-                              n_bits: int = 10, seed: int = 42, concurrency=4):
+                              n_bits: int = 10, seed: int = 42, concurrency=None):
     """Cosine near-dup pairs via random-hyperplane LSH.  Candidates come
     from a distributed bucket self-join (the same shape as
     ``simhash_duplicate_pairs`` / ``minhash_duplicate_pairs`` — NOT a

@@ -21,8 +21,12 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 class BruteForceTopK:
-    """Actor stage: holds the normalized query matrix (fetched from the
-    object store once per actor in __init__)."""
+    """Per-worker stage state: the normalized query matrix (fetched from the
+    object store once per worker via the task-mode cache below — NOT an
+    actor pool: the state is a tiny read-only matrix, and an actor pool
+    sized to the CPU count on a small input spends more on worker spawn
+    than on the matmuls; round-3 measured 19 s pool vs 1.9 s task-mode on
+    a 24k-vector input)."""
 
     def __init__(self, queries_ref, emb_col: str, id_col: str, k: int):
         import ray
@@ -50,22 +54,51 @@ class BruteForceTopK:
         return out
 
 
+_STAGE_CACHE: dict = {}
+
+
+def _cache_key(ref) -> str:
+    """Stable per-worker identity for a broadcast matrix: the ObjectRef hex
+    (same ref => same bytes), or a content digest for inline arrays (an
+    ndarray deserializes to a fresh object per task, so id() won't do)."""
+    if isinstance(ref, np.ndarray):
+        import hashlib
+
+        return hashlib.blake2b(ref.tobytes(), digest_size=12).hexdigest()
+    return ref.hex()
+
+
+def _brute_force_fn(batch: pa.Table, *, queries_ref, emb_col, id_col, k) -> pa.Table:
+    key = ("bf", _cache_key(queries_ref), emb_col, id_col, k)
+    stage = _STAGE_CACHE.get(key)
+    if stage is None:
+        stage = BruteForceTopK(queries_ref, emb_col, id_col, k)
+        _STAGE_CACHE[key] = stage
+    return stage(batch)
+
+
 def ann_topk(ds, queries: np.ndarray, *, emb_col: str = "embedding", id_col: str = "vec_id",
-             k: int = 10, concurrency=4, batch_size: int = 4096):
-    """Global top-k per query: local top-k per batch -> tiny groupby."""
+             k: int = 10, concurrency=None, batch_size: int = 4096):
+    """Global top-k per query: local top-k per batch -> tiny groupby.
+
+    Task-mode with a per-worker cached query matrix: the broadcast side is
+    read zero-copy from the local object store once per worker, and Ray
+    sizes parallelism to the input's blocks instead of pinning an actor
+    pool (``concurrency`` is accepted for API compatibility and used only
+    as an upper bound when given)."""
     import ray
 
     q = np.asarray(queries, dtype=np.float32)
     # broadcast via ray.put only when the query matrix is big enough to
-    # matter; small matrices ride in the actor constructor directly (avoids
-    # the actor-restart-with-borrowed-ref hazard Ray warns about)
+    # matter; small matrices ride in the task closure directly
     qref = ray.put(q) if q.nbytes > 4 << 20 else q
+    kwargs = {"concurrency": concurrency} if concurrency else {}
     local = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs=dict(queries_ref=qref, emb_col=emb_col, id_col=id_col, k=k),
+        _brute_force_fn,
+        fn_kwargs=dict(queries_ref=qref, emb_col=emb_col, id_col=id_col, k=k),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency, **REMOTE_KWARGS)
+        **kwargs, **REMOTE_KWARGS)
 
     def global_topk(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["score", id_col], ascending=[False, True]).head(k)
@@ -135,8 +168,18 @@ class IVFTopK:
         )
 
 
+def _ivf_fn(batch: pa.Table, *, queries_ref, centroids_ref, emb_col, id_col, k, nprobe) -> pa.Table:
+    key = ("ivf", _cache_key(queries_ref), _cache_key(centroids_ref), emb_col, id_col, k, nprobe)
+    stage = _STAGE_CACHE.get(key)
+    if stage is None:
+        stage = IVFTopK(queries_ref, centroids_ref, emb_col, id_col, k, nprobe)
+        _STAGE_CACHE[key] = stage
+    return stage(batch)
+
+
 def ann_topk_ivf(ds, queries: np.ndarray, *, emb_col="embedding", id_col="vec_id", k=10,
-                 n_centroids=16, nprobe=4, sample_size=2048, concurrency=4, seed=42):
+                 n_centroids=16, nprobe=4, sample_size=2048, concurrency=None, seed=42):
+    """IVF top-k, task-mode like :func:`ann_topk` (same rationale)."""
     import ray
 
     sample = ds.limit(sample_size).to_pandas()[emb_col]
@@ -144,11 +187,12 @@ def ann_topk_ivf(ds, queries: np.ndarray, *, emb_col="embedding", id_col="vec_id
     q = np.asarray(queries, dtype=np.float32)
     qref = ray.put(q) if q.nbytes > 4 << 20 else q
     cref = ray.put(cent) if cent.nbytes > 4 << 20 else cent
+    kwargs = {"concurrency": concurrency} if concurrency else {}
     local = ds.map_batches(
-        IVFTopK,
-        fn_constructor_kwargs=dict(queries_ref=qref, centroids_ref=cref, emb_col=emb_col, id_col=id_col, k=k, nprobe=nprobe),
+        _ivf_fn,
+        fn_kwargs=dict(queries_ref=qref, centroids_ref=cref, emb_col=emb_col, id_col=id_col, k=k, nprobe=nprobe),
         batch_format="pyarrow",
-        concurrency=concurrency, **REMOTE_KWARGS)
+        **kwargs, **REMOTE_KWARGS)
 
     def global_topk(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["score", id_col], ascending=[False, True]).head(k)
