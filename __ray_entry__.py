@@ -2071,7 +2071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search_top10": _q_keyword_search,
         "contamination_4gram": _q_contamination,
         "pack_sequences_2048": _q_pack_sequences,
-        "flagship_validation": _q_flagship,  # rows-only (non-SQL-expressible)
+        "flagship_validation": _q_flagship,
         "minhash_near_dups": _q_minhash_pairs,
         "simhash_near_dups": _q_simhash_pairs,
         "lang_id_distribution": _q_lang_distribution,
@@ -2100,6 +2100,64 @@ _N_SPANS_SQL = "CASE WHEN doc_id % 1000 = 29 THEN 0 ELSE 2 + (doc_id % 5) END"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # the flagship violation sample IS SQL-expressible: every dirt rule
+        # is a pure function of the flat integer id (sources/interleaved.py
+        # module docstring), so the expected violation rows — doc_id, row,
+        # path, item_index, code, rendered message, context JSON — can be
+        # reconstructed exactly (closes round-3's only no_oracle row)
+        "flagship_validation": """
+            WITH d AS (
+              SELECT doc_id AS id, row_number() OVER () - 1 AS row,
+                     doc_id % 1000 AS m
+              FROM documents
+            )
+            SELECT * FROM (
+              SELECT CAST(NULL AS VARCHAR) AS doc_id, row, 'doc_id' AS path,
+                     CAST(-1 AS INTEGER) AS item_index, 'any.required' AS code,
+                     '"doc_id" is required' AS message,
+                     '{}' AS context, 'error' AS severity
+              FROM d WHERE m = 7
+              UNION ALL
+              SELECT 'DOC_' || CAST(id AS VARCHAR), row, 'doc_id', CAST(-1 AS INTEGER),
+                     'string.pattern.base',
+                     '"doc_id" with value "DOC_' || CAST(id AS VARCHAR)
+                       || '" fails to match the required pattern: /^doc-[0-9a-f]{8}$/',
+                     '{"name": null, "regex": "^doc-[0-9a-f]{8}$"}', 'error'
+              FROM d WHERE m = 13
+              UNION ALL
+              SELECT printf('doc-%08x', id), row, 'spans', CAST(-1 AS INTEGER), 'array.min',
+                     '"spans" must contain at least 1 items', '{"limit": 1}', 'error'
+              FROM d WHERE m = 29
+              UNION ALL
+              SELECT printf('doc-%08x', id), row, 'spans.kind', CAST(0 AS INTEGER), 'any.only',
+                     '"spans.kind[0]" must be one of [text, image, audio, video]',
+                     '{"valids": ["text", "image", "audio", "video"]}', 'error'
+              FROM d WHERE m = 35
+              UNION ALL
+              SELECT printf('doc-%08x', id), row, 'spans.media_ref', CAST(0 AS INTEGER),
+                     'any.required', '"spans.media_ref[0]" is required', '{}', 'error'
+              FROM d WHERE m = 35
+              UNION ALL
+              SELECT printf('doc-%08x', id), row, 'spans.text', CAST(0 AS INTEGER),
+                     'any.unknown', '"spans.text[0]" is not allowed', '{}', 'error'
+              FROM d WHERE m = 35
+              UNION ALL
+              SELECT printf('doc-%08x', id), row, 'spans.text', CAST(0 AS INTEGER),
+                     'string.empty', '"spans.text[0]" is not allowed to be empty', '{}', 'error'
+              FROM d WHERE m = 41
+              UNION ALL
+              SELECT printf('doc-%08x', id), row, 'spans.media_ref', CAST(1 AS INTEGER),
+                     'referential.missing',
+                     '"spans.media_ref" references an asset missing from the catalog',
+                     '{"value": "asset://dead' || printf('%012x', id) || '"}', 'error'
+              FROM d WHERE m = 47
+              UNION ALL
+              SELECT printf('doc-%08x', id), row, 'spans', CAST(-1 AS INTEGER), 'array.sort',
+                     '"spans" must be sorted in ascending order by offset',
+                     '{"by": "offset", "order": "ascending"}', 'error'
+              FROM d WHERE m = 53
+            ) ORDER BY row, path
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

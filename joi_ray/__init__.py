@@ -166,6 +166,63 @@ def types() -> dict:
     }
 
 
+class _DefaultsRoot:
+    """``Joi.defaults(fn)`` analog — a root whose type constructors apply
+    ``fn`` to every schema they build (and whose ``defaults`` composes).
+
+    NOTE: the pinned reference (v16.0.0-rc2) does NOT ship ``defaults`` —
+    it exists in joi v16 final (joi/lib/index.js ``defaults``); semantics
+    here follow that public API: fn receives the base schema and must
+    return a schema, applied at construction of every type."""
+
+    def __init__(self, modifier, parent=None):
+        if not callable(modifier):
+            raise ValueError("modifier must be callable")
+        self._modifier = modifier
+        self._parent = parent
+
+    def _apply(self, schema):
+        if self._parent is not None:
+            schema = self._parent._apply(schema)
+        out = self._modifier(schema)
+        if not is_schema(out):
+            raise ValueError("modifier must return a valid schema object")
+        return out
+
+    def defaults(self, modifier) -> "_DefaultsRoot":
+        return _DefaultsRoot(modifier, parent=self)
+
+    def types(self) -> dict:
+        return {name: getattr(self, name if name != "any" else "any_")
+                for name in ("alternatives", "any", "array", "boolean", "binary",
+                             "date", "number", "object", "string")}
+
+    def __getattr__(self, name):
+        import sys
+
+        base = getattr(sys.modules[__name__], name)
+
+        def ctor(*args, **kwargs):
+            return self._apply(base(*args, **kwargs))
+
+        ctor.__name__ = name
+        return ctor
+
+    @property
+    def any(self):
+        return self.__getattr__("any_")
+
+
+def defaults(modifier) -> _DefaultsRoot:
+    """Root-level schema-defaults modifier: every schema built from the
+    returned root is passed through ``modifier`` first.
+
+    >>> strict_root = defaults(lambda s: s.required())
+    >>> strict_root.string()   # == string().required()
+    """
+    return _DefaultsRoot(modifier)
+
+
 # workers must be able to unpickle joi_ray-named stage callables regardless
 # of the driver's cwd; idempotent no-op when imported from the repo root
 from ._env import ensure_importable as _ensure_importable

@@ -528,4 +528,4 @@ def run_fuzz(n_cases: int, start_seed: int = 0, out_path="/tmp/fuzz_devs.jsonl")
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     s = int(sys.argv[2]) if len(sys.argv) > 2 else 0
-    run_fuzz(n, s)
+    sys.exit(1 if run_fuzz(n, s) else 0)
