@@ -2024,6 +2024,34 @@ def _q_embedding_dups(sf_dir: str):
                              batch_format="pyarrow", **REMOTE_KWARGS)
 
 
+def _q_embedding_dups_r2(sf_dir: str):
+    """Multi-rotation variant of ``embedding_near_dups`` (n_rotations=2):
+    the same exhaustive SQL mirror must match EXACTLY — clones share a
+    bucket in every rotation, so the rotation-distinct groupby must
+    collapse the doubled candidates without dropping or duplicating any
+    pair (the recall-vs-exhaustive measurement at perturbed pairs lives in
+    tests/test_ops.py::test_embedding_dedup_multi_rotation_recall)."""
+    import ray.data as rd
+
+    from joi_ray.ops.dedup import embedding_duplicate_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def clone2(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        idx = np.repeat(np.arange(n, dtype=np.int64), 2)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)[idx] * 2 + (
+            np.arange(2 * n, dtype=np.int64) % 2)
+        out = t.take(pa.array(idx)).replace_schema_metadata(None)
+        return out.set_column(0, "vec_id", pa.array(ids))
+
+    pairs = embedding_duplicate_pairs(
+        ds.map_batches(clone2, batch_format="pyarrow", **REMOTE_KWARGS),
+        "embedding", "vec_id", threshold=0.95, n_rotations=2, concurrency=2)
+    return pairs.map_batches(lambda t: t.select(["id_a", "id_b"]),
+                             batch_format="pyarrow", **REMOTE_KWARGS)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -2081,6 +2109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_halves": _q_drift,
         "media_features": _q_media_features,
         "embedding_near_dups": _q_embedding_dups,
+        "embedding_near_dups_r2": _q_embedding_dups_r2,
         "pipeline_report": _q_pipeline_report,
     }
 
@@ -2598,6 +2627,29 @@ def oracle_sql() -> dict[str, str]:
             FROM canon a JOIN canon b ON a.c = b.c AND a.id < b.id
         """,
         "embedding_near_dups": """
+            WITH exp AS (
+              SELECT vec_id * 2 + r.r AS id, embedding
+              FROM embeddings CROSS JOIN (SELECT unnest([0, 1]) AS r) r
+            ),
+            dims AS (SELECT unnest(generate_series(1, 256)) AS i),
+            flat AS (
+              SELECT id, list_extract(embedding, dims.i)::DOUBLE AS val, dims.i AS ord
+              FROM exp CROSS JOIN dims
+              WHERE dims.i <= len(embedding)
+            ),
+            norms AS (SELECT id, sqrt(sum(val * val)) AS n FROM flat GROUP BY id),
+            dots AS (
+              SELECT a.id AS id_a, b.id AS id_b, sum(a.val * b.val) AS d
+              FROM flat a JOIN flat b ON a.ord = b.ord AND a.id < b.id
+              GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b
+            FROM dots
+            JOIN norms na ON na.id = id_a
+            JOIN norms nb ON nb.id = id_b
+            WHERE d / (na.n * nb.n) >= 0.95
+        """,
+        "embedding_near_dups_r2": """
             WITH exp AS (
               SELECT vec_id * 2 + r.r AS id, embedding
               FROM embeddings CROSS JOIN (SELECT unnest([0, 1]) AS r) r

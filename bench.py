@@ -314,6 +314,13 @@ def run_bench() -> dict:
         emb_ds, "embedding", "vec_id", threshold=0.999, n_bits=16).count()
     queries["embedding_dedup"] = round(time.time() - t0, 3)
 
+    # ---- multi-rotation recall variant: 2x band rows + pair-distinct
+    t0 = time.time()
+    n_emb_pairs_r2 = embedding_duplicate_pairs(
+        emb_ds, "embedding", "vec_id", threshold=0.999, n_bits=16,
+        n_rotations=2).count()
+    queries["embedding_dedup_r2"] = round(time.time() - t0, 3)
+
     # ---- connected components over a dup-pair-scale edge list (chains +
     # cross-block merges over the expanded ids; ~45% of ids emit an edge).
     # Takes the single-task union-find path — the realistic regime, since

