@@ -682,9 +682,12 @@ def embedding_duplicate_pairs(ds, emb_col: str, id_col: str, *, threshold: float
     going 1 -> 2 rotations at n_bits=10, threshold 0.9; production recall
     targets need wider rotations or narrower buckets — the formula above
     is the sizing guide).  Cost: n_rotations x band rows through the
-    join plus ONE pair-distinct groupby (skipped entirely at
-    n_rotations=1); bench entry ``embedding_dedup_r2`` tracks the
-    overhead.  Returns Dataset(id_a, id_b, cosine).
+    join, with exactly-once pair emission done LOCALLY (a pair is kept
+    only in the first rotation that bucketed it together — the earlier
+    buckets recompute from the joined vectors, so no pair-distinct
+    shuffle exists at any rotation count); bench entry
+    ``embedding_dedup_r2`` tracks the overhead.  Returns
+    Dataset(id_a, id_b, cosine).
 
     ``concurrency`` is accepted for API symmetry but the bucket stage runs
     as a task pool: its only state (the hyperplane matrix) is rebuilt
@@ -738,19 +741,37 @@ def embedding_duplicate_pairs(ds, emb_col: str, id_col: str, *, threshold: float
                              "cosine": pa.array([], pa.float64())})
         va = _unpack(t["vec_a"], t.num_rows)
         vb = _unpack(t["vec_b"], t.num_rows)
+        keep = np.ones(t.num_rows, dtype=bool)
+        if n_rotations > 1:
+            # exactly-once emission WITHOUT a pair-distinct shuffle: a pair
+            # joined in rotation r is kept only if NO earlier rotation
+            # already bucketed it together — both vectors are in the row,
+            # so the earlier-rotation buckets recompute locally (one
+            # n_bits-wide matmul per earlier rotation over the r>0 rows;
+            # the groupby alternative measured 42 s vs 6.7 s single-rot on
+            # the 50k-vector bench)
+            rot = (t["bucket"].combine_chunks().to_numpy(zero_copy_only=False)
+                   >> np.int64(n_bits)).astype(np.int64)
+            for r in range(1, n_rotations):
+                rows = np.nonzero(rot == r)[0]
+                if not len(rows):
+                    continue
+                sva, svb = va[rows], vb[rows]
+                dup = np.zeros(len(rows), dtype=bool)
+                for r_prev in range(r):
+                    key = (va.shape[1], n_bits, seed + r_prev)
+                    lsh = _EMB_LSH_CACHE.get(key)
+                    if lsh is None:
+                        lsh = HyperplaneLSH(va.shape[1], n_bits, seed + r_prev)
+                        _EMB_LSH_CACHE[key] = lsh
+                    dup |= lsh.bucket(sva) == lsh.bucket(svb)
+                keep[rows[dup]] = False
         cos = np.einsum("ij,ij->i", va.astype(np.float64), vb.astype(np.float64))
-        keep = cos >= threshold
+        keep &= cos >= threshold
         return pa.table({
             "id_a": t["id_a"].combine_chunks().filter(pa.array(keep)),
             "id_b": t["id_b"].combine_chunks().filter(pa.array(keep)),
             "cosine": pa.array(cos[keep], pa.float64()),
         })
 
-    pairs = j.map_batches(cos_pairs, batch_format="pyarrow", **REMOTE_KWARGS)
-    if n_rotations > 1:
-        # a pair found in k rotations appears k times — collapse with ONE
-        # distinct groupby over the (threshold-bounded) surviving pairs
-        from ray.data.aggregate import Max
-
-        pairs = pairs.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))
-    return pairs
+    return j.map_batches(cos_pairs, batch_format="pyarrow", **REMOTE_KWARGS)
