@@ -404,10 +404,13 @@ def run_bench() -> dict:
 
 def run_subprocess(ncpu: int, extra_env: dict | None = None) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), **(extra_env or {}))
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True, check=True
-    ).stdout
-    return json.loads(out.strip().splitlines()[-1])
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise RuntimeError(f"bench subprocess (num_cpus={ncpu}) failed rc={proc.returncode}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
 def main():

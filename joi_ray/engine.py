@@ -822,10 +822,11 @@ def eval_node(
             add_err("string.empty", m, seq=-1)
 
     # ---- structural recursion
+    _list_alt_pair = None
     if node.type == "array" and (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)):
         # array ITEMS are rules in joi (array.js items/ordered are rule
         # entries), so item errors do NOT suppress length/unique rules
-        arr = _eval_array(node, arr, env, path, scope, resolved, failed, add_err)
+        arr, _list_alt_pair = _eval_array(node, arr, env, path, scope, resolved, failed, add_err)
     elif node.type == "object" and pa.types.is_struct(arr.type):
         # object keys+dependencies live in def.validate (object.js:68) —
         # a child error suppresses the object's OWN rules for that row
@@ -981,7 +982,7 @@ def eval_node(
         arr = _apply_cast(arr, cast_to)
 
     out_value = original if node.flags.get("raw") else arr
-    return NodeResult(
+    nr = NodeResult(
         value=out_value,
         errors=errors,
         missing=missing,
@@ -999,6 +1000,12 @@ def eval_node(
             else None
         ),
     )
+    if _list_alt_pair is not None:
+        # blocked cross-type item promotion: ref consumers see the per-row
+        # typed list joi's value[i] assignment implies (engine value keeps
+        # originals — the Arrow one-type-per-column repr limit)
+        nr.alt_view = AltView(out_value, [_list_alt_pair])
+    return nr
 
 
 def _apply_cast(arr: pa.Array, to: str) -> pa.Array:
@@ -1431,14 +1438,22 @@ def _adopt_items_multi(pairs, base, failed_any, n_items: int):
     conversions (number items over a string list) promote the base when
     every CLEAN kept item survives the promoted type; FAILED kept items
     may fall to null (joi keeps their raw value, never value-compared).
-    Mixed adopted types: only same-as-base adoptions land (repr limit)."""
+    Mixed adopted types: only same-as-base adoptions land (repr limit).
+
+    Returns ``(merged_or_None, alt_flat, alt_ok)``: when the promotion is
+    BLOCKED by heterogeneous clean rows, ``alt_flat`` is the promoted-type
+    flat with the cross adoptions applied and ``alt_ok`` marks the items
+    whose alt value matches what joi's value[i] would hold (adopted or
+    null) — the array node turns this into a per-row typed view for ref
+    consumers (a date ref to an ordered list whose number slot converted
+    must see [3], not ["3.0"])."""
     pairs = [
         (m, combine(v) if isinstance(v, pa.ChunkedArray) else v)
         for m, v in pairs
         if v is not None and m.any()
     ]
     if not pairs:
-        return None
+        return None, None, None
     base = combine(base) if isinstance(base, pa.ChunkedArray) else base
     out, changed = base, False
     # stage 1: same-type adoptions land directly
@@ -1475,17 +1490,24 @@ def _adopt_items_multi(pairs, base, failed_any, n_items: int):
             lost = null_mask(base2) & ~null_mask(out) & ~adopt_all
             if failed_any is not None:
                 lost = lost & ~failed_any
+            out2, ok2 = base2, False
+            for m, v in cross:
+                try:
+                    out2 = pc.if_else(pa.array(m), v, out2)
+                    ok2 = True
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                    pass
             if not lost.any():
-                out2, ok2 = base2, False
-                for m, v in cross:
-                    try:
-                        out2 = pc.if_else(pa.array(m), v, out2)
-                        ok2 = True
-                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
-                        pass
                 if ok2:
-                    return out2
-    return out if changed else None
+                    return out2, None, None
+            elif ok2:
+                # promotion blocked — expose the typed view: an item's alt
+                # value is faithful iff it was ADOPTED (joi converted it)
+                # or is null; merely cast-survivable strings keep their
+                # original rendering in joi ("5.0" stays "5.0") and must
+                # exclude the row
+                return (out if changed else None), out2, adopt_all | null_mask(out)
+    return (out if changed else None), None, None
 
 
 def _converted_sparse_items(node, add_err, sub, live, nulls_flat, parents, positions, n, grp, soft=True):
@@ -1546,7 +1568,7 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                 )
 
     if not len(parents):
-        return arr
+        return arr, None
 
     # ancestor resolver: parent-row columns broadcast to item rows
     parent_idx = pa.array(parents)
@@ -1595,6 +1617,8 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
     strip_arrays = bool(isinstance(_su, dict) and _su.get("arrays"))
 
     new_flat = None
+    alt_flat = alt_ok = None  # blocked cross-type promotion: typed ref view
+    arr_in = arr  # pre-strip shape for the alt list rebuild
     n_items = len(flat)
     # joi's items loop SKIPS undefined entries in non-sparse arrays — the
     # sparse check already errored them and `continue`s (array.js:154-164);
@@ -1621,7 +1645,7 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
             restore = restore | (item_live & sub.failed)
         adopt = item_live & ~restore
         if sub.value is not None and adopt.any():
-            new_flat = _adopt_items(adopt, sub.value, flat, n_items, failed=sub.failed)
+            new_flat, alt_flat, alt_ok = _adopt_items(adopt, sub.value, flat, n_items, failed=sub.failed)
         else:
             new_flat = None
         if ic.flags.get("presence") == "required":
@@ -1670,10 +1694,11 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                 # beyond-slot items are tolerable for the type promotion:
                 # their rows carry array.orderedLength (or array.includes
                 # failures downstream), so their values are never compared
-                new_flat = _adopt_items_multi(
+                merged, alt_flat, alt_ok = _adopt_items_multi(
                     slot_pairs, new_flat if new_flat is not None else flat,
                     slot_failed | ~item_live | (positions >= len(node.ordered)), n_items,
-                ) or new_flat
+                )
+                new_flat = merged or new_flat
             beyond = positions >= len(node.ordered)
             if beyond.any() and not node.items:
                 # ONE row-level error at the first beyond NON-UNDEFINED
@@ -1764,7 +1789,7 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                     if became2 is not None:
                         keep_orig = keep_orig | became2
                     base = new_flat if new_flat is not None else flat
-                    new_flat = _adopt_items(~keep_orig, sub.value, base, n_items, failed=sub.failed) or new_flat
+                    new_flat = _adopt_items(~keep_orig, sub.value, base, n_items, failed=sub.failed)[0] or new_flat
                 hit = remaining & ok
                 if ic.flags.get("strip"):
                     strip_items |= hit
@@ -1857,7 +1882,21 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
 
     if new_flat is not None and new_flat is not flat:
         arr = _rebuild_list(arr, new_flat)
-    return arr
+    alt_pair = None
+    if alt_flat is not None:
+        # per-row typed view for ref consumers: include a row only when
+        # EVERY live item's alt value is faithful to joi's value[i]
+        bad = item_live & ~alt_ok
+        rows_bad = np.zeros(n, dtype=bool)
+        if bad.any():
+            rows_bad[parents[bad]] = True
+        rows_ok = ~null_mask(arr_in) & ~rows_bad
+        if rows_ok.any():
+            try:
+                alt_pair = (rows_ok, _rebuild_list(arr_in, alt_flat))
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                alt_pair = None
+    return arr, alt_pair
 
 
 def _rebuild_list(arr: pa.Array, new_flat: pa.Array) -> pa.Array:

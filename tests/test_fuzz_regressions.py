@@ -543,3 +543,29 @@ def test_failed_items_never_leak_defaults_into_unique():
     df = _violations(s, tbl, prefs={"presence": "required"})
     uq = [(int(i)) for c, i in zip(df["code"], df["item_index"]) if c == "array.unique"]
     assert uq == [2]
+
+
+def test_ordered_adopted_number_shadows_for_date_ref():
+    # fuzz seed 4433 (node-verified): b = ordered(number, string) over
+    # ["3.0"] adopts 3 into slot 0 — joi's value.b is [3], so a date ref
+    # max(ref('b')) resolves new Date([3]) = Date('3') = Mar 2001 and
+    # 2019-02-03 fails date.max.  The Arrow column keeps the original
+    # string (repr limit), so the adopted typed view must shadow for ref
+    # consumers; heterogeneous rows (["3.0", "x"]) keep the base-column
+    # path (joi parity: any.ref either way).
+    s = jr.object({
+        "b": jr.array().ordered(jr.number(), jr.string()),
+        "c": jr.date().max(jr.ref("b")),
+    })
+    tbl = pa.table({
+        "b": pa.array([["3.0"], ["3.0", "x"], ["2000"]], pa.list_(pa.string())),
+        "c": pa.array(["2019-02-03"] * 3, pa.string()),
+    })
+    df = _violations(s, tbl, prefs={"abort_early": False})
+    by_row = {}
+    for r, c, p in zip(df["row"], df["code"], df["path"]):
+        if p == "c":
+            by_row.setdefault(int(r), []).append(c)
+    assert by_row[0] == ["date.max"]   # adopted [3] -> Mar 2001 limit
+    assert by_row[1] == ["any.ref"]    # heterogeneous -> Invalid Date
+    assert by_row[2] == ["date.max"]   # adopted [2000] -> Jan 2000 limit

@@ -483,11 +483,31 @@ def run_fuzz(n_cases: int, start_seed: int = 0, out_path="/tmp/fuzz_devs.jsonl")
                 try:
                     devs = diff_case(ref, schema, tbl, prefs, spec=root_spec)
                 except RefJoiError as e:
+                    msg = str(e)
+                    if "reading 'toString'" in msg and "template.js" in msg:
+                        # joi v16-rc2 crashes rendering a template whose
+                        # value is undefined (errors.js -> template.js:316)
+                        # — a reference bug, tracked but not a deviation
+                        kinds["ref_template_crash"] = kinds.get("ref_template_crash", 0) + 1
+                        out.write(json.dumps({"seed": seed, "kind": "ref_template_crash",
+                                              "err": msg[:300], "spec": root_spec}) + "\n")
+                        continue
+                    # parity probe: joi may legitimately REFUSE the schema
+                    # at build/validate time (e.g. cyclic rule-arg refs via
+                    # @hapi/topo) — if joi_ray refuses too, both sides
+                    # agree and there is no deviation
+                    from diffref import prefs_to_py, run_joi_ray
+
+                    try:
+                        run_joi_ray(schema, tbl, prefs=prefs_to_py(prefs))
+                    except Exception:
+                        kinds["both_reject"] = kinds.get("both_reject", 0) + 1
+                        continue
                     if "build_ref_only" not in kinds:
                         kinds["build_ref_only"] = 0
                     kinds["build_ref_only"] += 1
                     out.write(json.dumps({"seed": seed, "kind": "build_ref_only",
-                                          "err": str(e)[:500], "spec": root_spec}) + "\n")
+                                          "err": msg[:500], "spec": root_spec}) + "\n")
                     bad_cases += 1
                     continue
                 # value_repr = documented Arrow single-type-column limit
