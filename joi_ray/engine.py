@@ -589,7 +589,7 @@ def eval_node(
             merged = NodeResult(value=arr, missing=np.zeros(n, bool), failed=np.zeros(n, bool))
             _merge_into(merged, eval_node(w["then"], arr, env, path, scope=sel_then), sel_then)
             _merge_into(merged, eval_node(w["otherwise"], arr, env, path, scope=sel_other), sel_other)
-            return merged
+            return _whens_alt(merged)
         ref_resolved = _resolve_when_ref(w["ref"], arr, env, n)
         if "switch" in w:
             remaining = scope.copy()
@@ -602,14 +602,14 @@ def eval_node(
                 _merge_into(merged, sub, sel)
             sub = eval_node(w["otherwise"], arr, env, path, scope=remaining)
             _merge_into(merged, sub, remaining)
-            return merged
+            return _whens_alt(merged)
         cond = _when_condition(w["is"], ref_resolved, env, scope, n)
         sel_then = scope & cond
         sel_other = scope & ~cond
         merged = NodeResult(value=arr, missing=np.zeros(n, bool), failed=np.zeros(n, bool))
         _merge_into(merged, eval_node(w["then"], arr, env, path, scope=sel_then), sel_then)
         _merge_into(merged, eval_node(w["otherwise"], arr, env, path, scope=sel_other), sel_other)
-        return merged
+        return _whens_alt(merged)
 
     errors: list[ErrRec] = []
     original = arr
@@ -1057,6 +1057,17 @@ def _apply_cast(arr: pa.Array, to: str) -> pa.Array:
         return arr
 
 
+def _whens_alt(merged: NodeResult) -> NodeResult:
+    """After a whens branch merge: when branches emitted DIFFERENT output
+    types (the column was promoted), expose each branch's typed value to
+    ref consumers per row — joi's heterogeneous object holds 42 (number)
+    next to '42' (string); the single Arrow column cannot, so rule-arg
+    asserts and when-conditions read through this view (fuzz seed 9641)."""
+    if getattr(merged, "_mixed_types", False) and getattr(merged, "_branch_pairs", None):
+        merged.alt_view = AltView(merged.value, merged._branch_pairs)
+    return merged
+
+
 def _merge_into(merged: NodeResult, sub: NodeResult, sel: np.ndarray):
     merged.errors.extend(sub.errors)
     if sub.missing is not None:
@@ -1066,11 +1077,19 @@ def _merge_into(merged: NodeResult, sub: NodeResult, sel: np.ndarray):
     if len(sel) and sel.any() and sub.value is not None:
         sel_arr = pa.array(sel)
         sub_val = combine(sub.value) if isinstance(sub.value, pa.ChunkedArray) else sub.value
+        # per-branch typed values: collected so that a cross-type merge can
+        # expose the per-row view joi's heterogeneous object would hold —
+        # a then-branch number must reach sibling refs as a NUMBER even
+        # when an otherwise-branch cast('string') promoted the column
+        if not hasattr(merged, "_branch_pairs"):
+            merged._branch_pairs = []
+        merged._branch_pairs.append((sel.copy(), sub_val))
         try:
             merged.value = pc.if_else(sel_arr, sub_val, merged.value)
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
             # cross-type branch output (a cast('string') branch over a
             # float column): promote the merged column to the branch type
+            merged._mixed_types = True
             try:
                 base = pc.cast(merged.value, sub_val.type, safe=False)
             except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):

@@ -569,3 +569,27 @@ def test_ordered_adopted_number_shadows_for_date_ref():
     assert by_row[0] == ["date.max"]   # adopted [3] -> Mar 2001 limit
     assert by_row[1] == ["any.ref"]    # heterogeneous -> Invalid Date
     assert by_row[2] == ["date.max"]   # adopted [2000] -> Jan 2000 limit
+
+
+def test_whens_cross_type_branch_value_reaches_refs_typed():
+    # fuzz seed 9641 (node-verified): a's otherwise branch casts to string,
+    # promoting the merged column — but the then-branch row holds joi's
+    # NUMBER 42, so b's string.min(ref('a')) must see 42 (string.min
+    # fires with limit 42), while the cast row's '2' fails the limit
+    # assert (any.ref).  Also: `is_=True` compiles to a COERCING
+    # boolean().valid(True) (lib/compile.js), so the string 'true'
+    # matches the then branch.
+    s = jr.object({
+        "a": jr.number().when("c", is_=True, then=jr.number().default(5.0),
+                              otherwise=jr.number().cast("string")),
+        "b": jr.string().min(jr.ref("a")).required(),
+        "c": jr.string(),
+    })
+    tbl = pa.table({
+        "a": pa.array([42.0, 2.0]),
+        "b": pa.array(["abc123", "abc123"]),
+        "c": pa.array(["true", "xyz"]),
+    })
+    df = _violations(s, tbl, prefs={"abort_early": False})
+    got = sorted(zip((int(r) for r in df["row"]), df["path"], df["code"]))
+    assert got == [(0, "b", "string.min"), (1, "b", "any.ref")]
