@@ -2159,20 +2159,20 @@ def oracle_sql() -> dict[str, str]:
               FROM d WHERE m = 29
               UNION ALL
               SELECT printf('doc-%08x', id), row, 'spans.kind', CAST(0 AS INTEGER), 'any.only',
-                     '"spans.kind[0]" must be one of [text, image, audio, video]',
+                     '"spans[0].kind" must be one of [text, image, audio, video]',
                      '{"valids": ["text", "image", "audio", "video"]}', 'error'
               FROM d WHERE m = 35
               UNION ALL
               SELECT printf('doc-%08x', id), row, 'spans.media_ref', CAST(0 AS INTEGER),
-                     'any.required', '"spans.media_ref[0]" is required', '{}', 'error'
+                     'any.required', '"spans[0].media_ref" is required', '{}', 'error'
               FROM d WHERE m = 35
               UNION ALL
               SELECT printf('doc-%08x', id), row, 'spans.text', CAST(0 AS INTEGER),
-                     'any.unknown', '"spans.text[0]" is not allowed', '{}', 'error'
+                     'any.unknown', '"spans[0].text" is not allowed', '{}', 'error'
               FROM d WHERE m = 35
               UNION ALL
               SELECT printf('doc-%08x', id), row, 'spans.text', CAST(0 AS INTEGER),
-                     'string.empty', '"spans.text[0]" is not allowed to be empty', '{}', 'error'
+                     'string.empty', '"spans[0].text" is not allowed to be empty', '{}', 'error'
               FROM d WHERE m = 41
               UNION ALL
               SELECT printf('doc-%08x', id), row, 'spans.media_ref', CAST(1 AS INTEGER),

@@ -39,6 +39,17 @@ DEFAULT_PREFS = {
     "now_ms": 1_700_000_000_000,  # 'now' bound at compile time for determinism
 }
 
+def _item_label_path(p: str, it: int, ipos: "Optional[int]") -> str:
+    """joi label path for an item error: index at the array boundary
+    ('a[0].x') when the error is below the array level (errors.js:87-107);
+    appended ('a[0]') when the path IS the array path."""
+    if it < 0:
+        return p
+    if ipos is None or ipos >= len(p):
+        return f"{p}[{it}]"
+    return f"{p[:ipos]}[{it}]{p[ipos:]}"
+
+
 VIOLATION_SCHEMA = pa.schema(
     [
         ("doc_id", pa.string()),
@@ -663,7 +674,7 @@ def eval_node(
     failed = np.zeros(n, dtype=bool)
     resolved = np.zeros(n, dtype=bool)
 
-    def add_err(code, mask, ctx=None, seq=10_000, warn=False, message=None, item_rows=None, item_index=None, path_override=None, values=None, group=None, soft=False):
+    def add_err(code, mask, ctx=None, seq=10_000, warn=False, message=None, item_rows=None, item_index=None, path_override=None, values=None, group=None, soft=False, path_ipos=None):
         mask = mask & scope
         p = path_override if path_override is not None else path
         if "label" in node.flags and path_override is None:
@@ -693,6 +704,7 @@ def eval_node(
             rec = ErrRec(code, mask, p, ctx or {}, seq, warn, message)
             rec.rows = item_rows
             rec.item_index = item_index
+            rec.ipos = path_ipos
             if values is not None:
                 rec.values = [v for v, k in zip(values, keep) if k]
             rec.order, rec.soft = group, soft
@@ -1613,9 +1625,16 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                 idx = positions[fired].astype(np.int32)
             if len(rows) == 0:
                 continue
+            # joi renders the item label with the index AT the array
+            # boundary ('a[0].x' for sub-errors below the array level,
+            # errors.js:87-107); sub-errors at the array path itself keep
+            # the append form ('a[0]').  Inner-array indices of doubly
+            # nested arrays are not preserved (documented limitation: one
+            # item_index per violation row).
+            ipos = len(path) if len(rec.path) > len(path) else None
             add_err(rec.code, np.zeros(n, bool), rec.context, seq=rec.seq, warn=rec.warn,
                     message=rec.message, item_rows=rows, item_index=idx, path_override=rec.path,
-                    values=getattr(rec, "values", None), group=items_grp)
+                    values=getattr(rec, "values", None), group=items_grp, path_ipos=ipos)
 
     def exclusion_node(ic):
         # forbidden item schemas are EXCLUSIONS (array.js:145-153): a value
@@ -2556,7 +2575,7 @@ class CompiledSchema:
                     if b is None:
                         b = render(
                             rec.code,
-                            rec.path if it < 0 else f"{rec.path}[{it}]",
+                            _item_label_path(rec.path, it, getattr(rec, "ipos", None)),
                             rec.context,
                             override,
                         )
@@ -2571,7 +2590,7 @@ class CompiledSchema:
                 by_item = {
                     int(it): render(
                         rec.code,
-                        rec.path if it < 0 else f"{rec.path}[{int(it)}]",
+                        _item_label_path(rec.path, int(it), getattr(rec, "ipos", None)),
                         rec.context,
                         override,
                     )

@@ -86,6 +86,12 @@ class ErrRec:
     #: non-aborting error: joi records it WITHOUT returning under abortEarly
     #: (the inclusions-loop converted-to-undefined sparse, array.js:286-292)
     soft: bool = False
+    #: character offset in ``path`` where the item index renders: joi builds
+    #: the label from the FULL state path with the index AT the array
+    #: boundary ('a[0].x', errors.js:87-107), not appended — set by the
+    #: array items lift for sub-errors below the array level; None = append
+    #: (plain item errors, where path IS the array path)
+    ipos: Optional[int] = None
 
 
 class AltView:

@@ -238,8 +238,44 @@ def rows_from_table(tbl: pa.Table) -> list[dict]:
 _SEG_RX = re.compile(r"\.|\[(\d+)\]")
 
 
-def _path_to_joi(path: str, item_index: int) -> tuple:
-    """violations.path ('a.b[2].c') + item_index -> joi d.path tuple."""
+def _array_paths(manifest) -> set:
+    """Key-name tuples of array-typed nodes in a describe() manifest —
+    the index-insertion points for joi path reconstruction."""
+    out: set = set()
+
+    def walk(m, pfx):
+        if not isinstance(m, dict):
+            return
+        if m.get("type") == "array":
+            out.add(pfx)
+            for sub in (m.get("items") or []) + (m.get("ordered") or []):
+                walk(sub, pfx)  # item FIELDS live below the same dotted path
+        for k, v in (m.get("keys") or {}).items():
+            walk(v, pfx + (k,))
+        for br in m.get("matches") or []:
+            for kk in ("schema", "then", "otherwise", "peek"):
+                if kk in br:
+                    walk(br[kk], pfx)
+        for w in m.get("whens") or []:
+            for kk in ("then", "otherwise"):
+                if kk in w:
+                    walk(w[kk], pfx)
+            for sw in w.get("switch") or []:
+                if "then" in sw:
+                    walk(sw["then"], pfx)
+
+    walk(manifest, ())
+    return out
+
+
+def _path_to_joi(path: str, item_index: int, array_paths: set | None = None) -> tuple:
+    """violations.path ('a.b[2].c') + item_index -> joi d.path tuple.
+
+    joi interleaves the item index AT the array boundary (['a', 0, 'x'] for
+    a field of an object item — errors.js state paths), so when
+    ``array_paths`` (from :func:`_array_paths`) marks a proper prefix of the
+    path as an array, the index is spliced after that prefix; otherwise it
+    appends (plain item errors, where path IS the array path)."""
     segs: list = []
     buf = ""
     i = 0
@@ -263,7 +299,14 @@ def _path_to_joi(path: str, item_index: int) -> tuple:
     if buf:
         segs.append(buf)
     if item_index is not None and item_index >= 0:
-        segs.append(item_index)
+        at = len(segs)
+        if array_paths:
+            names = tuple(s for s in segs if isinstance(s, str))
+            for k in range(len(names) - 1, 0, -1):  # longest PROPER prefix
+                if names[:k] in array_paths:
+                    at = k
+                    break
+        segs.insert(at, item_index)
     return tuple(segs)
 
 
@@ -400,6 +443,7 @@ def diff_case(
     """
     js_prefs = {"abortEarly": False, **(js_prefs or {})}
     manifest = schema.describe() if spec is None else None
+    arr_paths = _array_paths(manifest if manifest is not None else schema.describe())
     rows = rows_override if rows_override is not None else rows_from_table(tbl)
     ref_out = ref.validate(manifest, rows, js_prefs, spec=spec)
     res = run_joi_ray(schema, tbl, prefs=prefs_to_py(js_prefs))
@@ -429,19 +473,22 @@ def diff_case(
             )
             continue
         # error sets: (path, code)
-        ref_set = sorted((tuple(e["path"]), e["type"]) for e in ref_errs)
+        ref_set = sorted(((tuple(e["path"]), e["type"]) for e in ref_errs), key=repr)
         ray_set = sorted(
-            (_path_to_joi(v["path"], v["item_index"]), v["code"]) for v in ray_errs
+            ((_path_to_joi(v["path"], v["item_index"], arr_paths), v["code"]) for v in ray_errs),
+            key=repr,
         )
         if ref_set != ray_set:
             devs.append({**ctx, "kind": "codes", "ref": ref_set, "ray": ray_set})
         elif compare_messages:
             ref_msgs = sorted(
-                (tuple(e["path"]), e["type"], e["message"]) for e in ref_errs
+                ((tuple(e["path"]), e["type"], e["message"]) for e in ref_errs),
+                key=repr,
             )
             ray_msgs = sorted(
-                (_path_to_joi(v["path"], v["item_index"]), v["code"], v["message"])
-                for v in ray_errs
+                ((_path_to_joi(v["path"], v["item_index"], arr_paths), v["code"], v["message"])
+                 for v in ray_errs),
+                key=repr,
             )
             if ref_msgs != ray_msgs:
                 kind = "messages"
@@ -458,11 +505,12 @@ def diff_case(
                     kind = "message_shadow_bug"
                 devs.append({**ctx, "kind": kind, "ref": ref_msgs, "ray": ray_msgs})
         # warnings
-        ref_warn = sorted((tuple(e["path"]), e["type"]) for e in (rr["warnings"] or []))
+        ref_warn = sorted(((tuple(e["path"]), e["type"]) for e in (rr["warnings"] or [])), key=repr)
         ray_warn = sorted(
-            (_path_to_joi(v["path"], v["item_index"]), v["code"])
-            for v in by_row.get(i, [])
-            if v["severity"] == "warn"
+            ((_path_to_joi(v["path"], v["item_index"], arr_paths), v["code"])
+             for v in by_row.get(i, [])
+             if v["severity"] == "warn"),
+            key=repr,
         )
         if ref_warn != ray_warn:
             devs.append({**ctx, "kind": "warnings", "ref": ref_warn, "ray": ray_warn})

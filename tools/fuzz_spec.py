@@ -47,6 +47,12 @@ PATTERNS = ["^[a-z]+$", "\\d", "^x", "[A-Z]{2}", "^[a-z0-9]+$"]
 class Gen:
     def __init__(self, rng: random.Random):
         self.r = rng
+        # targeted sweeps: FUZZ_KINDS=structarray,ordered restricts the
+        # column-kind pool (comma-separated); unset = full weighted pool
+        import os
+
+        _k = os.environ.get("FUZZ_KINDS", "").strip()
+        self.kinds_filter = [s for s in _k.split(",") if s] if _k else None
 
     def maybe(self, p=0.5):
         return self.r.random() < p
@@ -147,11 +153,12 @@ class Gen:
         """-> (spec, arrow_type, value_fn)"""
         r = self.r
         kind = self.pick(
-            ["number", "number", "string", "string", "boolean", "date",
-             "numstr", "boolstr", "array", "struct", "alts", "whencol",
-             "concat", "binary", "strref", "dateref", "ordered", "mixedalts",
-             "switchcol", "peekcol", "patstruct", "renstruct", "deepstruct",
-             "altobj"]
+            self.kinds_filter
+            or ["number", "number", "string", "string", "boolean", "date",
+                "numstr", "boolstr", "array", "struct", "alts", "whencol",
+                "concat", "binary", "strref", "dateref", "ordered", "mixedalts",
+                "switchcol", "peekcol", "patstruct", "renstruct", "deepstruct",
+                "altobj", "structarray"]
         )
         if kind == "number":
             return (self.leaf_spec("number", sibling_nums), pa.float64(),
@@ -409,6 +416,42 @@ class Gen:
                 }
 
             return (spec, at, gen_altobj)
+        if kind == "structarray":
+            # array whose items are an OBJECT schema (list<struct> column):
+            # per-item key validation, item-level dependencies, required
+            # item fields, unique() deep-equal over struct items
+            # (lib/types/array.js items loop over object values)
+            fx = self.leaf_spec("number", [])
+            fy = self.leaf_spec("string", [])
+            item: dict = {"t": "object", "a": [{"x": {"$s": fx}, "y": {"$s": fy}}]}
+            if self.maybe(0.35):
+                dep = self.pick(["and", "xor", "with", "or"])
+                item["c"] = [[dep, "x", ["y"] if dep == "with" else "y"]]
+            c: list = [["items", {"$s": item}]]
+            if self.maybe(0.3):
+                c.append(["min", r.randint(0, 2)])
+            if self.maybe(0.3):
+                c.append(["max", r.randint(2, 5)])
+            if self.maybe(0.25):
+                c.append(["unique"])  # deep-equal over struct items
+            if self.maybe(0.25):
+                c.append(["sparse"])
+            at = pa.list_(pa.struct([("x", pa.float64()), ("y", pa.string())]))
+
+            def gen_salist():
+                n = r.randint(0, 3)
+                out = []
+                for _ in range(n):
+                    if self.maybe(0.1):
+                        out.append(None)
+                    else:
+                        out.append({
+                            "x": None if self.maybe(0.3) else self.pick(NUMBERS[:5]),
+                            "y": None if self.maybe(0.3) else self.pick(STRINGS[:6]),
+                        })
+                return out
+
+            return ({"t": "array", "c": c}, at, gen_salist)
         if kind == "mixedalts":
             # branches from different families: exercises alternatives.types
             # vs alternatives.match unions
