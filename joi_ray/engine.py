@@ -2578,12 +2578,13 @@ class CompiledSchema:
                             _item_label_path(rec.path, it, getattr(rec, "ipos", None)),
                             rec.context,
                             override,
+                            prefs=self.prefs,
                         )
                         base_cache[it] = b
                     return b
 
                 msg_l.extend(
-                    _base_for(int(it)).replace("{value}", k_messages.stringify(v))
+                    _base_for(int(it)).replace("{value}", k_messages.stringify(v, self.prefs))
                     for it, v in zip(items, rec.values)
                 )
             elif "label" not in (rec.context or {}) and (items >= 0).any():
@@ -2593,12 +2594,13 @@ class CompiledSchema:
                         _item_label_path(rec.path, int(it), getattr(rec, "ipos", None)),
                         rec.context,
                         override,
+                        prefs=self.prefs,
                     )
                     for it in np.unique(items)
                 }
                 msg_l.extend([by_item[int(it)] for it in items])
             else:
-                msg = render(rec.code, rec.path, rec.context, override)
+                msg = render(rec.code, rec.path, rec.context, override, prefs=self.prefs)
                 msg_l.extend([msg] * k)
             path_l.extend([rec.path] * k)
             code_l.extend([rec.code] * k)

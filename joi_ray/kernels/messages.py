@@ -162,7 +162,21 @@ VALUE_CODES = frozenset(
 )
 
 
-def render(code: str, path: str, context: dict, override: str | None = None) -> str:
+def err_opts(prefs: dict | None) -> tuple:
+    """(escape_html, wrap_arrays, date_format) from validation prefs — joi's
+    error-render options (``lib/errors.js:76`` passes ``prefs.errors`` into
+    ``template.render``; defaults ``lib/common.js:27-32``: escapeHtml false,
+    wrapArrays true, dateFormat 'iso')."""
+    if not prefs:
+        return (False, True, "iso")
+    err = prefs.get("errors") or {}
+    esc = err.get("escape_html", err.get("escapeHtml", False))
+    wrap = err.get("wrap_arrays", err.get("wrapArrays", True))
+    return (bool(esc), bool(wrap), prefs.get("date_format", "iso"))
+
+
+def render(code: str, path: str, context: dict, override: str | None = None,
+           prefs: dict | None = None) -> str:
     """Render the static message for an error family.  Per-row ``{value}``
     interpolation is intentionally omitted (violation rows carry the doc id
     and span index instead) so one render serves the whole mask.
@@ -171,17 +185,26 @@ def render(code: str, path: str, context: dict, override: str | None = None) -> 
     the fast substitution path (byte-stable with round 1).  Templates with
     expressions — arithmetic, comparisons, ``if()``/``number()``, constants,
     per ``lib/template.js:26-227`` — are rendered by the formula engine in
-    ``kernels.template``."""
+    ``kernels.template``.
+
+    ``prefs`` threads joi's error-render options: the reference catalog's
+    placeholders are ``{{#...}}`` (HTML-escaped when ``errors.escapeHtml``),
+    arrays wrap per ``errors.wrapArrays``, dates render per ``dateFormat``
+    (template.js:185,331 + the dateFormat method map template.js:16-22)."""
+    esc, wrap, datefmt = err_opts(prefs)
     tmpl = override or MESSAGES.get(code, f'"{{label}}" fails rule {code}')
     label = context.get("label") or path or "value"
     out = tmpl
-    out = out.replace("{#label}", str(label)).replace("{label}", str(label))
+    lbl = _escape_html(str(label)) if esc else str(label)
+    out = out.replace("{#label}", lbl).replace("{label}", lbl)
     for k, v in context.items():
         if k == "regex" and isinstance(v, str) and not v.startswith("/"):
             # joi stringifies the RegExp object: String(/\d/) === "/\\d/"
             s = f"/{v}/"
         else:
-            s = _stringify(v)
+            s = _stringify(v, wrap, datefmt)
+        if esc:
+            s = _escape_html(s)
         out = out.replace("{#%s}" % k, s).replace("{%s}" % k, s)
     if "{" in out and _looks_dynamic(out):
         from .template import compile_template
@@ -195,44 +218,85 @@ def render(code: str, path: str, context: dict, override: str | None = None) -> 
             raise KeyError(name)
 
         try:
-            out = compile_template(out).render(resolve)
+            out = compile_template(out).render(resolve, options=(esc, wrap, datefmt))
         except (TypeError, ValueError):
             pass  # leave the partially-substituted string
     return out
 
 
-def stringify(v) -> str:
-    """Public alias: joi's template value rendering (see _stringify)."""
-    return _stringify(v)
+def stringify(v, prefs: dict | None = None) -> str:
+    """Public alias: joi's template value rendering (see _stringify).  NOTE:
+    the ``{[.]}`` value token is a SINGLE-brace (raw) template part in the
+    reference catalog, so it is never HTML-escaped — only wrapArrays and
+    dateFormat apply."""
+    _, wrap, datefmt = err_opts(prefs)
+    return _stringify(v, wrap, datefmt)
 
 
-def _stringify(v) -> str:
-    """joi's template array rendering (lib/template.js internals.stringify
-    with wrapArrays): ``[a, b]`` — elements bare, joined with ', '."""
+_WDAYS = ("Sun", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat")
+_MONTHS = ("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+           "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+
+
+def _js_date_render(total_ms: int, fmt: str) -> str:
+    """JS ``Date.prototype.to{Date,ISO,,Time,UTC}String`` in a UTC zone —
+    joi renders message dates via ``prefs.dateFormat``
+    (lib/template.js:16-22,99-102; node-verified byte-for-byte)."""
+    from .strings import _civil_from_days, _js_iso_format
+
+    if fmt == "iso":
+        return _js_iso_format(total_ms)
+    days, rem = divmod(total_ms, 86400000)
+    y, mo, d = _civil_from_days(days)
+    hh, rem = divmod(rem, 3600000)
+    mm, rem = divmod(rem, 60000)
+    ss, _ = divmod(rem, 1000)
+    wd = _WDAYS[(days + 4) % 7]
+    mon = _MONTHS[mo - 1]
+    ystr = f"{y:04d}" if y >= 0 else f"-{abs(y):04d}"  # '0099', '275760', '-0001'
+    if fmt == "date":
+        return f"{wd} {mon} {d:02d} {ystr}"
+    if fmt == "time":
+        return f"{hh:02d}:{mm:02d}:{ss:02d} GMT+0000 (Coordinated Universal Time)"
+    if fmt == "utc":
+        return f"{wd}, {d:02d} {mon} {ystr} {hh:02d}:{mm:02d}:{ss:02d} GMT"
+    # 'string' (Date.prototype.toString)
+    return f"{wd} {mon} {d:02d} {ystr} {hh:02d}:{mm:02d}:{ss:02d} GMT+0000 (Coordinated Universal Time)"
+
+
+_HTML_ESCAPES = {"&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;",
+                 "'": "&#x27;", "`": "&#x60;"}
+
+
+def _escape_html(s: str) -> str:
+    return "".join(_HTML_ESCAPES.get(c, c) for c in s)
+
+
+def _stringify(v, wrap_arrays: bool = True, date_format: str = "iso") -> str:
+    """joi's template array rendering (lib/template.js internals.stringify):
+    ``[a, b]`` with wrapArrays (default), bare ``a, b`` without; options
+    propagate into nested arrays (template.js:327-331)."""
     if isinstance(v, (list, tuple)):
         # joi inserts ', ' only when the accumulated string is non-empty
         # (template.js:327-331) — a leading '' item leaves no separator:
         # ['', 'a'] renders "[a]" while ['a', ''] renders "[a, ]"
         partial = ""
         for x in v:
-            partial = partial + (", " if partial else "") + _stringify(x)
-        return "[" + partial + "]"
+            partial = partial + (", " if partial else "") + _stringify(x, wrap_arrays, date_format)
+        return "[" + partial + "]" if wrap_arrays else partial
     if v is None:
         return "null"
     if isinstance(v, bool):
         return "true" if v else "false"
-    if hasattr(v, "isoformat"):  # datetime: joi renders via toISOString
-        # (template.js date with prefs.dateFormat 'iso' default)
+    if hasattr(v, "isoformat"):  # datetime: joi renders per prefs.dateFormat
         import datetime as _dt
 
         if isinstance(v, _dt.datetime):
-            # JS toISOString zero-pads years <1000 ("0123-..."), which
-            # strftime %Y does not — format from epoch-ms instead
-            from .strings import _js_iso_format
-
+            # JS formats zero-pad years <1000 ("0123-..."), which strftime
+            # %Y does not — format from epoch-ms instead
             vv = v if v.tzinfo else v.replace(tzinfo=_dt.timezone.utc)
             epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
-            return _js_iso_format((vv - epoch) // _dt.timedelta(milliseconds=1))
+            return _js_date_render((vv - epoch) // _dt.timedelta(milliseconds=1), date_format)
     if isinstance(v, float):
         # JS Number.prototype.toString: integral values render without a
         # decimal point ("2", not "2.0"); -0 renders "0"

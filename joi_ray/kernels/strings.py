@@ -427,7 +427,11 @@ def _days_from_civil(y: int, m: int, d: int) -> int:
     # proleptic-Gregorian day count (public-domain civil-days algorithm);
     # exact for negative years, matching JS Date's extended range
     y -= m <= 2
-    era = (y if y >= 0 else y - 399) // 400
+    # Hinnant's (y - 399) / 400 compensates C++ TRUNCATING division for
+    # negative y; Python // already floors (see _civil_from_days) — the
+    # extra subtraction shifted every pre-year-0 date one day back, which
+    # previously canceled against the matching bug in _civil_from_days
+    era = y // 400
     yoe = y - era * 400
     doy = (153 * (m + (-3 if m > 2 else 9)) + 2) // 5 + d - 1
     doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
@@ -436,7 +440,11 @@ def _days_from_civil(y: int, m: int, d: int) -> int:
 
 def _civil_from_days(z: int) -> tuple:
     z += 719468
-    era = (z if z >= 0 else z - 146096) // 146097
+    # Hinnant's civil_from_days writes (z - 146096) / 146097 for negative z
+    # because C++ division TRUNCATES; Python's // already floors, so the
+    # adjustment would double-correct and shift every pre-year-0 date one
+    # day forward (node-verified: -000001-01-01 rendered as -01-02)
+    era = z // 146097
     doe = z - era * 146097
     yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
     y = yoe + era * 400

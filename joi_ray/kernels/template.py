@@ -337,12 +337,22 @@ class Template:
                 parts.append(dec(tail))
         return parts
 
-    def render(self, resolve: Callable[[str], Any]) -> str:
+    def render(self, resolve: Callable[[str], Any], options: tuple | None = None) -> str:
+        """``options`` = (escape_html, wrap_arrays, date_format) — joi's
+        error-render options object (errors.js:76 passes ``prefs.errors``;
+        escape applies to non-raw ``{{...}}`` parts only when escapeHtml is
+        set, template.js:185).  ``None`` keeps the legacy path (escape +
+        wrap + iso), matching joi's bare ``render()`` where an empty options
+        object escapes non-raw parts."""
         def safe_resolve(name: str):
             try:
                 return resolve(name)
             except KeyError:
                 return _UNKNOWN
+
+        esc = True if options is None else bool(options[0])
+        wrap = True if options is None else bool(options[1])
+        datefmt = "iso" if options is None else options[2]
 
         out = []
         for p in self.parts:
@@ -357,8 +367,13 @@ class Template:
             if v is _UNKNOWN:
                 out.append(("{%s}" if raw else "{{%s}}") % content)
             else:
-                s = _stringify(v)
-                out.append(s if raw else _escape_html(s))
+                if options is None:
+                    s = _stringify(v)
+                else:
+                    from .messages import _stringify as _m_stringify
+
+                    s = _m_stringify(v, wrap, datefmt)
+                out.append(s if raw or not esc else _escape_html(s))
         return "".join(out)
 
 

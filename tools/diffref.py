@@ -375,7 +375,10 @@ def _values_close(a, b, *, depth=0) -> bool:
     return a == b
 
 
-_SHADOW_RX = re.compile(r'with value "\[[^"]* -> [^"]*\]"')
+#: joi v16-rc2 renders the internal shadow Map as the {[.]} value
+#: ('[c -> abc]'; bare 'c -> abc' under errors.wrapArrays:false —
+#: template.js:314-320 Map render + :331 wrap)
+_SHADOW_RX = re.compile(r'with value "\[?[^"]* -> [^"]*\]?"')
 
 
 def _shadow_map_render(ref_msg: str, ray_msg: str) -> bool:

@@ -474,6 +474,13 @@ PREFS_POOL = [
     {"abortEarly": True, "presence": "required"},
     {"convert": False, "abortEarly": True},
     {"presence": "optional", "stripUnknown": True, "abortEarly": True},
+    # error-render options (errors.js:76 / common.js:27-32 defaults)
+    {"errors": {"wrapArrays": False}},
+    {"errors": {"escapeHtml": True}},
+    {"dateFormat": "utc"},
+    {"dateFormat": "date"},
+    {"dateFormat": "string"},
+    {"dateFormat": "time", "abortEarly": True},
 ]
 
 
