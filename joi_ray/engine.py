@@ -696,6 +696,11 @@ def eval_node(
             # prefs-level messages map incl. errors.language sub-maps
             # (schema-local prefs are merged into env by eval_node)
             message = k_messages.lookup_override(code, env.prefs)
+        if isinstance(message, str) and "{[.]}" in message:
+            # joi's per-row value token in custom templates works on ANY
+            # rule (node-verified) — normalize to the engine's {value}
+            # channel, substituted per fired row at render time
+            message = message.replace("{[.]}", "{value}")
         if item_rows is not None:
             keep = scope[item_rows]
             item_rows, item_index = item_rows[keep], item_index[keep]
@@ -714,6 +719,18 @@ def eval_node(
             return
         if not mask.any():
             return
+        if (values is None and isinstance(message, str) and "{value}" in message
+                and arr is not None):
+            # a custom template asked for the offending value ({[.]}) on a
+            # rule that doesn't natively carry one: extract the CURRENT
+            # node value for the fired rows only (joi renders the value at
+            # error-creation time)
+            try:
+                fired = np.nonzero(mask)[0]
+                col = combine(arr)
+                values = [col[int(i)].as_py() for i in fired]
+            except Exception:
+                values = None
         rec = ErrRec(code, mask, p, ctx or {}, seq, warn, message)
         rec.rows = None
         rec.values = values

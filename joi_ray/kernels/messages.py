@@ -195,17 +195,41 @@ def render(code: str, path: str, context: dict, override: str | None = None,
     tmpl = override or MESSAGES.get(code, f'"{{label}}" fails rule {code}')
     label = context.get("label") or path or "value"
     out = tmpl
-    lbl = _escape_html(str(label)) if esc else str(label)
-    out = out.replace("{#label}", lbl).replace("{label}", lbl)
+
+    def _sub(out: str, k: str, s: str) -> str:
+        if override is not None:
+            # user templates carry joi's brace semantics: {{x}} parts
+            # escape under errors.escapeHtml, {x} parts are raw
+            # (template.js:185) — double forms FIRST so the single-brace
+            # replace can't eat their inner braces
+            es = _escape_html(s) if esc else s
+            out = out.replace("{{#%s}}" % k, es).replace("{{%s}}" % k, es)
+            return out.replace("{#%s}" % k, s).replace("{%s}" % k, s)
+        # catalog templates store single-brace placeholders but mirror the
+        # reference's {{#...}} (escaped) parts — except {value} ({[.]}),
+        # substituted later and raw by contract
+        if esc:
+            s = _escape_html(s)
+        return out.replace("{#%s}" % k, s).replace("{%s}" % k, s)
+
+    out = _sub(out, "label", str(label))
     for k, v in context.items():
         if k == "regex" and isinstance(v, str) and not v.startswith("/"):
             # joi stringifies the RegExp object: String(/\d/) === "/\\d/"
             s = f"/{v}/"
         else:
             s = _stringify(v, wrap, datefmt)
-        if esc:
-            s = _escape_html(s)
-        out = out.replace("{#%s}" % k, s).replace("{%s}" % k, s)
+        out = _sub(out, k, s)
+    if override is not None and "{" in out:
+        # joi DROPS template parts whose ref resolves undefined
+        # (errors.js render: parts.push only when string !== undefined;
+        # node-verified 'a {{#nope}} b' -> 'a  b').  {value} survives — it
+        # is the per-row {[.]} token substituted later by the engine.
+        import re as _re
+
+        out = out.replace("{value}", "\x00V\x00")
+        out = _re.sub(r"\{\{?[#$]?[A-Za-z_][\w.]*\}\}?", "", out)
+        out = out.replace("\x00V\x00", "{value}")
     if "{" in out and _looks_dynamic(out):
         from .template import compile_template
 

@@ -242,6 +242,10 @@ class Schema:
             s.flags.pop(name, None)
         else:
             s.flags[name] = value
+        # $_setFlag CLOSES any ruleset (lib/base.js:812): a rule()/message()
+        # after a flag-setter must raise 'Cannot apply rules to empty
+        # ruleset' (node-verified: string().min(1).required().message(..))
+        s.metas["_ruleset_start"] = False
         return s
 
     def _rule(self, name: str, args: dict | None = None, *, single: bool = False) -> "Schema":
@@ -250,6 +254,10 @@ class Schema:
             # non-multi rules replace a prior instance (lib/base.js:617-622)
             s.rules = [r for r in s.rules if r["name"] != name]
         s.rules.append({"name": name, "args": args or {}})
+        # adding a rule RE-OPENS last-rule mode after a closed ruleset
+        # (lib/base.js:666-667): min(1).message('a').max(2).message('b') ok
+        if s.metas.get("_ruleset_start") is False:
+            s.metas.pop("_ruleset_start")
         return s
 
     # -- any: presence & value sets ---------------------------------------
@@ -412,13 +420,10 @@ class Schema:
 
     # -- rule tail modifiers (lib/base.js:513-549) -------------------------
     def message(self, template: str) -> "Schema":
-        """Custom message for the most recently added rule."""
-        s = self._clone()
-        if not s.rules:
-            s.flags["message"] = template
-        else:
-            s.rules[-1]["message"] = template
-        return s
+        """Custom message for the current ruleset (``lib/base.js:508-511``:
+        ``message(m)`` IS ``rule({message})`` — same empty-ruleset assert,
+        same multi-rule application inside an open ``$`` group)."""
+        return self.rule(message=template)
 
     def error(self, err) -> "Schema":
         """Node-level error override (``/root/reference/lib/base.js:136-142``,
@@ -444,17 +449,19 @@ class Schema:
         return s
 
     def warn(self) -> "Schema":
-        """Route the most recent rule's failures to warnings, not errors
-        (``/root/reference/lib/validator.js:303-306``)."""
-        s = self._clone()
-        if s.rules:
-            s.rules[-1]["warn"] = True
-        return s
+        """Route the current ruleset's failures to warnings, not errors
+        (``/root/reference/lib/base.js:583-586``: ``warn()`` IS
+        ``rule({warn:true})`` — bare/doubled calls raise the empty-ruleset
+        assert; ``lib/validator.js:303-306`` routes them)."""
+        return self.rule(warn=True)
 
     # ruleset / $ / rule() group tagging (lib/base.js:513-549): mark a start
     # point, then apply options to every rule added since
     @property
     def ruleset(self) -> "Schema":
+        rs = self.metas.get("_ruleset_start")
+        if rs is not False and isinstance(rs, int):
+            raise ValueError("Cannot start a new ruleset without closing the previous one")
         s = self._clone()
         s.metas["_ruleset_start"] = len(s.rules)
         return s
@@ -462,8 +469,18 @@ class Schema:
     dollar = ruleset
 
     def rule(self, *, message: str | None = None, warn: bool = False, keep: bool = False) -> "Schema":
+        # _ruleset_start tri-state mirrors lib/base.js:41 _ruleset —
+        # missing: apply to the last rule; False: CLOSED (a prior
+        # rule()/message()/warn() or flag-setter consumed it — raise);
+        # int: open $ group start
+        rs = self.metas.get("_ruleset_start")
+        if rs is False:
+            raise ValueError("Cannot apply rules to empty ruleset")
+        start = rs if isinstance(rs, int) else len(self.rules) - 1
+        if not (0 <= start < len(self.rules)):
+            raise ValueError("Cannot apply rules to empty ruleset")
         s = self._clone()
-        start = s.metas.pop("_ruleset_start", max(len(s.rules) - 1, 0))
+        s.metas["_ruleset_start"] = False
         for r in s.rules[start:]:
             if message is not None:
                 r["message"] = message

@@ -221,12 +221,15 @@ def _rand_schema(draw):
             s = s.integer()
         if draw(st.booleans()):
             s = s.multiple(draw(st.integers(2, 4)))
+    # message() must follow a rule (lib/base.js:517 'Cannot apply rules to
+    # empty ruleset' — flag-setters like required() CLOSE the ruleset), so
+    # draw it before the presence flag and only when a rule exists
+    if draw(st.booleans()) and s.rules:
+        s = s.message("rule-level override")
     if draw(st.booleans()):
         s = s.required()
     if draw(st.booleans()):
         s = s.error("custom {#limit} msg")
-    if draw(st.booleans()):
-        s = s.message("rule-level override")
     return kind, s
 
 

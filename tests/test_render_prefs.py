@@ -84,3 +84,56 @@ def test_wrap_arrays_nested_propagates():
 
     assert _stringify([["a", "b"], "c"], True, "iso") == "[[a, b], c]"
     assert _stringify([["a", "b"], "c"], False, "iso") == "a, b, c"
+
+
+def test_override_double_brace_substitutes():
+    # node: 'oops x needs 5 got x' — {{..}} and {..} both substitute;
+    # double forms first so the single replace can't eat inner braces
+    s = jr.object({"x": jr.string().min(5).message("oops {{#label}} needs {{#limit}} got {#label}")})
+    t = pa.table({"x": ["ab"]})
+    assert _msgs(s, t, {}) == ["oops x needs 5 got x"]
+
+
+def test_override_escape_raw_split():
+    # node escapeHtml:true -> 'esc a&lt;b raw a<b' ({{..}} escaped, {..} raw)
+    s = jr.object({"x": jr.string().label("a<b").min(5).message("esc {{#label}} raw {#label}")})
+    t = pa.table({"x": ["ab"]})
+    assert _msgs(s, t, {"errors": {"escapeHtml": True}}) == ["esc a&lt;b raw a<b"]
+    assert _msgs(s, t, {}) == ["esc a<b raw a<b"]
+
+
+def test_override_unresolved_refs_drop():
+    # node: 'a  b  c x' — undefined refs render '' (errors.js render)
+    s = jr.object({"x": jr.string().min(5).message("a {{#nope}} b {#missing} c {{#label}}")})
+    t = pa.table({"x": ["ab"]})
+    assert _msgs(s, t, {}) == ["a  b  c x"]
+
+
+def test_override_value_token_any_rule():
+    # node: 'val 7.5 end' — {[.]} works on any rule, rendered per row, raw
+    s = jr.object({"y": jr.number().max(3).message("val {[.]} end")})
+    t = pa.table({"y": [7.5, 9.0]})
+    assert _msgs(s, t, {}) == ["val 7.5 end", "val 9 end"]
+
+
+def test_ruleset_asserts_match_reference():
+    import pytest
+
+    # node-verified: message()/warn() raise on empty/closed rulesets;
+    # flag-setters CLOSE, rule-adds REOPEN (lib/base.js:517,666,812)
+    with pytest.raises(ValueError):
+        jr.string().message("a")
+    with pytest.raises(ValueError):
+        jr.string().min(1).message("a").message("b")
+    with pytest.raises(ValueError):
+        jr.string().min(1).required().message("a")
+    with pytest.raises(ValueError):
+        jr.string().warn()
+    with pytest.raises(ValueError):
+        jr.string().ruleset.message("a")
+    # legal chains
+    jr.string().min(1).message("a").max(2).message("b")
+    jr.string().min(2).allow("x").message("m")  # value pushes do NOT close
+    s = jr.object({"x": jr.string().ruleset.min(2).max(3).message("boom")})
+    t = pa.table({"x": ["a", "aaaa"]})
+    assert _msgs(s, t, {}) == ["boom", "boom"]

@@ -383,12 +383,26 @@ _SHADOW_RX = re.compile(r'with value "\[?[^"]* -> [^"]*\]?"')
 
 def _shadow_map_render(ref_msg: str, ray_msg: str) -> bool:
     """True when the two messages differ only by joi's shadow-Map value
-    render ('with value "[c -> abc]"' vs the actual value)."""
-    if not _SHADOW_RX.search(ref_msg):
+    render ('with value "[c -> abc]"' vs the actual value) — v16-rc2's
+    template.js:313-320 renders the internal shadow Map for {[.]}."""
+    if _SHADOW_RX.search(ref_msg):
+        return _SHADOW_RX.sub("with value <X>", ref_msg) == re.sub(
+            r'with value "[^"]*"', "with value <X>", ray_msg
+        )
+    # custom {[.]} templates put the value anywhere: classify by the
+    # differing middle — joi's Map toString marker is 'k -> v'
+    if " -> " not in ref_msg or ref_msg == ray_msg:
         return False
-    return _SHADOW_RX.sub("with value <X>", ref_msg) == re.sub(
-        r'with value "[^"]*"', "with value <X>", ray_msg
-    )
+    i = 0
+    while i < min(len(ref_msg), len(ray_msg)) and ref_msg[i] == ray_msg[i]:
+        i += 1
+    j = 0
+    while (j < min(len(ref_msg), len(ray_msg)) - i
+           and ref_msg[len(ref_msg) - 1 - j] == ray_msg[len(ray_msg) - 1 - j]):
+        j += 1
+    ref_mid = ref_msg[i:len(ref_msg) - j]
+    ray_mid = ray_msg[i:len(ray_msg) - j]
+    return " -> " in ref_mid and " -> " not in ray_mid
 
 
 def _values_repr_equiv(ref_v, ray_v) -> bool:

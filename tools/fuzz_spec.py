@@ -42,6 +42,16 @@ ISODATES = ["2019-02-03", "2019-02-03T10:30:00Z", "2020-13-01", "not a date",
             "2021-06-15T08:00:00.123Z", "1970-01-01", "2019-02-30",
             "2019-W06-6", "2019-034"]
 PATTERNS = ["^[a-z]+$", "\\d", "^x", "[A-Z]{2}", "^[a-z0-9]+$"]
+# custom rule messages with joi brace semantics: {{x}} escapes under
+# errors.escapeHtml, {x} is raw, unresolved refs drop, {[.]} is the
+# per-row offending value (works on any rule)
+MSG_TEMPLATES = [
+    "bad {{#label}}!",
+    "raw {#label} needs {{#limit}}",
+    "v={[.]} on {{#label}}",
+    "drop {{#nope}} here {{#label}}",
+    "<b>{{#label}}</b> & {#label}",
+]
 
 
 class Gen:
@@ -116,6 +126,10 @@ class Gen:
             spec = {"t": "date", "c": c}
         else:
             raise ValueError(family)
+        if c and self.maybe(0.1):
+            # message() applies to the LAST rule (or raises on flag-closed /
+            # empty rulesets — both engines assert identically)
+            c.append(["message", self.pick(MSG_TEMPLATES)])
         self.any_mods(spec, family)
         return spec
 
