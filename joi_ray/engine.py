@@ -1008,7 +1008,7 @@ def eval_node(
             failed = failed & ~fo_mask
     cast_to = node.flags.get("cast")
     if cast_to:
-        arr = _apply_cast(arr, cast_to)
+        arr = _apply_cast(arr, cast_to, env.prefs)
 
     out_value = original if node.flags.get("raw") else arr
     nr = NodeResult(
@@ -1037,7 +1037,7 @@ def eval_node(
     return nr
 
 
-def _apply_cast(arr: pa.Array, to: str) -> pa.Array:
+def _apply_cast(arr: pa.Array, to: str, prefs: dict | None = None) -> pa.Array:
     """joi's cast defs are gated by a `from` predicate (validator.js:390-
     394 `if (caster.from(value))`): a value that never coerced (e.g. a
     string under convert:false) passes through UNCAST."""
@@ -1050,15 +1050,18 @@ def _apply_cast(arr: pa.Array, to: str) -> pa.Array:
                 type=pa.string(),
             )
         if pa.types.is_timestamp(arr.type) or pa.types.is_date(arr.type):
-            # date cast: Template.date == toISOString under the default
-            # 'iso' dateFormat (date.js:145-151).  Format from epoch-ms via
-            # the JS-exact formatter: strftime %Y drops zero-padding for
-            # years <1000 and can't render the expanded ±YYYYYY forms
-            from .kernels.strings import _js_iso_format
+            # date cast: Template.date(value, prefs) — the OUTPUT string
+            # follows prefs.dateFormat, not just message rendering
+            # (date.js:145-151 -> template.js:99-102; fuzz seed 16068).
+            # Format from epoch-ms via the JS-exact formatter: strftime %Y
+            # drops zero-padding for years <1000 and can't render the
+            # expanded ±YYYYYY forms
+            from .kernels.messages import _js_date_render
 
+            fmt = (prefs or {}).get("date_format", "iso")
             ints = pc.cast(pc.cast(arr, pa.timestamp("ms")), pa.int64())
             return pa.array(
-                [None if v is None else _js_iso_format(v) for v in ints.to_pylist()],
+                [None if v is None else _js_date_render(v, fmt) for v in ints.to_pylist()],
                 type=pa.string(),
             )
         if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type):

@@ -593,3 +593,16 @@ def test_whens_cross_type_branch_value_reaches_refs_typed():
     df = _violations(s, tbl, prefs={"abort_early": False})
     got = sorted(zip((int(r) for r in df["row"]), df["path"], df["code"]))
     assert got == [(0, "b", "string.min"), (1, "b", "any.ref")]
+
+
+def test_date_cast_string_follows_date_format_pref():
+    # fuzz seed 16068 (node-verified): date().cast('string') output is
+    # Template.date(value, prefs) — the STRING follows prefs.dateFormat
+    # (date.js:145-151), not just message rendering.  '2019-02-30' V8-rolls
+    # to Mar 2, and dateFormat:'utc' casts to the toUTCString form.
+    s = jr.object({"a": jr.date().iso().cast("string")})
+    tbl = pa.table({"a": ["2019-02-30"]})
+    res = jr.compile_schema(s, prefs={"abort_early": False, "date_format": "utc"}).validate_table(tbl)
+    assert res.value["a"].to_pylist() == ["Sat, 02 Mar 2019 00:00:00 GMT"]
+    res2 = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(tbl)
+    assert res2.value["a"].to_pylist() == ["2019-03-02T00:00:00.000Z"]
