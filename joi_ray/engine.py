@@ -343,6 +343,11 @@ class _TakeEnv(Env):
         self._idx = idx_arr
 
     def resolve_ref(self, r, n, mode: str = "strict"):
+        if getattr(r, "kind", None) == "context":
+            # global refs are row-independent: bound -> python scalar,
+            # unbound -> nulls already sized to THIS scope — re-taking
+            # self._idx would double-scope (parent-sized indices)
+            return super().resolve_ref(r, len(self._idx), mode=mode)
         v = super().resolve_ref(r, len(self._idx), mode=mode)
         if isinstance(v, tuple) and len(v) == 3:
             val, orig, f = v
@@ -701,6 +706,10 @@ def eval_node(
             # rule (node-verified) — normalize to the engine's {value}
             # channel, substituted per fired row at render time
             message = message.replace("{[.]}", "{value}")
+        if isinstance(message, str) and "{value}" in message and code == "any.ref":
+            # the ARG-assert any.ref report carries no value in joi
+            # (undefined renders '' — node-verified 'v= on a')
+            message = message.replace("{value}", "")
         if item_rows is not None:
             keep = scope[item_rows]
             item_rows, item_index = item_rows[keep], item_index[keep]

@@ -198,7 +198,7 @@ def make_multiple(args):
         # strict resolution is exact for multiple's assert (finite>0): the
         # same-type raw overlay covers errored rows, and cross-type raws
         # (strings/buffers) fail typeof===number exactly like undefined
-        b, ctx = (env.resolve_ref(base, n), {"multiple": f"ref:{base.path}"}) if hasattr(base, "kind") else (base, {"multiple": base})
+        b, ctx = (env.resolve_ref(base, n), {"multiple": base.display}) if hasattr(base, "kind") else (base, {"multiple": base})
         v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
         if isinstance(b, (pa.Array, pa.ChunkedArray)):
             from .util import combine as _combine
@@ -219,14 +219,14 @@ def make_multiple(args):
                 # else any.ref fires instead (validator.js:281-293)
                 ctx["__ref_err__"] = (
                     refbad,
-                    {"arg": "base", "ref": f"ref:{base.path}", "reason": "must be a positive number"},
+                    {"arg": "base", "ref": base.display, "reason": "must be a positive number"},
                 )
         elif hasattr(base, "kind"):  # scalar resolution (context refs)
             okb = isinstance(b, (int, float)) and not isinstance(b, bool) and np.isfinite(b) and b > 0
             if not okb:
                 ctx["__ref_err__"] = (
                     np.ones(n, dtype=bool),
-                    {"arg": "base", "ref": f"ref:{base.path}", "reason": "must be a positive number"},
+                    {"arg": "base", "ref": base.display, "reason": "must be a positive number"},
                 )
                 b = np.nan
         with np.errstate(invalid="ignore", divide="ignore"):

@@ -256,7 +256,7 @@ def _date_limit(limit, env: Env):
     if limit == "now":
         return env.prefs.get("now_ms", 0), {"limit": "now"}
     if hasattr(limit, "kind"):  # Ref
-        return limit, {"limit": f"ref:{limit.path}"}
+        return limit, {"limit": limit.display}
     if isinstance(limit, str):
         # joi normalizes date limits to Date objects at rule creation
         # (date.js compare args), so the error context renders the ISO

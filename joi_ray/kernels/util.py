@@ -165,7 +165,11 @@ class Env:
                 if isinstance(cur, dict) and p in cur:
                     cur = cur[p]
                 else:
-                    raise KeyError(f"context ref ${r.path} not bound in prefs.context")
+                    # joi resolves an unbound global ref to undefined; the
+                    # rule's ARG ASSERT then fires per-row any.ref
+                    # ('limit references "ref:global:lim" which must be a
+                    # number') instead of refusing the batch
+                    return self._ref_post(r, pa.nulls(n))
             return self._ref_post(r, cur)
         if r.kind == "root":
             # /path: outermost (table-level) scope (lib/ref.js root prefix)
@@ -285,7 +289,7 @@ def resolve_limit(limit, env: Env, n: int, mode: str = "strict"):
     """A rule limit may be a literal or a Ref -> (value_or_array, ctx_repr)."""
     if isinstance(limit, Ref):
         v = env.resolve_ref(limit, n, mode=mode)
-        return v, {"limit": f"ref:{limit.path}"}
+        return v, {"limit": limit.display}
     return limit, {"limit": limit}
 
 
@@ -487,7 +491,7 @@ def cmp_mask(arr, op: str, limit, env: Env, arg: str = "number") -> tuple[np.nda
                 refbad,
                 {
                     "arg": "date" if arg == "date" else "limit",
-                    "ref": f"ref:{limit.path}",
+                    "ref": limit.display,
                     "reason": _ARG_REASONS[arg],
                 },
             )
@@ -505,7 +509,7 @@ def cmp_mask(arr, op: str, limit, env: Env, arg: str = "number") -> tuple[np.nda
                     refbad,
                     {
                         "arg": "date" if arg == "date" else "limit",
-                        "ref": f"ref:{limit.path}",
+                        "ref": limit.display,
                         "reason": _ARG_REASONS[arg],
                     },
                 )
@@ -517,7 +521,7 @@ def cmp_mask(arr, op: str, limit, env: Env, arg: str = "number") -> tuple[np.nda
                 np.ones(n, dtype=bool),
                 {
                     "arg": "date" if arg == "date" else "limit",
-                    "ref": f"ref:{limit.path}",
+                    "ref": limit.display,
                     "reason": _ARG_REASONS[arg],
                 },
             )

@@ -75,6 +75,23 @@ class Ref:
             return [self.path] if self.path else []
         return self.path.split(self.separator)
 
+    @property
+    def display(self) -> str:
+        """joi's ref display string (ref.js:204-233 updateDisplay) — the
+        form any.ref messages embed ('ref:global:lim', 'ref:..x')."""
+        sep = self.separator if isinstance(self.separator, str) and self.separator else None
+        if self.kind == "context":
+            return f"ref:global:{self.path}"
+        if self.kind == "root":
+            return f"ref:root:{self.path}"
+        if sep is None:
+            return f"ref:{self.path}"
+        if self.level == 0:
+            return f"ref:{sep}{self.path}"
+        if self.level == 1:
+            return f"ref:{self.path}"
+        return f"ref:{sep * (self.level + 1)}{self.path or ''}"
+
     def describe(self) -> dict:
         sep = self.separator if isinstance(self.separator, str) and self.separator else "."
         if self.kind == "context":

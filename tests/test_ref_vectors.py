@@ -167,3 +167,47 @@ def test_callable_default_factory():
     s = obj({"b": jr.string().default(lambda: "gen")})
     res = run(s, t)
     assert res.value["b"].to_pylist() == ["gen", "v"]
+
+
+def test_unbound_context_ref_fires_any_ref_per_row():
+    # node-verified: joi resolves an unbound global ref to undefined and the
+    # rule's ARG ASSERT fires per-row any.ref — for EVERY row the rule runs
+    # on, with the ref display in the message (ref.js:207 'ref:global:lim')
+    import joi_ray as jr
+    import pyarrow as pa
+
+    s = jr.object({"x": jr.number().max(jr.ref("$lim"))})
+    cs = jr.compile_schema(s, prefs={"abort_early": False})
+    res = cs.validate_table(pa.table({"x": [2.0, 5.0]}))
+    assert res.violations["code"].to_pylist() == ["any.ref", "any.ref"]
+    assert res.violations["message"].to_pylist()[0] == (
+        '"x" limit references "ref:global:lim" which must be a number'
+    )
+    # bound: the rule runs normally
+    cs2 = jr.compile_schema(s, prefs={"abort_early": False, "context": {"lim": 3}})
+    res2 = cs2.validate_table(pa.table({"x": [2.0, 5.0]}))
+    assert res2.violations["code"].to_pylist() == ["number.max"]
+
+
+def test_ref_display_forms():
+    # ref.js:204-233 updateDisplay, node semantics
+    from joi_ray.spec import Ref
+
+    assert Ref("$lim").display == "ref:global:lim"
+    assert Ref("/a").display == "ref:root:a"
+    assert Ref("a").display == "ref:a"
+    assert Ref(".a").display == "ref:.a"
+    assert Ref("...a").display == "ref:...a"
+    assert Ref("a", ancestor=3).display == "ref:....a"
+
+
+def test_value_token_empty_on_any_ref():
+    # node-verified: a custom message's {[.]} renders '' on the arg-assert
+    # any.ref (the report's value is undefined there)
+    import joi_ray as jr
+    import pyarrow as pa
+
+    s = jr.object({"x": jr.number().max(jr.ref("$lim")).message("v={[.]} on {{#label}}")})
+    cs = jr.compile_schema(s, prefs={"abort_early": False})
+    res = cs.validate_table(pa.table({"x": [7.0]}))
+    assert res.violations["message"].to_pylist() == ["v= on x"]

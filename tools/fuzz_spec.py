@@ -78,11 +78,14 @@ class Gen:
         if family == "number":
             for rule in ("min", "max", "greater", "less"):
                 if self.maybe(0.22):
-                    lim = (
-                        {"$ref": self.pick(sibling_nums)}
-                        if sibling_nums and self.maybe(0.25)
-                        else r.randint(-5, 50)
-                    )
+                    if self.maybe(0.08):
+                        # global ref — unbound under most PREFS entries
+                        # (per-row any.ref), bound under the context ones
+                        lim: object = {"$ref": "$lim"}
+                    elif sibling_nums and self.maybe(0.25):
+                        lim = {"$ref": self.pick(sibling_nums)}
+                    else:
+                        lim = r.randint(-5, 50)
                     c.append([rule, lim])
             if self.maybe(0.25):
                 c.append(["integer"])
@@ -495,6 +498,11 @@ PREFS_POOL = [
     {"dateFormat": "date"},
     {"dateFormat": "string"},
     {"dateFormat": "time", "abortEarly": True},
+    # global ($context) refs: bound number, bound WRONG type (arg assert
+    # any.ref), and the unbound case rides the entries above
+    {"context": {"lim": 4}},
+    {"context": {"lim": "abc"}, "abortEarly": True},
+    {"context": {"lim": 4}, "convert": False},
 ]
 
 
