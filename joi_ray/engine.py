@@ -343,10 +343,10 @@ class _TakeEnv(Env):
         self._idx = idx_arr
 
     def resolve_ref(self, r, n, mode: str = "strict"):
-        if getattr(r, "kind", None) == "context":
-            # global refs are row-independent: bound -> python scalar,
-            # unbound -> nulls already sized to THIS scope — re-taking
-            # self._idx would double-scope (parent-sized indices)
+        if getattr(r, "kind", None) in ("context", "local"):
+            # global/local refs are row-independent: bound -> python
+            # scalar, unbound -> nulls already sized to THIS scope —
+            # re-taking self._idx would double-scope (parent-sized indices)
             return super().resolve_ref(r, len(self._idx), mode=mode)
         v = super().resolve_ref(r, len(self._idx), mode=mode)
         if isinstance(v, tuple) and len(v) == 3:

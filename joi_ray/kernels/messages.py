@@ -193,7 +193,14 @@ def render(code: str, path: str, context: dict, override: str | None = None,
     (template.js:185,331 + the dateFormat method map template.js:16-22)."""
     esc, wrap, datefmt = err_opts(prefs)
     tmpl = override or MESSAGES.get(code, f'"{{label}}" fails rule {code}')
-    label = context.get("label") or path or "value"
+    label = context.get("label") or path
+    if not label:
+        # root-level errors: prefs.messages.root renames the root label
+        # (lib/errors.js label fallback; node-verified '"myroot" contains
+        # [a] without its required peers [b]'), default 'value'
+        msgs = (prefs or {}).get("messages") or {}
+        root = msgs.get("root")
+        label = root if isinstance(root, str) else "value"
     out = tmpl
 
     def _sub(out: str, k: str, s: str) -> str:

@@ -158,6 +158,11 @@ class Env:
         converted value, which the condition schema's own coercion would
         have produced from the raw input anyway."""
         parts = r.parts
+        if r.kind == "local":
+            # local bindings exist only during error rendering; in rule-arg
+            # position joi resolves undefined -> the arg assert fires
+            # per-row any.ref (ref.js:74-78)
+            return self._ref_post(r, pa.nulls(n))
         if r.kind == "context":
             ctx = self.prefs.get("context", {})
             cur: Any = ctx

@@ -50,6 +50,14 @@ class Ref:
             self.level = None
             self.path = path[1:]
             return
+        if path.startswith("#"):
+            # local refs resolve the error-render local bindings; in RULE
+            # ARG position joi resolves undefined -> per-row any.ref with
+            # display 'ref:local:key' (ref.js:74-78, node-verified)
+            self.kind = "local"
+            self.level = None
+            self.path = path[1:]
+            return
         if path.startswith("/"):
             if ancestor is not None:
                 raise ValueError("Cannot combine prefix with ancestor option (ref.js:53)")
@@ -82,6 +90,8 @@ class Ref:
         sep = self.separator if isinstance(self.separator, str) and self.separator else None
         if self.kind == "context":
             return f"ref:global:{self.path}"
+        if self.kind == "local":
+            return f"ref:local:{self.path}"
         if self.kind == "root":
             return f"ref:root:{self.path}"
         if sep is None:
@@ -96,6 +106,8 @@ class Ref:
         sep = self.separator if isinstance(self.separator, str) and self.separator else "."
         if self.kind == "context":
             r = "$" + self.path
+        elif self.kind == "local":
+            r = "#" + self.path
         elif self.kind == "root":
             r = "/" + self.path
         elif self.level == 1:

@@ -211,3 +211,25 @@ def test_value_token_empty_on_any_ref():
     cs = jr.compile_schema(s, prefs={"abort_early": False})
     res = cs.validate_table(pa.table({"x": [7.0]}))
     assert res.violations["message"].to_pylist() == ["v= on x"]
+
+
+def test_local_ref_in_rule_arg_and_root_label():
+    import joi_ray as jr
+    import pyarrow as pa
+
+    # node-verified: local refs resolve undefined in rule-arg position ->
+    # any.ref with display 'ref:local:loc' (ref.js:74-78,207)
+    s = jr.object({"x": jr.number().max(jr.ref("#loc"))})
+    res = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(pa.table({"x": [5.0]}))
+    assert res.violations["message"].to_pylist() == [
+        '"x" limit references "ref:local:loc" which must be a number'
+    ]
+    assert jr.build(s.describe()) == s  # '#' refs round-trip the manifest
+    # node-verified: prefs.messages.root renames the root label
+    s2 = jr.object({"a": jr.number(), "b": jr.number()}).and_("a", "b")
+    t = pa.table({"a": [1.0], "b": [None]},
+                 schema=pa.schema([("a", pa.float64()), ("b", pa.float64())]))
+    res2 = jr.compile_schema(s2, prefs={"abort_early": False, "messages": {"root": "myroot"}}).validate_table(t)
+    assert res2.violations["message"].to_pylist() == [
+        '"myroot" contains [a] without its required peers [b]'
+    ]

@@ -381,6 +381,25 @@ def _values_close(a, b, *, depth=0) -> bool:
 _SHADOW_RX = re.compile(r'with value "\[?[^"]* -> [^"]*\]?"')
 
 
+def _ref_targets_have_raw_items(ref_errs: list, spec: dict) -> bool:
+    """True when every any.ref error's referenced sibling is an array
+    column whose items/ordered subtree carries a raw() flag — the
+    v16-rc2 shadow-Map ref leak precondition (see diff_case)."""
+    cols = {}
+    for group in spec.get("a", []) or []:
+        if isinstance(group, dict):
+            cols.update(group)
+    for e in ref_errs:
+        m = re.search(r'references "ref:([^":]+)"', e["message"] or "")
+        if not m:
+            return False
+        sub = cols.get(m.group(1))
+        blob = json.dumps(sub) if sub is not None else ""
+        if '["raw"]' not in blob or ('"items"' not in blob and '"ordered"' not in blob):
+            return False
+    return True
+
+
 def _shadow_map_render(ref_msg: str, ray_msg: str) -> bool:
     """True when the two messages differ only by joi's shadow-Map value
     render ('with value "[c -> abc]"' vs the actual value) — v16-rc2's
@@ -478,10 +497,22 @@ def diff_case(
         ray_ok = bool(res.ok[i])
         ctx = {"row": i, "input": rows[i] if i < len(rows) else None}
         if ref_ok != ray_ok:
+            kind = "ok_mask"
+            if (ray_ok and not ref_ok and spec is not None
+                    and ref_errs and all(e["type"] == "any.ref" for e in ref_errs)
+                    and _ref_targets_have_raw_items(ref_errs, spec)):
+                # KNOWN v16-rc2 BUG (semantic twin of message_shadow_bug):
+                # a ref to a sibling ARRAY whose ITEMS are raw()-flagged
+                # resolves joi's internal shadow Map instead of the array
+                # (ref.js _resolve shadow.get returns the intermediate Map
+                # node), so the arg assert fires any.ref — node-verified:
+                # items(number().raw()) errs, plain items ok.  We resolve
+                # the actual value.  Tracked, not a deviation.
+                kind = "ref_shadow_map_ref"
             devs.append(
                 {
                     **ctx,
-                    "kind": "ok_mask",
+                    "kind": kind,
                     "ref": [(tuple(e["path"]), e["type"], e["message"]) for e in ref_errs],
                     "ray": [
                         (v["path"], v["item_index"], v["code"], v["message"]) for v in ray_errs

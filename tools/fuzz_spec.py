@@ -587,7 +587,8 @@ def run_fuzz(n_cases: int, start_seed: int = 0, out_path="/tmp/fuzz_devs.jsonl")
                 # = joi v16-rc2 rendering the internal shadow Map as the
                 # value.  Tracked in the kinds tally and the jsonl, but not
                 # failing cases.
-                hard = [d for d in devs if d["kind"] not in ("value_repr", "message_shadow_bug")]
+                hard = [d for d in devs if d["kind"] not in
+                        ("value_repr", "message_shadow_bug", "ref_shadow_map_ref")]
                 if devs:
                     bad_cases += 1 if hard else 0
                     total_devs += len(devs)
