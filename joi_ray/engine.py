@@ -955,8 +955,54 @@ def eval_node(
             and not no_defaults and node.flags["default"] != Schema._DEEP_DEFAULT):
         dv = node.flags["default"]
         fill_mask = missing & scope
+        from .kernels.template import Template as _Tmpl
+
         if fill_mask.any():
-            if isinstance(dv, Ref):
+            if isinstance(dv, _Tmpl):
+                # expression-valued default (Joi.x / Joi.expression —
+                # template.js:150-159 resolve): a single-expression
+                # template yields the evaluated VALUE ('{a + 1}' -> 5),
+                # multi-part renders text; refs resolve per fill row.
+                # Per-row by nature (bounded by the MISSING rows only).
+                rows_fill = np.nonzero(fill_mask)[0]
+                col_cache: dict = {}
+
+                def _res_for(i):
+                    def resolve(name):
+                        v = col_cache.get(name)
+                        if v is None:
+                            v = env.resolve_ref(Ref(name), n)
+                            col_cache[name] = v
+                        if isinstance(v, AltView):
+                            v = v.base
+                        x = combine(v)[int(i)].as_py() if isinstance(
+                            v, (pa.Array, pa.ChunkedArray)) else v
+                        if x is None:
+                            raise KeyError(name)
+                        return x
+                    return resolve
+
+                vals = []
+                for i in rows_fill:
+                    try:
+                        vals.append(dv.resolve_value(_res_for(i)))
+                    except Exception:
+                        vals.append(None)
+                filled = [None] * n
+                for i, val in zip(rows_fill, vals):
+                    filled[int(i)] = val
+                if pa.types.is_null(arr.type):
+                    arr = pa.array(filled)
+                else:
+                    try:
+                        fill_arr = pa.array(filled, type=arr.type)
+                        arr = pc.if_else(pa.array(fill_mask), fill_arr, arr)
+                    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+                        out = combine(arr).to_pylist()
+                        for i, val in zip(rows_fill, vals):
+                            out[int(i)] = val
+                        arr = pa.array(out)
+            elif isinstance(dv, Ref):
                 # ref-valued default resolves per row (test/ref.js:993-1034)
                 rv = env.resolve_ref(dv, n)
                 if isinstance(rv, (pa.Array, pa.ChunkedArray)):
@@ -2325,6 +2371,12 @@ def _topo_keys(keys: dict[str, CNode]) -> list[str]:
         dv = s.flags.get("default")
         if isinstance(dv, Ref) and getattr(dv, "level", None) == 1:
             out.add(dv.parts[0] if dv.parts else dv.path)
+        elif hasattr(dv, "ref_names"):
+            # expression-valued default: joi registers the template's refs
+            # on the schema, so its sibling names order the topo too
+            for nm in dv.ref_names():
+                if nm and nm[0] not in "#$":
+                    out.add(nm.split(".")[0])
         # NOTE deliberately NOT when-condition refs: the reference's
         # alternatives type never registers them (lib/types/alternatives.js
         # has no _refs.register), so they don't feed the key topo sort —

@@ -337,6 +337,39 @@ class Template:
                 parts.append(dec(tail))
         return parts
 
+    def ref_names(self) -> list[str]:
+        """Variable names referenced by the template's expression parts —
+        joi registers template refs on the schema ($_mutateRegister), so
+        they feed the sibling key topo sort like plain Refs."""
+        out: list[str] = []
+
+        def walk(node):
+            if not isinstance(node, tuple):
+                return
+            if node[0] == "ref":
+                out.append(node[1])
+                return
+            for sub in node[1:]:
+                if isinstance(sub, tuple):
+                    walk(sub)
+                elif isinstance(sub, list):
+                    for s in sub:
+                        walk(s)
+
+        for p in self.parts:
+            if not isinstance(p, str):
+                walk(p[2])
+        return out
+
+    def resolve_value(self, resolve: Callable[[str], Any]):
+        """joi's ``template.resolve`` (template.js:150-159): a template that
+        is ONE expression part returns the evaluated VALUE ('{a + 1}' with
+        a=4 resolves the number 5, not '5'); anything else renders text."""
+        if len(self.parts) == 1 and not isinstance(self.parts[0], str):
+            _content, _raw, ast = self.parts[0]
+            return _evaluate(ast, resolve)
+        return self.render(resolve)
+
     def render(self, resolve: Callable[[str], Any], options: tuple | None = None) -> str:
         """``options`` = (escape_html, wrap_arrays, date_format) — joi's
         error-render options object (errors.js:76 passes ``prefs.errors``;

@@ -142,6 +142,11 @@ def _encode(v: Any) -> Any:
     """JSON-encode rule args: Refs and bytes get marker wrappers."""
     if isinstance(v, Ref):
         return v.describe()
+    from .kernels.template import Template as _Template
+
+    if isinstance(v, _Template):
+        # joi's template describe form (template.js:104-112)
+        return {"template": v.source}
     if isinstance(v, bytes):
         import base64
 
@@ -166,6 +171,10 @@ def _decode(v: Any) -> Any:
             return base64.b64decode(v["__bytes__"])
         if set(v) == {"__schema__"}:
             return build(v["__schema__"])
+        if set(v) <= {"template", "options"} and "template" in v:
+            from .kernels.template import compile_template
+
+            return compile_template(v["template"])
         return {k: _decode(x) for k, x in v.items()}
     if isinstance(v, list):
         return [_decode(x) for x in v]

@@ -173,3 +173,25 @@ def test_expression_factory_parity():
     t = jrx.x("{#a} and {#b}")
     assert t is jrx.expression("{#a} and {#b}")
     assert t.render(lambda n: {"#a": 1, "#b": "two"}[n]) == "1 and two"
+
+
+def test_expression_valued_default_node_verified():
+    # node: {a:4, b:5} — a single-expression template default resolves the
+    # evaluated VALUE (template.js:150-159); text templates render strings;
+    # template refs feed the key topo sort (default sees a post-coercion)
+    import pyarrow as pa
+
+    import joi_ray as jr
+
+    s = jr.object({"b": jr.number().default(jr.expression("{a + 1}")), "a": jr.number()})
+    r = jr.compile_schema(s, prefs={}).validate_table(
+        pa.table({"b": pa.array([None, 2.0], pa.float64()), "a": ["4", "9"]}))
+    assert r.value.to_pylist() == [{"b": 5.0, "a": 4.0}, {"b": 2.0, "a": 9.0}]
+
+    s2 = jr.object({"a": jr.string(), "b": jr.string().default(jr.expression("hi {a}!"))})
+    r2 = jr.compile_schema(s2, prefs={}).validate_table(
+        pa.table({"a": ["bob"], "b": pa.array([None], pa.string())}))
+    assert r2.value["b"].to_pylist() == ["hi bob!"]
+    # joi template describe form round-trips the manifest
+    assert jr.build(s2.describe()) == s2
+    assert s2.describe()["keys"]["b"]["flags"]["default"] == {"template": "hi {a}!"}
