@@ -150,10 +150,15 @@ class CNode:
         self.type = schema.type
         self.flags = dict(schema.flags)
         self.prefs = {**prefs, **schema.prefs}
-        self.allow_static = [v for v in schema.allow_vals if not isinstance(v, Ref)]
-        self.allow_refs = [v for v in schema.allow_vals if isinstance(v, Ref)]
-        self.invalid_static = [v for v in schema.invalid_vals if not isinstance(v, Ref)]
-        self.invalid_refs = [v for v in schema.invalid_vals if isinstance(v, Ref)]
+        def _resolvable(v):
+            # joi's Common.isResolvable: Refs AND Templates (Joi.x) resolve
+            # per row inside the valids/invalids sets
+            return isinstance(v, Ref) or hasattr(v, "resolve_value")
+
+        self.allow_static = [v for v in schema.allow_vals if not _resolvable(v)]
+        self.allow_refs = [v for v in schema.allow_vals if _resolvable(v)]
+        self.invalid_static = [v for v in schema.invalid_vals if not _resolvable(v)]
+        self.invalid_refs = [v for v in schema.invalid_vals if _resolvable(v)]
         self.allow_missing = any(v is None for v in self.allow_static)
         self.allow_static = [v for v in self.allow_static if v is not None]
         self.invalid_missing = any(v is None for v in self.invalid_static)
@@ -431,7 +436,12 @@ def _set_membership(arr: pa.Array, values: list, refs: list[Ref], insensitive: b
 
 def _set_membership_refs(arr: pa.Array, refs: list[Ref], env: Env, m: np.ndarray, n: int) -> np.ndarray:
     for r in refs:
-        col = env.resolve_ref(r, n)
+        if hasattr(r, "resolve_value"):  # Template (Joi.x) in the value set
+            from .kernels.util import resolve_template_column
+
+            col = resolve_template_column(r, env, n)
+        else:
+            col = env.resolve_ref(r, n)
         try:
             if isinstance(col, (pa.Array, pa.ChunkedArray)):
                 m |= as_bool_np(pc.equal(arr, combine(col)), n)

@@ -337,6 +337,13 @@ class Template:
                 parts.append(dec(tail))
         return parts
 
+    @property
+    def display(self) -> str:
+        """What joi embeds for a template in any.ref messages and rule
+        contexts: the template SOURCE ('"b" limit references "x{a}" ...',
+        node-verified)."""
+        return self.source
+
     def ref_names(self) -> list[str]:
         """Variable names referenced by the template's expression parts —
         joi registers template refs on the schema ($_mutateRegister), so

@@ -291,11 +291,52 @@ def _walk_ref_path(base, parts: list[str], n: int):
 
 
 def resolve_limit(limit, env: Env, n: int, mode: str = "strict"):
-    """A rule limit may be a literal or a Ref -> (value_or_array, ctx_repr)."""
+    """A rule limit may be a literal, a Ref, or a Template (Joi.x) ->
+    (value_or_array, ctx_repr).  Template limits resolve per row (joi's
+    Common.isResolvable rule args — validator.js:281-293); the context
+    limit renders the template SOURCE like joi's any.ref display."""
     if isinstance(limit, Ref):
         v = env.resolve_ref(limit, n, mode=mode)
         return v, {"limit": limit.display}
+    if hasattr(limit, "resolve_value"):  # kernels.template.Template
+        vals = resolve_template_column(limit, env, n)
+        # 3-tuple dual shape routes through the same arg-assert path as
+        # refs (cmp_mask) — orig/f absent, so only the resolved side checks
+        return (vals, None, None), {"limit": limit.display}
     return limit, {"limit": limit}
+
+
+def resolve_template_column(tmpl, env: Env, n: int) -> pa.Array:
+    """Per-row evaluation of a template against sibling refs — inherently
+    row-wise (rare feature; bounded by the batch)."""
+    cache: dict = {}
+
+    def col(name):
+        v = cache.get(name)
+        if v is None:
+            v = env.resolve_ref(Ref(name), n)
+            cache[name] = v
+        return v
+
+    vals = []
+    for i in range(n):
+        def resolve(name, _i=i):
+            v = col(name)
+            if isinstance(v, AltView):
+                v = v.base
+            x = combine(v)[_i].as_py() if isinstance(v, (pa.Array, pa.ChunkedArray)) else v
+            if x is None:
+                raise KeyError(name)
+            return x
+
+        try:
+            vals.append(tmpl.resolve_value(resolve))
+        except Exception:
+            vals.append(None)
+    try:
+        return pa.array(vals)
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        return pa.array([None if x is None else str(x) for x in vals])
 
 
 #: per-arg-kind (assert, reason) mirroring the reference rule definitions:

@@ -195,3 +195,32 @@ def test_expression_valued_default_node_verified():
     # joi template describe form round-trips the manifest
     assert jr.build(s2.describe()) == s2
     assert s2.describe()["keys"]["b"]["flags"]["default"] == {"template": "hi {a}!"}
+
+
+def test_template_rule_args_and_valids_node_verified():
+    import pyarrow as pa
+
+    import joi_ray as jr
+
+    # node: min(Joi.x('{a * 2}')) — a=2,b=5 ok; a=3,b=5 fails with the
+    # template SOURCE rendered as the limit
+    s = jr.object({"a": jr.number(), "b": jr.number().min(jr.expression("{a * 2}"))})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(
+        pa.table({"a": [2.0, 3.0], "b": [5.0, 5.0]}))
+    assert list(r.ok) == [True, False]
+    assert r.violations["message"].to_pylist() == [
+        '"b" must be larger than or equal to {a * 2}'
+    ]
+    # node: a non-numeric template result fails the arg assert with the
+    # SOURCE as the ref display
+    s2 = jr.object({"a": jr.string(), "b": jr.number().min(jr.expression("x{a}"))})
+    r2 = jr.compile_schema(s2, prefs={"abort_early": False}).validate_table(
+        pa.table({"a": ["q"], "b": [5.0]}))
+    assert r2.violations["message"].to_pylist() == [
+        '"b" limit references "x{a}" which must be a number'
+    ]
+    # node: valid(Joi.x('v{a}')) resolves per row
+    s3 = jr.object({"a": jr.number(), "b": jr.string().valid(jr.expression("v{a}"))})
+    r3 = jr.compile_schema(s3, prefs={"abort_early": False}).validate_table(
+        pa.table({"a": [1.0, 1.0], "b": ["v1", "v2"]}))
+    assert list(r3.ok) == [True, False]

@@ -182,6 +182,10 @@ def _conv_arg(v):
         if "$ref" in v:
             opts = {_py_name(k): _conv_arg(x) for k, x in (v.get("$o") or {}).items()}
             return jr.ref(v["$ref"], **opts)
+        if "$x" in v:
+            from joi_ray import expression
+
+            return expression(v["$x"])
         if "$re" in v:
             # a RegExp on the node side: pass the compiled form so APIs
             # that branch on RegExp-vs-string (rename) see the same thing

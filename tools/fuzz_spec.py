@@ -82,6 +82,10 @@ class Gen:
                         # global ref — unbound under most PREFS entries
                         # (per-row any.ref), bound under the context ones
                         lim: object = {"$ref": "$lim"}
+                    elif sibling_nums and self.maybe(0.1):
+                        # template limit (Joi.x): per-row expression arg
+                        lim = {"$x": "{%s %s 2}" % (self.pick(sibling_nums),
+                                                    self.pick(["*", "+", "-"]))}
                     elif sibling_nums and self.maybe(0.25):
                         lim = {"$ref": self.pick(sibling_nums)}
                     else:

@@ -73,6 +73,7 @@ const convArg = (v) => {
     if (v.$s !== undefined) return buildSpec(v.$s);
     if (v.$ref !== undefined) return Joi.ref(v.$ref, convArg(v.$o || {}));
     if (v.$re !== undefined) return new RegExp(v.$re, v.$f || '');
+    if (v.$x !== undefined) return Joi.x(v.$x);  // template (Joi.expression)
     if (v.$kw !== undefined) return convArg(v.$kw);
     if (v.$undef || v.$nan || v.$inf || v.$negz || v.$date !== undefined || v.$bin !== undefined) return deser(v);
     const o = {};
