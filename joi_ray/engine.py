@@ -974,30 +974,11 @@ def eval_node(
                 # template yields the evaluated VALUE ('{a + 1}' -> 5),
                 # multi-part renders text; refs resolve per fill row.
                 # Per-row by nature (bounded by the MISSING rows only).
+                from .kernels.util import resolve_template_column
+
                 rows_fill = np.nonzero(fill_mask)[0]
-                col_cache: dict = {}
-
-                def _res_for(i):
-                    def resolve(name):
-                        v = col_cache.get(name)
-                        if v is None:
-                            v = env.resolve_ref(Ref(name), n)
-                            col_cache[name] = v
-                        if isinstance(v, AltView):
-                            v = v.base
-                        x = combine(v)[int(i)].as_py() if isinstance(
-                            v, (pa.Array, pa.ChunkedArray)) else v
-                        if x is None:
-                            raise KeyError(name)
-                        return x
-                    return resolve
-
-                vals = []
-                for i in rows_fill:
-                    try:
-                        vals.append(dv.resolve_value(_res_for(i)))
-                    except Exception:
-                        vals.append(None)
+                tcol = resolve_template_column(dv, env, n)
+                vals = [tcol[int(i)].as_py() for i in rows_fill]
                 filled = [None] * n
                 for i, val in zip(rows_fill, vals):
                     filled[int(i)] = val

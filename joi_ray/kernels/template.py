@@ -24,6 +24,7 @@ violation messages stay byte-stable with round-1 output.
 
 from __future__ import annotations
 
+import math
 import re
 from typing import Any, Callable
 
@@ -195,48 +196,165 @@ def _evaluate(node, resolve: Callable[[str], Any]):
         op, ln, rn = node[1], node[2], node[3]
         a = _evaluate(ln, resolve)
         if op == "??":
-            return _evaluate(rn, resolve) if a is None or a is _UNKNOWN else a
+            return _evaluate(rn, resolve) if a is None or a is _UNKNOWN or a is _UNDEFINED else a
         if op == "||":
-            if a is not _UNKNOWN and a:
+            if a is not _UNKNOWN and _js_truthy(a):
                 return a
             b = _evaluate(rn, resolve)
             return b if b is not _UNKNOWN else _UNKNOWN
         if op == "&&":
             if a is _UNKNOWN:
                 return _UNKNOWN
-            if not a:
+            if not _js_truthy(a):
                 return a
             return _evaluate(rn, resolve)
         b = _evaluate(rn, resolve)
         if a is _UNKNOWN or b is _UNKNOWN:
             return _UNKNOWN
+        # @hapi/formula evaluates with raw JS operators — coercion included
+        # (formula index.js evaluate: a + b etc. with no type gating)
         if op == "+":
             if isinstance(a, str) or isinstance(b, str):
-                return _stringify(a) + _stringify(b)
-            return a + b
-        if op == "-":
-            return a - b
-        if op == "*":
-            return a * b
-        if op == "/":
-            return a / b
-        if op == "%":
-            return a % b
-        if op == "^":
-            return a ** b
-        if op == "==":
-            return a == b
+                return _js_str(a) + _js_str(b)
+            return _js_to_number(a) + _js_to_number(b)
+        if op in ("-", "*", "/", "%", "^"):
+            x, y = _js_to_number(a), _js_to_number(b)
+            if op == "-":
+                return x - y
+            if op == "*":
+                return x * y
+            if op == "/":
+                if y == 0:
+                    if x == 0 or math.isnan(x) or math.isnan(y):
+                        return float("nan")
+                    return math.copysign(float("inf"), x) * math.copysign(1.0, y)
+                return x / y
+            if op == "%":
+                # JS remainder truncates toward zero (-7 % 2 === -1)
+                if y == 0 or math.isnan(x) or math.isnan(y) or math.isinf(x):
+                    return float("nan")
+                return math.fmod(x, y)
+            try:
+                return math.pow(x, y)
+            except (ValueError, OverflowError):
+                # JS Math.pow: 0**-1 = Infinity, (-8)**(1/3) = NaN
+                if x == 0 and y < 0:
+                    return float("inf")
+                return float("nan")
+        if op == "==":  # formula uses JS === (strict)
+            return _js_strict_eq(a, b)
         if op == "!=":
-            return a != b
+            return not _js_strict_eq(a, b)
+        # relational: JS compares strings lexicographically when BOTH are
+        # strings, else numerically (NaN comparisons are false)
+        if isinstance(a, str) and isinstance(b, str):
+            x, y = a, b
+        else:
+            x, y = _js_to_number(a), _js_to_number(b)
+            if math.isnan(x) or math.isnan(y):
+                return False
         if op == "<":
-            return a < b
+            return x < y
         if op == "<=":
-            return a <= b
+            return x <= y
         if op == ">":
-            return a > b
+            return x > y
         if op == ">=":
-            return a >= b
+            return x >= y
     raise ValueError(f"bad template ast node {node!r}")
+
+
+class _Undefined:
+    """JS undefined inside formula evaluation: NaN under arithmetic, falsy
+    in logic, 'undefined' when concatenated — distinct from _UNKNOWN (the
+    message-render leave-verbatim channel) and from None (JS null)."""
+
+    def __repr__(self):  # pragma: no cover
+        return "undefined"
+
+
+_UNDEFINED = _Undefined()
+
+_JS_NUM_RX = None
+
+
+def _js_to_number(v) -> float:
+    """JS ToNumber for formula operands."""
+    global _JS_NUM_RX
+    if v is None:
+        return 0.0
+    if v is _UNDEFINED or v is _UNKNOWN:
+        return float("nan")
+    if isinstance(v, bool):
+        return 1.0 if v else 0.0
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, str):
+        s = v.strip()
+        if not s:
+            return 0.0
+        if _JS_NUM_RX is None:
+            import re as _re
+
+            _JS_NUM_RX = _re.compile(
+                r"[+-]?(Infinity|0[xX][0-9a-fA-F]+|0[bB][01]+|0[oO][0-7]+"
+                r"|\d+\.?\d*([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?)$"
+            )
+        if not _JS_NUM_RX.fullmatch(s):
+            return float("nan")
+        try:
+            low = s.lstrip("+-").lower()
+            sign = -1.0 if s.startswith("-") else 1.0
+            if low.startswith("0x"):
+                return sign * int(low, 16)
+            if low.startswith("0b"):
+                return sign * int(low, 2)
+            if low.startswith("0o"):
+                return sign * int(low, 8)
+            return float(s)
+        except (ValueError, OverflowError):
+            return float("nan")
+    if hasattr(v, "isoformat"):  # Date: ToNumber = epoch ms
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):
+            vv = v if v.tzinfo else v.replace(tzinfo=_dt.timezone.utc)
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            return float((vv - epoch) // _dt.timedelta(milliseconds=1))
+    if isinstance(v, (list, tuple)):
+        # JS ToPrimitive(array) -> ','-join; single numeric element passes
+        if len(v) == 0:
+            return 0.0
+        if len(v) == 1:
+            return _js_to_number(v[0]) if v[0] is not None else 0.0
+        return float("nan")
+    return float("nan")
+
+
+def _js_str(v) -> str:
+    if v is _UNDEFINED or v is _UNKNOWN:
+        return "undefined"
+    return _stringify(v)
+
+
+def _js_truthy(v) -> bool:
+    if v is _UNDEFINED or v is None:
+        return False
+    if isinstance(v, float) and math.isnan(v):
+        return False
+    return bool(v)
+
+
+def _js_strict_eq(a, b) -> bool:
+    if a is _UNDEFINED or b is _UNDEFINED:
+        return a is b
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return float(a) == float(b)  # NaN !== NaN holds naturally
+    if type(a) is not type(b):
+        return False
+    return a == b
 
 
 def _stringify(v) -> str:

@@ -299,43 +299,83 @@ def resolve_limit(limit, env: Env, n: int, mode: str = "strict"):
         v = env.resolve_ref(limit, n, mode=mode)
         return v, {"limit": limit.display}
     if hasattr(limit, "resolve_value"):  # kernels.template.Template
-        vals = resolve_template_column(limit, env, n)
+        vals = resolve_template_column(limit, env, n, mixed="altview")
         # 3-tuple dual shape routes through the same arg-assert path as
         # refs (cmp_mask) — orig/f absent, so only the resolved side checks
         return (vals, None, None), {"limit": limit.display}
     return limit, {"limit": limit}
 
 
-def resolve_template_column(tmpl, env: Env, n: int) -> pa.Array:
+def resolve_template_column(tmpl, env: Env, n: int, mixed: str = "text"):
     """Per-row evaluation of a template against sibling refs — inherently
-    row-wise (rare feature; bounded by the batch)."""
+    row-wise (rare feature; bounded by the batch).
+
+    Refs resolve DUAL like rule args (errored siblings keep their raw
+    original — a cast('string') key that failed its rules feeds the raw
+    number into '{b * 2}', node-verified via fuzz seed 34467); a missing
+    sibling is JS undefined inside the formula (NaN under arithmetic), and
+    a NaN result maps to null so the arg assert fires any.ref exactly like
+    joi's Common.isNumber gate."""
+    from .template import _UNDEFINED
+
     cache: dict = {}
 
     def col(name):
-        v = cache.get(name)
-        if v is None:
-            v = env.resolve_ref(Ref(name), n)
-            cache[name] = v
-        return v
+        if name not in cache:
+            cache[name] = env.resolve_ref(Ref(name), n, mode="dual")
+        return cache[name]
+
+    def cell(v, i):
+        if isinstance(v, AltView):
+            v = v.base
+        return combine(v)[i].as_py() if isinstance(v, (pa.Array, pa.ChunkedArray)) else v
 
     vals = []
     for i in range(n):
         def resolve(name, _i=i):
             v = col(name)
-            if isinstance(v, AltView):
-                v = v.base
-            x = combine(v)[_i].as_py() if isinstance(v, (pa.Array, pa.ChunkedArray)) else v
-            if x is None:
-                raise KeyError(name)
-            return x
+            if isinstance(v, tuple) and len(v) == 3:
+                val, orig, f = v
+                x = (cell(orig, _i) if (f is not None and orig is not None and f[_i])
+                     else cell(val, _i))
+            else:
+                x = cell(v, _i)
+            return _UNDEFINED if x is None else x
 
         try:
-            vals.append(tmpl.resolve_value(resolve))
+            x = tmpl.resolve_value(resolve)
         except Exception:
-            vals.append(None)
+            x = None
+        if x is _UNDEFINED or (isinstance(x, float) and x != x):
+            x = None  # undefined/NaN results fail joi's arg asserts
+        vals.append(x)
     try:
         return pa.array(vals)
     except (pa.ArrowInvalid, pa.ArrowTypeError):
+        if mixed == "altview":
+            # per-row heterogeneous results (a clean cast('string') sibling
+            # concatenates, an errored one feeds its raw number): keep each
+            # row's own TYPE through the AltView so the arg assert judges
+            # per row — strings fail Common.isNumber, numbers compare
+            # (fuzz seed 32696, node-verified)
+            base = pa.array([x if isinstance(x, str) else None for x in vals], pa.string())
+            pairs = []
+            num_m = np.array([isinstance(x, (int, float)) and not isinstance(x, bool)
+                              for x in vals])
+            if num_m.any():
+                pairs.append((num_m, pa.array(
+                    [float(x) if m else None for x, m in zip(vals, num_m)], pa.float64())))
+            bool_m = np.array([isinstance(x, bool) for x in vals])
+            if bool_m.any():
+                pairs.append((bool_m, pa.array(
+                    [x if m else None for x, m in zip(vals, bool_m)], pa.bool_())))
+            import datetime as _dt
+
+            dt_m = np.array([isinstance(x, _dt.datetime) for x in vals])
+            if dt_m.any():
+                pairs.append((dt_m, pa.array(
+                    [x if m else None for x, m in zip(vals, dt_m)], pa.timestamp("ms"))))
+            return AltView(base, pairs)
         return pa.array([None if x is None else str(x) for x in vals])
 
 

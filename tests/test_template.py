@@ -224,3 +224,44 @@ def test_template_rule_args_and_valids_node_verified():
     r3 = jr.compile_schema(s3, prefs={"abort_early": False}).validate_table(
         pa.table({"a": [1.0, 1.0], "b": ["v1", "v2"]}))
     assert list(r3.ok) == [True, False]
+
+
+def test_template_arg_js_coercion_and_dual_resolution():
+    # fuzz seed 32696 (node-verified): @hapi/formula evaluates with raw JS
+    # operators — a clean cast('string') sibling CONCATENATES ('7'+2 ->
+    # '72', a string, so the arg assert fires any.ref), while an errored
+    # sibling feeds its raw number (0.5+2 -> 2.5, so number.less compares)
+    import pyarrow as pa
+
+    import joi_ray as jr
+
+    s = jr.object({"c": jr.number().integer().cast("string"),
+                   "d": jr.number().less(jr.expression("{c + 2}"))})
+    t = pa.table({"c": [7.0, 0.5, 0.5], "d": [2.0, 8.0, -0.0]})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    got = sorted(zip(r.violations["row"].to_pylist(),
+                     r.violations["path"].to_pylist(),
+                     r.violations["code"].to_pylist()))
+    assert got == [(0, "d", "any.ref"),
+                   (1, "c", "number.integer"), (1, "d", "number.less"),
+                   (2, "c", "number.integer")]
+
+
+def test_formula_js_operator_semantics():
+    from joi_ray.kernels.template import _js_strict_eq, _js_to_number, compile_template
+
+    # JS ToNumber: '' -> 0, '0x1f' -> 31, 'Infinity' -> inf, 'abc' -> NaN
+    assert _js_to_number("") == 0.0
+    assert _js_to_number("0x1f") == 31.0
+    assert _js_to_number("Infinity") == float("inf")
+    assert _js_to_number("abc") != _js_to_number("abc")  # NaN
+    assert _js_to_number(None) == 0.0  # null
+    assert _js_to_number(True) == 1.0
+    # strict equality: true !== 1
+    assert not _js_strict_eq(True, 1)
+    # '%' truncates toward zero like JS
+    t = compile_template("{a % b}")
+    assert t.resolve_value(lambda n: {"a": -7, "b": 2}[n]) == -1.0
+    # '/' by zero -> signed Infinity
+    t2 = compile_template("{a / b}")
+    assert t2.resolve_value(lambda n: {"a": 1, "b": 0}[n]) == float("inf")

@@ -531,7 +531,20 @@ def diff_case(
             key=repr,
         )
         if ref_set != ray_set:
-            devs.append({**ctx, "kind": "codes", "ref": ref_set, "ray": ray_set})
+            kind = "codes"
+            # v16-rc2 shadow-Map ref leak INSIDE an otherwise-failing row:
+            # ref-side extras are any.ref on paths where the ray side has a
+            # rule code instead (or nothing), and every such ref targets an
+            # array with raw() items (see the ok_mask branch above)
+            extra_ref = [e for e in ref_errs
+                         if (tuple(e["path"]), e["type"]) not in set(ray_set)]
+            extra_ray_paths = {p for p, c in ray_set if (p, c) not in set(ref_set)}
+            if (spec is not None and extra_ref
+                    and all(e["type"] == "any.ref" for e in extra_ref)
+                    and extra_ray_paths <= {tuple(e["path"]) for e in extra_ref}
+                    and _ref_targets_have_raw_items(extra_ref, spec)):
+                kind = "ref_shadow_map_ref"
+            devs.append({**ctx, "kind": kind, "ref": ref_set, "ray": ray_set})
         elif compare_messages:
             ref_msgs = sorted(
                 ((tuple(e["path"]), e["type"], e["message"]) for e in ref_errs),
