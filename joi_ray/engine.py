@@ -1400,6 +1400,19 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
     value = arr
     branch_values: list[tuple[np.ndarray, object]] = []  # (rows, converted)
     branch_outcomes: list[tuple[str, list]] = []
+    # raw() shadows persist from every ATTEMPTED branch, failed ones
+    # included — joi's finalize writes the shadow per branch try
+    # (validator.js:414-417), so a failed trim().raw() branch still feeds
+    # the trimmed value to later refs (fuzz seed 38925, node-verified)
+    shadow_pairs: list[tuple[np.ndarray, object]] = []
+
+    def _collect_shadow(sub, tried: np.ndarray):
+        if sub.shadow_value is not None:
+            sm = sub.shadow_mask if sub.shadow_mask is not None else np.ones(n, bool)
+            eff = tried & sm
+            if eff.any():
+                shadow_pairs.append((eff, sub.shadow_value))
+
     for m in node.matches:
         still = active & ~matched & ~decided
         if not still.any():
@@ -1408,6 +1421,7 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
             # one evaluation per branch: validity mask and coerced value both
             # come from the same NodeResult
             sub = eval_node(m["schema"], arr, env, path, scope=still)
+            _collect_shadow(sub, still)
             hit = still & ~sub.failed
             matched |= hit
             branch_outcomes.append((m["schema"].type, sub.errors))
@@ -1426,6 +1440,7 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
             if bn is None or not sel.any():
                 continue
             sub = eval_node(bn, arr, env, path, scope=sel)
+            _collect_shadow(sub, sel)
             decided |= sel
             ok_rows = sel & ~sub.failed
             matched |= ok_rows
@@ -1520,6 +1535,19 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
         # ref consumers (rule args, when-conditions) need the per-row
         # TYPED values the single column couldn't hold
         nr.alt_view = alt_view
+    if shadow_pairs:
+        sh_val, sh_mask = None, np.zeros(n, dtype=bool)
+        for eff, sv in shadow_pairs:  # branch try order: later overwrites
+            sv = combine(sv) if isinstance(sv, pa.ChunkedArray) else sv
+            if sh_val is None:
+                sh_val, sh_mask = sv, eff.copy()
+            else:
+                try:
+                    sh_val = pc.if_else(pa.array(eff), sv, sh_val)
+                    sh_mask = sh_mask | eff
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                    pass
+        nr.shadow_value, nr.shadow_mask = sh_val, sh_mask
     return nr
 
 

@@ -606,3 +606,24 @@ def test_date_cast_string_follows_date_format_pref():
     assert res.value["a"].to_pylist() == ["Sat, 02 Mar 2019 00:00:00 GMT"]
     res2 = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(tbl)
     assert res2.value["a"].to_pylist() == ["2019-03-02T00:00:00.000Z"]
+
+
+def test_failed_alternatives_branch_raw_shadow_persists():
+    # fuzz seed 38925 (node-verified): joi's finalize writes the raw()
+    # shadow per branch TRY (validator.js:414-417), so a FAILED
+    # trim().raw() branch still feeds the trimmed value to later refs —
+    # when('a', is='') matches '  ' through the failed branch's shadow;
+    # without raw() there is no shadow and the condition sees '  '
+    s = jr.object({
+        "a": jr.alternatives([jr.string().length(4).trim().raw(), jr.string()]),
+        "b": jr.number().when("a", is_="", then=jr.number().min(33)),
+    })
+    tbl = pa.table({"a": ["  "], "b": [10.0]})
+    df = _violations(s, tbl, prefs={"abort_early": False})
+    assert list(zip(df["path"], df["code"])) == [("b", "number.min")]
+    s2 = jr.object({
+        "a": jr.alternatives([jr.string().length(4).trim(), jr.string()]),
+        "b": jr.number().when("a", is_="", then=jr.number().min(33)),
+    })
+    df2 = _violations(s2, tbl, prefs={"abort_early": False})
+    assert len(df2) == 0
