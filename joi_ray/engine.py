@@ -716,9 +716,11 @@ def eval_node(
             # rule (node-verified) — normalize to the engine's {value}
             # channel, substituted per fired row at render time
             message = message.replace("{[.]}", "{value}")
-        if isinstance(message, str) and "{value}" in message and code == "any.ref":
-            # the ARG-assert any.ref report carries no value in joi
-            # (undefined renders '' — node-verified 'v= on a')
+        if (isinstance(message, str) and "{value}" in message
+                and code == "any.ref" and values is None):
+            # the ARG-assert any.ref report value is the RESOLVED arg
+            # (validator.js:289); when the producer didn't capture it the
+            # resolution was undefined — renders '' (node-verified)
             message = message.replace("{value}", "")
         if item_rows is not None:
             keep = scope[item_rows]
@@ -921,11 +923,13 @@ def eval_node(
             ref_err = out.context.pop("__ref_err__", None) if out.context else None
             if ref_err is not None:
                 # ref-resolved arg failed the rule's assert: any.ref fires
-                # INSTEAD of the rule error (lib/validator.js:281-293)
-                rsub, rctx = ref_err
+                # INSTEAD of the rule error (lib/validator.js:281-293);
+                # the report's value is the RESOLVED arg (for {[.]})
+                rsub, rctx, rvals = (*ref_err, None)[:3]
                 rmask = np.zeros(n, dtype=bool)
                 rmask[idx[rsub]] = True
-                add_err("any.ref", rmask, rctx, seq=cr.seq, warn=cr.warn, message=cr.message)
+                add_err("any.ref", rmask, rctx, seq=cr.seq, warn=cr.warn,
+                        message=cr.message, values=rvals)
                 not_ok = not_ok & ~rsub
             bad = np.zeros(n, dtype=bool)
             bad[idx[not_ok]] = True
@@ -940,9 +944,16 @@ def eval_node(
         bad = active & ~out.ok
         ref_err = out.context.pop("__ref_err__", None) if out.context else None
         if ref_err is not None:
-            rmask, rctx = ref_err
+            rmask, rctx, rvals = (*ref_err, None)[:3]
+            fired0 = rmask.copy()
             rmask = rmask & active
-            add_err("any.ref", rmask, rctx, seq=cr.seq, warn=cr.warn, message=cr.message)
+            if rvals is not None and not np.array_equal(fired0, rmask):
+                # values were aligned with the producer's fired set —
+                # refilter to the active subset
+                keepm = rmask[np.nonzero(fired0)[0]]
+                rvals = [v for v, k in zip(rvals, keepm) if k]
+            add_err("any.ref", rmask, rctx, seq=cr.seq, warn=cr.warn,
+                    message=cr.message, values=rvals)
             bad = bad & ~rmask
         if out.item_rows is not None:
             keep = active[out.item_rows]
@@ -2684,7 +2695,10 @@ class CompiledSchema:
                     return b
 
                 msg_l.extend(
-                    _base_for(int(it)).replace("{value}", k_messages.stringify(v, self.prefs))
+                    # a None value is JS undefined (e.g. an unbound ref
+                    # resolution): the {[.]} part DROPS, not 'null'
+                    _base_for(int(it)).replace(
+                        "{value}", "" if v is None else k_messages.stringify(v, self.prefs))
                     for it, v in zip(items, rec.values)
                 )
             elif "label" not in (rec.context or {}) and (items >= 0).any():

@@ -390,6 +390,30 @@ _ARG_REASONS = {
 }
 
 
+def _resolved_cells(val, orig, f, fired: np.ndarray) -> list:
+    """Per-fired-row RESOLVED arg values (pre-normalize, dual raw/converted)
+    for joi's any.ref report value — {[.]} in custom messages renders it."""
+    def cell(col, i):
+        if isinstance(col, AltView):
+            for m, a in col.pairs:
+                if m[i]:
+                    return combine(a)[i].as_py()
+            col = col.base
+        if isinstance(col, (pa.Array, pa.ChunkedArray)):
+            return combine(col)[i].as_py()
+        return col
+
+    out = []
+    for i in np.nonzero(fired)[0]:
+        i = int(i)
+        src = orig if (f is not None and orig is not None and f[i]) else val
+        try:
+            out.append(cell(src, i))
+        except Exception:
+            out.append(None)
+    return out
+
+
 def _ref_arg_check(lim, arg: str, n: int) -> tuple[pa.Array, np.ndarray]:
     """Validate a ref-resolved limit column against the rule's arg assert
     (lib/validator.js:281-293) -> (normalized_lim, bad_mask)."""
@@ -580,6 +604,10 @@ def cmp_mask(arr, op: str, limit, env: Env, arg: str = "number") -> tuple[np.nda
                     "ref": limit.display,
                     "reason": _ARG_REASONS[arg],
                 },
+                # joi's any.ref report VALUE is the RESOLVED (pre-normalize)
+                # arg (validator.js:289 $_createError('any.ref', resolved,
+                # ...)) — custom {[.]} messages render it per row
+                _resolved_cells(val, orig, f, refbad),
             )
         arr2, lim = _align_compare_types(arr, lim)
         fn = {"ge": pc.greater_equal, "le": pc.less_equal, "gt": pc.greater, "lt": pc.less, "eq": pc.equal}[op]
@@ -589,6 +617,7 @@ def cmp_mask(arr, op: str, limit, env: Env, arg: str = "number") -> tuple[np.nda
         lim = combine(lim)
         refbad = None
         if isinstance(limit, Ref):
+            lim0 = lim
             lim, refbad = _ref_arg_check(lim, arg, n)
             if refbad.any():
                 ctx["__ref_err__"] = (
@@ -598,6 +627,7 @@ def cmp_mask(arr, op: str, limit, env: Env, arg: str = "number") -> tuple[np.nda
                         "ref": limit.display,
                         "reason": _ARG_REASONS[arg],
                     },
+                    _resolved_cells(lim0, None, None, refbad),
                 )
         arr, lim = _align_compare_types(arr, lim)
     elif isinstance(limit, Ref):
@@ -610,6 +640,7 @@ def cmp_mask(arr, op: str, limit, env: Env, arg: str = "number") -> tuple[np.nda
                     "ref": limit.display,
                     "reason": _ARG_REASONS[arg],
                 },
+                [lim] * int(n),
             )
             lim = None
     fn = {"ge": pc.greater_equal, "le": pc.less_equal, "gt": pc.greater, "lt": pc.less, "eq": pc.equal}[op]

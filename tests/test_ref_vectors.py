@@ -233,3 +233,19 @@ def test_local_ref_in_rule_arg_and_root_label():
     assert res2.violations["message"].to_pylist() == [
         '"myroot" contains [a] without its required peers [b]'
     ]
+
+
+def test_any_ref_report_value_is_resolved_arg():
+    # fuzz seed 44248 (node-verified): joi's any.ref report VALUE is the
+    # RESOLVED (pre-normalize) arg (validator.js:289), so a custom {[.]}
+    # message renders 'abc' for a bound wrong-type context ref and ''
+    # (dropped undefined) for an unbound one
+    import joi_ray as jr
+    import pyarrow as pa
+
+    s = jr.object({"x": jr.number().max(jr.ref("$lim")).message("v={[.]} on {{#label}}")})
+    r = jr.compile_schema(s, prefs={"abort_early": False, "context": {"lim": "abc"}}).validate_table(
+        pa.table({"x": [7.0]}))
+    assert r.violations["message"].to_pylist() == ["v=abc on x"]
+    r2 = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(pa.table({"x": [7.0]}))
+    assert r2.violations["message"].to_pylist() == ["v= on x"]
