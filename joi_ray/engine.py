@@ -1436,6 +1436,11 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
             hit = still & ~sub.failed
             matched |= hit
             branch_outcomes.append((m["schema"].type, sub.errors))
+            # warn-rule reports push to the MAIN state immediately in joi
+            # (validator.js:303-306), so every ATTEMPTED branch leaks its
+            # warnings — matched, failed, and no-match rows alike
+            # (node-verified; fuzz seed 1400069 family)
+            errors.extend(r for r in sub.errors if r.warn)
             if hit.any():
                 branch_values.append((hit, sub.value))
             continue

@@ -627,3 +627,25 @@ def test_failed_alternatives_branch_raw_shadow_persists():
     })
     df2 = _violations(s2, tbl, prefs={"abort_early": False})
     assert len(df2) == 0
+
+
+def test_alternatives_branch_warnings_leak_from_every_attempt():
+    # node-verified (fuzz seed 1400069 family): warn-rule reports push to
+    # the MAIN state immediately (validator.js:303-306), so alternatives
+    # leak warnings from every ATTEMPTED branch — matched, failed, and
+    # no-match rows alike
+    alts = jr.alternatives([jr.string().pattern(r"\d"), jr.string().length(2).warn()])
+    df = _violations(jr.object({"a": alts}), pa.table({"a": ["Hello World"]}),
+                     prefs={"abort_early": False})
+    assert list(zip(df["code"], df["severity"])) == [("string.length", "warn")]
+    # failed branch (hard rule follows the warn rule), second branch matches
+    alts2 = jr.alternatives([jr.string().length(2).warn().min(9).pattern("zzz"), jr.string()])
+    df2 = _violations(jr.object({"a": alts2}), pa.table({"a": ["Hello"]}),
+                      prefs={"abort_early": False})
+    assert list(zip(df2["code"], df2["severity"])) == [("string.length", "warn")]
+    # no branch matches: warning rides next to the alternatives error
+    alts3 = jr.alternatives([jr.string().length(2).warn().min(9), jr.number()])
+    df3 = _violations(jr.object({"a": alts3}), pa.table({"a": ["Hello"]}),
+                      prefs={"abort_early": False})
+    assert sorted(zip(df3["code"], df3["severity"])) == [
+        ("alternatives.match", "error"), ("string.length", "warn")]

@@ -137,6 +137,10 @@ class Gen:
             # message() applies to the LAST rule (or raises on flag-closed /
             # empty rulesets — both engines assert identically)
             c.append(["message", self.pick(MSG_TEMPLATES)])
+        elif c and self.maybe(0.06):
+            # warn() = rule({warn:true}): route the last rule's failures to
+            # the warnings channel (validator.js:303-306)
+            c.append(["warn"])
         self.any_mods(spec, family)
         return spec
 
@@ -507,6 +511,13 @@ PREFS_POOL = [
     {"context": {"lim": 4}},
     {"context": {"lim": "abc"}, "abortEarly": True},
     {"context": {"lim": 4}, "convert": False},
+    # prefs-level message maps: root-level code entries and
+    # errors.language-keyed sub-maps (lib/errors.js messages preference)
+    {"messages": {"number.min": "custom-min {{#limit}} {{#label}}",
+                  "string.max": "too long: {[.]}"}},
+    {"messages": {"english": {"number.max": "EN max {{#limit}}"},
+                  "number.max": "root max {{#limit}}"},
+     "errors": {"language": "english"}},
 ]
 
 
