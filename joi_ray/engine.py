@@ -89,6 +89,10 @@ class NodeResult:
     #: in finalize, i.e. even for rows that ERRORED
     shadow_value: Optional[pa.Array] = None
     shadow_mask: Optional[np.ndarray] = None  # rows holding a shadow entry
+    #: CROSS-TYPE shadow entries (alternatives branches shadowing different
+    #: runtime types): disjoint (row-mask, column) pairs consumed by the
+    #: sibling-ref post-processing as AltView branches
+    shadow_pairs: Optional[list] = None
 
 
 _RULE_FACTORIES = {
@@ -1193,15 +1197,26 @@ def _merge_into(merged: NodeResult, sub: NodeResult, sel: np.ndarray):
         eff = sel & sm
         if eff.any():
             sv = combine(sub.shadow_value) if isinstance(sub.shadow_value, pa.ChunkedArray) else sub.shadow_value
-            if merged.shadow_value is None:
+            if merged.shadow_value is None and not getattr(merged, "shadow_pairs", None):
                 merged.shadow_value = sv
                 merged.shadow_mask = eff.copy()
-            else:
+            elif merged.shadow_value is not None and sv.type == merged.shadow_value.type:
                 try:
                     merged.shadow_value = pc.if_else(pa.array(eff), sv, merged.shadow_value)
                     merged.shadow_mask = merged.shadow_mask | eff
                 except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
                     pass
+            else:
+                # CROSS-TYPE branch shadows (a cast('string') otherwise
+                # branch next to a numeric then branch): keep per-row typed
+                # pairs instead of dropping the entry (fuzz seed 63506)
+                if merged.shadow_pairs is None:
+                    merged.shadow_pairs = []
+                    if merged.shadow_value is not None:
+                        merged.shadow_pairs.append(
+                            (merged.shadow_mask.copy(), merged.shadow_value))
+                        merged.shadow_value = merged.shadow_mask = None
+                merged.shadow_pairs.append((eff.copy(), sv))
     merged.strip = merged.strip or sub.strip
 
 
@@ -1251,6 +1266,31 @@ def _failed_overlay(res: NodeResult, orig, n: int, mode: str):
             pass
         if f is not None:
             f = f & ~shm
+    sps = getattr(res, "shadow_pairs", None)
+    if sh is None and sps:
+        # cross-type branch shadows (alternatives): the shadow WINS over
+        # the branch value per row (ref.js _resolve checks shadow first),
+        # so shadow pairs append AFTER any branch-value AltView pairs —
+        # _ref_arg_check applies pairs in order, last match winning.
+        # Same-type entries fold into the column only when no earlier
+        # pairs could override them.
+        pairs0 = [(m, a) for m, a in alt.pairs] if isinstance(alt, AltView) else []
+        extra = []
+        for m, a in sps:
+            if not pairs0 and a.type == val.type:
+                try:
+                    val = pc.if_else(pa.array(m), a, val)
+                    continue
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                    pass
+            extra.append((m, a))
+        if extra:
+            alt = AltView(val, pairs0 + extra)
+        if f is not None:
+            shm_all = np.zeros(n, dtype=bool)
+            for m, _ in sps:
+                shm_all |= m
+            f = f & ~shm_all
     if f is None or not f.any() or orig is None:
         if mode == "dual":
             return (alt if alt is not None else val, None, None)
@@ -1423,6 +1463,13 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
             eff = tried & sm
             if eff.any():
                 shadow_pairs.append((eff, sub.shadow_value))
+            # rows whose COERCION failed inside a raw() branch: joi's
+            # shadow holds the value finalize saw — the ORIGINAL ('true'
+            # stays a string when number coercion missed; fuzz seed 59592)
+            if sub.raw_value is not None:
+                rest = tried & ~sm
+                if rest.any():
+                    shadow_pairs.append((rest, sub.raw_value))
 
     for m in node.matches:
         still = active & ~matched & ~decided
@@ -1552,18 +1599,32 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
         # TYPED values the single column couldn't hold
         nr.alt_view = alt_view
     if shadow_pairs:
-        sh_val, sh_mask = None, np.zeros(n, dtype=bool)
-        for eff, sv in shadow_pairs:  # branch try order: later overwrites
-            sv = combine(sv) if isinstance(sv, pa.ChunkedArray) else sv
-            if sh_val is None:
-                sh_val, sh_mask = sv, eff.copy()
-            else:
-                try:
-                    sh_val = pc.if_else(pa.array(eff), sv, sh_val)
-                    sh_mask = sh_mask | eff
-                except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
-                    pass
-        nr.shadow_value, nr.shadow_mask = sh_val, sh_mask
+        # normalize to DISJOINT masks, later branch tries taking precedence
+        seen = np.zeros(n, dtype=bool)
+        norm: list = []
+        for eff, sv in reversed(shadow_pairs):
+            m = eff & ~seen
+            if m.any():
+                norm.append((m, combine(sv) if isinstance(sv, pa.ChunkedArray) else sv))
+                seen |= m
+        norm.reverse()
+        types = {v.type for _, v in norm}
+        if len(types) == 1:
+            sh_val, sh_mask = None, np.zeros(n, dtype=bool)
+            for eff, sv in norm:
+                if sh_val is None:
+                    sh_val, sh_mask = sv, eff.copy()
+                else:
+                    try:
+                        sh_val = pc.if_else(pa.array(eff), sv, sh_val)
+                        sh_mask = sh_mask | eff
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                        pass
+            nr.shadow_value, nr.shadow_mask = sh_val, sh_mask
+        else:
+            # cross-type branch shadows (a number branch next to a failed
+            # string attempt): per-row typed pairs for the ref consumers
+            nr.shadow_pairs = norm
     return nr
 
 
@@ -1907,7 +1968,17 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
             for ic in exclusions:
                 if not remaining.any():
                     break
-                bad = remaining & node_validity(exclusion_node(ic), flat, child_env, remaining)
+                xsub = eval_node(exclusion_node(ic), flat, child_env, path, scope=remaining)
+                bad = remaining & ~(xsub.failed if xsub.failed is not None
+                                    else np.zeros(len(flat), bool))
+                # the exclusion PROBE is a real validate call in joi, so
+                # its warn-rule reports leak to the main state
+                # (validator.js:303-306; fuzz seed 63909: a warn'd
+                # alphanum inside a forbidden item schema warns AND the
+                # item errors array.excludes)
+                wsub = NodeResult(value=None, errors=[r for r in xsub.errors if r.warn])
+                if wsub.errors:
+                    lift_item_errors(wsub, path)
                 if bad.any():
                     add_err(
                         "array.excludes",
@@ -2657,6 +2728,7 @@ class CompiledSchema:
             ids = idc
         rows_l, item_l, path_l, code_l, msg_l, ctx_l, sev_l, seq_l = [], [], [], [], [], [], [], []
         rec_l: list = []  # emission order (joi's traversal order)
+        sub_l: list = []  # true emission index (group-internal tiebreak)
         soft_l: list = []  # non-aborting errors (see ErrRec.soft)
         group_first: dict[int, int] = {}  # ordering-group -> first emission index
         for rec_idx, rec in enumerate(errors):
@@ -2732,6 +2804,11 @@ class CompiledSchema:
             g = getattr(rec, "order", None)
             eff = rec_idx if g is None else group_first.setdefault(id(g), rec_idx)
             rec_l.extend([eff] * k)
+            # true emission index: within one ordering group and item, joi
+            # walks the item object's KEYS in topo order — the lift
+            # preserves it as rec emission order (x's warn precedes y's
+            # aborting error; fuzz seed 59130)
+            sub_l.extend([rec_idx] * k)
             soft_l.extend([bool(getattr(rec, "soft", False))] * k)
         if not rows_l:
             empty = {name: pa.array([], type=t) for name, t in zip(VIOLATION_SCHEMA.names, VIOLATION_SCHEMA.types)}
@@ -2753,6 +2830,7 @@ class CompiledSchema:
                 "severity": pa.array(sev_l, type=pa.string()),
                 "_seq": pa.array(seq_l, type=pa.int32()),
                 "_rec": pa.array(rec_l, type=pa.int32()),
+                "_sub": pa.array(sub_l, type=pa.int32()),
                 "_soft": pa.array(soft_l, type=pa.bool_()),
             }
         )
@@ -2764,7 +2842,7 @@ class CompiledSchema:
             t = _abort_early_filter(t)
         # deterministic order (FIXTURES.md determinism rules): (row, path, seq, item)
         t = t.sort_by([("row", "ascending"), ("path", "ascending"), ("_seq", "ascending"), ("item_index", "ascending")])
-        return t.drop_columns(["_seq", "_rec", "_soft"])
+        return t.drop_columns(["_seq", "_rec", "_sub", "_soft"])
 
 
 def _abort_early_filter(t: pa.Table) -> pa.Table:
@@ -2784,6 +2862,7 @@ def _abort_early_filter(t: pa.Table) -> pa.Table:
     sev = np.asarray(t["severity"].to_pylist())
     rows = t["row"].to_numpy()
     recs = t["_rec"].to_numpy().astype(np.int64)
+    subs = t["_sub"].to_numpy().astype(np.int64)
     items = t["item_index"].to_numpy().astype(np.int64)
     soft = t["_soft"].to_numpy(zero_copy_only=False).astype(bool)
     is_err = sev == "error"
@@ -2793,7 +2872,7 @@ def _abort_early_filter(t: pa.Table) -> pa.Table:
         hard_idx = np.nonzero(is_err)[0]
         if len(hard_idx) == 0:
             return t
-        order = np.lexsort((items[hard_idx], recs[hard_idx], rows[hard_idx]))
+        order = np.lexsort((subs[hard_idx], items[hard_idx], recs[hard_idx], rows[hard_idx]))
         sorted_rows = rows[hard_idx][order]
         first = np.ones(len(order), dtype=bool)
         first[1:] = sorted_rows[1:] != sorted_rows[:-1]
@@ -2804,15 +2883,21 @@ def _abort_early_filter(t: pa.Table) -> pa.Table:
         if len(warn_idx):
             first_rec = np.full(int(rows.max()) + 1, np.iinfo(np.int64).max, dtype=np.int64)
             first_item = np.full(int(rows.max()) + 1, np.iinfo(np.int64).max, dtype=np.int64)
+            first_sub = np.full(int(rows.max()) + 1, np.iinfo(np.int64).max, dtype=np.int64)
             first_rec[rows[keep_err]] = recs[keep_err]
             first_item[rows[keep_err]] = items[keep_err]
+            first_sub[rows[keep_err]] = subs[keep_err]
             w_rows = rows[warn_idx]
             before = (recs[warn_idx] < first_rec[w_rows]) | (
-                (recs[warn_idx] == first_rec[w_rows]) & (items[warn_idx] < first_item[w_rows])
+                (recs[warn_idx] == first_rec[w_rows]) & (
+                    (items[warn_idx] < first_item[w_rows])
+                    | ((items[warn_idx] == first_item[w_rows])
+                       & (subs[warn_idx] < first_sub[w_rows]))
+                )
             )
             keep[warn_idx[before]] = True
         return t.filter(pa.array(keep))
-    order = np.lexsort((items, recs, rows))
+    order = np.lexsort((subs, items, recs, rows))
     keep = np.zeros(t.num_rows, dtype=bool)
     cur_row = None
     soft_group = None  # rec index of the group holding a pending abort

@@ -649,3 +649,53 @@ def test_alternatives_branch_warnings_leak_from_every_attempt():
                       prefs={"abort_early": False})
     assert sorted(zip(df3["code"], df3["severity"])) == [
         ("alternatives.match", "error"), ("string.length", "warn")]
+
+
+def test_cross_type_branch_shadows_and_within_item_warn_order():
+    # fuzz seeds 59592/63506/59130/63909, all node-verified.
+    # 1) A FAILED number().raw() alternatives branch shadows the value
+    #    finalize saw (the uncoerced original 'true'); the shadow WINS over
+    #    the matching boolean branch's value for later refs, so the date
+    #    ref-arg parses 'true' -> Invalid -> any.ref.
+    s = jr.object({
+        "a": jr.alternatives([jr.number().max(37).valid(3.0, 0.0, 1.0).default(10.0).raw(),
+                              jr.boolean()]),
+        "c": jr.date().max(jr.ref("a")),
+    })
+    t = pa.table({"a": ["true", "3", "-3"],
+                  "c": ["2019-02-03T10:30:00Z"] * 3})
+    df = _violations(s, t, prefs={"abort_early": False})
+    got1 = sorted(zip(df["row"], df["path"], df["code"]))
+    # node: row0 any.ref (shadow 'true'); row1 a=3 matches branch1 -> max
+    # date 3ms -> date.max; row2 a=-3 fails valid-set -> alternatives.match
+    # AND the shadow -3 still feeds c's limit -> date.max
+    assert got1 == [(0, "c", "any.ref"), (1, "c", "date.max"),
+                    (2, "a", "alternatives.match"), (2, "c", "date.max")]
+    # 2) whens-branch cast('string') shadow on a raw() node: the cast
+    #    STRING fails string.min's positive-integer arg assert -> any.ref
+    s2 = jr.object({
+        "b": jr.number().raw().when("a2", is_="ABC", then=jr.number().less(48),
+                                    otherwise=jr.number().cast("string")),
+        "a2": jr.string(),
+        "d": jr.string().min(jr.ref("b")),
+    })
+    t2 = pa.table({"b": [1e10], "a2": ["x"], "d": ["-7"]})
+    df2 = _violations(s2, t2, prefs={"abort_early": False, "convert": False})
+    assert list(zip(df2["path"], df2["code"])) == [("d", "any.ref")]
+    # 3) abortEarly keeps a warn emitted by an EARLIER item key (x before
+    #    y in the item object's topo) of the same aborting item
+    item = jr.object({"x": jr.number().min(jr.ref("$lim")).warn(),
+                      "y": jr.string().pattern(r"\d").insensitive().valid("ABC", "")})
+    s3 = jr.object({"c": jr.array().items(item)})
+    t3 = pa.table({"c": pa.array([[{"x": 3.0, "y": "abc"}, {"x": 1.0, "y": "x1"}]],
+                                 pa.list_(pa.struct([("x", pa.float64()), ("y", pa.string())])))})
+    df3 = _violations(s3, t3, prefs={"abort_early": True})
+    got = sorted(zip(df3["path"], df3["item_index"], df3["code"], df3["severity"]))
+    assert got == [("c.x", 0, "any.ref", "warn"), ("c.x", 1, "any.ref", "warn"),
+                   ("c.y", 1, "any.only", "error")]
+    # 4) exclusion probes are real validate calls: their warn reports leak
+    s4 = jr.object({"c": jr.array().items(jr.string().min(4).alphanum().warn().forbidden())})
+    t4 = pa.table({"c": pa.array([["Hello World"]], pa.list_(pa.string()))})
+    df4 = _violations(s4, t4, prefs={"abort_early": True})
+    got4 = sorted(zip(df4["path"], df4["code"], df4["severity"]))
+    assert got4 == [("c", "array.excludes", "error"), ("c", "string.alphanum", "warn")]
