@@ -1807,6 +1807,37 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                     message=rec.message, item_rows=rows, item_index=idx, path_override=rec.path,
                     values=getattr(rec, "values", None), group=items_grp, path_ipos=ipos)
 
+    def lift_probe_warns(sub: NodeResult):
+        """A probe (exclusion / inclusion-match / has) is a real validate
+        call in joi, so its warn-rule reports leak to the main state as
+        they fire (validator.js:303-306) — but under abortEarly the probe
+        aborts at its first HARD error per item, so only warns emitted
+        BEFORE it leak (fuzz seeds 63909, 66988)."""
+        if not any(r.warn for r in sub.errors):
+            return
+        m = len(flat)
+        abort = env.prefs.get("abort_early", True)
+        aborted = np.zeros(m, bool)
+        kept: list = []
+        for rec in sub.errors:  # emission order == joi's walk
+            rows0 = rec.rows if getattr(rec, "rows", None) is not None else np.nonzero(rec.mask)[0]
+            if rec.warn:
+                keepv = ~aborted[rows0] if abort else np.ones(len(rows0), bool)
+                if not keepv.any():
+                    continue
+                nr2 = ErrRec(rec.code, np.zeros(m, bool), rec.path, rec.context,
+                             rec.seq, rec.warn, rec.message)
+                nr2.rows = rows0[keepv]
+                nr2.item_index = (rec.item_index[keepv]
+                                  if getattr(rec, "item_index", None) is not None else None)
+                if getattr(rec, "values", None) is not None:
+                    nr2.values = [v for v, k in zip(rec.values, keepv) if k]
+                kept.append(nr2)
+            elif abort:
+                aborted[rows0] = True
+        if kept:
+            lift_item_errors(NodeResult(value=None, errors=kept), path)
+
     def exclusion_node(ic):
         # forbidden item schemas are EXCLUSIONS (array.js:145-153): a value
         # matching the schema sans its forbidden flag errors array.excludes.
@@ -1971,14 +2002,7 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                 xsub = eval_node(exclusion_node(ic), flat, child_env, path, scope=remaining)
                 bad = remaining & ~(xsub.failed if xsub.failed is not None
                                     else np.zeros(len(flat), bool))
-                # the exclusion PROBE is a real validate call in joi, so
-                # its warn-rule reports leak to the main state
-                # (validator.js:303-306; fuzz seed 63909: a warn'd
-                # alphanum inside a forbidden item schema warns AND the
-                # item errors array.excludes)
-                wsub = NodeResult(value=None, errors=[r for r in xsub.errors if r.warn])
-                if wsub.errors:
-                    lift_item_errors(wsub, path)
+                lift_probe_warns(xsub)
                 if bad.any():
                     add_err(
                         "array.excludes",
@@ -2021,7 +2045,10 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                 for ic in inclusions:
                     if not remaining.any():
                         break
-                    ok = node_validity(ic, flat, child_env, remaining)
+                    isub = eval_node(ic, flat, child_env, path, scope=remaining)
+                    lift_probe_warns(isub)
+                    ok = ~(isub.failed if isub.failed is not None
+                           else np.zeros(len(flat), bool))
                     hit = remaining & ok
                     if ic.flags.get("strip"):
                         # items matching a strip-marked schema are removed
@@ -2412,11 +2439,43 @@ def _eval_structural_rule(node, cr, arr, env, path, scope, missing, resolved, fa
     if node.type == "array" and name == "has":
         schema = args["schema"]
         cnode = CNode(schema if isinstance(schema, Schema) else build(schema), env.prefs)
-        flat, parents, _ = k_lists.flatten_with_parents(arr)
+        flat, parents, positions = k_lists.flatten_with_parents(arr)
         ok_rows = np.zeros(n, dtype=bool)
         if len(parents):
-            ok = node_validity(cnode, flat, Env(env.prefs), np.ones(len(flat), dtype=bool))
-            ok_rows[np.unique(parents[ok])] = True
+            sub = eval_node(cnode, flat, Env(env.prefs), path, scope=np.ones(len(flat), dtype=bool))
+            okm = ~(sub.failed if sub.failed is not None else np.zeros(len(flat), bool))
+            ok_rows[np.unique(parents[okm])] = True
+            # joi probes items IN ORDER until the first match (array.js:
+            # 99-107 returns on $_match), and each probe is a real validate
+            # call whose warn reports leak (validator.js:303-306) — under
+            # abortEarly only warns emitted before the probe's first hard
+            # error per item (node-verified)
+            first = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+            if okm.any():
+                np.minimum.at(first, parents[okm], positions[okm])
+            probed = positions <= first[parents]
+            abort = env.prefs.get("abort_early", True)
+            aborted = np.zeros(len(flat), dtype=bool)
+            for rec in sub.errors:
+                rows0 = (rec.rows if getattr(rec, "rows", None) is not None
+                         else np.nonzero(rec.mask)[0])
+                if rec.warn:
+                    keepv = probed[rows0]
+                    if abort:
+                        keepv = keepv & ~aborted[rows0]
+                    if not keepv.any():
+                        continue
+                    kr = rows0[keepv]
+                    vals = None
+                    if getattr(rec, "values", None) is not None:
+                        vals = [v for v, k in zip(rec.values, keepv) if k]
+                    add_err(rec.code, np.zeros(n, bool), rec.context, seq=rec.seq,
+                            warn=True, message=rec.message, item_rows=parents[kr],
+                            item_index=positions[kr].astype(np.int32),
+                            path_override=rec.path, values=vals,
+                            path_ipos=len(path) if len(rec.path) > len(path) else None)
+                elif abort:
+                    aborted[rows0] = True
         add_err("array.hasUnknown", active & ~ok_rows, {}, seq=cr.seq, warn=cr.warn, message=cr.message)
         return
     if node.type == "object":

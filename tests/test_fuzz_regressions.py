@@ -699,3 +699,28 @@ def test_cross_type_branch_shadows_and_within_item_warn_order():
     df4 = _violations(s4, t4, prefs={"abort_early": True})
     got4 = sorted(zip(df4["path"], df4["code"], df4["severity"]))
     assert got4 == [("c", "array.excludes", "error"), ("c", "string.alphanum", "warn")]
+
+
+def test_probe_warn_leaks_inclusions_and_has():
+    # node-verified: inclusion-match attempts and has() probes are real
+    # validate calls — warn reports leak (with within-probe abortEarly
+    # semantics), and has() short-circuits at the first matching item
+    s = jr.object({"c": jr.array().items(jr.string().min(4).alphanum().warn().max(3),
+                                         jr.string())})
+    t = pa.table({"c": pa.array([["Hello World"]], pa.list_(pa.string()))})
+    df = _violations(s, t, prefs={"abort_early": False})
+    assert list(zip(df["code"], df["severity"])) == [("string.alphanum", "warn")]
+
+    s2 = jr.object({"c": jr.array().items(jr.any_()).has(jr.string().alphanum().warn().min(4))})
+
+    def run(vals, ae):
+        return sorted(zip(
+            *(lambda d: (d["item_index"], d["code"], d["severity"]))(
+                _violations(s2, pa.table({"c": pa.array([vals], pa.list_(pa.string()))}),
+                            prefs={"abort_early": ae}))))
+
+    assert run(["HelloWorld", "fooBar1"], False) == []  # warn rule never fired
+    assert run(["a b", "cd ef"], False) == [
+        (0, "string.alphanum", "warn"), (1, "string.alphanum", "warn")]
+    # short-circuit: item 0 matches (warn-only failure), item 1 never probed
+    assert run(["a bcd", "ef ghi"], False) == [(0, "string.alphanum", "warn")]
