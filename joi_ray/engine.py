@@ -2512,7 +2512,30 @@ def _eval_structural_rule(node, cr, arr, env, path, scope, missing, resolved, fa
                 subject = env.resolve_ref(r, n)
             if not isinstance(subject, (pa.Array, pa.ChunkedArray)):
                 subject = pa.array([subject] * n)
-            ok = node_validity(cnode, combine(subject), env, active)
+            asub = eval_node(cnode, combine(subject), env, "", scope=active)
+            ok = ~(asub.failed if asub.failed is not None else np.zeros(n, bool))
+            # the assert sub-validate is a real validate call: its warn
+            # reports leak to the main state with joi's root-ish path
+            # ('"value" must be...', path []) — within-probe abortEarly
+            # applies (node-verified)
+            abort = env.prefs.get("abort_early", True)
+            aborted = np.zeros(n, dtype=bool)
+            for rec in asub.errors:
+                rows0 = (rec.rows if getattr(rec, "rows", None) is not None
+                         else np.nonzero(rec.mask)[0])
+                if rec.warn:
+                    keepv = ~aborted[rows0] if abort else np.ones(len(rows0), bool)
+                    if not keepv.any():
+                        continue
+                    wmask = np.zeros(n, dtype=bool)
+                    wmask[rows0[keepv]] = True
+                    vals = None
+                    if getattr(rec, "values", None) is not None:
+                        vals = [v for v, k in zip(rec.values, keepv) if k]
+                    add_err(rec.code, wmask, rec.context, seq=rec.seq, warn=True,
+                            message=rec.message, path_override=rec.path, values=vals)
+                elif abort:
+                    aborted[rows0] = True
             add_err("object.assert", active & ~ok,
                     {"ref": r.path, "message": args.get("message") or "pass the assertion test"},
                     seq=cr.seq, warn=cr.warn, message=cr.message)
@@ -2740,8 +2763,30 @@ class CompiledSchema:
                 args = cr.fn[1]
                 cnode = CNode(args["schema"] if isinstance(args["schema"], Schema) else build(args["schema"]), self.prefs)
                 subject = combine(env.resolve_ref(args["ref"], n))
-                ok = node_validity(cnode, subject, env, scope)
+                asub = eval_node(cnode, subject, env, "", scope=scope)
+                ok = ~(asub.failed if asub.failed is not None else np.zeros(n, bool))
                 bad = scope & ~ok
+                # assert sub-validate warn reports leak (root-ish path,
+                # within-probe abortEarly — see _eval_structural_rule)
+                abort = self.prefs.get("abort_early", True)
+                aborted = np.zeros(n, dtype=bool)
+                for arec in asub.errors:
+                    rows0 = (arec.rows if getattr(arec, "rows", None) is not None
+                             else np.nonzero(arec.mask)[0])
+                    if arec.warn:
+                        keepv = ~aborted[rows0] if abort else np.ones(len(rows0), bool)
+                        if keepv.any():
+                            nr2 = ErrRec(arec.code, np.zeros(n, bool), arec.path,
+                                         arec.context, arec.seq, True, arec.message)
+                            wmask = np.zeros(n, dtype=bool)
+                            wmask[rows0[keepv]] = True
+                            nr2.mask = wmask
+                            nr2.rows = None
+                            if getattr(arec, "values", None) is not None:
+                                nr2.values = [v for v, k in zip(arec.values, keepv) if k]
+                            errors.append(nr2)
+                    elif abort:
+                        aborted[rows0] = True
                 if bad.any():
                     # error attaches to the object itself (object.js:227 uses
                     # the object's state -> root label "value"); {ref} carries

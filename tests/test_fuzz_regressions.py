@@ -724,3 +724,19 @@ def test_probe_warn_leaks_inclusions_and_has():
         (0, "string.alphanum", "warn"), (1, "string.alphanum", "warn")]
     # short-circuit: item 0 matches (warn-only failure), item 1 never probed
     assert run(["a bcd", "ef ghi"], False) == [(0, "string.alphanum", "warn")]
+
+
+def test_assert_subvalidate_warn_leak():
+    # node-verified: object.assert's sub-validate is a real validate call —
+    # its warn reports leak with joi's root-ish path ('"value" must be...',
+    # path []), at root level and nested alike
+    s = jr.object({"i": jr.object({"a": jr.number()}), "z": jr.number()}).assert_(
+        jr.ref("i.a"), jr.number().min(100).warn().max(0))
+    t = pa.table({"i": pa.array([{"a": 5.0}], pa.struct([("a", pa.float64())])), "z": [1.0]})
+    df = _violations(s, t, prefs={"abort_early": False})
+    got = sorted(zip(df["code"], df["severity"], df["message"]))
+    assert got == [
+        ("number.min", "warn", '"value" must be larger than or equal to 100'),
+        ("object.assert", "error",
+         '"value" is invalid because "i.a" failed to pass the assertion test'),
+    ]
