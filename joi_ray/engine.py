@@ -1807,16 +1807,18 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                     message=rec.message, item_rows=rows, item_index=idx, path_override=rec.path,
                     values=getattr(rec, "values", None), group=items_grp, path_ipos=ipos)
 
-    def lift_probe_warns(sub: NodeResult):
+    def lift_probe_warns(sub: NodeResult, forced_abort: bool = False):
         """A probe (exclusion / inclusion-match / has) is a real validate
         call in joi, so its warn-rule reports leak to the main state as
-        they fire (validator.js:303-306) — but under abortEarly the probe
-        aborts at its first HARD error per item, so only warns emitted
-        BEFORE it leak (fuzz seeds 63909, 66988)."""
+        they fire (validator.js:303-306).  $_match probes (exclusions,
+        has, assert) FORCE abortEarly=true internally (base.js:719-726),
+        so only warns emitted before the probe's first hard error per item
+        leak; $_validate attempts (inclusions, ordered) follow the outer
+        prefs (fuzz seeds 63909, 66988, 1800014)."""
         if not any(r.warn for r in sub.errors):
             return
         m = len(flat)
-        abort = env.prefs.get("abort_early", True)
+        abort = forced_abort or env.prefs.get("abort_early", True)
         aborted = np.zeros(m, bool)
         kept: list = []
         for rec in sub.errors:  # emission order == joi's walk
@@ -2002,7 +2004,7 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                 xsub = eval_node(exclusion_node(ic), flat, child_env, path, scope=remaining)
                 bad = remaining & ~(xsub.failed if xsub.failed is not None
                                     else np.zeros(len(flat), bool))
-                lift_probe_warns(xsub)
+                lift_probe_warns(xsub, forced_abort=True)  # $_match probe
                 if bad.any():
                     add_err(
                         "array.excludes",
@@ -2454,7 +2456,7 @@ def _eval_structural_rule(node, cr, arr, env, path, scope, missing, resolved, fa
             if okm.any():
                 np.minimum.at(first, parents[okm], positions[okm])
             probed = positions <= first[parents]
-            abort = env.prefs.get("abort_early", True)
+            abort = True  # $_match probe forces abortEarly (base.js:721)
             aborted = np.zeros(len(flat), dtype=bool)
             for rec in sub.errors:
                 rows0 = (rec.rows if getattr(rec, "rows", None) is not None
@@ -2476,7 +2478,14 @@ def _eval_structural_rule(node, cr, arr, env, path, scope, missing, resolved, fa
                             path_ipos=len(path) if len(rec.path) > len(path) else None)
                 elif abort:
                     aborted[rows0] = True
-        add_err("array.hasUnknown", active & ~ok_rows, {}, seq=cr.seq, warn=cr.warn, message=cr.message)
+        # a LABELED has-schema errors array.hasKnown with the patternLabel
+        # (array.js:109-114)
+        plabel = cnode.flags.get("label")
+        if plabel:
+            add_err("array.hasKnown", active & ~ok_rows, {"patternLabel": plabel},
+                    seq=cr.seq, warn=cr.warn, message=cr.message)
+        else:
+            add_err("array.hasUnknown", active & ~ok_rows, {}, seq=cr.seq, warn=cr.warn, message=cr.message)
         return
     if node.type == "object":
         if name in ("min", "max", "length"):
@@ -2514,11 +2523,12 @@ def _eval_structural_rule(node, cr, arr, env, path, scope, missing, resolved, fa
                 subject = pa.array([subject] * n)
             asub = eval_node(cnode, combine(subject), env, "", scope=active)
             ok = ~(asub.failed if asub.failed is not None else np.zeros(n, bool))
-            # the assert sub-validate is a real validate call: its warn
+            # the assert sub-$_match is a real validate call: its warn
             # reports leak to the main state with joi's root-ish path
-            # ('"value" must be...', path []) — within-probe abortEarly
-            # applies (node-verified)
-            abort = env.prefs.get("abort_early", True)
+            # ('"value" must be...', path []) — $_match FORCES abortEarly
+            # internally (base.js:721; node-verified: hard-first suppresses
+            # the warn even under outer abortEarly:false)
+            abort = True
             aborted = np.zeros(n, dtype=bool)
             for rec in asub.errors:
                 rows0 = (rec.rows if getattr(rec, "rows", None) is not None
@@ -2766,9 +2776,9 @@ class CompiledSchema:
                 asub = eval_node(cnode, subject, env, "", scope=scope)
                 ok = ~(asub.failed if asub.failed is not None else np.zeros(n, bool))
                 bad = scope & ~ok
-                # assert sub-validate warn reports leak (root-ish path,
-                # within-probe abortEarly — see _eval_structural_rule)
-                abort = self.prefs.get("abort_early", True)
+                # assert sub-$_match warn reports leak (root-ish path,
+                # FORCED abortEarly — see _eval_structural_rule)
+                abort = True
                 aborted = np.zeros(n, dtype=bool)
                 for arec in asub.errors:
                     rows0 = (arec.rows if getattr(arec, "rows", None) is not None

@@ -98,6 +98,7 @@ MESSAGES: dict[str, str] = {
     "array.includesRequiredKnowns": '"{label}" does not contain {knownMisses}',
     "array.includesRequiredBoth": '"{label}" does not contain {knownMisses} and {unknownMisses} other required value(s)',
     "array.hasUnknown": '"{label}" does not contain at least one required match',
+    "array.hasKnown": '"{label}" does not contain at least one required match for type "{patternLabel}"',
     "array.sort": '"{label}" must be sorted in {order} order by {by}',
     "array.orderedLength": '"{label}" must contain at most {limit} items',
     # object

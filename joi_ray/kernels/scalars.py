@@ -130,6 +130,23 @@ def coerce_date(arr: pa.Array, env: Env, flags: dict):
     return arr, ~was_null
 
 
+_JS_MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+              "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+import re as _re_mod
+
+#: JS Date output forms: 'Thu Jan 01 1970[ 00:00:00 GMT+0000[ (zone)]]',
+#: 'Thu, 01 Jan 1970 00:00:00 GMT', '[weekday ]Mon DD YYYY' / 'DD Mon YYYY'
+_JS_DATE_OUT_RX = _re_mod.compile(
+    r"(?:(?:Sun|Mon|Tue|Wed|Thu|Fri|Sat),?\s+)?"
+    r"(?:(?P<mon>Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\s+(?P<day>\d{1,2})"
+    r"|(?P<day2>\d{1,2})\s+(?P<mon2>Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec))"
+    r"\s+(?P<year>-?\d{1,6})"  # negative years match and REJECT (V8 Invalid)
+    r"(?:\s+(?P<hh>\d{2}):(?P<mm>\d{2}):(?P<ss>\d{2})"
+    r"(?:\s+(?:GMT|UTC)(?P<off>[+-]\d{4})?)?)?"
+    r"(?:\s+\([^)]*\))?"
+)
+
+
 def js_parse_date_strings(s, numeric: str = "epoch"):
     """JS date model over a pandas string Series -> datetime64[ms] Series.
 
@@ -194,6 +211,44 @@ def _js_parse_plain_date_strings(s, parsed, numeric_epoch: bool = True):
             free = free.dt.tz_localize(None)
         except (TypeError, AttributeError):
             pass
+        # JS Date OUTPUT forms (toString / toDateString / toUTCString —
+        # incl. the parenthesized zone comment, years beyond pandas' ns
+        # range, and day rollover 'Apr 31' -> May 1): a cast('string')
+        # date ref must round-trip to the same instant (fuzz seed 86726).
+        # dateutil mis-reads 'GMT+0130' POSIX-inverted and accepts the
+        # negative years V8 rejects, so OVERRIDE whatever pandas made of
+        # a string matching this shape (all node-verified).
+        free = free.astype("datetime64[ms]")
+        from .strings import _days_from_civil as _dfc
+
+        for ix in s[residual].index:
+            raw0 = str(s.loc[ix]).strip()
+            mjs = _JS_DATE_OUT_RX.fullmatch(raw0)
+            if mjs is None:
+                continue
+            g = mjs.groupdict()
+            mon = _JS_MONTHS.index(g["mon"] or g["mon2"]) + 1
+            day = int(g["day"] or g["day2"])
+            yraw = g["year"]
+            rv = None
+            if not yraw.startswith("-") and 1 <= day <= 31:
+                y = int(yraw)
+                if y < 100:
+                    # V8 windows SMALL years by VALUE, leading zeros
+                    # included ('0099' -> 1999): 0-49 -> 2000s, 50-99 ->
+                    # 1900s — so even V8 cannot round-trip a year-99
+                    # toUTCString (node-verified)
+                    y += 2000 if y < 50 else 1900
+                rv = _dfc(y, mon, day) * 86400000
+                if g["hh"]:
+                    rv += (int(g["hh"]) * 3600 + int(g["mm"]) * 60 + int(g["ss"])) * 1000
+                if g["off"]:
+                    sign = -1 if g["off"][0] == "+" else 1
+                    rv += sign * (int(g["off"][1:3]) * 3600 + int(g["off"][3:5]) * 60) * 1000
+                if abs(rv) > 8.64e15:
+                    rv = None
+            free.loc[ix] = (np.int64(rv).view("datetime64[ms]") if rv is not None
+                            else np.datetime64("NaT", "ms"))
         # V8 parses ISO-shaped strings itself before the legacy grammar,
         # rolling an out-of-range day forward ('2019-02-30' -> Mar 2);
         # pandas rejects those, so re-parse the still-NaT rows with the

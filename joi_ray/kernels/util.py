@@ -327,6 +327,11 @@ def resolve_template_column(tmpl, env: Env, n: int, mixed: str = "text"):
 
     def cell(v, i):
         if isinstance(v, AltView):
+            # per-row typed view: LAST matching pair wins (shadow pairs
+            # append after branch-value pairs — ref.js shadow-first)
+            for m, a in reversed(v.pairs):
+                if m[i]:
+                    return combine(a)[i].as_py()
             v = v.base
         return combine(v)[i].as_py() if isinstance(v, (pa.Array, pa.ChunkedArray)) else v
 

@@ -168,3 +168,32 @@ def test_date_format_codes_and_asserts():
     check(jr.date(), [("2013-01-01", False, "date.strict")], prefs={"convert": False})
     with pytest.raises(ValueError):
         jr.date().timestamp("not allowed")
+
+
+def test_js_date_output_forms_roundtrip():
+    # fuzz seed 86726 (node-verified): JS Date OUTPUT strings parse back
+    # through V8's legacy grammar — a dateFormat cast('string') ref must
+    # round-trip; dateutil's POSIX-inverted GMT offset and negative years
+    # are overridden; small years window by VALUE ('0099' -> 1999)
+    import pandas as pd
+
+    from joi_ray.kernels.scalars import js_parse_date_strings
+
+    cases = {
+        "Thu Jan 01 1970 00:00:00 GMT+0000 (Coordinated Universal Time)": 0,
+        "Thu, 01 Jan 1970 00:00:00 GMT": 0,
+        "Thu Jan 01 1970": 0,
+        "Sat, 13 Sep 275760 00:00:00 GMT": 8640000000000000,
+        "Thu Jan 01 1970 00:00:00 GMT+0130": -5400000,
+        "Apr 31 2019": 1556668800000,       # V8 rolls to May 1
+        "Fri Jan 01 -0001": None,            # V8 Invalid
+        "Jan 5 13": 1357344000000,           # window -> 2013
+        "Thu, 01 Jan 0099 00:00:00 GMT": 915148800000,  # window -> 1999
+        "00:00:00 GMT+0000 (Coordinated Universal Time)": None,
+    }
+    out = js_parse_date_strings(pd.Series(list(cases)))
+    for (src, want), got in zip(cases.items(), out):
+        if want is None:
+            assert pd.isna(got), src
+        else:
+            assert int(got.to_numpy().astype("datetime64[ms]").view("int64")) == want, src

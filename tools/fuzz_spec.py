@@ -183,7 +183,7 @@ class Gen:
                 "numstr", "boolstr", "array", "struct", "alts", "whencol",
                 "concat", "binary", "strref", "dateref", "ordered", "mixedalts",
                 "switchcol", "peekcol", "patstruct", "renstruct", "deepstruct",
-                "altobj", "structarray"]
+                "altobj", "structarray", "hascol"]
         )
         if kind == "number":
             return (self.leaf_spec("number", sibling_nums), pa.float64(),
@@ -441,6 +441,21 @@ class Gen:
                 }
 
             return (spec, at, gen_altobj)
+        if kind == "hascol":
+            # array().has(schema): ordered short-circuit probe with real
+            # validate semantics (warn leaks, array.hasUnknown)
+            inner = self.leaf_spec(self.pick(["number", "string"]), [])
+            c: list = [["items", {"$s": {"t": "any", "c": []}}], ["has", {"$s": inner}]]
+            if self.maybe(0.3):
+                c.append(["min", r.randint(0, 2)])
+            at = pa.list_(pa.string())
+            pool = [str(v) for v in NUMBERS[:4]] + STRINGS[:6]
+
+            def gen_has():
+                k = r.randint(0, 4)
+                return [None if self.maybe(0.1) else self.pick(pool) for _ in range(k)]
+
+            return ({"t": "array", "c": c}, at, gen_has)
         if kind == "structarray":
             # array whose items are an OBJECT schema (list<struct> column):
             # per-item key validation, item-level dependencies, required
