@@ -549,7 +549,9 @@ def gen_case(seed: int):
         cols[n] = (spec, at, fn)
         if at == pa.float64():
             sibling_nums.append(n)
-    nrows = r.randint(6, 16)
+    # occasional empty/single-row tables: Ray partitions hand the engine
+    # 0-row blocks at scale — every kernel must survive them
+    nrows = r.choice([0, 1]) if r.random() < 0.03 else r.randint(6, 16)
     arrays = {}
     for n, (spec, at, fn) in cols.items():
         vals = [None if r.random() < 0.15 else fn() for _ in range(nrows)]
