@@ -1770,6 +1770,25 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                 )
 
     if not len(parents):
+        # ALL-EMPTY batch fast path: joi's required-items bookkeeping still
+        # errors empty arrays (array.js:341 + fillMissedErrors:674-699 —
+        # Knowns/Unknowns/Both by label presence; fuzz seed 99175)
+        reqs = [ic for ic in node.items if ic.flags.get("presence") == "required"]
+        if reqs:
+            present = ~null_mask(arr) & scope
+            if present.any():
+                known = [ic.flags.get("label") for ic in reqs if ic.flags.get("label")]
+                unknown = len(reqs) - len(known)
+                if known and unknown:
+                    add_err("array.includesRequiredBoth", present,
+                            {"knownMisses": known, "unknownMisses": unknown},
+                            group=items_grp)
+                elif known:
+                    add_err("array.includesRequiredKnowns", present,
+                            {"knownMisses": known}, group=items_grp)
+                else:
+                    add_err("array.includesRequiredUnknowns", present,
+                            {"unknownMisses": unknown}, group=items_grp)
         return arr, None
 
     # ancestor resolver: parent-row columns broadcast to item rows

@@ -740,3 +740,18 @@ def test_assert_subvalidate_warn_leak():
         ("object.assert", "error",
          '"value" is invalid because "i.a" failed to pass the assertion test'),
     ]
+
+
+def test_all_empty_batch_required_items_still_error():
+    # fuzz seed 99175 (node-verified): joi's fillMissedErrors fires for
+    # EMPTY arrays too — the all-empty-batch fast path (zero flat items in
+    # the whole block, a real shape for Ray partitions) must still claim
+    # the misses, with the Knowns/Unknowns/Both split by item labels
+    t = pa.table({"a": pa.array([[]], pa.list_(pa.string()))})
+    s = jr.object({"a": jr.array().items(jr.string().required())})
+    df = _violations(s, t, prefs={})
+    assert list(df["code"]) == ["array.includesRequiredUnknowns"]
+    s2 = jr.object({"a": jr.array().items(jr.string().required().label("L"),
+                                          jr.number().required())})
+    df2 = _violations(s2, t, prefs={})
+    assert list(df2["code"]) == ["array.includesRequiredBoth"]
