@@ -741,9 +741,9 @@ def eval_node(
             errors.append(rec)
             if not warn:
                 failed[item_rows] = True
-            return
+            return rec
         if not mask.any():
-            return
+            return None
         if (values is None and isinstance(message, str) and "{value}" in message
                 and arr is not None):
             # a custom template asked for the offending value ({[.]}) on a
@@ -763,6 +763,7 @@ def eval_node(
         errors.append(rec)
         if not warn:
             np.logical_or(failed, mask, out=failed)
+        return rec
 
     # ---- coerce-stage errors always abort early (validator.js:150-156):
     # the row gets ONLY this error — no presence/valids/base/rules
@@ -1743,6 +1744,7 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
     # joi's items loop is ITEM-outer (array.js:140+): all errors of the
     # items stage interleave by position, so they share one ordering group
     items_grp = object()
+    _sparse_info = None  # (rec, flat mask) for strip-arrays index shifts
 
     # sparse: null items forbidden unless flag (array.js:454-466)
     if not node.flags.get("sparse") and len(parents):
@@ -1760,7 +1762,7 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                     np.minimum.at(cutoff, parents[beyond_live], positions[beyond_live])
                     sparse_mask = nulls & (positions < cutoff[parents])
             if sparse_mask.any():
-                add_err(
+                _sparse_rec = add_err(
                     "array.sparse",
                     np.zeros(n, bool),
                     item_rows=parents[sparse_mask],
@@ -1768,6 +1770,7 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                     seq=-1,
                     group=items_grp,
                 )
+                _sparse_info = (_sparse_rec, sparse_mask)
 
     if not len(parents):
         # ALL-EMPTY batch fast path: joi's required-items bookkeeping still
@@ -2063,6 +2066,7 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                 matched_any |= remaining & ~as_bool_np(pc.is_null(flat), n_items)
                 remaining &= as_bool_np(pc.is_null(flat), n_items)
             else:
+                incl_pairs: list = []
                 for ic in inclusions:
                     if not remaining.any():
                         break
@@ -2075,8 +2079,23 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                         # items matching a strip-marked schema are removed
                         # from the output array (array.js strip handling)
                         strip_items |= hit
+                    elif isub.value is not None and hit.any():
+                        # matched items adopt the inclusion's CONVERTED
+                        # value (array.js:297 value[i] = res.value — first
+                        # matching schema claims the item; fuzz seed
+                        # 2200074: trim/uppercase must land under
+                        # stripUnknown.arrays)
+                        incl_pairs.append((hit, isub.value))
                     matched_any |= hit
                     remaining = remaining & ~hit
+                if incl_pairs:
+                    base = new_flat if new_flat is not None else flat
+                    merged_i, alt_f2, alt_o2 = _adopt_items_multi(
+                        incl_pairs, base, ~matched_any | ~item_live, n_items)
+                    if merged_i is not None:
+                        new_flat = merged_i
+                    if alt_f2 is not None and alt_flat is None:
+                        alt_flat, alt_ok = alt_f2, alt_o2
             nomatch = item_scope_all & ~matched_any & ~as_bool_np(pc.is_null(flat), n_items)
             # with no inclusion schemas, unmatched values pass (array.js:
             # only exclusion/required bookkeeping applies)
@@ -2133,9 +2152,27 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                     else:
                         code, ctx = "array.includesRequiredUnknowns", {"unknownMisses": unknown}
                     add_err(code, miss_bits == bits, ctx)
+            if strip_items.any() and _sparse_info is not None:
+                # joi splices stripped items DURING the loop (i--), so a
+                # later sparse error reports its POST-SPLICE index
+                # ([10, undefined] with 10 stripped -> array.sparse at 0;
+                # fuzz seed 2200454, node-verified)
+                rec_s, smask = _sparse_info
+                cs = np.concatenate(([0], np.cumsum(strip_items)[:-1]))
+                rows_u, first_idx = np.unique(parents, return_index=True)
+                row_cs0 = np.zeros(n, dtype=np.int64)
+                row_cs0[rows_u] = cs[first_idx]
+                adj = positions - (cs - row_cs0[parents])
+                rec_s.item_index = adj[smask].astype(np.int32)
             if strip_items.any():
                 keep = ~strip_items
-                kept_flat = flat.filter(pa.array(keep))
+                # strip from the ADOPTED flat (converted item values must
+                # survive the splice — fuzz seed 2200074); new_flat is
+                # consumed here so the post-strip rebuild below can't
+                # re-expand the shorter lists from full-length items
+                src_flat = combine(new_flat) if new_flat is not None else flat
+                kept_flat = src_flat.filter(pa.array(keep))
+                new_flat = None
                 kept_counts = np.bincount(parents[keep], minlength=n) if keep.any() else np.zeros(n, np.int64)
                 null_rows = null_mask(arr)
                 offsets = np.zeros(n + 1, dtype=np.int64)

@@ -755,3 +755,20 @@ def test_all_empty_batch_required_items_still_error():
                                           jr.number().required())})
     df2 = _violations(s2, t, prefs={})
     assert list(df2["code"]) == ["array.includesRequiredBoth"]
+
+
+def test_strip_arrays_adoption_and_sparse_index():
+    # fuzz seeds 2200074/2200454 (node-verified), stripUnknown arrays mode:
+    # matched items adopt the inclusion's CONVERTED value through the
+    # splice (trim/uppercase land), and a sparse error after a stripped
+    # item reports its POST-SPLICE index ([10, undefined] -> index 0)
+    prefs = {"abort_early": False, "strip_unknown": {"arrays": True, "objects": True}}
+    s = jr.object({"b": jr.array().items(jr.string().min(3).uppercase().trim())})
+    t = pa.table({"b": pa.array([["ABC", "abc", "ab"]], pa.list_(pa.string()))})
+    r = jr.compile_schema(s, prefs=prefs).validate_table(t)
+    assert r.value["b"].to_pylist() == [["ABC", "ABC"]]
+    s2 = jr.object({"a": jr.array().items(jr.number().min(19).less(41))})
+    t2 = pa.table({"a": pa.array([[10.0, None]], pa.list_(pa.float64()))})
+    r2 = jr.compile_schema(s2, prefs=prefs).validate_table(t2)
+    got = list(zip(r2.violations["code"].to_pylist(), r2.violations["item_index"].to_pylist()))
+    assert got == [("array.sparse", 0)]

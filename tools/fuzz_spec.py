@@ -162,7 +162,11 @@ class Gen:
         if self.maybe(0.25):
             c.append([self.pick(["required", "optional", "forbidden"])])
         if family == "string" and self.maybe(0.15):
-            c.append(["empty", ""])
+            if self.maybe(0.25):
+                # empty(SCHEMA): values matching it become undefined
+                c.append(["empty", {"$s": {"t": "string", "c": [["valid", "N/A", ""]]}}])
+            else:
+                c.append(["empty", ""])
         if self.maybe(0.08):
             c.append(["label", "L" + str(self.r.randint(1, 9))])
         if self.maybe(0.05):
@@ -208,13 +212,17 @@ class Gen:
             item = self.leaf_spec(elem_family, [])
             c: list = [["items", {"$s": item}]]
             if self.maybe(0.3):
-                c.append(["min", r.randint(0, 2)])
+                lim = ({"$ref": self.pick(sibling_nums)}
+                       if sibling_nums and self.maybe(0.2) else r.randint(0, 2))
+                c.append(["min", lim])
             if self.maybe(0.3):
                 c.append(["max", r.randint(2, 5)])
             if self.maybe(0.3):
                 c.append(["unique"])  # options require a comparator in joi
             if self.maybe(0.3):
                 c.append(["sparse"])
+            if self.maybe(0.1):
+                c.append(["single"])  # scalar coerces to 1-elem array
             pool = NUMBERS[:8] if elem_family == "number" else STRINGS[:10]
             at = pa.list_(pa.float64() if elem_family == "number" else pa.string())
 
@@ -236,6 +244,9 @@ class Gen:
                 c.append([dep, "p", ["q"]])
             if self.maybe(0.2):
                 c.append(["unknown"])
+            if self.maybe(0.15):
+                # object key-count structural rules
+                c.append([self.pick(["min", "max", "length"]), r.randint(0, 3)])
             spec = {"t": "object", "a": [{"p": {"$s": f1}, "q": {"$s": f2}}], "c": c}
             at = pa.struct([("p", pa.float64()), ("q", pa.string())])
 
@@ -526,6 +537,10 @@ PREFS_POOL = [
     {"context": {"lim": 4}},
     {"context": {"lim": "abc"}, "abortEarly": True},
     {"context": {"lim": 4}, "convert": False},
+    # stripUnknown OBJECT form: arrays strips unmatched items, objects
+    # strips unknown keys (array.js:266, object.js unknown handling)
+    {"stripUnknown": {"arrays": True, "objects": True}},
+    {"stripUnknown": {"objects": True}},
     # prefs-level message maps: root-level code entries and
     # errors.language-keyed sub-maps (lib/errors.js messages preference)
     {"messages": {"number.min": "custom-min {{#limit}} {{#label}}",
