@@ -1713,19 +1713,21 @@ def _adopt_items_multi(pairs, base, failed_any, n_items: int):
     return (out if changed else None), None, None
 
 
-def _converted_sparse_items(node, add_err, sub, live, nulls_flat, parents, positions, n, grp, soft=True):
+def _converted_sparse_items(node, add_err, sub, live, nulls_flat, parents, positions, n, grp,
+                            soft=True, shift_recs=None):
     """An item that validated CLEANLY but whose converted value is
     undefined (empty('') conversion) errors array.sparse in a non-sparse
     array.  joi's INCLUSIONS loop records it WITHOUT aborting early
     (array.js:286-292, soft=True); the ordered loop DOES abort
-    (array.js:201-207, soft=False)."""
+    (array.js:201-207, soft=False).  ``shift_recs`` collects the created
+    rec for the stripUnknown.arrays post-splice index adjustment."""
     if node.flags.get("sparse") or sub.value is None or not len(nulls_flat):
         return None
     out_null = as_bool_np(pc.is_null(sub.value), len(nulls_flat))
     failed_items = sub.failed if sub.failed is not None else np.zeros(len(nulls_flat), bool)
     became = live & ~nulls_flat & out_null & ~failed_items
     if became.any():
-        add_err(
+        rec = add_err(
             "array.sparse",
             np.zeros(n, bool),
             item_rows=parents[became],
@@ -1734,6 +1736,8 @@ def _converted_sparse_items(node, add_err, sub, live, nulls_flat, parents, posit
             group=grp,
             soft=soft,
         )
+        if shift_recs is not None:
+            shift_recs.append((rec, np.nonzero(became)[0]))
         return became
     return None
 
@@ -1808,14 +1812,16 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
         return child
 
     def lift_item_errors(sub: NodeResult, sub_path_prefix: str):
+        # returns [(created rec, fired FLAT indices)] so the strip-splice
+        # index shift below can re-point item_index post-hoc
+        made: list = []
         for rec in sub.errors:
             if getattr(rec, "rows", None) is not None:
-                rows = parents[rec.rows]
-                idx = positions[rec.rows].astype(np.int32)
+                fired = rec.rows
             else:
                 fired = np.nonzero(rec.mask)[0]
-                rows = parents[fired]
-                idx = positions[fired].astype(np.int32)
+            rows = parents[fired]
+            idx = positions[fired].astype(np.int32)
             if len(rows) == 0:
                 continue
             # joi renders the item label with the index AT the array
@@ -1825,9 +1831,11 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
             # nested arrays are not preserved (documented limitation: one
             # item_index per violation row).
             ipos = len(path) if len(rec.path) > len(path) else None
-            add_err(rec.code, np.zeros(n, bool), rec.context, seq=rec.seq, warn=rec.warn,
-                    message=rec.message, item_rows=rows, item_index=idx, path_override=rec.path,
-                    values=getattr(rec, "values", None), group=items_grp, path_ipos=ipos)
+            nr = add_err(rec.code, np.zeros(n, bool), rec.context, seq=rec.seq, warn=rec.warn,
+                         message=rec.message, item_rows=rows, item_index=idx, path_override=rec.path,
+                         values=getattr(rec, "values", None), group=items_grp, path_ipos=ipos)
+            made.append((nr, fired))
+        return made
 
     def lift_probe_warns(sub: NodeResult, forced_abort: bool = False):
         """A probe (exclusion / inclusion-match / has) is a real validate
@@ -1838,7 +1846,7 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
         leak; $_validate attempts (inclusions, ordered) follow the outer
         prefs (fuzz seeds 63909, 66988, 1800014)."""
         if not any(r.warn for r in sub.errors):
-            return
+            return []
         m = len(flat)
         abort = forced_abort or env.prefs.get("abort_early", True)
         aborted = np.zeros(m, bool)
@@ -1860,7 +1868,8 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
             elif abort:
                 aborted[rows0] = True
         if kept:
-            lift_item_errors(NodeResult(value=None, errors=kept), path)
+            return lift_item_errors(NodeResult(value=None, errors=kept), path)
+        return []
 
     def exclusion_node(ic):
         # forbidden item schemas are EXCLUSIONS (array.js:145-153): a value
@@ -2018,6 +2027,11 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
         if node.items:
             remaining = item_scope_all & ~matched_any
             strip_items = np.zeros(n_items, dtype=bool)
+            # every error/warn the items loop emits uses joi's CURRENT loop
+            # index — post-splice when stripUnknown.arrays or a strip-
+            # flagged schema removed an earlier item (array.js:148 `path =
+            # [...state.path, i]`; fuzz seeds 109406/110082, node-verified)
+            shift_recs: list = []
             # exclusions first (array.js:206-218): a match errors and claims
             # the item before any inclusion can
             for ic in exclusions:
@@ -2026,9 +2040,9 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                 xsub = eval_node(exclusion_node(ic), flat, child_env, path, scope=remaining)
                 bad = remaining & ~(xsub.failed if xsub.failed is not None
                                     else np.zeros(len(flat), bool))
-                lift_probe_warns(xsub, forced_abort=True)  # $_match probe
+                shift_recs += lift_probe_warns(xsub, forced_abort=True)  # $_match probe
                 if bad.any():
-                    add_err(
+                    rec_x = add_err(
                         "array.excludes",
                         np.zeros(n, bool),
                         {},
@@ -2036,6 +2050,7 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                         item_index=positions[bad].astype(np.int32),
                         group=items_grp,
                     )
+                    shift_recs.append((rec_x, np.nonzero(bad)[0]))
                 matched_any |= bad
                 remaining = remaining & ~bad
             if len(inclusions) == 1 and not strip_arrays and remaining.any():
@@ -2044,9 +2059,10 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                 # `jl === 1`; ordered+items vector :1201-1213)
                 ic = inclusions[0]
                 sub = eval_node(ic, flat, child_env, path, scope=remaining)
-                lift_item_errors(sub, path)
+                shift_recs += lift_item_errors(sub, path)
                 became2 = _converted_sparse_items(node, add_err, sub, remaining, nulls_flat,
-                                                  parents, positions, n, items_grp)
+                                                  parents, positions, n, items_grp,
+                                                  shift_recs=shift_recs)
                 ok = ~sub.failed if sub.failed is not None else np.ones(n_items, bool)
                 # matched items adopt the schema's converted value
                 # (array.js:297 value[i] = res.value); failed / sparse-
@@ -2071,7 +2087,7 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                     if not remaining.any():
                         break
                     isub = eval_node(ic, flat, child_env, path, scope=remaining)
-                    lift_probe_warns(isub)
+                    shift_recs += lift_probe_warns(isub)
                     ok = ~(isub.failed if isub.failed is not None
                            else np.zeros(len(flat), bool))
                     hit = remaining & ok
@@ -2079,13 +2095,22 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                         # items matching a strip-marked schema are removed
                         # from the output array (array.js strip handling)
                         strip_items |= hit
-                    elif isub.value is not None and hit.any():
-                        # matched items adopt the inclusion's CONVERTED
-                        # value (array.js:297 value[i] = res.value — first
-                        # matching schema claims the item; fuzz seed
-                        # 2200074: trim/uppercase must land under
-                        # stripUnknown.arrays)
-                        incl_pairs.append((hit, isub.value))
+                    else:
+                        # a matched item whose CONVERTED value is undefined
+                        # (empty('') conversion) sparse-errors and keeps
+                        # the original — no adoption (array.js:286-292;
+                        # fuzz seed 3000556)
+                        became_g = _converted_sparse_items(
+                            node, add_err, isub, hit, nulls_flat, parents,
+                            positions, n, items_grp, shift_recs=shift_recs)
+                        adopt_g = hit if became_g is None else hit & ~became_g
+                        if isub.value is not None and adopt_g.any():
+                            # matched items adopt the inclusion's CONVERTED
+                            # value (array.js:297 value[i] = res.value —
+                            # first matching schema claims the item; fuzz
+                            # seed 2200074: trim/uppercase must land under
+                            # stripUnknown.arrays)
+                            incl_pairs.append((adopt_g, isub.value))
                     matched_any |= hit
                     remaining = remaining & ~hit
                 if incl_pairs:
@@ -2096,7 +2121,14 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                         new_flat = merged_i
                     if alt_f2 is not None and alt_flat is None:
                         alt_flat, alt_ok = alt_f2, alt_o2
-            nomatch = item_scope_all & ~matched_any & ~as_bool_np(pc.is_null(flat), n_items)
+            # item_scope_all already excludes non-sparse undefineds (they
+            # sparse-error and `continue`); under sparse() an undefined
+            # item flows through the loop like any value — a required-only
+            # inclusion set REJECTS it, so it strips under
+            # stripUnknown.arrays / errors array.includes (fuzz seed
+            # 3000260: [5, undefined, 5].unique() -> joi splices the
+            # undefined, the dup reports post-splice index 1)
+            nomatch = item_scope_all & ~matched_any
             # with no inclusion schemas, unmatched values pass (array.js:
             # only exclusion/required bookkeeping applies)
             if nomatch.any() and inclusions:
@@ -2125,7 +2157,12 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                 miss_bits = np.zeros(n, dtype=np.int64)
                 present_rows = ~null_mask(arr) & scope
                 for j, ic in enumerate(requireds):
-                    ok = node_validity(ic, flat, child_env, item_scope_all) & ~claimed
+                    # mask to in-scope items: non-sparse undefineds sparse-
+                    # error and `continue` in joi, so they can never CLAIM
+                    # a required occurrence (fuzz seed 3000341: [undefined]
+                    # still misses the required item) — node_validity
+                    # defaults to "valid" outside its scope
+                    ok = node_validity(ic, flat, child_env, item_scope_all) & ~claimed & item_scope_all
                     matched_j = np.zeros(n, dtype=bool)
                     idxs = np.nonzero(ok)[0]
                     if len(idxs):
@@ -2152,18 +2189,25 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                     else:
                         code, ctx = "array.includesRequiredUnknowns", {"unknownMisses": unknown}
                     add_err(code, miss_bits == bits, ctx)
-            if strip_items.any() and _sparse_info is not None:
-                # joi splices stripped items DURING the loop (i--), so a
-                # later sparse error reports its POST-SPLICE index
-                # ([10, undefined] with 10 stripped -> array.sparse at 0;
-                # fuzz seed 2200454, node-verified)
-                rec_s, smask = _sparse_info
+            if strip_items.any():
+                # joi splices stripped items DURING the loop (i--), so any
+                # later item-stage report carries its POST-SPLICE index:
+                # sparse errors ([10, undefined] with 10 stripped ->
+                # array.sparse at 0; fuzz seed 2200454), array.excludes,
+                # lifted sub-errors, and probe warn leaks (fuzz seeds
+                # 109406/110082 — a kept item's string.min warn reports
+                # index minus the strips before it; all node-verified)
                 cs = np.concatenate(([0], np.cumsum(strip_items)[:-1]))
                 rows_u, first_idx = np.unique(parents, return_index=True)
                 row_cs0 = np.zeros(n, dtype=np.int64)
                 row_cs0[rows_u] = cs[first_idx]
                 adj = positions - (cs - row_cs0[parents])
-                rec_s.item_index = adj[smask].astype(np.int32)
+                if _sparse_info is not None:
+                    rec_s, smask = _sparse_info
+                    rec_s.item_index = adj[smask].astype(np.int32)
+                for rec_t, fidx in shift_recs:
+                    if len(fidx):
+                        rec_t.item_index = adj[fidx].astype(np.int32)
             if strip_items.any():
                 keep = ~strip_items
                 # strip from the ADOPTED flat (converted item values must

@@ -772,3 +772,78 @@ def test_strip_arrays_adoption_and_sparse_index():
     r2 = jr.compile_schema(s2, prefs=prefs).validate_table(t2)
     got = list(zip(r2.violations["code"].to_pylist(), r2.violations["item_index"].to_pylist()))
     assert got == [("array.sparse", 0)]
+
+
+def test_strip_arrays_post_splice_warn_and_excludes_index():
+    # fuzz seeds 109406/110082 (node-verified), stripUnknown arrays mode:
+    # an item probe is a real validate call, so its leaked warn reports
+    # use joi's CURRENT loop index — original position minus the items
+    # stripped before it (array.js:148 path = [...state.path, i] with
+    # fastSplice's i--).  [bad, bad, warn-only] -> the kept item's
+    # string.min warn lands at index 0, not 2.
+    prefs = {"abort_early": False, "strip_unknown": {"arrays": True, "objects": True}}
+    item = jr.object({"x": jr.number().greater(40), "y": jr.string().min(4).warn()})
+    s = jr.object({"a": jr.array().items(item).sparse()})
+    t = pa.table({"a": pa.array(
+        [[{"x": 0.0, "y": "zz"}, {"x": 2.0, "y": "zz"}, {"x": None, "y": "x1"}]],
+        pa.list_(pa.struct({"x": pa.float64(), "y": pa.string()})))})
+    r = jr.compile_schema(s, prefs=prefs).validate_table(t)
+    v = r.violations
+    got = list(zip(v["code"].to_pylist(), v["item_index"].to_pylist(),
+                   v["severity"].to_pylist()))
+    # items 0/1 stripped (x fails greater) and item 2 kept: each probe
+    # fires at its POST-prior-splice position — item 0 at 0, item 1 at 0
+    # (item 0 already spliced), item 2 at 0 (both spliced)
+    assert got == [("string.min", 0, "warn"), ("string.min", 0, "warn"),
+                   ("string.min", 0, "warn")]
+    assert r.value["a"].to_pylist() == [[{"x": None, "y": "x1"}]]
+    # array.excludes after a strip reports the post-splice index too:
+    # ["!", "zz"] with items(min-2 string, forbidden 'zz'-pattern) — item 0
+    # fails the inclusion (stripped), item 1 matches the exclusion at
+    # post-splice index 0
+    s2 = jr.object({"a": jr.array().items(
+        jr.string().min(2), jr.string().pattern(r"^zz$").forbidden())})
+    t2 = pa.table({"a": pa.array([["!", "zz"]], pa.list_(pa.string()))})
+    r2 = jr.compile_schema(s2, prefs=prefs).validate_table(t2)
+    got2 = list(zip(r2.violations["code"].to_pylist(), r2.violations["item_index"].to_pylist()))
+    assert got2 == [("array.excludes", 0)]
+
+
+def test_sparse_undefined_items_strip_and_required_claims():
+    # fuzz seeds 3000260/3000341 (node-verified), stripUnknown arrays mode:
+    # (a) under sparse(), an undefined item flows through joi's items loop
+    # like any value — a required-only inclusion rejects it, so it strips,
+    # and a later unique dup reports the POST-SPLICE index
+    prefs = {"abort_early": False, "strip_unknown": {"arrays": True, "objects": True}}
+    s = jr.object({"c": jr.array().items(
+        jr.number().max(15).required().raw()).unique().sparse()})
+    t = pa.table({"c": pa.array([[5.0, None, 5.0]], pa.list_(pa.float64()))})
+    r = jr.compile_schema(s, prefs=prefs).validate_table(t)
+    got = list(zip(r.violations["code"].to_pylist(), r.violations["item_index"].to_pylist()))
+    assert got == [("array.unique", 1)]
+    # (b) a NON-sparse undefined item sparse-errors and `continue`s — it
+    # can never CLAIM a required occurrence, so the miss still fires
+    s2 = jr.object({"d": jr.array().items(jr.string().min(1).required())})
+    t2 = pa.table({"d": pa.array([[None]], pa.list_(pa.string()))})
+    r2 = jr.compile_schema(s2, prefs=prefs).validate_table(t2)
+    got2 = sorted(zip(r2.violations["code"].to_pylist(), r2.violations["item_index"].to_pylist()),
+                  key=lambda x: str(x))
+    assert got2 == [("array.includesRequiredUnknowns", -1), ("array.sparse", 0)]
+
+
+def test_generic_loop_converted_sparse_keeps_original():
+    # fuzz seed 3000556 (node-verified): in the multi-inclusion loop a
+    # MATCHED item whose converted value is undefined (empty('')) errors
+    # array.sparse softly, keeps the original value, and is not adopted
+    # (array.js:286-292) — also under stripUnknown.arrays where the
+    # single-inclusion path is bypassed
+    prefs = {"abort_early": False, "strip_unknown": {"arrays": True, "objects": True}}
+    s = jr.object({"a": jr.array().items(
+        jr.string().empty(jr.string().valid("N/A", ""))).max(3).unique()})
+    t = pa.table({"a": pa.array([["", "abc"], ["ab", "ab", ""]], pa.list_(pa.string()))})
+    r = jr.compile_schema(s, prefs=prefs).validate_table(t)
+    v = r.violations.to_pandas()
+    got = sorted(zip(v["row"], v["code"], v["item_index"]), key=str)
+    assert got == [(0, "array.sparse", 0), (1, "array.sparse", 2), (1, "array.unique", 1)]
+    # the empty-converted item keeps its ORIGINAL value in the output
+    assert r.value["a"].to_pylist()[0] == ["", "abc"]

@@ -573,7 +573,10 @@ def gen_case(seed: int):
         arrays[n] = pa.array(vals, type=at)
     tbl = pa.table(arrays)
     root_spec = {"t": "object", "a": [{n: {"$s": cols[n][0]} for n in names}]}
-    prefs = dict(r.choice(PREFS_POOL))
+    # targeted sweeps: FUZZ_PREFS='{"stripUnknown":{"arrays":true,...}}'
+    # pins the prefs for every case (like FUZZ_KINDS pins column kinds)
+    _p = os.environ.get("FUZZ_PREFS", "").strip()
+    prefs = json.loads(_p) if _p else dict(r.choice(PREFS_POOL))
     return root_spec, tbl, prefs
 
 
