@@ -82,6 +82,10 @@ class NodeResult:
     missing: Optional[np.ndarray] = None
     failed: Optional[np.ndarray] = None
     strip: bool = False
+    #: per-ROW strip (a strip flag set by a MATCHED when/switch branch
+    #: applies only where the branch matched — joi resolves the schema per
+    #: value, so object.js's strip delete is row-dependent; fuzz seed 98)
+    strip_rows: Optional[np.ndarray] = None
     raw_value: Optional[pa.Array] = None
     #: CONVERTED values of a raw()-flagged node: joi shadows them
     #: (validator.js:414-417) so sibling refs resolve the converted value
@@ -1218,7 +1222,18 @@ def _merge_into(merged: NodeResult, sub: NodeResult, sel: np.ndarray):
                             (merged.shadow_mask.copy(), merged.shadow_value))
                         merged.shadow_value = merged.shadow_mask = None
                 merged.shadow_pairs.append((eff.copy(), sv))
-    merged.strip = merged.strip or sub.strip
+    # strip from a branch applies per ROW — only where the branch matched
+    # (joi resolves whens per value, so object.js's strip delete is
+    # row-dependent; fuzz seed 98: an unmatched switch case's strip must
+    # not drop the key for other rows)
+    if sub.strip or sub.strip_rows is not None:
+        rows = sel & (np.ones(len(sel), bool) if sub.strip else sub.strip_rows)
+        if sub.failed is not None:
+            # joi deletes only on SUCCESS (object.js:126-137: result.errors
+            # short-circuits the strip delete, the key keeps its original)
+            rows = rows & ~sub.failed
+        if rows.any():
+            merged.strip_rows = rows if merged.strip_rows is None else merged.strip_rows | rows
 
 
 def node_validity(node: CNode, arr, env: Env, scope: np.ndarray) -> np.ndarray:
@@ -1898,9 +1913,12 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
     # with sparse() they flow through item validation like any value
     nulls_flat = as_bool_np(pc.is_null(flat), n_items) if n_items else np.zeros(0, bool)
     item_live = np.ones(n_items, dtype=bool) if node.flags.get("sparse") else ~nulls_flat
-    if len(inclusions) == 1 and not exclusions and not node.ordered and not strip_arrays:
+    if (len(inclusions) == 1 and not exclusions and not node.ordered and not strip_arrays
+            and not inclusions[0].flags.get("strip")):
         # single inclusion: the item's ACTUAL errors surface, not
-        # array.includes (array.js:304-315 `jl === 1`)
+        # array.includes (array.js:304-315 `jl === 1`).  A strip-flagged
+        # inclusion splices its matches (array.js:278-283), so it takes
+        # the generic path below, which owns the splice bookkeeping
         child_env = make_child_env()
         ic = node.items[0]
         sub = eval_node(ic, flat, child_env, path, scope=item_live)
@@ -1939,6 +1957,13 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
         child_env = make_child_env()
         item_scope_all = item_live.copy()
         matched_any = np.zeros(n_items, dtype=bool)
+        # splice bookkeeping shared by the ordered and items loops: every
+        # report the loop emits uses joi's CURRENT index — post-splice when
+        # a strip-flagged slot/schema or stripUnknown.arrays removed an
+        # earlier item (array.js:148 path=[...state.path,i] with fastSplice
+        # i--; fuzz seeds 109406/110082, node-verified)
+        strip_items = np.zeros(n_items, dtype=bool)
+        shift_recs: list = []
         if node.ordered:
             slot_pairs: list = []
             slot_failed = np.zeros(n_items, dtype=bool)
@@ -1947,15 +1972,26 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                 if not pos_mask.any():
                     continue
                 sub = eval_node(oc, flat, child_env, path, scope=pos_mask)
-                lift_item_errors(sub, path)
+                shift_recs += lift_item_errors(sub, path)
+                clean = pos_mask & ~(sub.failed if sub.failed is not None
+                                     else np.zeros(n_items, bool))
+                if oc.flags.get("strip"):
+                    # a clean strip-flagged slot match is spliced out
+                    # (array.js:195-200) — no adoption, no sparse check
+                    strip_items |= clean
+                    if sub.failed is not None:
+                        slot_failed |= pos_mask & sub.failed
+                    matched_any |= pos_mask
+                    continue
                 became_o = _converted_sparse_items(node, add_err, sub, pos_mask, nulls_flat,
-                                                   parents, positions, n, items_grp, soft=False)
+                                                   parents, positions, n, items_grp, soft=False,
+                                                   shift_recs=shift_recs)
                 # matched slots adopt converted values (array.js:209
                 # value[i] = res.value); merged in ONE pass after the loop
                 # so a later slot's type promotion can't clobber an earlier
                 # slot's adopted values
                 if sub.value is not None:
-                    adopt = pos_mask & ~(sub.failed if sub.failed is not None else np.zeros(n_items, bool))
+                    adopt = clean
                     if became_o is not None:
                         adopt = adopt & ~became_o
                     if adopt.any():
@@ -1984,11 +2020,17 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                 order_idx = np.lexsort((positions[beyond_live], parents[beyond_live]))
                 bl_parents = parents[beyond_live][order_idx]
                 bl_pos = positions[beyond_live][order_idx]
+                # strip-flagged slot splices shift the reported pos: every
+                # ordered strip sits at a slot position < L <= ppos, so the
+                # first beyond item's CURRENT index is ppos minus the row's
+                # strip count (array.js:222-231 uses the loop i)
+                row_strips = np.bincount(parents[strip_items], minlength=n) \
+                    if strip_items.any() else np.zeros(n, np.int64)
                 for rrow, ppos in zip(bl_parents, bl_pos):
                     if int(rrow) in seen_rows:
                         continue
                     seen_rows.add(int(rrow))
-                    by_pos.setdefault(int(ppos), []).append(int(rrow))
+                    by_pos.setdefault(int(ppos) - int(row_strips[int(rrow)]), []).append(int(rrow))
                 for ppos, rws in by_pos.items():
                     rows_over = np.zeros(n, dtype=bool)
                     rows_over[rws] = True
@@ -2026,12 +2068,6 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                     add_err(code, ord_bits == bits, ctx)
         if node.items:
             remaining = item_scope_all & ~matched_any
-            strip_items = np.zeros(n_items, dtype=bool)
-            # every error/warn the items loop emits uses joi's CURRENT loop
-            # index — post-splice when stripUnknown.arrays or a strip-
-            # flagged schema removed an earlier item (array.js:148 `path =
-            # [...state.path, i]`; fuzz seeds 109406/110082, node-verified)
-            shift_recs: list = []
             # exclusions first (array.js:206-218): a match errors and claims
             # the item before any inclusion can
             for ic in exclusions:
@@ -2189,44 +2225,44 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                     else:
                         code, ctx = "array.includesRequiredUnknowns", {"unknownMisses": unknown}
                     add_err(code, miss_bits == bits, ctx)
-            if strip_items.any():
-                # joi splices stripped items DURING the loop (i--), so any
-                # later item-stage report carries its POST-SPLICE index:
-                # sparse errors ([10, undefined] with 10 stripped ->
-                # array.sparse at 0; fuzz seed 2200454), array.excludes,
-                # lifted sub-errors, and probe warn leaks (fuzz seeds
-                # 109406/110082 — a kept item's string.min warn reports
-                # index minus the strips before it; all node-verified)
-                cs = np.concatenate(([0], np.cumsum(strip_items)[:-1]))
-                rows_u, first_idx = np.unique(parents, return_index=True)
-                row_cs0 = np.zeros(n, dtype=np.int64)
-                row_cs0[rows_u] = cs[first_idx]
-                adj = positions - (cs - row_cs0[parents])
-                if _sparse_info is not None:
-                    rec_s, smask = _sparse_info
-                    rec_s.item_index = adj[smask].astype(np.int32)
-                for rec_t, fidx in shift_recs:
-                    if len(fidx):
-                        rec_t.item_index = adj[fidx].astype(np.int32)
-            if strip_items.any():
-                keep = ~strip_items
-                # strip from the ADOPTED flat (converted item values must
-                # survive the splice — fuzz seed 2200074); new_flat is
-                # consumed here so the post-strip rebuild below can't
-                # re-expand the shorter lists from full-length items
-                src_flat = combine(new_flat) if new_flat is not None else flat
-                kept_flat = src_flat.filter(pa.array(keep))
-                new_flat = None
-                kept_counts = np.bincount(parents[keep], minlength=n) if keep.any() else np.zeros(n, np.int64)
-                null_rows = null_mask(arr)
-                offsets = np.zeros(n + 1, dtype=np.int64)
-                np.cumsum(kept_counts, out=offsets[1:])
-                rebuilt = pa.ListArray.from_arrays(
-                    pa.array(offsets, type=pa.int64()).cast(pa.int32()), kept_flat
-                )
-                if null_rows.any():
-                    rebuilt = pc.if_else(pa.array(null_rows), pa.nulls(n, rebuilt.type), rebuilt)
-                arr = rebuilt
+        if strip_items.any():
+            # joi splices stripped items DURING the loop (i--), so any
+            # later item-stage report carries its POST-SPLICE index:
+            # sparse errors ([10, undefined] with 10 stripped ->
+            # array.sparse at 0; fuzz seed 2200454), array.excludes,
+            # lifted sub-errors, and probe warn leaks (fuzz seeds
+            # 109406/110082 — a kept item's string.min warn reports
+            # index minus the strips before it; all node-verified)
+            cs = np.concatenate(([0], np.cumsum(strip_items)[:-1]))
+            rows_u, first_idx = np.unique(parents, return_index=True)
+            row_cs0 = np.zeros(n, dtype=np.int64)
+            row_cs0[rows_u] = cs[first_idx]
+            adj = positions - (cs - row_cs0[parents])
+            if _sparse_info is not None:
+                rec_s, smask = _sparse_info
+                rec_s.item_index = adj[smask].astype(np.int32)
+            for rec_t, fidx in shift_recs:
+                if len(fidx):
+                    rec_t.item_index = adj[fidx].astype(np.int32)
+        if strip_items.any():
+            keep = ~strip_items
+            # strip from the ADOPTED flat (converted item values must
+            # survive the splice — fuzz seed 2200074); new_flat is
+            # consumed here so the post-strip rebuild below can't
+            # re-expand the shorter lists from full-length items
+            src_flat = combine(new_flat) if new_flat is not None else flat
+            kept_flat = src_flat.filter(pa.array(keep))
+            new_flat = None
+            kept_counts = np.bincount(parents[keep], minlength=n) if keep.any() else np.zeros(n, np.int64)
+            null_rows = null_mask(arr)
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(kept_counts, out=offsets[1:])
+            rebuilt = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int64()).cast(pa.int32()), kept_flat
+            )
+            if null_rows.any():
+                rebuilt = pc.if_else(pa.array(null_rows), pa.nulls(n, rebuilt.type), rebuilt)
+            arr = rebuilt
 
     if new_flat is not None and new_flat is not flat:
         arr = _rebuild_list(arr, new_flat)
@@ -2474,8 +2510,14 @@ def _eval_object(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fa
                 d["rel"], pm, d["peers"], d.get("key"), labels):
             add_err(code, viol & kscope, ctx)
 
-    # rebuild struct with coerced / stripped children
+    # rebuild struct with coerced / stripped children; a per-row strip
+    # (whens branch) nulls the field only where the branch matched
     keep = [f for f in field_names if not (f in results and results[f].strip) and not (strip_unk and f in unknown)]
+    for f in keep:
+        if f in results and results[f].strip_rows is not None:
+            v = combine(results[f].value)
+            results[f].value = pc.if_else(
+                pa.array(results[f].strip_rows), pa.nulls(len(v), v.type), v)
     arrays = [results[f].value if f in results else children[f] for f in keep]
     orig_names = [f.name for f in arr.type]
     if keep != orig_names or any(results[f].value is not children.get(f) for f in results if f in keep):
@@ -2518,6 +2560,16 @@ def _dep_presence(name, results, children, parent_present, n, separator="."):
         if res_failed is not None and res_failed.any() and top in children:
             orig_present = ~null_mask(children[top])
             present = np.where(res_failed, orig_present, present)
+        # joi deletes strip-flagged keys in the keys loop, BEFORE
+        # dependencies run (object.js:117-141 precedes :158-166) — but
+        # only on CLEAN rows: result.errors short-circuits the delete, so
+        # an errored key stays present with its original (fuzz seed 109:
+        # xor('p','q') with p=number().strip() sees only q)
+        if results[top].strip:
+            clean = ~res_failed if res_failed is not None else np.ones(n, dtype=bool)
+            present = present & ~clean
+        elif results[top].strip_rows is not None:
+            present = present & ~results[top].strip_rows
     elif top in children:
         cur = children[top]
         present = ~null_mask(cur)
@@ -2909,16 +2961,23 @@ class CompiledSchema:
                     errors.append(rec)
                     failed |= bad
 
-        # assemble normalized output
+        # assemble normalized output; a per-row strip (whens branch) nulls
+        # the column only where the branch matched (fuzz seed 98)
+        def _strip_masked(res: NodeResult):
+            if res.strip_rows is None:
+                return res.value
+            v = combine(res.value)
+            return pc.if_else(pa.array(res.strip_rows), pa.nulls(len(v), v.type), v)
+
         out_cols, out_names = [], []
         for key in self.root.keys:
             if key in results and not results[key].strip:
                 out_names.append(key)
-                out_cols.append(results[key].value)
+                out_cols.append(_strip_masked(results[key]))
         for c in results:  # pattern-matched columns
             if c not in self.root.keys and not results[c].strip:
                 out_names.append(c)
-                out_cols.append(results[c].value)
+                out_cols.append(_strip_masked(results[c]))
         for c in unknown:
             if not strip_unknown:
                 out_names.append(c)

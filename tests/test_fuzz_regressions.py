@@ -847,3 +847,32 @@ def test_generic_loop_converted_sparse_keeps_original():
     assert got == [(0, "array.sparse", 0), (1, "array.sparse", 2), (1, "array.unique", 1)]
     # the empty-converted item keeps its ORIGINAL value in the output
     assert r.value["a"].to_pylist()[0] == ["", "abc"]
+
+
+def test_strip_flagged_item_and_ordered_slot_splice():
+    # node-verified (proactive, pre-fuzz probe): a clean match of a
+    # strip-flagged schema is spliced out of the output — for ordered
+    # slots (array.js:195-200), for the single-inclusion path
+    # (array.js:278-283, bypassing the fast path), and later reports use
+    # the post-splice index
+    s = jr.object({"a": jr.array().ordered(jr.number().strip(), jr.string())})
+    t = pa.table({"a": pa.array([["3.0", "xx"]], pa.list_(pa.string()))})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    assert r.violations.num_rows == 0
+    assert r.value["a"].to_pylist() == [["xx"]]
+    # single strip-flagged inclusion: matches splice, the failing item's
+    # ACTUAL error reports post-splice index 0 (["abc","x","de"] -> "x")
+    s2 = jr.object({"a": jr.array().items(jr.string().min(2).strip())})
+    t2 = pa.table({"a": pa.array([["abc", "x", "de"]], pa.list_(pa.string()))})
+    r2 = jr.compile_schema(s2, prefs={"abort_early": False}).validate_table(t2)
+    got = list(zip(r2.violations["code"].to_pylist(), r2.violations["item_index"].to_pylist()))
+    assert got == [("string.min", 0)]
+    assert r2.value["a"].to_pylist() == [["x"]]
+    # ordered strip + beyond items: orderedLength pos is the CURRENT
+    # (post-splice) index of the first beyond item
+    s3 = jr.object({"a": jr.array().ordered(jr.number().strip())})
+    t3 = pa.table({"a": pa.array([["3.0", "xx", "yy"]], pa.list_(pa.string()))})
+    r3 = jr.compile_schema(s3, prefs={"abort_early": False}).validate_table(t3)
+    v3 = r3.violations.to_pandas()
+    assert list(v3["code"]) == ["array.orderedLength"]
+    assert '"a[1]"' in v3["message"][0] or "1" in str(v3["context"][0])

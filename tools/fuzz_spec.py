@@ -171,6 +171,10 @@ class Gen:
             c.append(["label", "L" + str(self.r.randint(1, 9))])
         if self.maybe(0.05):
             c.append(["raw"])
+        elif self.maybe(0.04):
+            # strip: key dropped from the output object / matched array
+            # item spliced (array.js:195-200, :278-283)
+            c.append(["strip"])
         if family == "number" and self.maybe(0.05):
             c.append(["cast", "string"])
         elif family == "date" and self.maybe(0.05):
