@@ -1248,6 +1248,24 @@ def node_validity(node: CNode, arr, env: Env, scope: np.ndarray) -> np.ndarray:
     return ok
 
 
+def _strip_survivors(res: NodeResult, orig, n: int):
+    """Per-row value of a strip-flagged key: joi deletes the key only on
+    CLEAN rows — ``result.errors`` short-circuits BOTH the adoption and
+    the strip delete (object.js:125-139), so an errored key keeps its
+    ORIGINAL value in the output object.  Returns None when every row
+    strips (drop the column wholesale), else an array with the original
+    on errored rows and null (deleted) elsewhere.  Observable through
+    deep-compare rules: fuzz seed 116307 — ``unique()`` over object items
+    whose strip-flagged key errored must compare the surviving originals,
+    not treat the key as gone (node-verified)."""
+    f = res.failed
+    if f is None or not f.any():
+        return None
+    orig = combine(orig) if orig is not None else pa.nulls(n)
+    # take with null indices nulls the clean (deleted) rows for ANY type
+    return orig.take(pa.array(np.arange(n), mask=~f))
+
+
 def _failed_overlay(res: NodeResult, orig, n: int, mode: str):
     """joi writes result.value into the object ONLY when the child
     validated cleanly (object.js:125-140): an errored key keeps its
@@ -2511,8 +2529,20 @@ def _eval_object(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fa
             add_err(code, viol & kscope, ctx)
 
     # rebuild struct with coerced / stripped children; a per-row strip
-    # (whens branch) nulls the field only where the branch matched
-    keep = [f for f in field_names if not (f in results and results[f].strip) and not (strip_unk and f in unknown)]
+    # (whens branch) nulls the field only where the branch matched, and a
+    # plain strip with FAILED rows keeps those rows' originals
+    # (_strip_survivors — the errors short-circuit joi's delete)
+    keep = []
+    for f in field_names:
+        if strip_unk and f in unknown:
+            continue
+        if f in results and results[f].strip:
+            surv = _strip_survivors(results[f], children.get(f), n)
+            if surv is None:
+                continue
+            results[f].value = surv
+            results[f].strip = False
+        keep.append(f)
     for f in keep:
         if f in results and results[f].strip_rows is not None:
             v = combine(results[f].value)
@@ -2969,15 +2999,25 @@ class CompiledSchema:
             v = combine(res.value)
             return pc.if_else(pa.array(res.strip_rows), pa.nulls(len(v), v.type), v)
 
+        def _emit(name, res):
+            if res.strip:
+                # errored rows survive the strip delete with their ORIGINAL
+                # value (_strip_survivors); all-clean -> column dropped
+                surv = _strip_survivors(res, columns.get(name), n)
+                if surv is not None:
+                    out_names.append(name)
+                    out_cols.append(surv)
+                return
+            out_names.append(name)
+            out_cols.append(_strip_masked(res))
+
         out_cols, out_names = [], []
         for key in self.root.keys:
-            if key in results and not results[key].strip:
-                out_names.append(key)
-                out_cols.append(_strip_masked(results[key]))
+            if key in results:
+                _emit(key, results[key])
         for c in results:  # pattern-matched columns
-            if c not in self.root.keys and not results[c].strip:
-                out_names.append(c)
-                out_cols.append(_strip_masked(results[c]))
+            if c not in self.root.keys:
+                _emit(c, results[c])
         for c in unknown:
             if not strip_unknown:
                 out_names.append(c)

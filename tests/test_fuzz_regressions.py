@@ -876,3 +876,30 @@ def test_strip_flagged_item_and_ordered_slot_splice():
     v3 = r3.violations.to_pandas()
     assert list(v3["code"]) == ["array.orderedLength"]
     assert '"a[1]"' in v3["message"][0] or "1" in str(v3["context"][0])
+
+
+def test_strip_key_errored_rows_survive_for_unique():
+    # fuzz seed 116307 (node-verified): an errored strip-flagged key keeps
+    # its ORIGINAL value (object.js:125-139 — result.errors short-circuits
+    # the delete), so unique() over object items differing only in that
+    # key must NOT fire
+    item = jr.object({
+        "x": jr.number().greater(43).less(37).multiple(5).strip(),
+        "y": jr.string().max(6),
+    })
+    s = jr.object({"a": jr.array().items(item).unique()})
+    t = pa.table({"a": pa.array(
+        [[{"x": 1.0, "y": None}, {"x": 2.0, "y": None}]],
+        pa.list_(pa.struct([("x", pa.float64()), ("y", pa.string())])))})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    codes = r.violations["code"].to_pylist()
+    assert "array.unique" not in codes
+    assert codes.count("number.greater") == 2
+    # clean strip rows DO delete: identical-after-strip items fire unique
+    s2 = jr.object({"a": jr.array().items(jr.object({
+        "x": jr.number().strip(), "y": jr.string()})).unique()})
+    t2 = pa.table({"a": pa.array(
+        [[{"x": 1.0, "y": "q"}, {"x": 2.0, "y": "q"}]],
+        pa.list_(pa.struct([("x", pa.float64()), ("y", pa.string())])))})
+    r2 = jr.compile_schema(s2, prefs={"abort_early": False}).validate_table(t2)
+    assert "array.unique" in r2.violations["code"].to_pylist()
