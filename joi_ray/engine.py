@@ -1084,14 +1084,20 @@ def eval_node(
         failed=failed,
         strip=bool(node.flags.get("strip")),
         raw_value=original,
-        shadow_value=arr if node.flags.get("raw") else None,
+        # joi shadows the CONVERTED value for ANY result-flagged schema —
+        # raw() AND strip() — unconditionally, even when the node errored
+        # (validator.js:413-417: `if (schema._flags.result)` precedes any
+        # error check), so sibling refs to a strip key resolve the
+        # converted value (fuzz seed 4000168: a failed alternatives branch
+        # with strip still plants its coerced number for a date ref)
+        shadow_value=arr if (node.flags.get("raw") or node.flags.get("strip")) else None,
         # joi's shadow records the value as finalize saw it — for a row
         # whose COERCION failed that is still the original ('1' stays a
         # string when boolean coercion missed), which our converted column
         # holds as null; those rows fall back to the raw-original path
         shadow_mask=(
             scope & ~(null_mask(arr) & ~null_mask(original))
-            if node.flags.get("raw")
+            if (node.flags.get("raw") or node.flags.get("strip"))
             else None
         ),
     )
@@ -1667,6 +1673,27 @@ def _adopt_items(adopt: np.ndarray, sub_value, base, n_items: int, failed=None):
     return _adopt_items_multi([(adopt, sub_value)], base, failed, n_items)
 
 
+def _expand_struct_to(v: pa.Array, bt: pa.DataType) -> pa.Array:
+    """Widen a struct whose fields are a SUBSET of ``bt``'s (a strip()
+    key dropped the column) back to ``bt``, filling the missing fields
+    with null (joi's deleted key ≙ undefined ≙ our null).  Returns ``v``
+    unchanged when not applicable."""
+    if not (pa.types.is_struct(v.type) and pa.types.is_struct(bt)):
+        return v
+    base_fields = {f.name: f.type for f in bt}
+    v_names = {f.name for f in v.type}
+    if not v_names <= set(base_fields) or v_names == set(base_fields):
+        return v
+    if any(base_fields[f.name] != f.type for f in v.type):
+        return v
+    cols = [
+        pc.struct_field(v, f.name) if f.name in v_names else pa.nulls(len(v), f.type)
+        for f in bt
+    ]
+    return pa.StructArray.from_arrays(
+        cols, fields=list(bt), mask=pa.array(as_bool_np(pc.is_null(v), len(v))))
+
+
 def _adopt_items_multi(pairs, base, failed_any, n_items: int):
     """Merge converted item values into the flat array (array.js:209/297
     value[i] = res.value), all adopting schemas at once so earlier slots
@@ -1691,6 +1718,15 @@ def _adopt_items_multi(pairs, base, failed_any, n_items: int):
     if not pairs:
         return None, None, None
     base = combine(base) if isinstance(base, pa.ChunkedArray) else base
+    # a strip-narrowed object item (sub struct missing a field the base
+    # has) expands back to the base type with the stripped field null —
+    # adoption stays same-type so FAILED items keep their originals, which
+    # unique() value-compares (fuzz seed 4000881, node-verified: an item
+    # failing object.and keeps its strip-deleted key's original)
+    pairs = [
+        (m, _expand_struct_to(v, base.type) if v.type != base.type else v)
+        for m, v in pairs
+    ]
     out, changed = base, False
     # stage 1: same-type adoptions land directly
     for m, v in pairs:
@@ -1773,6 +1809,33 @@ def _converted_sparse_items(node, add_err, sub, live, nulls_flat, parents, posit
             shift_recs.append((rec, np.nonzero(became)[0]))
         return became
     return None
+
+
+def _required_strip_claims(ic, hit, parents, positions, n_items, n, node, add_err,
+                           items_grp, shift_recs):
+    """First clean match PER ROW of a required+strip inclusion is consumed
+    by joi's REQUIREDS loop, which has NO strip check (array.js:237-255):
+    ``value[i] = res.value`` where a strip schema's $_validate returns
+    undefined (validator.js:414-415) — so the item becomes undefined
+    WITHOUT a splice, and a non-sparse array records array.sparse at the
+    current index (aborting under abortEarly).  Only LATER matches of the
+    same schema reach the inclusions loop's strip fastSplice
+    (array.js:278-283).  Fuzz seed 4000136, node-verified.  Returns
+    (claim_mask | None, splice_mask)."""
+    if ic.flags.get("presence") != "required" or not hit.any():
+        return None, hit
+    idxs = np.nonzero(hit)[0]
+    _, first = np.unique(parents[idxs], return_index=True)
+    claim = np.zeros(n_items, dtype=bool)
+    claim[idxs[first]] = True
+    if not node.flags.get("sparse"):
+        rec = add_err(
+            "array.sparse", np.zeros(n, bool),
+            item_rows=parents[claim], item_index=positions[claim].astype(np.int32),
+            seq=-1, group=items_grp, soft=False)
+        if shift_recs is not None:
+            shift_recs.append((rec, np.nonzero(claim)[0]))
+    return claim, hit & ~claim
 
 
 def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, failed, add_err) -> pa.Array:
@@ -1941,7 +2004,10 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
         ic = node.items[0]
         sub = eval_node(ic, flat, child_env, path, scope=item_live)
         lift_item_errors(sub, path)
-        new_flat = sub.value
+        # joi adopts ONLY on success — when no item is clean, the flat
+        # stays the ORIGINALS (fuzz seed 4000881: all items failing
+        # object.and keep their strip-deleted key's original for unique())
+        new_flat = None
         became = _converted_sparse_items(node, add_err, sub, item_live, nulls_flat,
                                          parents, positions, n, items_grp)
         # joi assigns value[i] = res.value only on SUCCESS (array.js:286-297):
@@ -1981,6 +2047,9 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
         # earlier item (array.js:148 path=[...state.path,i] with fastSplice
         # i--; fuzz seeds 109406/110082, node-verified)
         strip_items = np.zeros(n_items, dtype=bool)
+        # required+strip claims: item becomes undefined with NO splice
+        # (_required_strip_claims)
+        undef_items = np.zeros(n_items, dtype=bool)
         shift_recs: list = []
         if node.ordered:
             slot_pairs: list = []
@@ -2114,9 +2183,13 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                 ic = inclusions[0]
                 sub = eval_node(ic, flat, child_env, path, scope=remaining)
                 shift_recs += lift_item_errors(sub, path)
-                became2 = _converted_sparse_items(node, add_err, sub, remaining, nulls_flat,
-                                                  parents, positions, n, items_grp,
-                                                  shift_recs=shift_recs)
+                # a strip-flagged inclusion splices BEFORE the undefined
+                # check (array.js:280-286), so an empty('')-converted clean
+                # item strips silently instead of sparse-erroring (fuzz
+                # seed 4001409, node-verified)
+                became2 = None if ic.flags.get("strip") else _converted_sparse_items(
+                    node, add_err, sub, remaining, nulls_flat,
+                    parents, positions, n, items_grp, shift_recs=shift_recs)
                 ok = ~sub.failed if sub.failed is not None else np.ones(n_items, bool)
                 # matched items adopt the schema's converted value
                 # (array.js:297 value[i] = res.value); failed / sparse-
@@ -2129,7 +2202,12 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                     new_flat = _adopt_items(~keep_orig, sub.value, base, n_items, failed=sub.failed)[0] or new_flat
                 hit = remaining & ok
                 if ic.flags.get("strip"):
-                    strip_items |= hit
+                    claim, splice = _required_strip_claims(
+                        ic, hit, parents, positions, n_items, n, node,
+                        add_err, items_grp, shift_recs)
+                    strip_items |= splice
+                    if claim is not None:
+                        undef_items |= claim
                 matched_any |= hit
                 remaining = remaining & ~hit
                 # items were either matched or actual-errored; skip includes
@@ -2147,8 +2225,14 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                     hit = remaining & ok
                     if ic.flags.get("strip"):
                         # items matching a strip-marked schema are removed
-                        # from the output array (array.js strip handling)
-                        strip_items |= hit
+                        # from the output array (array.js strip handling);
+                        # a required schema's first claim stays as undefined
+                        claim, splice = _required_strip_claims(
+                            ic, hit, parents, positions, n_items, n, node,
+                            add_err, items_grp, shift_recs)
+                        strip_items |= splice
+                        if claim is not None:
+                            undef_items |= claim
                     else:
                         # a matched item whose CONVERTED value is undefined
                         # (empty('') conversion) sparse-errors and keeps
@@ -2262,6 +2346,11 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
             for rec_t, fidx in shift_recs:
                 if len(fidx):
                     rec_t.item_index = adj[fidx].astype(np.int32)
+        if undef_items.any():
+            # required+strip claim: value[i] = undefined (validator.js:414)
+            # — null the item in place, no splice
+            src = combine(new_flat) if new_flat is not None else flat
+            new_flat = src.take(pa.array(np.arange(n_items), mask=undef_items))
         if strip_items.any():
             keep = ~strip_items
             # strip from the ADOPTED flat (converted item values must

@@ -903,3 +903,69 @@ def test_strip_key_errored_rows_survive_for_unique():
         pa.list_(pa.struct([("x", pa.float64()), ("y", pa.string())])))})
     r2 = jr.compile_schema(s2, prefs={"abort_early": False}).validate_table(t2)
     assert "array.unique" in r2.violations["code"].to_pylist()
+
+
+def test_required_strip_claim_goes_undefined_not_spliced():
+    # fuzz seed 4000136 (node-verified): the requireds loop has NO strip
+    # check (array.js:237-255) — value[i] = res.value = undefined
+    # (validator.js:414) so the FIRST clean match of a required+strip
+    # inclusion sparse-errors in place with NO splice; later matches hit
+    # the inclusions loop's strip fastSplice
+    s = jr.object({"c": jr.array().items(
+        jr.string().length(2).pattern(r"^[a-z0-9]+$").trim().required().strip()
+    ).unique()})
+    t = pa.table({"c": pa.array([["ab", "ABC", " pad "]], pa.list_(pa.string()))})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    got = sorted(zip(r.violations["code"].to_pylist(), r.violations["item_index"].to_pylist()))
+    assert ("array.sparse", 0) in got            # claim at index 0, not spliced
+    assert ("string.length", 1) in got           # "ABC" keeps its ORIGINAL index
+    assert ("string.length", 2) in got           # " pad " too
+
+
+def test_strip_inclusion_splices_empty_converted_item():
+    # fuzz seed 4001409 (node-verified): strip check precedes the
+    # undefined check in the inclusions loop (array.js:280-286) — an
+    # empty('')-converted clean item under a strip schema splices
+    # silently, no array.sparse
+    s = jr.object({"b": jr.array().items(
+        jr.string().max(10).trim().empty("").strip()).max(2)})
+    t = pa.table({"b": pa.array([["hello", "abc", "", " pad "]], pa.list_(pa.string()))})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    assert r.violations.num_rows == 0            # all spliced; max(2) sees len 0
+    assert r.value["b"].to_pylist() == [[]]
+
+
+def test_strip_narrowed_struct_adoption_keeps_failed_originals():
+    # fuzz seed 4000881 (node-verified): clean items adopt the
+    # strip-narrowed struct (field -> null) while items failing
+    # object.and keep their ORIGINAL key values, which unique() compares
+    item = jr.object({"x": jr.number().less(6).default(1.0).strip(),
+                      "y": jr.string().max(8)}).and_("x", "y")
+    s = jr.object({"b": jr.array().items(item).unique()})
+    t = pa.table({"b": pa.array(
+        [[{"x": 1.0, "y": "abc"}, {"x": None, "y": "abc"}],
+         [{"x": 1.0, "y": "ABC"}, {"x": -1.0, "y": None}, {"x": 0.0, "y": None}]],
+        pa.list_(pa.struct([("x", pa.float64()), ("y", pa.string())])))})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    v = list(zip(r.violations["row"].to_pylist(), r.violations["code"].to_pylist(),
+                 r.violations["item_index"].to_pylist()))
+    # row 0: both items fail and -> originals differ in x -> NO unique
+    assert (0, "array.unique", 1) not in v
+    # row 1: items 1,2 clean-strip to {y:null} twins -> unique at 2
+    assert (1, "array.unique", 2) in v
+
+
+def test_strip_schema_plants_shadow_for_refs():
+    # fuzz seed 4000168 (node-verified): finalize shadows the CONVERTED
+    # value for ANY result-flagged schema — raw OR strip — even when the
+    # node errored inside a failed alternatives branch
+    # (validator.js:413-417), so a sibling date ref resolves the coerced
+    # number (1000 -> 1970-01-01T00:00:01Z)
+    s = jr.object({
+        "a": jr.date().less(jr.ref("b")),
+        "b": jr.alternatives(jr.number().valid(10.0).strip(), jr.string()),
+    })
+    t = pa.table({"a": ["2019-02-30"], "b": ["1e3"]})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    codes = r.violations["code"].to_pylist()
+    assert codes == ["date.less"]                # NOT any.ref

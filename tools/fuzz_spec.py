@@ -63,6 +63,9 @@ class Gen:
 
         _k = os.environ.get("FUZZ_KINDS", "").strip()
         self.kinds_filter = [s for s in _k.split(",") if s] if _k else None
+        # FUZZ_STRIP_P=0.3 boosts the strip() condition probability for
+        # targeted strip-semantics sweeps (default keeps the 0.04 pool rate)
+        self.strip_p = float(os.environ.get("FUZZ_STRIP_P", "0.04"))
 
     def maybe(self, p=0.5):
         return self.r.random() < p
@@ -171,7 +174,7 @@ class Gen:
             c.append(["label", "L" + str(self.r.randint(1, 9))])
         if self.maybe(0.05):
             c.append(["raw"])
-        elif self.maybe(0.04):
+        elif self.maybe(self.strip_p):
             # strip: key dropped from the output object / matched array
             # item spliced (array.js:195-200, :278-283)
             c.append(["strip"])
