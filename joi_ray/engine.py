@@ -1876,22 +1876,29 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
         # ALL-EMPTY batch fast path: joi's required-items bookkeeping still
         # errors empty arrays (array.js:341 + fillMissedErrors:674-699 —
         # Knowns/Unknowns/Both by label presence; fuzz seed 99175)
-        reqs = [ic for ic in node.items if ic.flags.get("presence") == "required"]
-        if reqs:
+        def _fill_missed(reqs):
             present = ~null_mask(arr) & scope
-            if present.any():
-                known = [ic.flags.get("label") for ic in reqs if ic.flags.get("label")]
-                unknown = len(reqs) - len(known)
-                if known and unknown:
-                    add_err("array.includesRequiredBoth", present,
-                            {"knownMisses": known, "unknownMisses": unknown},
-                            group=items_grp)
-                elif known:
-                    add_err("array.includesRequiredKnowns", present,
-                            {"knownMisses": known}, group=items_grp)
-                else:
-                    add_err("array.includesRequiredUnknowns", present,
-                            {"unknownMisses": unknown}, group=items_grp)
+            if not (reqs and present.any()):
+                return
+            known = [ic.flags.get("label") for ic in reqs if ic.flags.get("label")]
+            unknown = len(reqs) - len(known)
+            if known and unknown:
+                add_err("array.includesRequiredBoth", present,
+                        {"knownMisses": known, "unknownMisses": unknown},
+                        group=items_grp)
+            elif known:
+                add_err("array.includesRequiredKnowns", present,
+                        {"knownMisses": known}, group=items_grp)
+            else:
+                add_err("array.includesRequiredUnknowns", present,
+                        {"unknownMisses": unknown}, group=items_grp)
+
+        _fill_missed([ic for ic in node.items if ic.flags.get("presence") == "required"])
+        # unconsumed required ORDERED slots miss too, as a SEPARATE record
+        # (array.js:345-347 fillOrderedErrors -> fillMissedErrors after the
+        # items fillMissedErrors; fuzz seed 4100375)
+        _fill_missed([oc for oc in node.ordered
+                      if oc.flags.get("presence") == "required"])
         return arr, None
 
     # ancestor resolver: parent-row columns broadcast to item rows
@@ -2274,6 +2281,13 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                     # stripUnknown.arrays drops unmatched items silently
                     # (array.js:327-331)
                     strip_items |= nomatch
+                elif len(inclusions) == 1:
+                    # jl === 1 surfaces the item's ACTUAL errors instead of
+                    # array.includes (array.js:302-315) — a sparse-flowing
+                    # undefined that failed the lone inclusion already
+                    # lifted its real error (any.required) above; no
+                    # array.includes on top (fuzz seed 4101290)
+                    pass
                 else:
                     add_err(
                         "array.includes",

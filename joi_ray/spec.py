@@ -371,10 +371,15 @@ class Schema:
         return s
 
     def strip(self, enabled: bool = True) -> "Schema":
-        return self._flag("strip", True if enabled else None)
+        # strip/raw share joi's single _flags.result slot (base.js:292-295,
+        # :760-763: $_setFlag('result', 'strip'|'raw'|undefined)) — setting
+        # one clears the other; disabling clears the slot entirely
+        s = self._flag("raw", None)
+        return s._flag("strip", True if enabled else None)
 
     def raw(self, enabled: bool = True) -> "Schema":
-        return self._flag("raw", True if enabled else None)
+        s = self._flag("strip", None)
+        return s._flag("raw", True if enabled else None)
 
     # per-type cast targets (lib/types/*.js `cast:` blocks; lib/base.js:107
     # asserts 'Type <t> does not support casting to <to>')
@@ -601,6 +606,12 @@ class Schema:
         s = self._clone()
         if s.type == "any":
             s.type = other.type
+        # strip/raw are ONE joi flag slot (_flags.result): a source setting
+        # either replaces the target's — a when-branch raw() overrides the
+        # base's strip() (fuzz seed 4100748, node-verified)
+        if "strip" in other.flags or "raw" in other.flags:
+            s.flags.pop("strip", None)
+            s.flags.pop("raw", None)
         s.flags.update(other.flags)
         # single (non-multi) rules from the source REPLACE the target's
         # (lib/base.js:415-421: concat removes unique rules present in the

@@ -969,3 +969,54 @@ def test_strip_schema_plants_shadow_for_refs():
     r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
     codes = r.violations["code"].to_pylist()
     assert codes == ["date.less"]                # NOT any.ref
+
+
+def test_empty_array_ordered_required_slot_misses():
+    # fuzz seed 4100375 (node-verified): unconsumed required ORDERED slots
+    # run fillMissedErrors too (array.js:345-347), as a separate record
+    # after the items-requireds one — an empty array still misses
+    s = jr.object({"a": jr.array().ordered(
+        jr.number().max(-4).integer().required().strip(),
+        jr.number().multiple(4)).min(1)})
+    t = pa.table({"a": pa.array([[]], pa.list_(pa.string()))})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    codes = r.violations["code"].to_pylist()
+    # violations table order is the engine's deterministic (row, path,
+    # seq, item) contract, not joi's emission order — compare as a set
+    assert sorted(codes) == ["array.includesRequiredUnknowns", "array.min"]
+    # abortEarly follows joi's EMISSION order: the items-stage miss
+    # aborts before the min rule runs
+    ra = jr.compile_schema(s, prefs={"abort_early": True}).validate_table(t)
+    assert ra.violations["code"].to_pylist() == ["array.includesRequiredUnknowns"]
+
+
+def test_single_inclusion_sparse_undefined_no_array_includes():
+    # fuzz seed 4101290 (node-verified): jl === 1 surfaces the item's
+    # ACTUAL errors (array.js:302-315) — a sparse-flowing undefined that
+    # fails the lone required inclusion reports any.required only, never
+    # array.includes on top; strip splices shift later indexes
+    s = jr.object({"c": jr.array().items(
+        jr.string().length(2).token().lowercase().required().strip()).sparse()})
+    t = pa.table({"c": pa.array([["ab", "ab", None, "ABC"]], pa.list_(pa.string()))})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    got = list(zip(r.violations["code"].to_pylist(), r.violations["item_index"].to_pylist()))
+    assert got == [("any.required", 1), ("string.length", 2)]
+
+
+def test_when_branch_raw_overrides_base_strip():
+    # fuzz seed 4100748 (node-verified): strip/raw share joi's single
+    # _flags.result slot — a matched when-branch's raw() REPLACES the
+    # base schema's strip(), so the key stays in the output with its raw
+    # value
+    s = jr.object({"c": jr.string().min(0).strip().when(
+        jr.string().min(4),
+        then=jr.string().max(4).raw(),
+        otherwise=jr.string().max(7).valid("abc", "hello", "ab"))})
+    t = pa.table({"c": ["12.5"]})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    assert r.violations.num_rows == 0
+    assert "c" in r.value.column_names
+    assert r.value["c"].to_pylist() == ["12.5"]
+    # and strip()/raw() setters are mutually exclusive
+    assert "raw" not in jr.string().raw().strip().flags
+    assert "strip" not in jr.string().strip().raw().flags
