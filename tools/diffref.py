@@ -387,8 +387,11 @@ _SHADOW_RX = re.compile(r'with value "\[?[^"]* -> [^"]*\]?"')
 
 def _ref_targets_have_raw_items(ref_errs: list, spec: dict) -> bool:
     """True when every any.ref error's referenced sibling is an array
-    column whose items/ordered subtree carries a raw() flag — the
-    v16-rc2 shadow-Map ref leak precondition (see diff_case)."""
+    column whose items/ordered subtree carries a RESULT flag — raw() or
+    strip(), both plant per-item shadows (validator.js:414-417) — the
+    v16-rc2 shadow-Map ref leak precondition (see diff_case;
+    strip-variant node-verified on fuzz seed 120169: items(...strip())
+    flips date.max to any.ref, plain items resolve the true array)."""
     cols = {}
     for group in spec.get("a", []) or []:
         if isinstance(group, dict):
@@ -399,7 +402,8 @@ def _ref_targets_have_raw_items(ref_errs: list, spec: dict) -> bool:
             return False
         sub = cols.get(m.group(1))
         blob = json.dumps(sub) if sub is not None else ""
-        if '["raw"]' not in blob or ('"items"' not in blob and '"ordered"' not in blob):
+        if ('["raw"]' not in blob and '["strip"]' not in blob) or (
+                '"items"' not in blob and '"ordered"' not in blob):
             return False
     return True
 
