@@ -116,7 +116,10 @@ _STRUCTURAL_RULES = {
     "object": {"assert", "min", "max", "length"},
     "any": set(),
 }
-_STRING_CONVERT_RULES = set(k_strings.CONVERT_ORDER)
+#: rules applied in the coerce stage and skipped in the rules loop under
+#: convert; isoDate joins normalize/case/trim (its coerce conversion +
+#: error live in eval_node's string pipeline)
+_STRING_CONVERT_RULES = set(k_strings.CONVERT_ORDER) | {"isoDate"}
 
 # rules that never rewrite the column: safe to evaluate on the active-row
 # subset only (branch scopes from when() often cover ~half the rows; regex
@@ -221,7 +224,8 @@ class CNode:
         if self.type == "string":
             order = {n: i for i, n in enumerate(k_strings.CONVERT_ORDER)}
             self.convert_rules = sorted(
-                (r for r in self.rules if r.convert_phase), key=lambda r: order[r.name]
+                (r for r in self.rules if r.convert_phase and r.name in order),
+                key=lambda r: order[r.name]
             )
 
         # --- children
@@ -504,16 +508,8 @@ def _coerce2(node: CNode, arr: pa.Array, env: Env):
         return k_scalars.coerce_binary(arr, env, node.flags)
     if t == "string":
         if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type) or pa.types.is_null(arr.type):
-            if env.convert and not pa.types.is_null(arr.type):
-                if node.replacements:
-                    arr = k_strings.apply_replacements(arr, node.replacements)
-                if node.flags.get("truncate"):
-                    # truncate runs at coerce time, before max checks
-                    # (string/index.js:68-135 pipeline order)
-                    for r in node.schema.rules:
-                        if r["name"] == "max" and not hasattr(r["args"]["limit"], "kind"):
-                            arr = k_strings.truncate_to(arr, int(r["args"]["limit"]))
-                            break
+            # replace/truncate moved to eval_node's string coerce pipeline
+            # (joi's fixed stage order puts them AFTER normalize/case/trim)
             return arr, zeros
         return arr, ~null_mask(arr)
     if t == "array":
@@ -655,16 +651,67 @@ def eval_node(
     # ---- coerce
     arr, base_fail, coerce_errs = _coerce3(node, arr, env)
 
-    # string convert-phase rules (normalize -> case -> trim) run at coerce
-    # time, BEFORE valids/empty (string/index.js:68-135; they are then
-    # skipped in the rules loop per lib/validator.js:269-273)
+    # string coerce pipeline in joi's FIXED stage order (string/index.js
+    # :68-135): normalize -> case -> trim -> replace -> hex pad -> isoDate
+    # -> truncate, all BEFORE valids/empty; the convert-phase rules are
+    # then skipped in the rules loop (lib/validator.js:269-273)
     if node.type == "string" and env.convert and (
         pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
     ):
-        for cr in node.convert_rules:
+        for cr in node.convert_rules:  # normalize -> case -> trim
             out = cr.fn(arr, env)
             if out.new_value is not None:
                 arr = out.new_value
+        # replacements run AFTER trim (string/index.js:89-95) — fuzz seed
+        # 5000021: lowercase must land before the replace pattern matches
+        if node.replacements:
+            arr = k_strings.apply_replacements(arr, node.replacements)
+        # hex byteAligned odd-length zero-pad (string/index.js:97-103)
+        _hexr = next((r for r in node.schema.rules if r["name"] == "hex"
+                      and (r.get("args") or {}).get("options", {}).get("byteAligned")),
+                     None)
+        if _hexr is not None:
+            odd = pc.equal(pc.bit_wise_and(pc.utf8_length(arr), 1), 1)
+            padded = pc.binary_join_element_wise(pa.nulls(n, pa.string()).fill_null("0"), arr, "")
+            arr = pc.if_else(odd, padded, arr)
+        # isoDate converts via toISOString at coerce; failure is a COERCE
+        # error that aborts the row — no valids/rules run (string/index.js
+        # :105-117 returns {value, errors}; fuzz seed 5000076)
+        _isocr = next((cr for cr in node.rules if cr.name == "isoDate"), None)
+        if _isocr is not None and _isocr.fn is not None:
+            out = _isocr.fn(arr, env)
+            if out.new_value is not None:
+                arr = out.new_value
+            _iso_bad = ~out.ok & ~null_mask(arr)
+            if _iso_bad.any():
+                coerce_errs = list(coerce_errs) + [("string.isoDate", _iso_bad)]
+        # truncate slices to the max() limit LAST (string/index.js:119-133),
+        # with per-row ref-resolved limits; a non-positive-integer resolved
+        # limit is an any.ref coerce error
+        if node.flags.get("truncate"):
+            _maxr = next((r for r in node.schema.rules if r["name"] == "max"), None)
+            if _maxr is not None:
+                _lim = _maxr["args"]["limit"]
+                if isinstance(_lim, Ref):
+                    rv = env.resolve_ref(_lim, n)
+                    if isinstance(rv, (pa.Array, pa.ChunkedArray)):
+                        lv = combine(rv).to_pylist()
+                    else:
+                        lv = [rv] * n
+                    bad_lim = np.array(
+                        [not (isinstance(v, (int, float)) and not isinstance(v, bool)
+                              and v >= 0 and float(v).is_integer()) for v in lv],
+                        dtype=bool) & ~null_mask(arr)
+                    if bad_lim.any():
+                        coerce_errs = list(coerce_errs) + [("any.ref", bad_lim)]
+                    good = ~bad_lim & ~null_mask(arr)
+                    if good.any():
+                        out_l = combine(arr).to_pylist()
+                        for i in np.nonzero(good)[0]:
+                            out_l[int(i)] = out_l[int(i)][: int(lv[int(i)])]
+                        arr = pa.array(out_l, type=pa.string())
+                elif not hasattr(_lim, "kind"):
+                    arr = k_strings.truncate_to(arr, int(_lim))
 
     # ---- empty: values (or matching schemas) treated as missing
     # (lib/validator.js:162-165; empty(schema) per lib/base.js:124-134)
@@ -1064,13 +1111,27 @@ def eval_node(
             s = _scalar_for(fv, arr.type)
             if s is not None:
                 arr = pc.if_else(pa.array(fo_mask), s, arr)
+            elif not (~missing & ~failed & scope).any():
+                # cross-type failover over a column with no clean kept
+                # value (number failover on an all-failing string column
+                # under convert:false) rebuilds in the failover's type,
+                # like the default path above (fuzz seed 5000296)
+                try:
+                    arr = pa.array([fv if m else None for m in fo_mask])
+                except (pa.ArrowInvalid, pa.ArrowTypeError):
+                    pass
             for rec in errors:
+                if rec.warn:
+                    # failover clears ERRORS only (validator.js:359-364
+                    # `errors = []`); mainstay.warnings persist (fuzz seed
+                    # 44: the alphanum warn outlives the failover)
+                    continue
                 if rec.rows is None:
                     rec.mask = rec.mask & ~fo_mask
                 else:
                     keep = ~fo_mask[rec.rows]
                     rec.rows, rec.item_index = rec.rows[keep], rec.item_index[keep]
-            errors[:] = [r for r in errors if (r.rows is not None and len(r.rows)) or (r.rows is None and r.mask.any())]
+            errors[:] = [r for r in errors if r.warn or (r.rows is not None and len(r.rows)) or (r.rows is None and r.mask.any())]
             failed = failed & ~fo_mask
     cast_to = node.flags.get("cast")
     if cast_to:

@@ -61,12 +61,26 @@ _B64_URL_NOPAD = r"^(?:[A-Za-z0-9\-_]{4})*(?:[A-Za-z0-9\-_]{2}(?:==)?|[A-Za-z0-9
 # local part: RFC atext plus non-ASCII (the reference's @hapi/address
 # accepts UTF-8 locals, e.g. 'êjness@something.com' —
 # test/types/string.js:874); length caps applied separately in the kernel
-_EMAIL_LOCAL = r"(?:[A-Za-z0-9!#$%&'*+/=?^_`{|}~.\-]|[^\x00-\x7F])+"
-_EMAIL_DOMAIN = r"[A-Za-z0-9](?:[A-Za-z0-9\-]{0,61}[A-Za-z0-9])?(?:\.[A-Za-z0-9](?:[A-Za-z0-9\-]{0,61}[A-Za-z0-9])?)+"
-_EMAIL = rf"^{_EMAIL_LOCAL}@{_EMAIL_DOMAIN}$"
+# @hapi/address v2 local part: dot-separated segments, each of RFC 5322
+# atext (JS \w + specials, i.e. incl. underscore) or non-ASCII codepoints
+# (v2 accepts UTF-8 locals, e.g. 'êjness@something.com' —
+# test/types/string.js:874); no empty segments (leading/trailing/double
+# dots); length caps applied separately in the kernel
+_EMAIL_SEG = r"(?:[A-Za-z0-9_!#$%&'*+\-/=?^`{|}~]|[^\x00-\x7F])+"
+_EMAIL_LOCAL = rf"{_EMAIL_SEG}(?:\.{_EMAIL_SEG})*"
 _HOST_LABEL = r"[a-zA-Z0-9](?:[a-zA-Z0-9\-]{0,61}[a-zA-Z0-9])?"
-_HOSTNAME = rf"^{_HOST_LABEL}(?:\.{_HOST_LABEL})*$"
-_DOMAIN = rf"^{_HOST_LABEL}(?:\.{_HOST_LABEL})+$"
+# @hapi/address v2 domain: non-TLD segments are alphanumeric-with-inner-
+# hyphens (domainSegmentRx), the FINAL segment must START WITH A LETTER
+# (tldSegmentRx — 'a.b2' and '123.456' are invalid, '123.com' is valid);
+# >63-char segments fail (encoded via {0,61})
+_DOMAIN_TLD = r"[A-Za-z](?:[A-Za-z0-9\-]{0,61}[A-Za-z0-9])?"
+_EMAIL_DOMAIN = rf"(?:{_HOST_LABEL}\.)+{_DOMAIN_TLD}"
+_EMAIL = rf"^{_EMAIL_LOCAL}@{_EMAIL_DOMAIN}$"
+# joi hostname (NOT address-based): internals.hostRegex has no per-label
+# 63-char cap — only the total <=255 check (string/index.js:35,:401)
+_HOST_LABEL_NOCAP = r"[a-zA-Z0-9](?:[a-zA-Z0-9\-]*[a-zA-Z0-9])?"
+_HOSTNAME = rf"^{_HOST_LABEL_NOCAP}(?:\.{_HOST_LABEL_NOCAP})*$"
+_DOMAIN = rf"^(?:{_HOST_LABEL}\.)+{_DOMAIN_TLD}$"
 
 _UUID_HEX = "[0-9a-fA-F]"
 # joi guid: optional matching {} or [] wrapping (lib/types/string/index.js:320-365);
@@ -274,8 +288,9 @@ def make_email(args):
         # <= 254 bytes (lib/types/string/index.js:291-318 delegation)
         ok &= as_bool_np(
             pc.less_equal(pc.binary_length(pc.cast(arr, pa.binary())), 254), n)
+        # local-part cap is 64 BYTES (v2: TextEncoder().encode(local).length)
         local = pc.struct_field(pc.extract_regex(arr, r"^(?P<l>[^@]*)@"), "l")
-        ok &= as_bool_np(pc.less_equal(pc.utf8_length(local), 64), n)
+        ok &= as_bool_np(pc.less_equal(pc.binary_length(pc.cast(local, pa.binary())), 64), n)
         if min_segments > 2:
             dom = pc.struct_field(pc.extract_regex(arr, r"@(?P<d>[^@]*)$"), "d")
             dots = pc.count_substring(dom, ".")
@@ -654,19 +669,60 @@ def make_normalize(args):
 
 
 def apply_replacements(arr: pa.Array, replacements: list[dict]) -> pa.Array:
-    """Coerce-time replace list (``lib/types/string/index.js:606-625``):
-    literal substring replace for plain patterns (joi string semantics),
-    regex replace for compiled patterns."""
+    """Coerce-time replace list (``lib/types/string/index.js:598-617``):
+    joi wraps STRING patterns in a GLOBAL regex (replace ALL occurrences),
+    while RegExp patterns run with their own flags — and without /g, JS
+    String.replace substitutes only the FIRST match.  Python regexes have
+    no /g, so compiled patterns map to joi's no-flag default:
+    max_replacements=1 (fuzz seeds 1/94, node-verified: replace(/\\d/, '')
+    on 'abc123' -> 'abc23', not 'abc')."""
     for r in replacements:
         if r.get("literal"):
             arr = pc.replace_substring(arr, r["pattern"], r["replacement"])
         else:
-            arr = pc.replace_substring_regex(arr, r["pattern"], r["replacement"])
+            arr = pc.replace_substring_regex(arr, r["pattern"], r["replacement"],
+                                             max_replacements=1)
     return arr
 
 
 def truncate_to(arr: pa.Array, limit: int) -> pa.Array:
     return pc.utf8_slice_codeunits(arr, 0, limit)
+
+
+def make_domain(args):
+    """@hapi/address v2 domain analysis (boolean path joi v16 uses via
+    ``Address.domain.isValid``, string/index.js:280-287): total length
+    <= 256, dot-separated RFC 1035 segments (non-TLD alphanumeric with
+    inner hyphens, TLD starts with a letter), minDomainSegments (default
+    2) and tlds allow/deny sets.  Mirrored byte-for-byte by the refshim's
+    faithful v2 port (tools/refshim/node_modules/@hapi/address)."""
+    opts = (args or {}).get("options") or {}
+    min_segments = opts.get("minDomainSegments") or opts.get("min_domain_segments") or 2
+    if min_segments <= 1:
+        pattern = rf"^(?:{_HOST_LABEL}\.)*{_DOMAIN_TLD}$"
+    else:
+        pattern = rf"^(?:{_HOST_LABEL}\.){{{min_segments - 1},}}{_DOMAIN_TLD}$"
+    tlds = opts.get("tlds")
+    allow = deny = None
+    if isinstance(tlds, dict):
+        if tlds.get("allow") and tlds["allow"] is not True:
+            allow = {t.lower() for t in tlds["allow"]}
+        if tlds.get("deny"):
+            deny = {t.lower() for t in tlds["deny"]}
+
+    def kernel(arr, env: Env) -> RuleOut:
+        n = len(arr)
+        ok = regex_mask(arr, pattern) & as_bool_np(pc.less_equal(_lengths(arr), 256), n)
+        if allow or deny:
+            tld = pc.utf8_lower(pc.struct_field(
+                pc.extract_regex(arr, r"\.?(?P<tld>[A-Za-z0-9\-]+)$"), "tld"))
+            if allow:
+                ok &= as_bool_np(pc.is_in(tld, value_set=pa.array(sorted(allow))), n)
+            if deny:
+                ok &= ~as_bool_np(pc.is_in(tld, value_set=pa.array(sorted(deny))), n)
+        return RuleOut(ok=ok, context={})
+
+    return kernel
 
 
 def make_hostname(args):
@@ -723,7 +779,7 @@ FACTORIES = {
     "base64": make_base64,
     "dataUri": make_data_uri,
     "email": make_email,
-    "domain": _regex_rule(_DOMAIN, "string.domain"),
+    "domain": lambda args: make_domain(args),
     "hostname": make_hostname,
     "guid": make_guid,
     "ip": make_ip,

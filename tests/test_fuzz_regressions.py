@@ -1020,3 +1020,80 @@ def test_when_branch_raw_overrides_base_strip():
     # and strip()/raw() setters are mutually exclusive
     assert "raw" not in jr.string().raw().strip().flags
     assert "strip" not in jr.string().strip().raw().flags
+
+
+def test_string_coerce_pipeline_order():
+    # fuzz seed 5000021 (node-verified): joi's string coerce has a FIXED
+    # stage order — normalize -> case -> trim -> replace -> isoDate ->
+    # truncate (string/index.js:68-135) — so lowercase lands BEFORE the
+    # replace pattern matches, and truncate runs last
+    s = jr.object({"b": jr.string().lowercase().replace(
+        __import__("re").compile(r"^[a-z0-9]+$"), "Z").min(2)})
+    t = pa.table({"b": ["ABC"]})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    assert r.violations["code"].to_pylist() == ["string.min"]   # "ABC"->"abc"->"Z"
+
+
+def test_replace_regex_first_match_only():
+    # fuzz seeds 1/94 (node-verified): a RegExp pattern without /g
+    # replaces only the FIRST match (JS String.replace); joi wraps STRING
+    # patterns in a GLOBAL regex (replace all)
+    import re as _re
+    s = jr.object({"b": jr.string().replace(_re.compile(r"\d"), "")})
+    r = jr.compile_schema(s).validate_table(pa.table({"b": ["abc123"]}))
+    assert r.value["b"].to_pylist() == ["abc23"]
+    s2 = jr.object({"b": jr.string().replace("1", "")})
+    r2 = jr.compile_schema(s2).validate_table(pa.table({"b": ["a11"]}))
+    assert r2.value["b"].to_pylist() == ["a"]
+
+
+def test_isodate_coerce_error_aborts_row():
+    # fuzz seeds 5000076/5000251 (node-verified): isoDate converts at
+    # COERCE time; failure is a coerce error that aborts the row — no
+    # valids, no other rules
+    s = jr.object({"b": jr.string().min(4).iso_date()})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(
+        pa.table({"b": ["abc", "2019-02-03"]}))
+    v = list(zip(r.violations["row"].to_pylist(), r.violations["code"].to_pylist()))
+    assert v == [(0, "string.isoDate")]                        # no string.min on row 0
+    assert r.value["b"].to_pylist()[1] == "2019-02-03T00:00:00.000Z"
+
+
+def test_failover_cross_type_and_warning_survival():
+    # fuzz seed 5000296 (node-verified): a number failover over an
+    # all-failing string column under convert:false rebuilds the column
+    # in the failover's type (joi value = 3)
+    s = jr.object({"a": jr.number().greater(41).failover(3.0).forbidden()})
+    r = jr.compile_schema(s, prefs={"abort_early": False, "convert": False}).validate_table(
+        pa.table({"a": ["0"]}))
+    assert r.violations.num_rows == 0
+    assert r.value["a"].to_pylist() == [3.0]
+    # fuzz seed 44 (node-verified): failover clears ERRORS only
+    # (validator.js:359-364); warnings persist
+    s2 = jr.object({"c": jr.string().pattern(r"^[a-z]+$").alphanum().warn().failover("A")})
+    r2 = jr.compile_schema(s2, prefs={"abort_early": False}).validate_table(
+        pa.table({"c": ["12.5"]}))
+    codes = list(zip(r2.violations["code"].to_pylist(), r2.violations["severity"].to_pylist()))
+    assert ("string.alphanum", "warn") in codes
+    assert not any(sev == "error" for _, sev in codes)
+    assert r2.value["c"].to_pylist() == ["A"]
+
+
+def test_domain_email_address_v2_semantics():
+    # @hapi/address v2 (public): TLD must START with a letter, non-TLD
+    # segments alphanumeric with inner hyphens, min 2 segments; email
+    # local is dot-separated atext with 64-byte cap — mirrored by the
+    # refshim's faithful v2 port (fuzz seed 92 family)
+    s = jr.compile_schema(jr.object({"x": jr.string().domain()}),
+                          prefs={"abort_early": False})
+    cases = {"example.com": True, "123.com": True, "a.b": True, "a.b2": True,
+             "2.0": False, "a.2b": False, "com": False, "a..b": False,
+             "-a.com": False, "a-.com": False, "localhost": False}
+    r = s.validate_table(pa.table({"x": list(cases)}))
+    assert list(r.ok) == list(cases.values())
+    s2 = jr.compile_schema(jr.object({"x": jr.string().email()}),
+                           prefs={"abort_early": False})
+    ecases = {"a@b.com": True, "a_b@c.com": True, "A@B.COM": True,
+              "x@y": False, "a@b..com": False, "bad@": False, "@bad.com": False}
+    r2 = s2.validate_table(pa.table({"x": list(ecases)}))
+    assert list(r2.ok) == list(ecases.values())

@@ -42,6 +42,32 @@ ISODATES = ["2019-02-03", "2019-02-03T10:30:00Z", "2020-13-01", "not a date",
             "2021-06-15T08:00:00.123Z", "1970-01-01", "2019-02-30",
             "2019-W06-6", "2019-034"]
 PATTERNS = ["^[a-z]+$", "\\d", "^x", "[A-Z]{2}", "^[a-z0-9]+$"]
+
+#: valid + near-miss inputs per string FORMAT rule, blended into a format
+#: column's value pool so pass paths get exercised, not just rejections
+FORMAT_VALUES = {
+    "email": ["a@b.com", "user.name+tag@example.co.uk", "bad@", "@bad.com",
+              "x@y", "a@b..com", "A@B.COM"],
+    "uri": ["http://example.com", "https://a.b/c?d=e#f", "ftp://x.org/file",
+            "not a uri", "mailto:a@b.com", "//relative"],
+    "guid": ["123e4567-e89b-12d3-a456-426614174000",
+             "{123e4567-e89b-12d3-a456-426614174000}",
+             "123E4567-E89B-12D3-A456-426614174000", "not-a-guid"],
+    "hex": ["deadBEEF", "abc123", "0x1f", "xyz"],
+    "base64": ["aGVsbG8=", "YWJj", "YWJjZA==", "bad!", "YQ"],
+    "isoDate": ["2019-02-03", "2019-02-03T10:30:00Z", "2019-02-30",
+                "20190203", "2019-02-03T10:30:00+02:00"],
+    "isoDuration": ["P3Y6M4DT12H30M5S", "PT15M", "P1D", "3 days", "P"],
+    "dataUri": ["data:image/png;base64,aGVsbG8=", "data:,Hello", "nope"],
+    "domain": ["example.com", "sub.domain.co.uk", "localhost",
+               "-bad-.com", "a.b"],
+    "hostname": ["example.com", "my-host", "bad_host!", "127.0.0.1"],
+    "ip": ["127.0.0.1", "192.168.1.300", "::1", "2001:db8::1",
+           "1.2.3.4/24", "nope"],
+    "creditCard": ["4111111111111111", "4111111111111112",
+                   "378282246310005", "123"],
+    "normalize": ["é", "é", "ﬁ", "abc", "Å"],
+}
 # custom rule messages with joi brace semantics: {{x}} escapes under
 # errors.escapeHtml, {x} is raw, unresolved refs drop, {[.]} is the
 # per-row offending value (works on any rule)
@@ -102,6 +128,10 @@ class Gen:
                 c.append(["port"])
             if self.maybe(0.12):
                 c.append([self.pick(["positive", "negative"])])
+            if self.maybe(0.08):
+                # precision is a CONVERT-phase rule (rounds) under convert,
+                # an error otherwise
+                c.append(["precision", r.randint(1, 3)])
             spec = {"t": "number", "c": c}
         elif family == "string":
             if self.maybe(0.3):
@@ -120,6 +150,21 @@ class Gen:
                 c.append(["trim"])
             if self.maybe(0.1):
                 c.append(["insensitive"])
+            if self.maybe(0.12):
+                # one FORMAT rule; the string column blends matching valid
+                # inputs from FORMAT_VALUES so pass paths run too
+                fmt = self.pick(list(FORMAT_VALUES))
+                if fmt == "normalize":
+                    c.append(["normalize", self.pick(["NFC", "NFD", "NFKC", "NFKD"])])
+                else:
+                    c.append([fmt])
+            elif self.maybe(0.05):
+                c.append(["replace", {"$re": self.pick(PATTERNS)}, self.pick(["_", "Z", ""])])
+            elif self.maybe(0.05):
+                # truncate clamps to the max() limit instead of erroring
+                if not any(x[0] == "max" for x in c):
+                    c.append(["max", r.randint(3, 6)])
+                c.append(["truncate"])
             spec = {"t": "string", "c": c}
         elif family == "boolean":
             if self.maybe(0.4):
@@ -162,6 +207,10 @@ class Gen:
             c.append(["invalid"] + self.r.sample(pool, self.r.randint(1, min(2, len(pool)))))
         if pool and self.maybe(0.12):
             c.append(["default", self.pick(pool)])
+        elif pool and self.maybe(0.05):
+            # failover replaces the value when validation FAILS
+            # (validator.js internals.finalize failover branch)
+            c.append(["failover", self.pick(pool)])
         if self.maybe(0.25):
             c.append([self.pick(["required", "optional", "forbidden"])])
         if family == "string" and self.maybe(0.15):
@@ -244,8 +293,8 @@ class Gen:
             f1 = self.leaf_spec("number", [])
             f2 = self.leaf_spec("string", [])
             c = []
-            dep = self.pick(["and", "or", "xor", "with", "without", "nand", None])
-            if dep in ("and", "or", "xor", "nand"):
+            dep = self.pick(["and", "or", "xor", "oxor", "with", "without", "nand", None])
+            if dep in ("and", "or", "xor", "oxor", "nand"):
                 c.append([dep, "p", "q"])
             elif dep in ("with", "without"):
                 c.append([dep, "p", ["q"]])
