@@ -1478,6 +1478,19 @@ def _finalize_branch_values(arr, branch_values, n: int):
                     value = pc.if_else(pa.array(m), v, value)
                 except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
                     pass
+            elif (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)) and (
+                pa.types.is_floating(v.type) or pa.types.is_integer(v.type)
+                or pa.types.is_boolean(v.type)
+            ):
+                # numeric/boolean branch values land as their STRING
+                # rendering ('true'/'12') — value-equivalent to joi's
+                # typed result (the tracked value_repr form) instead of a
+                # stale original that a failover/truthy conversion
+                # replaced (fuzz seed 5003214: '' -> failover true)
+                try:
+                    value = pc.if_else(pa.array(m), pc.cast(v, arr.type), value)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                    pass
         return value, AltView(value, pairs)
     target = next(iter(out_types))
     if target == arr.type:
@@ -1834,11 +1847,26 @@ def _adopt_items_multi(pairs, base, failed_any, n_items: int):
                 if ok2:
                     return out2, None, None
             elif ok2:
-                # promotion blocked — expose the typed view: an item's alt
-                # value is faithful iff it was ADOPTED (joi converted it)
-                # or is null; merely cast-survivable strings keep their
-                # original rendering in joi ("5.0" stays "5.0") and must
-                # exclude the row
+                # promotion blocked — graft UNRELATED adopted values (a
+                # failover whose original doesn't round-trip to the
+                # adopted type) into the base as their string rendering:
+                # value-equivalent to joi's typed item (tracked
+                # value_repr), not a stale original (fuzz seed 5001791:
+                # 'ABC' -> failover 10 must not stay 'ABC')
+                graft = adopt_all & null_mask(base2) & ~null_mask(out)
+                if graft.any() and (
+                    pa.types.is_string(base.type) or pa.types.is_large_string(base.type)
+                ) and (pa.types.is_floating(T) or pa.types.is_integer(T)
+                       or pa.types.is_boolean(T)):
+                    try:
+                        out = pc.if_else(pa.array(graft), pc.cast(out2, base.type), out)
+                        changed = True
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                        pass
+                # expose the typed view: an item's alt value is faithful
+                # iff it was ADOPTED (joi converted it) or is null; merely
+                # cast-survivable strings keep their original rendering in
+                # joi ("5.0" stays "5.0") and must exclude the row
                 return (out if changed else None), out2, adopt_all | null_mask(out)
     return (out if changed else None), None, None
 

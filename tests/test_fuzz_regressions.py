@@ -1097,3 +1097,24 @@ def test_domain_email_address_v2_semantics():
               "x@y": False, "a@b..com": False, "bad@": False, "@bad.com": False}
     r2 = s2.validate_table(pa.table({"x": list(ecases)}))
     assert list(r2.ok) == list(ecases.values())
+
+
+def test_failover_branch_values_graft_as_string_rendering():
+    # fuzz seeds 5001791/5003214 (node-verified): a cross-type failover /
+    # truthy conversion inside an alternatives branch or ordered slot
+    # must land in a string column as its STRING rendering (joi's typed
+    # value, tracked value_repr) — never the stale original it replaced
+    s = jr.object({"d": jr.alternatives(
+        jr.number().greater(9).integer(),
+        jr.boolean().falsy("no", "N").failover(True))})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(
+        pa.table({"d": ["", "12", "no"]}))
+    assert r.violations.num_rows == 0
+    assert r.value["d"].to_pylist() == ["true", "12", "false"]
+    s2 = jr.object({"d": jr.array().ordered(
+        jr.number().multiple(5).failover(10.0).required(),
+        jr.string().min(1))})
+    r2 = jr.compile_schema(s2, prefs={"abort_early": False}).validate_table(
+        pa.table({"d": pa.array([["ABC"], ["25", "x"]], pa.list_(pa.string()))}))
+    assert r2.violations.num_rows == 0
+    assert r2.value["d"].to_pylist() == [["10"], ["25", "x"]]
