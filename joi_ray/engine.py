@@ -713,6 +713,15 @@ def eval_node(
                 elif not hasattr(_lim, "kind"):
                     arr = k_strings.truncate_to(arr, int(_lim))
 
+    # rows with a coerce-stage error return IMMEDIATELY in joi
+    # (validator.js:150-156 finalize) — the empty stage, presence and
+    # defaults never see them (fuzz seed 5102192: '' failing isoDate at
+    # coerce reports ONLY string.isoDate, never the empty-converted
+    # any.required)
+    coerce_bad = np.zeros(n, dtype=bool)
+    for _cc, _cm in coerce_errs:
+        coerce_bad |= _cm
+
     # ---- empty: values (or matching schemas) treated as missing
     # (lib/validator.js:162-165; empty(schema) per lib/base.js:124-134)
     if node.empty_values or node.empty_schemas:
@@ -735,6 +744,7 @@ def eval_node(
             eenv = Env({"convert": True}, getattr(env, "_resolve_sibling", None), env.ancestors)
             for es in node.empty_schemas:
                 em |= node_validity(es, probe, eenv, scope) & ~null_mask(probe)
+        em = em & ~coerce_bad
         if em.any():
             arr = pc.if_else(pa.array(em), pa.nulls(n, arr.type), arr)
 
@@ -835,7 +845,7 @@ def eval_node(
         # valids/base/rules run for those rows.  "Present" here includes
         # uncoercible values (joi's coerce emits no error for them; the
         # base check they would have hit never runs)
-        add_err("any.unknown", ~missing & scope & ~resolved, seq=-3)
+        add_err("any.unknown", ~missing & scope & ~resolved & ~coerce_bad, seq=-3)
         resolved |= True  # everything settled at this stage
         base_fail = np.zeros(n, dtype=bool)
     else:
@@ -1853,14 +1863,22 @@ def _adopt_items_multi(pairs, base, failed_any, n_items: int):
                 # value-equivalent to joi's typed item (tracked
                 # value_repr), not a stale original (fuzz seed 5001791:
                 # 'ABC' -> failover 10 must not stay 'ABC')
-                graft = adopt_all & null_mask(base2) & ~null_mask(out)
+                graft = adopt_all & ~null_mask(out)
                 if graft.any() and (
                     pa.types.is_string(base.type) or pa.types.is_large_string(base.type)
                 ) and (pa.types.is_floating(T) or pa.types.is_integer(T)
                        or pa.types.is_boolean(T)):
                     try:
-                        out = pc.if_else(pa.array(graft), pc.cast(out2, base.type), out)
-                        changed = True
+                        # graft only where the adopted value DIFFERS from
+                        # the original's round-trip (failover 3 -> 10, not
+                        # the pure '25' -> 25 conversion whose original is
+                        # already value-equivalent; fuzz seed 5101332)
+                        neq = as_bool_np(
+                            pc.fill_null(pc.not_equal(base2, out2), True), n_items)
+                        graft = graft & neq
+                        if graft.any():
+                            out = pc.if_else(pa.array(graft), pc.cast(out2, base.type), out)
+                            changed = True
                     except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
                         pass
                 # expose the typed view: an item's alt value is faithful

@@ -1118,3 +1118,13 @@ def test_failover_branch_values_graft_as_string_rendering():
         pa.table({"d": pa.array([["ABC"], ["25", "x"]], pa.list_(pa.string()))}))
     assert r2.violations.num_rows == 0
     assert r2.value["d"].to_pylist() == [["10"], ["25", "x"]]
+
+
+def test_coerce_error_preempts_empty_and_presence():
+    # fuzz seed 5102192 (node-verified): a coerce-stage error returns
+    # immediately (validator.js:150-156) — the empty('') stage never
+    # converts the row, so required never fires on top
+    s = jr.object({"b": jr.string().max(10).iso_date().required().empty("")})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(
+        pa.table({"b": [""]}))
+    assert r.violations["code"].to_pylist() == ["string.isoDate"]
