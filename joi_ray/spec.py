@@ -763,7 +763,14 @@ class Schema:
         """Plain-JSON manifest (isomorphic to ``lib/manifest.js:16-154``)."""
         d: dict[str, Any] = {"type": self.type}
         if self.flags:
-            d["flags"] = _encode(self.flags)
+            flags = dict(self.flags)
+            # strip/raw serialize as joi's single result slot
+            # (manifest.js flags: {result: 'strip'|'raw'})
+            if flags.pop("strip", None):
+                flags["result"] = "strip"
+            elif flags.pop("raw", None):
+                flags["result"] = "raw"
+            d["flags"] = _encode(flags)
         if self.rules:
             d["rules"] = [
                 {k: (_encode(v) if k == "args" else v) for k, v in r.items()} for r in self.rules
@@ -1497,6 +1504,12 @@ def build(desc: dict) -> Schema:
         raise ValueError(f"unknown type {desc['type']!r}")
     s = cls() if cls is not ObjectSchema else ObjectSchema()
     s.flags = _decode(desc.get("flags", {}))
+    # joi's single result slot (manifest flags {result: 'strip'|'raw'})
+    # maps back to the internal strip/raw flags; legacy split form passes
+    # through _decode untouched
+    _res = s.flags.pop("result", None)
+    if _res in ("strip", "raw"):
+        s.flags[_res] = True
     s.rules = [
         {**r, "args": _decode(r.get("args", {}))} for r in desc.get("rules", [])
     ]
