@@ -2103,6 +2103,12 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
     alt_flat = alt_ok = None  # blocked cross-type promotion: typed ref view
     arr_in = arr  # pre-strip shape for the alt list rebuild
     n_items = len(flat)
+    # items that ADOPTED a converted value (vs kept their original): when
+    # a type promotion rewrites the whole column, joi's typeof-sensitive
+    # unique() still distinguishes kept number 1 from adopted cast "1" —
+    # the tag array carries that lost type bit (fuzz seed 5300531)
+    adopted_any = np.zeros(n_items, dtype=bool)
+    env._item_type_tags = None  # reset any sibling array's stale tags
     # joi's items loop SKIPS undefined entries in non-sparse arrays — the
     # sparse check already errored them and `continue`s (array.js:154-164);
     # with sparse() they flow through item validation like any value
@@ -2135,6 +2141,7 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
         adopt = item_live & ~restore
         if sub.value is not None and adopt.any():
             new_flat, alt_flat, alt_ok = _adopt_items(adopt, sub.value, flat, n_items, failed=sub.failed)
+            adopted_any |= adopt
         else:
             new_flat = None
         if ic.flags.get("presence") == "required":
@@ -2204,6 +2211,8 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                 # beyond-slot items are tolerable for the type promotion:
                 # their rows carry array.orderedLength (or array.includes
                 # failures downstream), so their values are never compared
+                for _am, _av in slot_pairs:
+                    adopted_any |= _am
                 merged, alt_flat, alt_ok = _adopt_items_multi(
                     slot_pairs, new_flat if new_flat is not None else flat,
                     slot_failed | ~item_live | (positions >= len(node.ordered)), n_items,
@@ -2314,6 +2323,7 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                         keep_orig = keep_orig | became2
                     base = new_flat if new_flat is not None else flat
                     new_flat = _adopt_items(~keep_orig, sub.value, base, n_items, failed=sub.failed)[0] or new_flat
+                    adopted_any |= ~keep_orig
                 hit = remaining & ok
                 if ic.flags.get("strip"):
                     claim, splice = _required_strip_claims(
@@ -2366,6 +2376,8 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                     matched_any |= hit
                     remaining = remaining & ~hit
                 if incl_pairs:
+                    for _am, _av in incl_pairs:
+                        adopted_any |= _am
                     base = new_flat if new_flat is not None else flat
                     merged_i, alt_f2, alt_o2 = _adopt_items_multi(
                         incl_pairs, base, ~matched_any | ~item_live, n_items)
@@ -2480,6 +2492,7 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
             # re-expand the shorter lists from full-length items
             src_flat = combine(new_flat) if new_flat is not None else flat
             kept_flat = src_flat.filter(pa.array(keep))
+            adopted_any = adopted_any[keep]
             new_flat = None
             kept_counts = np.bincount(parents[keep], minlength=n) if keep.any() else np.zeros(n, np.int64)
             null_rows = null_mask(arr)
@@ -2508,6 +2521,18 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                 alt_pair = (rows_ok, _rebuild_list(arr_in, alt_flat))
             except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
                 alt_pair = None
+    # typeof side-channel for unique(): when a promotion rewrote the
+    # column type, kept-original items and adopted-converted items carry
+    # different joi typeofs even though the Arrow column is now uniform
+    # (fuzz seed 5300531: kept number 1 never dups adopted cast "1");
+    # consumed by make_unique via env (set fresh per array node)
+    if adopted_any.any():
+        try:
+            _ff = k_lists.flatten_with_parents(combine(arr))[0]
+            if _ff.type != flat.type and len(_ff) == len(adopted_any):
+                env._item_type_tags = adopted_any
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            pass
     return arr, alt_pair
 
 

@@ -107,11 +107,21 @@ def make_unique(args):
                 lambda v: None if v is None else json.dumps(v, sort_keys=True, default=str)
             )
         df = pd.DataFrame({"p": parents, "v": s, "pos": positions})
+        # joi's unique is typeof-SENSITIVE (array.js:490-497 `found[typeof
+        # item]`): when a type promotion rewrote the column, the engine
+        # tags adopted-converted vs kept-original items — a kept number 1
+        # never dups an adopted cast "1" (fuzz seed 5300531)
+        tags = getattr(env, "_item_type_tags", None)
+        if tags is not None and len(tags) == len(df) and comparator is None:
+            t = np.asarray(tags, dtype=np.int8)
+            t = np.where(s.isna().to_numpy(), 0, t)  # undefined: one type
+            df["t"] = t
         if ignore_undefined:
             df = df[df["v"].notna()]
         # nulls participate by default: two null items are duplicates
         # (array.js:476 — ignoreUndefined turns that off)
-        dup = df.duplicated(subset=["p", "v"], keep="first")
+        dup = df.duplicated(subset=(["p", "v", "t"] if "t" in df else ["p", "v"]),
+                            keep="first")
         # joi stops at the FIRST duplicate per row and reports it at the
         # later occurrence's position (array.js:461-495: "[2]" for
         # [1,2,1,2]) — one error per row, item-indexed

@@ -282,8 +282,15 @@ def make_email(args):
     elif tlds:
         tld_set = {t.lower() for t in tlds}
 
+    # minDomainSegments below the default 2 relaxes the domain shape
+    # ('a@b' is valid under minDomainSegments:1 — @hapi/address v2)
+    if min_segments <= 1:
+        email_pattern = rf"^{_EMAIL_LOCAL}@(?:{_HOST_LABEL}\.)*{_DOMAIN_TLD}$"
+    else:
+        email_pattern = _EMAIL
+
     def check_one(arr, n):
-        ok = regex_mask(arr, _EMAIL)
+        ok = regex_mask(arr, email_pattern)
         # @hapi/address limits: local part <= 64 chars, whole address
         # <= 254 bytes (lib/types/string/index.js:291-318 delegation)
         ok &= as_bool_np(

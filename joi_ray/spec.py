@@ -908,8 +908,17 @@ class StringSchema(Schema):
             single=True,
         )
 
-    def domain(self) -> "StringSchema":
-        return self._rule("domain", single=True)
+    def domain(self, *, min_domain_segments: int = 2,
+               tlds: list[str] | dict | bool | None = None,
+               allow_unicode: bool = True) -> "StringSchema":
+        """@hapi/address v2 options (string/index.js:270-287):
+        minDomainSegments, tlds allow/deny, allowUnicode."""
+        return self._rule(
+            "domain",
+            {"options": {"minDomainSegments": min_domain_segments,
+                         "tlds": tlds, "allowUnicode": allow_unicode}},
+            single=True,
+        )
 
     def hostname(self) -> "StringSchema":
         return self._rule("hostname", single=True)

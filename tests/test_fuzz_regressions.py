@@ -1128,3 +1128,29 @@ def test_coerce_error_preempts_empty_and_presence():
     r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(
         pa.table({"b": [""]}))
     assert r.violations["code"].to_pylist() == ["string.isoDate"]
+
+
+def test_unique_is_typeof_sensitive_across_promotion():
+    # fuzz seed 5300531 (node-verified): joi's unique buckets by typeof
+    # (array.js:490-497) — a kept-original number 1 (its item errored)
+    # never duplicates an adopted cast('string') "1", even though our
+    # promoted Arrow column renders both as "1"
+    item = jr.number().multiple(2).default(1.0).cast("string")
+    s = jr.object({"c": jr.array().items(item).unique().sparse()})
+    t = pa.table({"c": pa.array([[1.0, 0.0, 0.5, None]], pa.list_(pa.float64()))})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    codes = r.violations["code"].to_pylist()
+    assert "array.unique" not in codes
+    assert codes.count("number.multiple") == 2
+
+
+def test_domain_email_min_segments_option():
+    # @hapi/address v2 minDomainSegments option threads through both
+    # rules ('a@b' valid under minDomainSegments:1)
+    r = jr.compile_schema(jr.object({"x": jr.string().email(min_domain_segments=1)}),
+                          prefs={"abort_early": False}).validate_table(pa.table({"x": ["a@b"]}))
+    assert list(r.ok) == [True]
+    r2 = jr.compile_schema(jr.object({"x": jr.string().domain(min_domain_segments=3)}),
+                           prefs={"abort_early": False}).validate_table(
+        pa.table({"x": ["a.b.com", "b.com"]}))
+    assert list(r2.ok) == [True, False]

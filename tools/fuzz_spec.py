@@ -156,6 +156,19 @@ class Gen:
                 fmt = self.pick(list(FORMAT_VALUES))
                 if fmt == "normalize":
                     c.append(["normalize", self.pick(["NFC", "NFD", "NFKC", "NFKD"])])
+                elif fmt == "guid" and self.maybe(0.4):
+                    c.append(["guid", {"$kw": {"version": [
+                        self.pick(["uuidv1", "uuidv4", "uuidv5"])]}}])
+                elif fmt == "ip" and self.maybe(0.5):
+                    c.append(["ip", {"$kw": {
+                        "version": [self.pick(["ipv4", "ipv6"])],
+                        "cidr": self.pick(["optional", "required", "forbidden"])}}])
+                elif fmt == "base64" and self.maybe(0.5):
+                    c.append(["base64", {"$kw": {
+                        "paddingRequired": self.pick([True, False]),
+                        "urlSafe": self.pick([True, False])}}])
+                elif fmt in ("email", "domain") and self.maybe(0.4):
+                    c.append([fmt, {"$kw": {"minDomainSegments": self.r.randint(1, 3)}}])
                 else:
                     c.append([fmt])
             elif self.maybe(0.05):
