@@ -113,7 +113,12 @@ def coerce_date(arr: pa.Array, env: Env, flags: dict):
             # string (date.js:195-208: `value * mult` — scientific notation
             # included; whitespace-only is null).  ISO parses never apply.
             blank = s.str.fullmatch(r"\s*", na=True)
-            vals = pd.to_numeric(s.str.strip(), errors="coerce") * (1000 if fmt == "s" else 1)
+            # `value * mult` is JS ToNumber — radix literals included
+            # (Number('0x1f') = 31; fuzz seed 6200866 family)
+            from .template import _js_to_number
+
+            vals = s.map(lambda v: np.nan if v is None else _js_to_number(v)).astype(
+                float) * (1000 if fmt == "s" else 1)
             vals[blank.to_numpy(dtype=bool)] = np.nan
             vals = vals.where(np.abs(vals) <= 8.64e15)  # JS Date range; inf overflows pandas
             as_ms = pd.to_datetime(vals, unit="ms", errors="coerce")
@@ -380,6 +385,12 @@ DATE_FACTORIES = {
 # binary
 
 
+_B64_VALUES = {c: i for i, c in enumerate(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/")}
+_B64_VALUES["-"] = 62  # Node accepts the urlsafe alphabet interchangeably
+_B64_VALUES["_"] = 63
+
+
 def coerce_binary(arr: pa.Array, env: Env, flags: dict):
     """string -> bytes with the encoding flag (utf-8 zero-ish-copy cast;
     base64 / hex decoded per cell — ``binary.js:18-27,41-48``)."""
@@ -392,19 +403,52 @@ def coerce_binary(arr: pa.Array, env: Env, flags: dict):
         enc = flags.get("encoding", "utf-8")
         if enc in ("utf-8", "utf8"):
             return pc.cast(arr, pa.binary()), np.zeros(n, dtype=bool)
-        import base64 as b64mod
+        # Node Buffer.from(str, enc) semantics — LENIENT, never throws
+        # (node-verified): base64 ignores invalid chars, accepts the
+        # urlsafe alphabet, stops at the first '=', truncates incomplete
+        # sextet groups; hex decodes pairs until the first invalid char;
+        # ascii/latin1 mask codepoints & 0xFF.  joi therefore never emits
+        # binary.base for a string input under an encoding flag (fuzz
+        # seeds 6200002-6200007 family).
+        def _node_b64(s: str) -> bytes:
+            eq = s.find("=")
+            if eq != -1:
+                s = s[:eq]
+            out = bytearray()
+            acc = bits = 0
+            for ch in s:
+                v = _B64_VALUES.get(ch)
+                if v is None:
+                    continue
+                acc = (acc << 6) | v
+                bits += 6
+                if bits >= 8:
+                    bits -= 8
+                    out.append((acc >> bits) & 0xFF)
+            return bytes(out)
+
+        def _node_hex(s: str) -> bytes:
+            out = bytearray()
+            i = 0
+            while i + 1 < len(s):
+                try:
+                    out.append(int(s[i:i + 2], 16))
+                except ValueError:
+                    break
+                i += 2
+            return bytes(out)
 
         codecs = {
-            "base64": lambda s: b64mod.b64decode(s, validate=True),
-            "hex": bytes.fromhex,
-            "ascii": lambda s: s.encode("ascii"),
-            "latin1": lambda s: s.encode("latin-1"),
-            "binary": lambda s: s.encode("latin-1"),
+            "base64": _node_b64,
+            "hex": _node_hex,
+            "ascii": lambda s: bytes(ord(c) & 0xFF for c in s),
+            "latin1": lambda s: bytes(ord(c) & 0xFF for c in s),
+            "binary": lambda s: bytes(ord(c) & 0xFF for c in s),
             "utf16le": lambda s: s.encode("utf-16-le"),
             "ucs2": lambda s: s.encode("utf-16-le"),
             "ucs-2": lambda s: s.encode("utf-16-le"),
         }
-        decode = codecs.get(enc, bytes.fromhex)
+        decode = codecs.get(enc, _node_hex)
         vals, fail = [], np.zeros(n, dtype=bool)
         py = arr.to_pylist()
         for i, s in enumerate(py):

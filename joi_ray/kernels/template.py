@@ -296,9 +296,12 @@ def _js_to_number(v) -> float:
         if _JS_NUM_RX is None:
             import re as _re
 
+            # radix literals take NO sign prefix in JS (Number('-0x1f') is
+            # NaN, node-verified); Infinity and decimals do
             _JS_NUM_RX = _re.compile(
-                r"[+-]?(Infinity|0[xX][0-9a-fA-F]+|0[bB][01]+|0[oO][0-7]+"
-                r"|\d+\.?\d*([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?)$"
+                r"(?:0[xX][0-9a-fA-F]+|0[bB][01]+|0[oO][0-7]+"
+                r"|[+-]?(?:Infinity"
+                r"|\d+\.?\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?))$"
             )
         if not _JS_NUM_RX.fullmatch(s):
             return float("nan")

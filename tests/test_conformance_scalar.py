@@ -108,10 +108,12 @@ def test_binary_length():
 def test_binary_coerce_from_string():
     res = check(jr.binary(), [("hello", True)])
     assert res.value["x"].to_pylist() == [b"hello"]
-    res = check(jr.binary().encoding("base64"), [("aGk=", True), ("!!!", False, "binary.base")])
-    assert res.value["x"].to_pylist()[0] == b"hi"
-    res = check(jr.binary().encoding("hex"), [("6869", True), ("zz", False, "binary.base")])
-    assert res.value["x"].to_pylist()[0] == b"hi"
+    # Node Buffer.from is LENIENT (node-verified): invalid base64/hex
+    # decode to whatever valid prefix/subset exists — never binary.base
+    res = check(jr.binary().encoding("base64"), [("aGk=", True), ("!!!", True)])
+    assert res.value["x"].to_pylist() == [b"hi", b""]
+    res = check(jr.binary().encoding("hex"), [("6869", True), ("zz", True)])
+    assert res.value["x"].to_pylist() == [b"hi", b""]
 
 
 def test_date_ref_limit_cross_column():

@@ -1154,3 +1154,22 @@ def test_domain_email_min_segments_option():
                            prefs={"abort_early": False}).validate_table(
         pa.table({"x": ["a.b.com", "b.com"]}))
     assert list(r2.ok) == [True, False]
+
+
+def test_node_lenient_binary_decoders_and_js_tonumber_timestamp():
+    # fuzz seeds 6200002/6200866 families (node-verified): Buffer.from is
+    # lenient — base64 ignores invalid chars / stops at '=' / truncates
+    # partial groups; hex decodes pairs until the first bad char; neither
+    # ever errors.  date timestamp multiplies via JS ToNumber, so radix
+    # literals parse ('0x1f' -> 31ms) but signed radix does not
+    import datetime
+    s = jr.object({"a": jr.binary().encoding("base64"),
+                   "d": jr.date().timestamp("javascript")})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(
+        pa.table({"a": ["bad!", "YQ=YQ", "aG Vs"], "d": ["0x1f", "-3", "-0x1f"]}))
+    assert r.value["a"].to_pylist() == [b"m\xa7", b"a", b"hel"]
+    vals = r.value["d"].to_pylist()
+    assert vals[0] == datetime.datetime(1970, 1, 1, 0, 0, 0, 31000)
+    assert vals[1] == datetime.datetime(1969, 12, 31, 23, 59, 59, 997000)
+    assert vals[2] is None                       # signed radix is NaN
+    assert r.violations["code"].to_pylist() == ["date.timestamp.javascript"]

@@ -364,7 +364,11 @@ def _values_close(a, b, *, depth=0) -> bool:
     if isinstance(a, datetime) or isinstance(b, datetime):
         ta = a.timestamp() if isinstance(a, datetime) else None
         tb = b.timestamp() if isinstance(b, datetime) else None
-        return ta == tb
+        if ta is None or tb is None:
+            return False
+        # sub-microsecond tolerance: a NAIVE pre-epoch datetime's
+        # timestamp() carries float error (-0.003 vs -0.0030000000000000027)
+        return abs(ta - tb) < 1e-6
     if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
         return len(a) == len(b) and all(
             _values_close(x, y, depth=depth + 1) for x, y in zip(a, b)

@@ -188,6 +188,10 @@ class Gen:
         elif family == "date":
             if self.maybe(0.4):
                 c.append(["iso"])
+            elif self.maybe(0.15):
+                # timestamp format: numeric epoch input (unix seconds or
+                # JS milliseconds — date.js timestamp rule)
+                c.append(["timestamp", self.pick(["unix", "javascript"])])
             for rule in ("min", "max", "greater", "less"):
                 if self.maybe(0.15):
                     c.append([rule, "2019-06-01"])
@@ -274,8 +278,13 @@ class Gen:
             return (self.leaf_spec("boolean", []), pa.string(),
                     lambda: self.pick(BOOLSTRINGS))
         if kind == "date":
-            return (self.leaf_spec("date", []), pa.string(),
-                    lambda: self.pick(ISODATES))
+            spec = self.leaf_spec("date", [])
+            if any(x[0] == "timestamp" for x in spec["c"]):
+                # epoch inputs for the timestamp format (plus a couple of
+                # non-numeric rejects)
+                return (spec, pa.string(),
+                        lambda: self.pick(NUMSTRINGS[:10] + ["1546300800", "86400"]))
+            return (spec, pa.string(), lambda: self.pick(ISODATES))
         if kind == "array":
             elem_family = self.pick(["number", "string"])
             item = self.leaf_spec(elem_family, [])
@@ -367,6 +376,11 @@ class Gen:
                 c.append(["length", r.randint(1, 6)])
             if self.maybe(0.25):
                 c.append([self.pick(["required", "optional"])])
+            if self.maybe(0.2):
+                # base64 decode path (binary.js encoding flag)
+                c.append(["encoding", "base64"])
+                return ({"t": "binary", "c": c}, pa.string(),
+                        lambda: self.pick(["aGVsbG8=", "YWJj", "YQ==", "bad!", ""]))
             # binary over a string column: utf-8 coercion path
             return ({"t": "binary", "c": c}, pa.string(),
                     lambda: self.pick(STRINGS))
