@@ -720,6 +720,28 @@ def make_domain(args):
     def kernel(arr, env: Env) -> RuleOut:
         n = len(arr)
         ok = regex_mask(arr, pattern) & as_bool_np(pc.less_equal(_lengths(arr), 256), n)
+        # non-ASCII domains go through v2's NFC + punycode (the shim uses
+        # WHATWG URL host; Python's idna codec agrees on the common forms
+        # — 'αβ' -> xn--mxac, node-verified; fuzz seed 6301530) and the
+        # punycoded ASCII form re-checks the segment shape
+        nonascii = (~as_bool_np(pc.match_substring_regex(arr, r"^[\x00-\x7f]*$"), n)
+                    & ~as_bool_np(pc.is_null(arr), n))
+        if nonascii.any() and opts.get("allowUnicode", True) is not False:
+            import re as _re
+            import unicodedata as _ud
+
+            rx = _re.compile(pattern)
+            vals = arr.to_pylist()
+            for i in np.nonzero(nonascii)[0]:
+                s0 = vals[int(i)]
+                if s0 is None or len(s0) > 256:
+                    continue
+                try:
+                    p = _ud.normalize("NFC", s0).encode("idna").decode("ascii")
+                except (UnicodeError, UnicodeDecodeError):
+                    continue
+                if len(p) <= 256 and rx.fullmatch(p):
+                    ok[int(i)] = True
         if allow or deny:
             tld = pc.utf8_lower(pc.struct_field(
                 pc.extract_regex(arr, r"\.?(?P<tld>[A-Za-z0-9\-]+)$"), "tld"))
