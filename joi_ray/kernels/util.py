@@ -498,10 +498,17 @@ def _ref_arg_check(lim, arg: str, n: int) -> tuple[pa.Array, np.ndarray]:
             # coerces it via toString (Number(Buffer('123')) === 123 so the
             # gate passes), then new Date(buffer) ALSO stringifies — V8's
             # legacy grammar, where '123' is the YEAR 123
+            import pandas as pd
+
             from .scalars import js_parse_date_strings
 
-            txt = pc.cast(lim, pa.string(), safe=False)
-            parsed = js_parse_date_strings(txt.to_pandas(), numeric="legacy")
+            # Buffer.toString() is a UTF-8 decode WITH replacement chars
+            # (b'm\\xa7' -> 'm\\ufffd') — never an invalid-utf8 crash
+            # (fuzz seed 133443: lenient base64 decodes feed date refs)
+            txt = pd.Series(
+                [None if b is None else b.decode("utf-8", "replace")
+                 for b in lim.to_pylist()], dtype="object")
+            parsed = js_parse_date_strings(txt, numeric="legacy")
             lim = pa.Array.from_pandas(parsed.astype("datetime64[ms]"), type=pa.timestamp("ms"))
             return lim, as_bool_np(pc.is_null(lim), n)
         return pa.nulls(n), np.ones(n, dtype=bool)

@@ -1173,3 +1173,16 @@ def test_node_lenient_binary_decoders_and_js_tonumber_timestamp():
     assert vals[1] == datetime.datetime(1969, 12, 31, 23, 59, 59, 997000)
     assert vals[2] is None                       # signed radix is NaN
     assert r.violations["code"].to_pylist() == ["date.timestamp.javascript"]
+
+
+def test_binary_ref_date_arg_invalid_utf8_no_crash():
+    # fuzz seed 133443 (node-verified semantics): a date limit ref
+    # resolving a BINARY sibling stringifies via Buffer.toString() — a
+    # UTF-8 decode with replacement chars — and the legacy date grammar
+    # rejects it as any.ref; lenient base64 decodes (b'm\xa7') must never
+    # crash the utf-8 conversion
+    s = jr.object({"a": jr.binary().encoding("base64"),
+                   "b": jr.date().min(jr.ref("a"))})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(
+        pa.table({"a": ["bad!"], "b": ["2019-01-01"]}))
+    assert r.violations["code"].to_pylist() == ["any.ref"]
