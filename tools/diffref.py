@@ -433,7 +433,9 @@ def _shadow_map_render(ref_msg: str, ray_msg: str) -> bool:
         j += 1
     ref_mid = ref_msg[i:len(ref_msg) - j]
     ray_mid = ray_msg[i:len(ray_msg) - j]
-    return " -> " in ref_mid and " -> " not in ray_mid
+    # the common-prefix scan may consume the space before '->' ('v=a ' is
+    # shared, leaving '-> [object Map]'); match the arrow bare
+    return "->" in ref_mid and "->" not in ray_mid
 
 
 def _values_repr_equiv(ref_v, ray_v) -> bool:
