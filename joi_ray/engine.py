@@ -1209,13 +1209,18 @@ def _apply_cast(arr: pa.Array, to: str, prefs: dict | None = None) -> pa.Array:
             )
         if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type):
             # binary cast: buffer.toString() — a UTF-8 decode with
-            # REPLACEMENT chars (invalid bytes from lenient base64 must
-            # not poison the string column; seed-133443 family)
-            return pa.array(
-                [None if b is None else b.decode("utf-8", "replace")
-                 for b in combine(arr).to_pylist()],
-                type=pa.string(),
-            )
+            # REPLACEMENT chars.  The safe cast validates utf-8, keeping
+            # the common case zero-copy-ish; only columns carrying invalid
+            # bytes (lenient base64 decodes; seed-133443 family) take the
+            # per-row replacement path
+            try:
+                return pc.cast(arr, pa.string())
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                return pa.array(
+                    [None if b is None else b.decode("utf-8", "replace")
+                     for b in combine(arr).to_pylist()],
+                    type=pa.string(),
+                )
         if pa.types.is_boolean(arr.type):
             # boolean cast: value.toString() -> 'true'/'false'
             return pc.if_else(arr, pa.scalar("true"), pa.scalar("false"))
