@@ -648,8 +648,14 @@ def gen_case(seed: int):
         if at == pa.float64():
             sibling_nums.append(n)
     # occasional empty/single-row tables: Ray partitions hand the engine
-    # 0-row blocks at scale — every kernel must survive them
-    nrows = r.choice([0, 1]) if r.random() < 0.03 else r.randint(6, 16)
+    # 0-row blocks at scale — every kernel must survive them.
+    # FUZZ_ROWS=120 stresses the large-batch paths (scoped_eval take-path
+    # thresholds, chunked columns) at the cost of slower node replays
+    _fr = os.environ.get("FUZZ_ROWS", "").strip()
+    if _fr:
+        nrows = int(_fr)
+    else:
+        nrows = r.choice([0, 1]) if r.random() < 0.03 else r.randint(6, 16)
     arrays = {}
     for n, (spec, at, fn) in cols.items():
         vals = [None if r.random() < 0.15 else fn() for _ in range(nrows)]
