@@ -1186,3 +1186,28 @@ def test_binary_ref_date_arg_invalid_utf8_no_crash():
     r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(
         pa.table({"a": ["bad!"], "b": ["2019-01-01"]}))
     assert r.violations["code"].to_pylist() == ["any.ref"]
+
+
+def test_chunked_table_validation_parity():
+    # Ray hands multi-chunk columns; the engine's combine() defenses must
+    # keep every session feature working across chunk boundaries (the
+    # fuzzer only builds single-chunk tables)
+    item = jr.object({"x": jr.number().strip(), "y": jr.string()})
+    s = jr.object({
+        "doc_id": jr.string().required(),
+        "vals": jr.array().items(jr.number().cast("string")).unique().sparse(),
+        "nested": jr.array().items(item),
+        "b": jr.binary().encoding("base64"),
+    })
+    nested_t = pa.list_(pa.struct([("x", pa.float64()), ("y", pa.string())]))
+    t1 = pa.table({"doc_id": ["a"], "vals": pa.array([[1.0, 2.0]], pa.list_(pa.float64())),
+                   "nested": pa.array([[{"x": 1.0, "y": "q"}]], nested_t), "b": ["aGk="]})
+    t2 = pa.table({"doc_id": ["b"], "vals": pa.array([[3.0, 3.0]], pa.list_(pa.float64())),
+                   "nested": pa.array([[{"x": 2.0, "y": "r"}]], nested_t), "b": ["bad!"]})
+    chunked = pa.concat_tables([t1, t2])
+    assert chunked["vals"].num_chunks == 2
+    r = jr.compile_schema(s, prefs={"abort_early": False}, id_column="doc_id").validate_table(chunked)
+    v = list(zip(r.violations["doc_id"].to_pylist(), r.violations["code"].to_pylist()))
+    assert v == [("b", "array.unique")]
+    assert r.value["vals"].to_pylist() == [["1", "2"], ["3", "3"]]
+    assert r.value["b"].to_pylist() == [b"hi", b"m\xa7"]
