@@ -713,6 +713,22 @@ def eval_node(
                 elif not hasattr(_lim, "kind"):
                     arr = k_strings.truncate_to(arr, int(_lim))
 
+    # array sort() runs at COERCE time under convert — BEFORE the items
+    # loop, so sparse/item errors report post-sort indexes (array.js
+    # coerce:44-48 -> internals.sort; fuzz seed 10100012: [undef,5,5,0.5]
+    # descending sparse-errors at index 3, not 0).  convert=True forces
+    # the sort regardless of prefs (engine extension); convert=False
+    # never sorts here (check-only, validated in the rules loop)
+    if node.type == "array" and (
+        pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
+    ):
+        _srt = next((r for r in node.schema.rules if r["name"] == "sort"), None)
+        if _srt is not None:
+            _sc = _srt["args"].get("convert")
+            if _sc is True or (_sc is None and env.convert):
+                arr, _serrs = k_lists.coerce_sort(arr, _srt["args"])
+                coerce_errs = list(coerce_errs) + _serrs
+
     # rows with a coerce-stage error return IMMEDIATELY in joi
     # (validator.js:150-156 finalize) — the empty stage, presence and
     # defaults never see them (fuzz seed 5102192: '' failing isoDate at

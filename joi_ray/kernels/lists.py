@@ -149,40 +149,86 @@ def sparse_check(arr: pa.Array) -> np.ndarray:
     return bad
 
 
+def sort_lists(arr, order: str, by):
+    """Rewrite each row's list in sorted order — joi's internals.sort
+    (array.js:740-788) with undefined-always-last (Arrow null ≙
+    undefined); vectorized lexsort within parents.  Returns the rebuilt
+    list column."""
+    n = len(arr)
+    flat_all, parents_all, _ = flatten_with_parents(arr)
+    keys, _, _ = _item_values(arr, by)
+    kv = keys.to_numpy(zero_copy_only=False)
+    # dense ranks (type-agnostic, null-safe): missing items sort
+    # last regardless of order (array.js:796-801 — undefined/null
+    # always last, see the 1757-1793 convert vectors)
+    mask_null = pd.isna(kv)
+    notnull = ~mask_null
+    uniq, inv = np.unique(kv[notnull], return_inverse=True)
+    rank = np.full(len(kv), len(uniq), dtype=np.int64)
+    rank[notnull] = inv if order != "descending" else (len(uniq) - 1 - inv)
+    order_idx = np.lexsort((rank, parents_all))
+    new_flat = flat_all.take(pa.array(order_idx))
+    lengths = pc.list_value_length(arr).fill_null(0).to_numpy(zero_copy_only=False)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    # carry the list validity mask: a null row must stay null, not
+    # collapse to [] (offsets alone can't express it)
+    validity = None
+    if arr.null_count:
+        validity = pc.is_valid(arr).combine_chunks() if isinstance(arr, pa.ChunkedArray) else pc.is_valid(arr)
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()).cast(pa.int32()), new_flat,
+        mask=pc.invert(validity) if validity is not None else None)
+
+
+def coerce_sort(arr, args: dict):
+    """joi's COERCE-stage sort (array.js coerce:44-48): sorts before the
+    items loop.  Non-number/string item types reproduce the comparator's
+    thrown errors per row — ``array.sort.unsupported`` when two non-equal
+    non-null items of an unsupported typeof meet (a === b short-circuits
+    identical primitives; distinct OBJECT items are never ===, so any two
+    non-null nested items throw).  Returns (new_arr, coerce_errs)."""
+    order = args.get("order", "ascending")
+    by = args.get("by")
+    n = len(arr)
+    keys, parents, _ = _item_values(arr, by)
+    t = keys.type
+    supported = (pa.types.is_integer(t) or pa.types.is_floating(t)
+                 or pa.types.is_string(t) or pa.types.is_large_string(t)
+                 or pa.types.is_null(t))
+    if not supported:
+        bad = np.zeros(n, dtype=bool)
+        if len(parents):
+            if pa.types.is_nested(t):
+                # object identity: two non-null items never compare equal
+                nn = ~np.asarray(pd.isna(keys.to_pandas()))
+                cnt = np.bincount(parents[nn], minlength=n)
+                bad = cnt >= 2
+            else:
+                # primitives (boolean): only rows holding two DISTINCT
+                # non-null values reach the typeof gate
+                kv = keys.to_pandas()
+                df = pd.DataFrame({"p": parents, "v": kv})
+                df = df[df["v"].notna()]
+                nun = df.groupby("p")["v"].nunique()
+                bad[nun.index.to_numpy()[nun.to_numpy() >= 2]] = True
+        if bad.any():
+            return arr, [("array.sort.unsupported", bad)]
+        return arr, []
+    return sort_lists(arr, order, by), []
+
+
 def make_sort(args):
     order = args.get("order", "ascending")
     by = args.get("by")
-    do_convert = bool(args.get("convert"))
+    conv = args.get("convert")
 
     def kernel(arr, env: Env) -> RuleOut:
         n = len(arr)
-        if do_convert and env.convert:
-            # joi convert-mode: rewrite each row's list in sorted order
-            # (array.js:420-452); vectorized lexsort within parents
-            flat_all, parents_all, _ = flatten_with_parents(arr)
-            keys, _, _ = _item_values(arr, by)
-            kv = keys.to_numpy(zero_copy_only=False)
-            # dense ranks (type-agnostic, null-safe): missing items sort
-            # last regardless of order (array.js:796-801 — undefined/null
-            # always last, see the 1757-1793 convert vectors)
-            mask_null = pd.isna(kv)
-            notnull = ~mask_null
-            uniq, inv = np.unique(kv[notnull], return_inverse=True)
-            rank = np.full(len(kv), len(uniq), dtype=np.int64)
-            rank[notnull] = inv if order != "descending" else (len(uniq) - 1 - inv)
-            order_idx = np.lexsort((rank, parents_all))
-            new_flat = flat_all.take(pa.array(order_idx))
-            lengths = pc.list_value_length(arr).fill_null(0).to_numpy(zero_copy_only=False)
-            offsets = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(lengths, out=offsets[1:])
-            # carry the list validity mask: a null row must stay null, not
-            # collapse to [] (offsets alone can't express it)
-            validity = None
-            if arr.null_count:
-                validity = pc.is_valid(arr).combine_chunks() if isinstance(arr, pa.ChunkedArray) else pc.is_valid(arr)
-            rebuilt = pa.ListArray.from_arrays(
-                pa.array(offsets, type=pa.int64()).cast(pa.int32()), new_flat, mask=pc.invert(validity) if validity is not None else None)
-            return RuleOut(ok=np.ones(n, dtype=bool), new_value=rebuilt, context={"order": order, "by": by or "value"})
+        if (conv is None and env.convert) or conv is True:
+            # already applied in the coerce stage (engine hoists joi's
+            # coerce-time sort before the items loop); nothing to check
+            return RuleOut(ok=np.ones(n, dtype=bool), context={"order": order, "by": by or "value"})
         flat, parents, _ = _item_values(arr, by)
         ok = np.ones(n, dtype=bool)
         if len(parents) > 1:

@@ -44,7 +44,10 @@ def document_schema() -> jr.Schema:
     return jr.object(
         {
             "doc_id": jr.string().required().pattern(DOC_ID_PATTERN),
-            "spans": jr.array().required().min(1).items(span).sort(by="offset"),
+            # convert=False pins CHECK mode (engine extension): span-offset
+            # monotonicity is a first-class dataset violation here; joi's
+            # default would silently re-sort under prefs.convert
+            "spans": jr.array().required().min(1).items(span).sort(by="offset", convert=False),
         }
     )
 

@@ -1175,11 +1175,16 @@ class ArraySchema(Schema):
     def has(self, schema: Schema) -> "ArraySchema":
         return self._rule("has", {"schema": schema})
 
-    def sort(self, *, order: str = "ascending", by: str | None = None, convert: bool = False) -> "ArraySchema":
-        """Order check by default; ``convert=True`` rewrites each row's list
-        in sorted order (the reference's convert-mode behavior,
-        ``lib/types/array.js:420-452``).  Check-by-default is a documented
-        deviation: order violations are a first-class dataset check here."""
+    def sort(self, *, order: str = "ascending", by: str | None = None,
+             convert: bool | None = None) -> "ArraySchema":
+        """joi semantics by default (``convert=None``): under
+        ``prefs.convert`` the COERCE stage rewrites each row's list in
+        sorted order BEFORE the items loop (array.js coerce:44-48 →
+        internals.sort:740-788); under ``convert:false`` the rule checks
+        order and errors ``array.sort``.  Engine extensions: ``convert=
+        False`` always checks (order violations as a first-class dataset
+        check, e.g. the flagship span-offset monotonicity), ``convert=
+        True`` always sorts."""
         return self._rule("sort", {"order": order, "by": by, "convert": convert}, single=True)
 
 

@@ -59,9 +59,15 @@ def test_array_sparse_and_sort():
     vcheck(obj({"x": jr.array()}), t, [False, True])          # sparse forbidden by default
     vcheck(obj({"x": jr.array().sparse()}), t, [True, True])  # allowed with flag
     t2 = pa.table({"x": pa.array([[1, 2, 3], [3, 1, 2]], type=LIST_I64)})
-    res = vcheck(obj({"x": jr.array().sort()}), t2, [True, False])
-    assert res.violations.to_pylist()[0]["code"] == "array.sort"
-    vcheck(obj({"x": jr.array().sort(order="descending")}), t2, [False, False])
+    # joi default: sort() CONVERTS under prefs.convert (coerce-stage sort,
+    # node-verified); the check path needs convert:false prefs or the
+    # engine's convert=False extension
+    res = vcheck(obj({"x": jr.array().sort()}), t2, [True, True])
+    assert res.value["x"].to_pylist() == [[1, 2, 3], [1, 2, 3]]
+    res_d = vcheck(obj({"x": jr.array().sort(order="descending")}), t2, [True, True])
+    assert res_d.value["x"].to_pylist() == [[3, 2, 1], [3, 2, 1]]
+    res_c = vcheck(obj({"x": jr.array().sort(convert=False)}), t2, [True, False])
+    assert res_c.violations.to_pylist()[0]["code"] == "array.sort"
 
 
 def test_array_has_and_ordered():

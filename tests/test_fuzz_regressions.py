@@ -1211,3 +1211,25 @@ def test_chunked_table_validation_parity():
     assert v == [("b", "array.unique")]
     assert r.value["vals"].to_pylist() == [["1", "2"], ["3", "3"]]
     assert r.value["b"].to_pylist() == [b"hi", b"m\xa7"]
+
+
+def test_sort_converts_at_coerce_before_items():
+    # fuzz seed 10100012 family (node-verified): sort() is a COERCE-stage
+    # conversion under prefs.convert (array.js coerce:44-48) — the items
+    # loop sees the SORTED array, so sparse errors report post-sort
+    # indexes (undefined always last regardless of order)
+    s = jr.object({"a": jr.array().items(jr.number()).sort(order="descending")})
+    t = pa.table({"a": pa.array([[None, 5.0, 5.0, 0.5]], pa.list_(pa.float64()))})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    got = list(zip(r.violations["code"].to_pylist(), r.violations["item_index"].to_pylist()))
+    assert got == [("array.sparse", 3)]
+    # under convert:false the rule CHECKS instead (array.sort)
+    r2 = jr.compile_schema(s, prefs={"abort_early": False, "convert": False}).validate_table(
+        pa.table({"a": pa.array([[0.5, 5.0]], pa.list_(pa.float64()))}))
+    assert "array.sort" in r2.violations["code"].to_pylist()
+    # unsupported item type: two distinct non-null booleans throw
+    s3 = jr.object({"a": jr.array().sort()})
+    r3 = jr.compile_schema(s3, prefs={"abort_early": False}).validate_table(
+        pa.table({"a": pa.array([[True, False], [True, True]], pa.list_(pa.bool_()))}))
+    v3 = list(zip(r3.violations["row"].to_pylist(), r3.violations["code"].to_pylist()))
+    assert v3 == [(0, "array.sort.unsupported")]

@@ -297,6 +297,11 @@ class Gen:
                 c.append(["max", r.randint(2, 5)])
             if self.maybe(0.3):
                 c.append(["unique"])  # options require a comparator in joi
+            elif self.maybe(0.15):
+                # sort: convert-mode sorts, else array.sort error
+                # (array.js sort rule)
+                kw = {"order": self.pick(["ascending", "descending"])}
+                c.append(["sort", {"$kw": kw}])
             if self.maybe(0.3):
                 c.append(["sparse"])
             if self.maybe(0.1):
