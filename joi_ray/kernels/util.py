@@ -351,8 +351,15 @@ def resolve_template_column(tmpl, env: Env, n: int, mixed: str = "text"):
             x = tmpl.resolve_value(resolve)
         except Exception:
             x = None
-        if x is _UNDEFINED or (isinstance(x, float) and x != x):
-            x = None  # undefined/NaN results fail joi's arg asserts
+        if x is _UNDEFINED:
+            x = None  # undefined results fail joi's arg asserts
+        elif isinstance(x, float) and x != x:
+            # NaN also fails the asserts (np.isnan gate in _ref_arg_check)
+            # but stays NaN so joi's any.ref report renders it as the
+            # RESOLVED value ('v=NaN on c' — fuzz seed 10004430); text
+            # consumers still get the null mapping below
+            if mixed != "altview":
+                x = None
         vals.append(x)
     try:
         return pa.array(vals)

@@ -1233,3 +1233,18 @@ def test_sort_converts_at_coerce_before_items():
         pa.table({"a": pa.array([[True, False], [True, True]], pa.list_(pa.bool_()))}))
     v3 = list(zip(r3.violations["row"].to_pylist(), r3.violations["code"].to_pylist()))
     assert v3 == [(0, "array.sort.unsupported")]
+
+
+def test_template_limit_nan_renders_in_any_ref_value():
+    # fuzz seed 10004430 (node-verified): a Joi.x template limit whose
+    # arithmetic hits undefined resolves NaN — the any.ref report's {[.]}
+    # value renders 'NaN', not empty
+    s = jr.object({
+        "a": jr.number(),
+        "c": jr.number().min(31).max(jr.x("{a - 2}")).message("v={[.]} on {{#label}}"),
+    })
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(
+        pa.table({"a": pa.array([None], pa.float64()), "c": [40.0]}))
+    df = r.violations.to_pandas()
+    ref_msgs = df[df["code"] == "any.ref"]["message"].tolist()
+    assert ref_msgs == ["v=NaN on c"]
