@@ -166,7 +166,14 @@ def sort_lists(arr, order: str, by):
     uniq, inv = np.unique(kv[notnull], return_inverse=True)
     rank = np.full(len(kv), len(uniq), dtype=np.int64)
     rank[notnull] = inv if order != "descending" else (len(uniq) - 1 - inv)
-    order_idx = np.lexsort((rank, parents_all))
+    # joi's compare is TWO-level (array.js:747-760 + :790-801): an
+    # UNDEFINED ITEM sorts last before the by-ref even resolves, then an
+    # undefined BY-value sorts last among defined items (fuzz seed
+    # 11100076: [undef, {y:''}, {y:undef}] by y -> [{y:''}, {y:undef},
+    # undef])
+    item_null = (as_bool_np(pc.is_null(flat_all), len(kv))
+                 if by else mask_null)
+    order_idx = np.lexsort((rank, item_null, parents_all))
     new_flat = flat_all.take(pa.array(order_idx))
     lengths = pc.list_value_length(arr).fill_null(0).to_numpy(zero_copy_only=False)
     offsets = np.zeros(n + 1, dtype=np.int64)
@@ -229,7 +236,8 @@ def make_sort(args):
             # already applied in the coerce stage (engine hoists joi's
             # coerce-time sort before the items loop); nothing to check
             return RuleOut(ok=np.ones(n, dtype=bool), context={"order": order, "by": by or "value"})
-        flat, parents, _ = _item_values(arr, by)
+        items_flat, parents, _ = flatten_with_parents(arr)
+        flat, _, _ = _item_values(arr, by)
         ok = np.ones(n, dtype=bool)
         if len(parents) > 1:
             v = flat.to_numpy(zero_copy_only=False)
@@ -239,16 +247,22 @@ def make_sort(args):
             uniq, inv = np.unique(v[nn], return_inverse=True)
             rk = np.zeros(len(v), dtype=np.int64)
             rk[nn] = inv
+            # joi's TWO-level undefined order (array.js:747-760,:790-801):
+            # an undefined ITEM is last before the by-ref resolves, an
+            # undefined BY-value last among defined items — both
+            # regardless of order (fuzz seed 11100981: [{x:1}, undef,
+            # {x:undef}] by x is OUT of order)
+            item_nn = (~as_bool_np(pc.is_null(items_flat), len(v))
+                       if by else nn)
+            lvl = np.where(~item_nn, 2, np.where(~nn, 1, 0)).astype(np.int64)
             if order == "ascending":
-                in_order = rk[1:] >= rk[:-1]
+                rank_ok = rk[1:] >= rk[:-1]
             else:
-                in_order = rk[1:] <= rk[:-1]
-            both = nn[1:] & nn[:-1]
-            viol = same & both & ~in_order.astype(bool)
-            # missing items sort last regardless of order (array.js:796-801:
-            # undefined is always last; Arrow null == undefined in our
-            # model) — a non-null following a null is out of order
-            viol |= same & ~nn[:-1] & nn[1:]
+                rank_ok = rk[1:] <= rk[:-1]
+            viol = same & (
+                (lvl[1:] < lvl[:-1])
+                | ((lvl[1:] == 0) & (lvl[:-1] == 0) & ~rank_ok.astype(bool))
+            )
             ok[np.unique(parents[1:][viol])] = False
         return RuleOut(ok=ok, context={"order": order, "by": by or "value"})
 

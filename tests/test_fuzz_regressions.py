@@ -1248,3 +1248,26 @@ def test_template_limit_nan_renders_in_any_ref_value():
     df = r.violations.to_pandas()
     ref_msgs = df[df["code"] == "any.ref"]["message"].tolist()
     assert ref_msgs == ["v=NaN on c"]
+
+
+def test_sort_by_two_level_undefined_order():
+    # fuzz seeds 11100076/11100981 (node-verified): joi's sort comparator
+    # puts an undefined ITEM last before the by-ref resolves, and an
+    # undefined BY-value last among defined items — both regardless of
+    # order; convert sorts that way, the convert:false check enforces it
+    T = pa.list_(pa.struct([("x", pa.float64()), ("y", pa.string())]))
+    s = jr.object({"a": jr.array().items(jr.object({
+        "x": jr.number(), "y": jr.string()})).sort(by="x").sparse()})
+    t = pa.table({"a": pa.array(
+        [[None, {"x": -1.0, "y": ""}, {"x": None, "y": None}]], T)})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    out = r.value["a"].to_pylist()
+    assert out == [[{"x": -1.0, "y": ""}, {"x": None, "y": None}, None]]
+    # check mode: [{x:1}, undefined, {x:undef}] is OUT of order (the
+    # undefined item precedes the by-undefined one)
+    s2 = jr.object({"a": jr.array().items(jr.object({
+        "x": jr.number(), "y": jr.string()})).sort(by="x", order="descending").sparse()})
+    t2 = pa.table({"a": pa.array(
+        [[{"x": 1.0, "y": "aa"}, None, {"x": None, "y": "a"}]], T)})
+    r2 = jr.compile_schema(s2, prefs={"abort_early": False, "convert": False}).validate_table(t2)
+    assert "array.sort" in r2.violations["code"].to_pylist()

@@ -573,6 +573,11 @@ class Gen:
                 c.append(["max", r.randint(2, 5)])
             if self.maybe(0.25):
                 c.append(["unique"])  # deep-equal over struct items
+            elif self.maybe(0.2):
+                # sort by an item FIELD (Compile.ref ancestor 0 resolution
+                # per item, array.js sort:751-756)
+                c.append(["sort", {"$kw": {"by": self.pick(["x", "y"]),
+                                           "order": self.pick(["ascending", "descending"])}}])
             if self.maybe(0.25):
                 c.append(["sparse"])
             at = pa.list_(pa.struct([("x", pa.float64()), ("y", pa.string())]))
