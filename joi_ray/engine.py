@@ -1024,6 +1024,13 @@ def eval_node(
         if out.new_value is not None:
             arr = out.new_value
         bad = active & ~out.ok
+        alt_err = out.context.pop("__alt_err__", None) if out.context else None
+        if alt_err is not None:
+            # a kernel raising a DIFFERENT code for some rows (joi's
+            # comparator-thrown array.sort.mismatching replaces the rule's
+            # own error there)
+            amask, acode, actx = alt_err
+            add_err(acode, amask & active, actx, seq=cr.seq, warn=cr.warn)
         ref_err = out.context.pop("__ref_err__", None) if out.context else None
         if ref_err is not None:
             rmask, rctx, rvals = (*ref_err, None)[:3]
@@ -1795,12 +1802,22 @@ def _expand_struct_to(v: pa.Array, bt: pa.DataType) -> pa.Array:
     v_names = {f.name for f in v.type}
     if not v_names <= set(base_fields) or v_names == set(base_fields):
         return v
-    if any(base_fields[f.name] != f.type for f in v.type):
-        return v
-    cols = [
-        pc.struct_field(v, f.name) if f.name in v_names else pa.nulls(len(v), f.type)
-        for f in bt
-    ]
+    cols = []
+    for f in bt:
+        if f.name not in v_names:
+            cols.append(pa.nulls(len(v), f.type))
+            continue
+        c = pc.struct_field(v, f.name)
+        if c.type != f.type:
+            # a cast('string') key changed the field's type — land it in
+            # the base field type when the cast round-trips (fuzz seed
+            # 13000587: adopted {x:'3'} widens back over {x:float64, y}
+            # so failed items keep their ORIGINAL y for unique())
+            try:
+                c = pc.cast(c, f.type)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                return v
+        cols.append(c)
     return pa.StructArray.from_arrays(
         cols, fields=list(bt), mask=pa.array(as_bool_np(pc.is_null(v), len(v))))
 

@@ -263,7 +263,27 @@ def make_sort(args):
                 (lvl[1:] < lvl[:-1])
                 | ((lvl[1:] == 0) & (lvl[:-1] == 0) & ~rank_ok.astype(bool))
             )
-            ok[np.unique(parents[1:][viol])] = False
+            ctx = {"order": order, "by": by or "value"}
+            # mixed typeofs among COMPARED items throw array.sort.
+            # MISMATCHING in joi's comparator (array.js:763-766) — visible
+            # through a type promotion's adopted/kept tags (cast('string')
+            # items vs kept raw numbers under convert:false; fuzz seed
+            # 13003105, node-verified); it REPLACES array.sort for the row
+            mism = np.zeros(n, dtype=bool)
+            tags = getattr(env, "_item_type_tags", None)
+            if tags is not None and len(tags) == len(v):
+                t0 = np.asarray(tags, dtype=np.int8)
+                sel = lvl == 0
+                if sel.any():
+                    df_t = pd.DataFrame({"p": parents[sel], "t": t0[sel]})
+                    nun = df_t.groupby("p")["t"].nunique()
+                    mism[nun.index.to_numpy()[nun.to_numpy() >= 2]] = True
+                    if mism.any():
+                        ctx["__alt_err__"] = (mism.copy(), "array.sort.mismatching", {})
+            bad = np.zeros(n, dtype=bool)
+            bad[np.unique(parents[1:][viol])] = True
+            ok = ~(bad & ~mism)  # mismatching rows fail via __alt_err__
+            return RuleOut(ok=ok, context=ctx)
         return RuleOut(ok=ok, context={"order": order, "by": by or "value"})
 
     return kernel

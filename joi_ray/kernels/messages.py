@@ -100,6 +100,8 @@ MESSAGES: dict[str, str] = {
     "array.hasUnknown": '"{label}" does not contain at least one required match',
     "array.hasKnown": '"{label}" does not contain at least one required match for type "{patternLabel}"',
     "array.sort": '"{label}" must be sorted in {order} order by {by}',
+    "array.sort.mismatching": '"{label}" cannot be sorted due to mismatching types',
+    "array.sort.unsupported": '"{label}" cannot be sorted due to unsupported type {type}',
     "array.orderedLength": '"{label}" must contain at most {limit} items',
     # object
     "object.base": '"{label}" must be of type object',

@@ -1271,3 +1271,28 @@ def test_sort_by_two_level_undefined_order():
         [[{"x": 1.0, "y": "aa"}, None, {"x": None, "y": "a"}]], T)})
     r2 = jr.compile_schema(s2, prefs={"abort_early": False, "convert": False}).validate_table(t2)
     assert "array.sort" in r2.violations["code"].to_pylist()
+
+
+def test_sort_mismatching_and_cast_field_widening():
+    # fuzz seeds 13003105/13000587 (node-verified, convert:false): mixed
+    # typeofs among compared items throw array.sort.MISMATCHING in joi's
+    # comparator (cast('string') clean items vs kept raw numbers), and a
+    # strip-narrowed struct whose cast key changed type widens back over
+    # the base so failed items keep their ORIGINAL sibling field for
+    # unique()
+    T = pa.list_(pa.struct([("x", pa.float64()), ("y", pa.string())]))
+    item = jr.object({"x": jr.number().optional().cast("string"),
+                      "y": jr.string().max(3).uppercase()})
+    s = jr.object({"a": jr.array().items(item).sort(by="x")})
+    t = pa.table({"a": pa.array(
+        [[{"x": 3.0, "y": None}, {"x": 3.0, "y": None}, {"x": 0.0, "y": "a"}]], T)})
+    r = jr.compile_schema(s, prefs={"abort_early": False, "convert": False}).validate_table(t)
+    codes = r.violations["code"].to_pylist()
+    assert "array.sort.mismatching" in codes and "array.sort" not in codes
+    item2 = jr.object({"x": jr.number().min(-1).port().cast("string"),
+                       "y": jr.string().max(3).strip()}).or_("x", "y")
+    s2 = jr.object({"b": jr.array().items(item2).unique().sparse()})
+    t2 = pa.table({"b": pa.array(
+        [[{"x": -1.0, "y": "abc"}, {"x": 3.0, "y": "AB"}, {"x": -1.0, "y": "ABC"}]], T)})
+    r2 = jr.compile_schema(s2, prefs={"abort_early": False, "convert": False}).validate_table(t2)
+    assert "array.unique" not in r2.violations["code"].to_pylist()
