@@ -220,12 +220,20 @@ def run_bench() -> dict:
     queries["repetition"] = round(time.time() - t0, 3)
 
     # ---- ANN brute-force top-k over expanded embeddings
-    t0 = time.time()
     from joi_ray.ops.similarity import ann_topk
 
     emb_t = pq.read_table(f"{sf_dir}/embeddings.parquet")
     q = np.stack([np.asarray(emb_t["embedding"][i].as_py()) for i in range(8)])
     emb = rd.from_arrow(emb_t).map_batches(expand, batch_format="pyarrow", batch_size=exp_bs)
+    # untimed warm pass first (disclosed — same discipline as the validate
+    # headline): the stage floor is 0.84-1.05 s warm at 32 CPUs, but Ray
+    # worker cold-spawn landing inside the timer made rounds 3-4 report a
+    # bimodal 15-19 s.  The warm pass time is recorded separately as
+    # ann_cold_sec so both modes stay visible in the JSON.
+    t_cold = time.time()
+    ann_topk(emb, q, k=10, batch_size=4096).count()
+    ann_cold_sec = round(time.time() - t_cold, 3)
+    t0 = time.time()
     topk = ann_topk(emb, q, k=10, batch_size=4096)
     topk.count()
     queries["ann_topk"] = round(time.time() - t0, 3)
@@ -395,6 +403,7 @@ def run_bench() -> dict:
         "violations": int(total_viol),
         "duplicate_keys": int(n_dups),
         "validate_full_runs": validate_times,
+        "ann_cold_sec": ann_cold_sec,
         "probe_sec": probe_start,
         "probe_sec_end": host_probe(),
     }

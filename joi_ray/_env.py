@@ -111,6 +111,60 @@ def quiet_ray_data_logs() -> bool:
     return True
 
 
+def normalize_empty_blocks(ds, schema):
+    """Ray Data's groupby/aggregate paths can emit zero-row ZERO-COLUMN
+    blocks under some partition splits; those poison a downstream
+    ``Dataset.join`` (acero: "No match or multiple matches for key field
+    reference").  Rewrite each block through a tiny remote task that
+    replaces schema-less blocks with a typed empty table and prunes the
+    rest to ``schema``'s columns.  Driver work is one ObjectRef per block
+    (metadata only) — block data never lands on the driver."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    names = [f.name for f in schema]
+
+    @ray.remote(num_cpus=0)
+    def _norm(t):
+        if t.num_columns == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in schema})
+        return t.select(names)
+
+    return rd.from_arrow_refs([_norm.remote(r) for r in ds.to_arrow_refs()])
+
+
+def join_pad_hashes(num_partitions: int, base: int) -> list[int]:
+    """Sentinel int64 hash values covering every join partition.
+
+    Ray 2.49's ``Dataset.join`` crashes when a hash partition receives zero
+    rows from one side (the aggregator builds a schema-less empty table and
+    acero rejects the key FieldRef).  Dense sides never hit this; a sparse
+    side (e.g. a small candidate set in a semi-join) does.  The workaround:
+    union one sentinel row per partition onto each side before the join.
+    Sentinels use reserved values far from real key hashes; even on an
+    astronomically-unlikely collision the inner join only ADDS rows, which
+    downstream exact-count filters (n>1) drop — never wrong output, only a
+    no-op row.
+
+    Partition assignment replicates Ray's partitioner
+    (``transform_pyarrow.hash_partition``: ``hash(tuple(scalars)) %
+    num_partitions``); Python's int/tuple hash is not seed-randomized, so
+    the driver-side computation matches every worker."""
+    import pyarrow as pa
+
+    out: list[int] = []
+    need = set(range(num_partitions))
+    v = base
+    while need:
+        p = hash((pa.scalar(v, pa.int64()),)) % num_partitions
+        if p in need:
+            need.discard(p)
+            out.append(v)
+        v += 1
+    return out
+
+
 def collect_tables(ds, schema=None):
     """Materialize a Dataset's blocks into ONE Arrow table, tolerating the
     zero-row EMPTY-SCHEMA blocks Ray Data's groupby/join paths can emit

@@ -239,6 +239,24 @@ def minhash_duplicate_pairs(ds, text_col: str, id_col: str, *, threshold: float 
                   aggregator_ray_remote_args={"num_cpus": 0.5})
     _id_t = banded.schema().types[0]  # driver-side: never call Dataset.schema() in a worker
 
+    def _sig_matrix(arr: pa.Array) -> np.ndarray:
+        # zero-copy unpack of the width-uniform packed signatures: view the
+        # value buffer directly (r4 verdict nit — the per-row Python
+        # b"".join(to_pylist()) was the hottest dedup inner loop).  The
+        # offsets check guards slices/non-uniform widths; the fallback path
+        # keeps correctness if a future carrier changes shape.
+        width = num_perm * 8
+        if arr.null_count == 0 and len(arr):
+            off_dt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+            bufs = arr.buffers()
+            offs = np.frombuffer(bufs[1], dtype=off_dt, count=len(arr) + 1,
+                                 offset=arr.offset * np.dtype(off_dt).itemsize)
+            if offs[-1] - offs[0] == len(arr) * width and bool(np.all(np.diff(offs) == width)):
+                data = np.frombuffer(bufs[2], dtype=np.uint8,
+                                     count=len(arr) * width, offset=int(offs[0]))
+                return data.view(np.int64).reshape(-1, num_perm)
+        return np.frombuffer(b"".join(arr.to_pylist()), dtype=np.int64).reshape(-1, num_perm)
+
     def est_pairs(t: pa.Table) -> pa.Table:
         # join partitions with no matches can emit schema-less empties
         if t.num_columns:
@@ -247,10 +265,8 @@ def minhash_duplicate_pairs(ds, text_col: str, id_col: str, *, threshold: float 
             return pa.table({"id_a": pa.array([], _id_t),
                              "id_b": pa.array([], _id_t),
                              "est_jaccard": pa.array([], pa.float64())})
-        sa = np.frombuffer(b"".join(t["sig_a"].combine_chunks().to_pylist()),
-                           dtype=np.int64).reshape(-1, num_perm)
-        sb = np.frombuffer(b"".join(t["sig_b"].combine_chunks().to_pylist()),
-                           dtype=np.int64).reshape(-1, num_perm)
+        sa = _sig_matrix(t["sig_a"].combine_chunks())
+        sb = _sig_matrix(t["sig_b"].combine_chunks())
         est = (sa == sb).mean(axis=1)
         keep = est >= threshold
         out = pa.table({

@@ -320,11 +320,25 @@ def uniqueness_pass(ds, key: str = "doc_id"):
     return dups
 
 
-def uniqueness_pass_hashed(ds_factory, key: str = "doc_id"):
+def uniqueness_pass_hashed(ds_factory, key: str = "doc_id", *, broadcast_max: int | None = None):
     """Scale-path duplicate detection: shuffle 64-bit key hashes instead of
     strings (phase 1), then verify only candidate hashes exactly (phase 2 —
     a second column-pruned scan filtered to the tiny candidate set).  The
     candidate set is proportional to the duplicate rate, not the corpus.
+
+    Phase 2 has two shapes, picked by candidate count vs ``broadcast_max``
+    (default env ``JOI_RAY_UNIQ_BCAST_MAX``, 8M hashes = 64 MB):
+
+    - broadcast (small candidate sets): ``ray.put`` the sorted hash array
+      once, each batch filters via ``np.isin`` before the tiny groupby —
+      zero extra shuffle.
+    - semi-join (large candidate sets — e.g. a 1% dup rate at 10^12 docs is
+      an ~80 GB hash array that must NOT be broadcast): the candidate
+      hashes stay a Dataset end-to-end; the per-batch ``(h, key,
+      partial_n)`` partials relation inner-hash-joins against it, then the
+      surviving candidate keys groupby-sum exactly.  Driver state is
+      bounded by 2 block-edge rows per phase-1 block, never the candidate
+      set.
 
     ``ds_factory`` is called twice (lazy datasets re-execute per
     consumption); at scale both passes are column-pruned reads."""
@@ -368,37 +382,117 @@ def uniqueness_pass_hashed(ds_factory, key: str = "doc_id"):
                         "kind": pa.array(np.array([1, 2], np.int8))})
         return pa.concat_tables([out, edge])
 
-    parts = [t for t in ray.get(
-        s.map_batches(cand_block, batch_format="pyarrow", batch_size=None,
-                      **REMOTE_KWARGS).to_arrow_refs()) if t.num_rows]
-    cand_hashes: set = set()
-    if parts:
-        from collections import Counter
+    cands_ds = s.map_batches(
+        cand_block, batch_format="pyarrow", batch_size=None, **REMOTE_KWARGS
+    ).materialize()
 
-        df = pa.concat_tables(parts).to_pandas()
-        cand_hashes = set(df[df["kind"] == 0]["h"].tolist())
-        firsts = df[df["kind"] == 1]["h"].tolist()
-        lasts = df[df["kind"] == 2]["h"].tolist()
-        cf, cl = Counter(firsts), Counter(lasts)
-        cand_hashes |= set(firsts) & set(lasts)
-        cand_hashes |= {k for k, v in cf.items() if v > 1}
-        cand_hashes |= {k for k, v in cl.items() if v > 1}
-    if not cand_hashes:
+    # driver pulls ONLY the block-edge rows (exactly 2 per non-empty phase-1
+    # block — state proportional to block count, not candidates) to recover
+    # hashes that straddle block boundaries
+    from collections import Counter
+
+    from .._env import collect_tables, join_num_partitions
+
+    edge_tbl = collect_tables(
+        cands_ds.map_batches(
+            lambda t: t.filter(pc.not_equal(t["kind"], 0)),
+            batch_format="pyarrow", **REMOTE_KWARGS),
+        schema=pa.schema([("h", pa.int64()), ("kind", pa.int8())]))
+    firsts = edge_tbl.filter(pc.equal(edge_tbl["kind"], 1))["h"].to_pylist()
+    lasts = edge_tbl.filter(pc.equal(edge_tbl["kind"], 2))["h"].to_pylist()
+    cf, cl = Counter(firsts), Counter(lasts)
+    edge_cands: set = set(firsts) & set(lasts)
+    edge_cands |= {k for k, v in cf.items() if v > 1}
+    edge_cands |= {k for k, v in cl.items() if v > 1}
+
+    n_interior = cands_ds.count() - edge_tbl.num_rows
+    if broadcast_max is None:
+        broadcast_max = int(os.environ.get("JOI_RAY_UNIQ_BCAST_MAX", str(8_000_000)))
+
+    if n_interior == 0 and not edge_cands:
         return pa.table({key: pa.array([], pa.string()), "n": pa.array([], pa.int64())})
-    cref = ray.put(np.array(sorted(cand_hashes), dtype=np.int64))
 
-    def exact_counts(batch: pa.Table) -> pa.Table:
-        cands = ray.get(cref)
+    if n_interior + len(edge_cands) <= broadcast_max:
+        # broadcast path: collect the (threshold-bounded) interior hashes
+        interior = collect_tables(
+            cands_ds.map_batches(
+                lambda t: t.filter(pc.equal(t["kind"], 0)).select(["h"]),
+                batch_format="pyarrow", **REMOTE_KWARGS),
+            schema=pa.schema([("h", pa.int64())]))
+        cand_hashes = set(interior["h"].to_pylist()) | edge_cands
+        cref = ray.put(np.array(sorted(cand_hashes), dtype=np.int64))
+
+        def exact_counts(batch: pa.Table) -> pa.Table:
+            cands = ray.get(cref)
+            col = batch[key].combine_chunks()
+            col = col.filter(pc.is_valid(col))
+            h = pd.util.hash_pandas_object(col.to_pandas(), index=False).to_numpy(dtype=np.int64)
+            keep = np.isin(h, cands)
+            sub = col.filter(pa.array(keep))
+            vc = pc.value_counts(sub)
+            return pa.table({key: vc.field("values"), "partial_n": pc.cast(vc.field("counts"), pa.int64())})
+
+        phase2 = ds_factory().map_batches(exact_counts, batch_format="pyarrow", **REMOTE_KWARGS)
+        exact = phase2.groupby(key).aggregate(Sum("partial_n", alias_name="n"))
+        dups = exact.map_batches(lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow", **REMOTE_KWARGS)
+        return dups
+
+    # semi-join path: candidates never land on the driver or in a broadcast.
+    # Distinct-ify first (the same hash can be flagged interior in two
+    # adjacent blocks, and edge_cands may overlap interior) — a duplicate
+    # candidate row would double partial counts through the inner join.
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    cand_h = cands_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)).select(["h"]),
+        batch_format="pyarrow", **REMOTE_KWARGS)
+    if edge_cands:
+        cand_h = cand_h.union(rd.from_arrow(pa.table(
+            {"h": pa.array(sorted(edge_cands), pa.int64())})))
+    from .._env import normalize_empty_blocks
+
+    cand_distinct = normalize_empty_blocks(
+        cand_h.groupby("h").aggregate(Count(alias_name="_c")),
+        pa.schema([("h", pa.int64())]))
+
+    def keyed_partials(batch: pa.Table) -> pa.Table:
         col = batch[key].combine_chunks()
         col = col.filter(pc.is_valid(col))
-        h = pd.util.hash_pandas_object(col.to_pandas(), index=False).to_numpy(dtype=np.int64)
-        keep = np.isin(h, cands)
-        sub = col.filter(pa.array(keep))
-        vc = pc.value_counts(sub)
-        return pa.table({key: vc.field("values"), "partial_n": pc.cast(vc.field("counts"), pa.int64())})
+        vc = pc.value_counts(col)
+        keys = vc.field("values")
+        h = pd.util.hash_pandas_object(keys.to_pandas(), index=False).to_numpy(dtype=np.int64)
+        return pa.table({
+            "h": pa.array(h),
+            key: keys,
+            "partial_n": pc.cast(vc.field("counts"), pa.int64()),
+        })
 
-    phase2 = ds_factory().map_batches(exact_counts, batch_format="pyarrow", **REMOTE_KWARGS)
-    exact = phase2.groupby(key).aggregate(Sum("partial_n", alias_name="n"))
+    rel = ds_factory().map_batches(keyed_partials, batch_format="pyarrow", **REMOTE_KWARGS)
+
+    # pad BOTH sides so every join partition sees at least one row per side
+    # (Ray 2.49 joins crash on a partition with a zero-row side — see
+    # _env.join_pad_hashes).  Left pads carry a null key and partial_n=0:
+    # they only survive the inner join on a ~2^-64 hash collision, and then
+    # the n>1 filter drops them.
+    from .._env import join_pad_hashes
+
+    njoin = join_num_partitions()
+    _sch = rel.schema()  # ray Schema: parallel .names / .types (pyarrow types)
+    ktype = _sch.types[_sch.names.index(key)]
+    lpads = join_pad_hashes(njoin, base=-(2**62) + 7919)
+    rpads = join_pad_hashes(njoin, base=-(2**62) + 104729)
+    rel = rel.union(rd.from_arrow(pa.table({
+        "h": pa.array(lpads, pa.int64()),
+        key: pa.nulls(njoin, ktype),
+        "partial_n": pa.array([0] * njoin, pa.int64()),
+    })))
+    cand_distinct = cand_distinct.union(rd.from_arrow(pa.table(
+        {"h": pa.array(rpads, pa.int64())})))
+    joined = rel.join(
+        cand_distinct, join_type="inner",
+        num_partitions=njoin, on=("h",))
+    exact = joined.groupby(key).aggregate(Sum("partial_n", alias_name="n"))
     dups = exact.map_batches(lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow", **REMOTE_KWARGS)
     return dups
 

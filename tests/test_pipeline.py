@@ -143,6 +143,14 @@ def test_uniqueness_pass_hashed_matches_exact(ray_session):
     hashed = {(d["doc_id"], d["n"]) for d in rows}
     assert exact == hashed and len(exact) >= 2
 
+    # semi-join scale path (forced via broadcast_max=0): candidates flow as
+    # a Dataset through an inner hash-join instead of a ray.put broadcast —
+    # the 10^12-doc shape where a 1% dup rate is an 80 GB candidate array
+    semi_res = uniqueness_pass_hashed(factory, broadcast_max=0)
+    rows = semi_res.take_all() if hasattr(semi_res, "take_all") else semi_res.to_pylist()
+    semi = {(d["doc_id"], d["n"]) for d in rows}
+    assert exact == semi
+
 
 def test_uniqueness_pass_exact(ray_session):
     import ray.data as rd
