@@ -10,8 +10,11 @@ RIFF/WAVE chunk walk), full PNG pixel decode (zlib inflate + all five
 scanline filters; gray/RGB/RGBA/paletted), full PCM WAV sample decode,
 and a conformant GIF LZW decoder (dictionary growth, interlace).
 Features come from decoded content (pixel/frame histograms; audio
-RMS/ZCR/spectral bands).  Only JPEG entropy decode remains behind the
-``PIL`` import-try (library not in this container); those payloads take a
+RMS/ZCR/spectral bands).  Baseline JPEG is ALSO real (pure numpy T.81
+subset: grayscale encoder + H=V=1 sequential decoder with LUT Huffman and
+vectorized IDCT — see the JPEG section below); only non-baseline shapes
+(progressive, subsampled chroma, restart intervals) go through the ``PIL``
+import-try (library not in this container) and otherwise take the
 deterministic byte-histogram fallback.
 """
 
@@ -257,6 +260,315 @@ def _gif_decode(b: bytes):
     return frames or None
 
 
+# --------------------------------------------------------------------------
+# Baseline JPEG (ITU T.81 subset), pure numpy + stdlib — closes the last
+# multimodal capability gap without PIL (r4 verdict Next #4).  Encoder:
+# grayscale baseline JFIF (DQT + SOF0 + the spec's Annex K example Huffman
+# tables + sequential DCT entropy coding with byte stuffing).  Decoder:
+# baseline sequential, any component count with H=V=1 sampling (grayscale
+# and 4:4:4), DQT/DHT read from the stream, LUT Huffman decode, vectorized
+# dequant + IDCT; returns the first (luma) component.  Progressive scans,
+# subsampled chroma and restart intervals raise -> callers fall back to the
+# byte-histogram path, loudly second-class as before.
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.3 example Huffman tables (the de-facto standard baseline tables)
+_JPEG_DC_BITS = bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0])
+_JPEG_DC_VALS = bytes(range(12))
+_JPEG_AC_BITS = bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D])
+_JPEG_AC_VALS = bytes([
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+
+
+def _dct_matrix() -> np.ndarray:
+    n = np.arange(8)
+    t = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16) / 2.0
+    t[0] /= np.sqrt(2.0)
+    return t.astype(np.float32)
+
+
+_DCT_T = _dct_matrix()
+
+
+def _huff_encode_map(bits: bytes, vals: bytes) -> dict:
+    """Canonical code assignment per T.81 C.1-C.3: symbol -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_lut(bits: bytes, vals: bytes):
+    """16-bit peek LUT: index by the next 16 bits -> (symbol, code length)."""
+    sym = np.zeros(1 << 16, np.uint8)
+    ln = np.zeros(1 << 16, np.uint8)
+    code, k = 0, 0
+    for l in range(1, 17):
+        for _ in range(bits[l - 1]):
+            lo, hi = code << (16 - l), (code + 1) << (16 - l)
+            sym[lo:hi] = vals[k]
+            ln[lo:hi] = l
+            code += 1
+            k += 1
+        code <<= 1
+    return sym, ln
+
+
+def _pack_bits_stuffed(vals: np.ndarray, lens: np.ndarray) -> bytes:
+    """Vectorized MSB-first variable-width bit packer with JPEG 0xFF byte
+    stuffing and 1-padding of the final byte (T.81 B.1.1.5)."""
+    if len(lens) == 0:
+        return b""
+    total = int(lens.sum())
+    bits = np.ones(-(-total // 8) * 8, np.uint8)  # trailing pad = 1s
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    for bp in range(int(lens.max())):
+        m = lens > bp
+        bits[offs[m] + bp] = (vals[m] >> (lens[m] - 1 - bp)) & 1
+    return np.packbits(bits).tobytes().replace(b"\xff", b"\xff\x00")
+
+
+def _jpeg_encode(px: np.ndarray, quant: int = 8) -> bytes:
+    """Grayscale baseline JFIF encoder (T.81 sequential DCT, Annex K
+    tables).  ``quant`` is a flat quantization value (1 = near-lossless)."""
+    h, w = px.shape
+    q = np.full(64, quant, np.int32)
+    h8, w8 = -(-h // 8) * 8, -(-w // 8) * 8
+    img = np.pad(px.astype(np.float32) - 128.0, ((0, h8 - h), (0, w8 - w)), mode="edge")
+    blocks = img.reshape(h8 // 8, 8, w8 // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    f = np.einsum("un,bnm,vm->buv", _DCT_T, blocks, _DCT_T)
+    zz = np.round(f.reshape(-1, 64) / q).astype(np.int64)[:, _ZIGZAG]
+    dc = zz[:, 0]
+    diffs = np.diff(np.concatenate([[0], dc]))
+
+    dc_map = _huff_encode_map(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_map = _huff_encode_map(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    vlist: list[int] = []
+    llist: list[int] = []
+    for bi in range(len(zz)):
+        d = int(diffs[bi])
+        s = abs(d).bit_length()
+        c, cl = dc_map[s]
+        vlist.append(c)
+        llist.append(cl)
+        if s:
+            vlist.append(d if d >= 0 else d + (1 << s) - 1)
+            llist.append(s)
+        row = zz[bi]
+        nz = np.nonzero(row[1:])[0] + 1
+        prev = 0
+        for k in nz:
+            run = int(k) - prev - 1
+            while run >= 16:
+                c, cl = ac_map[0xF0]
+                vlist.append(c)
+                llist.append(cl)
+                run -= 16
+            v = int(row[k])
+            s = abs(v).bit_length()
+            c, cl = ac_map[(run << 4) | s]
+            vlist.append(c)
+            llist.append(cl)
+            vlist.append(v if v >= 0 else v + (1 << s) - 1)
+            llist.append(s)
+            prev = int(k)
+        if prev != 63:
+            c, cl = ac_map[0x00]  # EOB
+            vlist.append(c)
+            llist.append(cl)
+    entropy = _pack_bits_stuffed(np.array(vlist, np.int64), np.array(llist, np.int64))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes([1, 1, 0]) \
+        + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(q[_ZIGZAG].astype(np.uint8).tolist())
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc4" + struct.pack(">H", 19 + len(_JPEG_DC_VALS)) + b"\x00" \
+        + _JPEG_DC_BITS + _JPEG_DC_VALS
+    out += b"\xff\xc4" + struct.pack(">H", 19 + len(_JPEG_AC_VALS)) + b"\x10" \
+        + _JPEG_AC_BITS + _JPEG_AC_VALS
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_bytes(w: int, h: int, seed: int = 0) -> bytes:
+    """A genuine COMPLETE baseline JPEG: deterministic blockwise pattern
+    (per-block DC step + a small in-block ramp, so fixtures exercise both
+    DC prediction and AC run-length coding) through ``_jpeg_encode``."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = (((yy // 8) * 37 + (xx // 8) * 11 + seed + (xx % 8) * 2) % 256).astype(np.uint8)
+    return _jpeg_encode(px, quant=8)
+
+
+def _jpeg_decode(b: bytes) -> np.ndarray | None:
+    """Baseline sequential JPEG decode (H=V=1 components); returns the
+    first (luma) component as (h, w) uint8, or None on unsupported shapes
+    (progressive, subsampled chroma, restart intervals) — callers fall
+    back to the byte-histogram path."""
+    try:
+        return _jpeg_decode_impl(b)
+    except Exception:
+        return None
+
+
+def _jpeg_decode_impl(b: bytes) -> np.ndarray:
+    assert b[:2] == b"\xff\xd8"
+    i = 2
+    qtabs: dict[int, np.ndarray] = {}
+    luts: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    frame = None
+    scan = None
+    while i < len(b) - 1:
+        assert b[i] == 0xFF, "marker expected"
+        m = b[i + 1]
+        i += 2
+        if m in (0x01, 0xD8) or 0xD0 <= m <= 0xD7:
+            continue
+        if m == 0xD9:
+            break
+        (seg_len,) = struct.unpack(">H", b[i:i + 2])
+        seg = b[i + 2:i + seg_len]
+        if m == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq:
+                    qtabs[tq] = np.frombuffer(seg[p:p + 128], ">u2").astype(np.int32)
+                    p += 128
+                else:
+                    qtabs[tq] = np.frombuffer(seg[p:p + 64], np.uint8).astype(np.int32)
+                    p += 64
+        elif m == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = seg[p + 1:p + 17]
+                nv = sum(bits)
+                luts[(tc, th)] = _huff_decode_lut(bits, seg[p + 17:p + 17 + nv])
+                p += 17 + nv
+        elif m in (0xC0, 0xC1):
+            _, fh, fw, nf = struct.unpack(">BHHB", seg[:6])
+            comps = []
+            for c in range(nf):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError("subsampled components unsupported")
+                comps.append((cid, tq))
+            frame = (fh, fw, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline SOF unsupported")
+        elif m == 0xDD:
+            raise NotImplementedError("restart intervals unsupported")
+        elif m == 0xDA:
+            ns = seg[0]
+            sel = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15) for c in range(ns)]
+            scan = (sel, i + seg_len)
+            break
+        i += seg_len
+    if frame is None or scan is None:
+        raise ValueError("missing SOF/SOS")
+    fh, fw, comps = frame
+    sel, data_start = scan
+    eoi = b.find(b"\xff\xd9", data_start)
+    data = b[data_start:eoi if eoi >= 0 else len(b)].replace(b"\xff\x00", b"\xff") + b"\x00\x00\x00\x00"
+
+    ncomp = len(sel)
+    rows, cols = -(-fh // 8), -(-fw // 8)
+    nmcu = rows * cols
+    coefs = np.zeros((nmcu * ncomp, 64), np.int32)
+    pred = [0] * ncomp
+    comp_tq = {cid: tq for cid, tq in comps}
+    tables = []
+    for cid, td, ta in sel:
+        dsym, dlen = luts[(0, td)]
+        asym, alen = luts[(1, ta)]
+        tables.append((dsym, dlen, asym, alen, qtabs[comp_tq[cid]]))
+
+    pos = 0
+    bi = 0
+    for _ in range(nmcu):
+        for ci in range(ncomp):
+            dsym, dlen, asym, alen, _q = tables[ci]
+            word = (int.from_bytes(data[pos >> 3:(pos >> 3) + 4], "big")
+                    >> (16 - (pos & 7))) & 0xFFFF
+            s = int(dsym[word])
+            cl = int(dlen[word])
+            if cl == 0:
+                raise ValueError("bad DC code")
+            pos += cl
+            if s:
+                v = (int.from_bytes(data[pos >> 3:(pos >> 3) + 4], "big")
+                     >> (32 - (pos & 7) - s)) & ((1 << s) - 1)
+                pos += s
+                if v < (1 << (s - 1)):
+                    v -= (1 << s) - 1
+                pred[ci] += v
+            coefs[bi, 0] = pred[ci]
+            k = 1
+            while k < 64:
+                word = (int.from_bytes(data[pos >> 3:(pos >> 3) + 4], "big")
+                        >> (16 - (pos & 7))) & 0xFFFF
+                rs = int(asym[word])
+                cl = int(alen[word])
+                if cl == 0:
+                    raise ValueError("bad AC code")
+                pos += cl
+                if rs == 0:
+                    break
+                if rs == 0xF0:
+                    k += 16
+                    continue
+                k += rs >> 4
+                s = rs & 15
+                v = (int.from_bytes(data[pos >> 3:(pos >> 3) + 4], "big")
+                     >> (32 - (pos & 7) - s)) & ((1 << s) - 1)
+                pos += s
+                if v < (1 << (s - 1)):
+                    v -= (1 << s) - 1
+                if k > 63:
+                    raise ValueError("AC overrun")
+                coefs[bi, k] = v
+                k += 1
+            bi += 1
+    # first component: dezigzag, dequant, batch IDCT, assemble, crop
+    c0 = coefs[0::ncomp]
+    q0 = tables[0][4]
+    blk = np.zeros((len(c0), 64), np.float32)
+    blk[:, _ZIGZAG] = c0 * q0  # both coefs and the DQT table are zigzag-ordered
+    blk = blk.reshape(-1, 8, 8)
+    px = np.einsum("un,buv,vm->bnm", _DCT_T, blk, _DCT_T) + 128.0
+    img = (px.reshape(rows, cols, 8, 8).transpose(0, 2, 1, 3)
+           .reshape(rows * 8, cols * 8))
+    return np.clip(np.rint(img), 0, 255).astype(np.uint8)[:fh, :fw]
+
+
 def synth_media_payload(media_refs: pa.Array) -> pa.Array:
     """Deterministic binary payloads for asset refs in REAL container
     formats — minimal PNG (image), WAV (audio) and GIF89a skeleton (video)
@@ -286,7 +598,13 @@ def synth_media_payload(media_refs: pa.Array) -> pa.Array:
         frames = 1 + (hv >> 16) % 8
         kind_code = hv % 3
         if kind_code == 0:
-            out.append(_png_bytes(w, hgt, hv & 0xFF))
+            # images split PNG/JPEG on a bit unused by the w/h/frames
+            # derivation, so kind/width/height/frames — everything the
+            # media_features oracle mirrors in SQL — are unchanged
+            if (hv >> 24) % 2:
+                out.append(_jpeg_bytes(w, hgt, hv & 0xFF))
+            else:
+                out.append(_png_bytes(w, hgt, hv & 0xFF))
         elif kind_code == 1:
             out.append(_wav_bytes(frames * 16, hv))
         else:
@@ -460,9 +778,10 @@ def _wav_decode(b: bytes) -> np.ndarray | None:
 class MediaDecodeStage:
     """binary payload -> typed metadata struct via REAL container-header
     parsing (PNG/JPEG/GIF/WAV — see ``_parse_media_header``).  Pixel /
-    sample decode is real for PNG + PCM WAV (stdlib zlib/struct, above);
-    JPEG entropy decode and GIF LZW go through PIL when it ships (the
-    import-try at the top of this module).  batch_size should be small
+    sample decode is real for PNG + PCM WAV + GIF LZW + baseline JPEG
+    (stdlib zlib/struct + the numpy T.81 subset above); non-baseline JPEG
+    goes through PIL when it ships (the import-try at the top of this
+    module).  batch_size should be small
     (payloads are wide rows) — callers pass e.g. batch_size=256."""
 
     def __init__(self, payload_col: str = "payload", out_col: str = "media_meta"):
@@ -492,9 +811,11 @@ class MediaFeatureStage:
     - image (PNG): 256-bin pixel-intensity histogram, projected
     - audio (PCM WAV): RMS + zero-crossing rate + 30 log-magnitude rFFT
       band energies
-    - undecodable (JPEG/GIF until PIL ships): byte-histogram fallback,
-      projected by the same seeded matrix (deterministic, clearly second-
-      class)
+    - image (baseline JPEG): real numpy entropy decode + IDCT, same
+      histogram as PNG
+    - undecodable (progressive/subsampled JPEG until PIL ships):
+      byte-histogram fallback, projected by the same seeded matrix
+      (deterministic, clearly second-class)
 
     The seeded projection stands where learned weights would load — in
     __init__, once per actor."""
@@ -517,6 +838,8 @@ class MediaFeatureStage:
             if not b:
                 continue
             px = _png_decode(b) if b[:4] == b"\x89PNG" else None
+            if px is None and b[:2] == b"\xff\xd8":
+                px = _jpeg_decode(b)  # baseline numpy decode; None -> fallback
             if px is not None:
                 feats[i] = self._hist_project(px.reshape(-1))
                 continue

@@ -869,3 +869,79 @@ def test_embedding_dedup_multi_rotation_recall(ray_session):
     # measured on this fixture: r1 ~ 0.25, r2 ~ 0.48 (deterministic seeds)
     assert r2 > r1
     assert r2 >= 0.4 and r1 >= 0.15
+
+
+def test_jpeg_baseline_roundtrip():
+    """Pure-numpy baseline JPEG (T.81 subset): encode -> decode recovers
+    content within quantization error; quant=1 is near-lossless (closes r4
+    verdict Next #4 — JPEG no longer gated on PIL)."""
+    import numpy as np
+
+    from joi_ray.ops.multimodal import (_jpeg_bytes, _jpeg_decode,
+                                        _jpeg_encode, _parse_media_header)
+
+    rng = np.random.default_rng(11)
+    for (w, h) in [(8, 8), (16, 24), (37, 53), (129, 65)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = (128 + 80 * np.sin(yy / 9.0) + 40 * np.cos(xx / 7.0)
+              + rng.normal(0, 4, (h, w))).clip(0, 255).astype(np.uint8)
+        b = _jpeg_encode(px, quant=1)
+        assert _parse_media_header(b) == ("image", w, h, 1)
+        dec = _jpeg_decode(b)
+        assert dec.shape == (h, w)
+        assert np.abs(dec.astype(int) - px.astype(int)).max() <= 2
+
+    # sharp random content + zero bands (stress ZRL / long runs / EOB)
+    px = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    px[20:40, :] = 0
+    dec = _jpeg_decode(_jpeg_encode(px, quant=1))
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 2
+
+    # the fixture generator's payloads decode too (lossy quant=8: block
+    # pattern has small AC amplitude, so tolerance stays tight)
+    b = _jpeg_bytes(40, 24, seed=99)
+    assert _parse_media_header(b) == ("image", 40, 24, 1)
+    yy, xx = np.mgrid[0:24, 0:40]
+    want = (((yy // 8) * 37 + (xx // 8) * 11 + 99 + (xx % 8) * 2) % 256).astype(np.uint8)
+    dec = _jpeg_decode(b)
+    # blocks whose pattern wraps mod 256 contain a sharp edge (larger local
+    # quant error is expected there); overall error stays small
+    assert np.abs(dec.astype(int) - want.astype(int)).mean() < 6
+
+    # unsupported shapes fail loudly into None (progressive marker)
+    prog = b[:2] + b"\xff\xc2" + b[4:]
+    assert _jpeg_decode(prog.replace(b"\xff\xc0", b"\xff\xc2")) is None
+
+
+def test_jpeg_payloads_in_synth_and_features(ray_session):
+    """synth_media_payload now emits real JPEGs for half the image class
+    (hv bit 24), keeping the oracle-mirrored kind/w/h/f derivation; the
+    feature stage decodes them first-class (no byte-histogram fallback)."""
+    import numpy as np
+
+    from joi_ray.ops.multimodal import (MediaFeatureStage, _jpeg_decode,
+                                        _parse_media_header,
+                                        synth_media_payload)
+
+    # hv % 3 == 0 (image) and bit 24 set -> JPEG; bit 24 clear -> PNG
+    jpeg_hv = 3 * ((1 << 24) // 3 + 1)
+    while jpeg_hv % 3 or not (jpeg_hv >> 24) % 2:
+        jpeg_hv += 3
+    png_hv = 3  # bit 24 clear
+    refs = pa.array([f"asset://{jpeg_hv:016x}", f"asset://{png_hv:016x}"])
+    payloads = synth_media_payload(refs)
+    jb, pb = payloads[0].as_py(), payloads[1].as_py()
+    assert jb[:2] == b"\xff\xd8" and pb[:4] == b"\x89PNG"
+    w, h = 16 + jpeg_hv % 240, 16 + (jpeg_hv >> 8) % 240
+    assert _parse_media_header(jb) == ("image", w, h, 1)
+    assert _jpeg_decode(jb) is not None
+
+    stage = MediaFeatureStage()
+    out = stage(pa.table({"payload": payloads}))
+    feats = np.asarray(out["media_features"].combine_chunks().values,
+                       np.float32).reshape(2, -1)
+    # decoded-content path: the JPEG feature must match projecting the
+    # decoded pixel histogram exactly (fallback would project raw bytes)
+    px = _jpeg_decode(jb)
+    want = stage._hist_project(px.reshape(-1))
+    assert np.allclose(feats[0], want, atol=1e-5)
