@@ -958,7 +958,16 @@ def eval_node(
     if node.type == "array" and (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)):
         # array ITEMS are rules in joi (array.js items/ordered are rule
         # entries), so item errors do NOT suppress length/unique rules
-        arr, _list_alt_pair = _eval_array(node, arr, env, path, scope, resolved, failed, add_err)
+        if presence == "forbidden":
+            # joi returns at the presence stage for forbidden values
+            # (validator.js:188-190): any.unknown is the only error — item
+            # schemas never run (node-verified, fuzz seed 14000246 family)
+            _list_alt_pair = None
+        else:
+            arr, _list_alt_pair = _eval_array(node, arr, env, path, scope, resolved, failed, add_err)
+    elif node.type == "object" and pa.types.is_struct(arr.type) and presence == "forbidden":
+        # same presence-stage return for objects: children are not validated
+        pass
     elif node.type == "object" and pa.types.is_struct(arr.type):
         # object keys+dependencies live in def.validate (object.js:68) —
         # a child error suppresses the object's OWN rules for that row

@@ -559,6 +559,17 @@ class Schema:
         ``switch`` is a list of {"is": ..., "then": ...} entries.
         """
         s = self._clone()
+        # v16: when() on a non-alternatives base rewrites into alternatives
+        # and fills the missing branch with the base (base.js:356-363), so
+        # the match has BOTH then and otherwise -> _endedSwitch -> a second
+        # when() throws 'Unreachable condition' (alternatives.js:174).
+        # Multi-when schemas therefore only arise via concat (see concat's
+        # dead-matches note below) or manifest build.
+        prior = s.terms.get("whens")
+        if prior and self._when_ended(prior[-1]):
+            raise ValueError(
+                "Unreachable condition (lib/types/alternatives.js:174 — the "
+                "previous when() already covers every value)")
         _b = lambda v: v if v is None or isinstance(v, Schema) else compile_literal(v)
         then, otherwise = _b(then), _b(otherwise)
         if isinstance(condition, Schema):
@@ -599,10 +610,43 @@ class Schema:
         s.terms.setdefault("whens", []).append(entry)
         return s
 
+    def _when_ended(self, entry: dict) -> bool:
+        """Does this when entry resolve every value (joi's _endedSwitch)?
+        A base-level when always does — base.js fills the missing branch
+        (incl. a switch's last otherwise) with the base schema itself."""
+        if self.type != "alternatives":
+            return True
+        if "switch" in entry:
+            return "otherwise" in entry or "otherwise" in entry["switch"][-1]
+        return entry.get("then") is not None and entry.get("otherwise") is not None
+
     # -- concat (lib/base.js:386-481) --------------------------------------
     def concat(self, other: "Schema") -> "Schema":
         if other.type not in ("any", self.type) and self.type != "any":
             raise ValueError(f"cannot concat {other.type} onto {self.type}")
+        # v16: a when()-bearing schema IS an alternatives under the hood
+        # (base.js:319-366 rewrite), so concat's same-type assert sees
+        # 'alternatives' — concat between a when-bearing and a plain schema
+        # of the nominal type throws in the reference
+        # (base.js:389 'Cannot merge type alternatives with another type').
+        self_whens = bool(self.terms.get("whens"))
+        other_whens = bool(other.terms.get("whens"))
+        if self_whens != other_whens and "any" not in (self.type, other.type):
+            have, lack = ("alternatives", other.type) if self_whens else (self.type, "alternatives")
+            raise ValueError(
+                f"Cannot merge type {have} with another type: {lack} "
+                "(a when()-bearing schema is an alternatives — lib/base.js:364)")
+        if self_whens and other_whens:
+            # alternatives.concat(alternatives): the source's matches append
+            # AFTER the target's — but the target's first match embeds the
+            # base in BOTH branches (base.js:356-363), so it resolves every
+            # value and the appended matches are UNREACHABLE
+            # (alternatives.js:47-57 returns at the first resolving entry;
+            # node-verified, fuzz seed 14000003: the concat'd when's valid()
+            # never fires in the reference).  The source's rules/valids live
+            # inside its dead branches, so the merge contributes nothing
+            # observable — return the target unchanged.
+            return self._clone()
         s = self._clone()
         if s.type == "any":
             s.type = other.type
@@ -723,7 +767,16 @@ class Schema:
                 n = node._clone()
                 if term == "keys":
                     keys = dict(n.terms.get("keys", {}))
-                    keys[where] = rewrite(keys[where], parts[1:])
+                    newv = rewrite(keys[where], parts[1:])
+                    if len(parts) == 1:
+                        # joi re-appends the adjusted key via keys()
+                        # (modify.js -> object.js keys clone), moving it to
+                        # the END of key order — observable through
+                        # abortEarly's first error and error ordering
+                        # (node-verified, fuzz seed 14000059); intermediate
+                        # path keys keep their position
+                        keys.pop(where)
+                    keys[where] = newv
                     n.terms["keys"] = keys
                 else:
                     entries = list(n.terms.get(term, []))

@@ -195,3 +195,66 @@ def test_id_extract_fork_containers():
     f3 = alt3.fork("v.th", lambda sc: sc.min(3))
     d3 = f3.describe()["keys"]["v"]["matches"][0]["then"]
     assert any(r["name"] == "min" for r in d3.get("rules", []))
+
+
+def test_fork_moves_adjusted_key_last():
+    """The reference's fork() re-appends the adjusted key via keys(), so it
+    moves to the END of key order — observable through abortEarly's first
+    error (node-verified, fuzz seed 14000059).  Intermediate path keys keep
+    their position."""
+    s = jr.object({"p": jr.number().min(5), "q": jr.string().min(3)})
+    f = s.fork("p", lambda x: x.optional())
+    assert list(f.terms["keys"]) == ["q", "p"]
+    res = compile_schema(f, prefs={"abort_early": True}).validate_table(
+        pa.table({"p": [1.0], "q": ["x"]}))
+    assert [v["code"] for v in res.violations.to_pylist()] == ["string.min"]
+
+    nested = jr.object({"p": jr.number(), "q": jr.object({"r": jr.string(), "s": jr.number()})})
+    nf = nested.fork("q.r", lambda x: x.required())
+    assert list(nf.terms["keys"]) == ["p", "q"]          # outer q stays put
+    assert list(nf.terms["keys"]["q"].terms["keys"]) == ["s", "r"]  # leaf moves
+
+    multi = jr.object({"a": jr.number(), "b": jr.number(), "c": jr.number()})
+    mf = multi.fork(["a", "b"], lambda x: x.required())
+    assert list(mf.terms["keys"]) == ["c", "a", "b"]
+
+
+def test_forbidden_object_skips_children():
+    """joi returns at the presence stage for a present forbidden value
+    (validator.js:188-190): any.unknown is the ONLY error — children and
+    array items never validate (node-verified, fuzz seed 14000246)."""
+    s = jr.object({"q": jr.object({"r": jr.string().min(3)}).forbidden()})
+    res = compile_schema(s, prefs={"abort_early": False}).validate_table(
+        pa.table({"q": [{"r": ""}]}))
+    assert [(v["path"], v["code"]) for v in res.violations.to_pylist()] == [("q", "any.unknown")]
+
+    sa = jr.object({"q": jr.array().items(jr.number().min(5)).forbidden()})
+    res = compile_schema(sa, prefs={"abort_early": False}).validate_table(
+        pa.table({"q": [[1.0, 2.0]]}))
+    assert [(v["path"], v["code"]) for v in res.violations.to_pylist()] == [("q", "any.unknown")]
+
+
+def test_second_when_unreachable_and_concat_dead_matches():
+    """v16: when() on a base fills both branches with the base itself, so
+    the rewritten alternatives' first match resolves every value — a second
+    when() throws 'Unreachable condition' (alternatives.js:174) and matches
+    appended by concat are dead code (alternatives.js:47-57 returns at the
+    first resolving entry; node-verified, fuzz seed 14000003)."""
+    import pytest
+
+    base = jr.number().min(31).when("a", is_=-1.0, then=jr.number().max(-3))
+    with pytest.raises(ValueError, match="Unreachable condition"):
+        base.when("a", is_=2.0, then=jr.number().min(99))
+
+    other = jr.number().when("a", is_=-1.0, then=jr.number().valid(0.0, 5.0))
+    merged = jr.object({"a": base.concat(other)})
+    res = compile_schema(merged, prefs={"abort_early": False}).validate_table(
+        pa.table({"a": [-1.0]}))
+    codes = sorted(v["code"] for v in res.violations.to_pylist())
+    # the concat'd when's valid() never fires — only the base branch errors
+    # (node-verified: ['number.min', 'number.max'])
+    assert codes == ["number.max", "number.min"]
+
+    # when-bearing vs plain concat is a type mismatch in the reference
+    with pytest.raises(ValueError, match="alternatives"):
+        jr.number().min(1).concat(other)

@@ -190,6 +190,8 @@ def _conv_arg(v):
             # a RegExp on the node side: pass the compiled form so APIs
             # that branch on RegExp-vs-string (rename) see the same thing
             return re.compile(v["$re"])
+        if "$adj" in v:
+            return _ADJUSTERS[v["$adj"]]
         if any(k in v for k in ("$undef", "$nan", "$inf", "$negz", "$date", "$bin")):
             x = _from_marker(v)
             return None if x is MISSING else x
@@ -197,6 +199,73 @@ def _conv_arg(v):
     if isinstance(v, list):
         return [_conv_arg(x) for x in v]
     return v
+
+
+# named fork/alter adjusters — mirror of tools/refshim/refrunner.js
+# ADJUSTERS (functions cannot cross the JSON pipe)
+_ADJUSTERS = {
+    "required": lambda s: s.required(),
+    "optional": lambda s: s.optional(),
+    "forbidden": lambda s: s.forbidden(),
+    "strip": lambda s: s.strip(),
+    "raw": lambda s: s.raw(),
+    "min2": lambda s: s.min(2),
+}
+
+# Joi.extend fuzz catalog: the node side registers these custom types
+# through the reference's public extension machinery (refrunner.js ExtJoi);
+# this side registers the same rules + messages through joi_ray's extension
+# protocol.  NOTE the reference renders extension messages with an
+# UNQUOTED label — built-in catalog quotes are literal template text
+# (lib/messages.js), not renderer behavior — so these templates carry none.
+_EXT_BASES = {"xnum": "number", "xstr": "string"}
+_EXT_RULE_ARGS = {"even": (), "vowelstart": (), "maxwords": ("limit",)}
+
+
+def _register_fuzz_extensions():
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from joi_ray.extend import register_rule
+    from joi_ray.kernels.messages import MESSAGES
+    from joi_ray.kernels.util import RuleOut
+
+    def make_even(args):
+        def kernel(arr, env):
+            v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+            with np.errstate(invalid="ignore"):
+                ok = np.fmod(v, 2.0) == 0  # JS % semantics for negatives
+            return RuleOut(ok=ok)
+        return kernel
+
+    def make_vowelstart(args):
+        def kernel(arr, env):
+            n = len(arr)
+            m = pc.match_substring_regex(pc.cast(arr, pa.string()), "(?i)^[aeiou]")
+            ok = pc.fill_null(m, False).to_numpy(zero_copy_only=False).astype(bool)
+            return RuleOut(ok=ok)
+        return kernel
+
+    def make_maxwords(args):
+        limit = int(args["limit"])
+
+        def kernel(arr, env):
+            cnt = pc.count_substring_regex(pc.cast(arr, pa.string()), r"\S+")
+            ok = pc.fill_null(pc.less_equal(cnt, limit), True).to_numpy(
+                zero_copy_only=False).astype(bool)
+            return RuleOut(ok=ok, context={"limit": limit})
+        return kernel
+
+    register_rule("number", "even", make_even, "xnum.even")
+    register_rule("string", "vowelstart", make_vowelstart, "xstr.vowelstart")
+    register_rule("string", "maxwords", make_maxwords, "xstr.maxwords")
+    MESSAGES["xnum.even"] = "{label} must be an even number"
+    MESSAGES["xstr.vowelstart"] = "{label} must start with a vowel"
+    MESSAGES["xstr.maxwords"] = "{label} must have at most {limit} words"
+
+
+_register_fuzz_extensions()
 
 
 def build_spec_py(spec):
@@ -207,7 +276,8 @@ def build_spec_py(spec):
 
     if not isinstance(spec, dict):
         return spec  # literal sugar
-    ctor = getattr(jr, _py_name(spec["t"]), None) or getattr(jr, spec["t"] + "_")
+    t = _EXT_BASES.get(spec["t"], spec["t"])
+    ctor = getattr(jr, _py_name(t), None) or getattr(jr, t + "_")
     s = ctor(*[_conv_arg(a) for a in spec.get("a", [])])
     for call in spec.get("c", []):
         name, *args = call
@@ -215,7 +285,12 @@ def build_spec_py(spec):
         if args and isinstance(args[-1], dict) and "$kw" in args[-1]:
             kwargs = {_py_name(k): _conv_arg(x) for k, x in args[-1]["$kw"].items()}
             args = args[:-1]
-        s = getattr(s, _py_name(name))(*[_conv_arg(a) for a in args], **kwargs)
+        meth = getattr(s, _py_name(name), None)
+        if meth is None and name in _EXT_RULE_ARGS:
+            names = _EXT_RULE_ARGS[name]
+            s = s.rule_(name, **dict(zip(names, (_conv_arg(a) for a in args))), **kwargs)
+            continue
+        s = meth(*[_conv_arg(a) for a in args], **kwargs)
     return s
 
 

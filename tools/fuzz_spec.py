@@ -42,6 +42,11 @@ ISODATES = ["2019-02-03", "2019-02-03T10:30:00Z", "2020-13-01", "not a date",
             "2021-06-15T08:00:00.123Z", "1970-01-01", "2019-02-30",
             "2019-W06-6", "2019-034"]
 PATTERNS = ["^[a-z]+$", "\\d", "^x", "[A-Z]{2}", "^[a-z0-9]+$"]
+#: multi-word pool for the xstr extension rules (vowel starts, word counts,
+#: leading/trailing/multiple spaces interact with trim/maxwords)
+WORDSTRINGS = ["", "one", "a b", "x y z", " spaced out ", "hello world foo",
+               "aeiou start", "Egg plant", "under dog", "e pluribus unum",
+               "two  gaps", "I", "über alles", "ab", "no"]
 
 #: valid + near-miss inputs per string FORMAT rule, blended into a format
 #: column's value pool so pass paths get exercised, not just rejections
@@ -260,7 +265,8 @@ class Gen:
                 "numstr", "boolstr", "array", "struct", "alts", "whencol",
                 "concat", "binary", "strref", "dateref", "ordered", "mixedalts",
                 "switchcol", "peekcol", "patstruct", "renstruct", "deepstruct",
-                "altobj", "structarray", "hascol"]
+                "altobj", "structarray", "hascol",
+                "extnum", "extstr", "forkfield", "extractfield", "concatalts"]
         )
         if kind == "number":
             return (self.leaf_spec("number", sibling_nums), pa.float64(),
@@ -371,6 +377,118 @@ class Gen:
             pool = NUMBERS if fam == "number" else STRINGS
             at = pa.float64() if fam == "number" else pa.string()
             return (s1, at, lambda: self.pick(pool))
+        if kind == "extnum":
+            # Joi.extend custom type (refrunner.js ExtJoi xnum): the even
+            # rule runs through the reference's extension rule dispatch
+            c: list = [["even"]]
+            if self.maybe(0.4):
+                c.append([self.pick(["min", "max"]), r.randint(0, 6)])
+            if self.maybe(0.3):
+                c.append([self.pick(["required", "optional"])])
+            if self.maybe(0.15):
+                c.append(["valid"] + r.sample(NUMBERS[:8], 2))
+            if self.maybe(0.3):  # coercion path: xnum over a string column
+                return ({"t": "xnum", "c": c}, pa.string(),
+                        lambda: self.pick(NUMSTRINGS))
+            return ({"t": "xnum", "c": c}, pa.float64(),
+                    lambda: self.pick(NUMBERS))
+        if kind == "extstr":
+            c = []
+            if self.maybe(0.5):
+                c.append(["vowelstart"])
+            else:
+                c.append(["maxwords", r.randint(0, 3)])
+            if self.maybe(0.3):
+                c.append([self.pick(["min", "max"]), r.randint(0, 5)])
+            if self.maybe(0.25):
+                c.append([self.pick(["required", "optional"])])
+            if self.maybe(0.15):
+                c.append(["lowercase"] if self.maybe() else ["trim"])
+            return ({"t": "xstr", "c": c}, pa.string(),
+                    lambda: self.pick(WORDSTRINGS))
+        if kind == "forkfield":
+            # fork() rewrites a (possibly nested) field through a named
+            # adjuster — strip/raw/presence interplay with the clone
+            f1 = self.leaf_spec("number", [])
+            f2 = self.leaf_spec("string", [])
+            deep = self.maybe(0.4)
+            if deep:
+                inner = {"t": "object", "a": [{"r": {"$s": f2}}]}
+                spec = {"t": "object", "a": [{"p": {"$s": f1}, "q": {"$s": inner}}], "c": []}
+                path = self.pick(["p", "q.r", "q"])
+                at = pa.struct([("p", pa.float64()),
+                                ("q", pa.struct([("r", pa.string())]))])
+
+                def gen_forked():
+                    return {
+                        "p": None if self.maybe(0.3) else self.pick(NUMBERS[:6]),
+                        "q": None if self.maybe(0.25) else {
+                            "r": None if self.maybe(0.3) else self.pick(STRINGS[:8])},
+                    }
+            else:
+                spec = {"t": "object", "a": [{"p": {"$s": f1}, "q": {"$s": f2}}], "c": []}
+                path = self.pick(["p", "q", ["p", "q"]])
+                at = pa.struct([("p", pa.float64()), ("q", pa.string())])
+
+                def gen_forked():
+                    return {
+                        "p": None if self.maybe(0.3) else self.pick(NUMBERS[:6]),
+                        "q": None if self.maybe(0.3) else self.pick(STRINGS[:8]),
+                    }
+            adj = self.pick(["required", "optional", "forbidden", "strip", "raw", "min2"])
+            spec["c"].append(["fork", path, {"$adj": adj}])
+            if self.maybe(0.3):
+                spec["c"].append(["unknown"])
+            return (spec, at, gen_forked)
+        if kind == "extractfield":
+            # extract() pulls a nested subschema out by id path and uses it
+            # standalone (ids default to object key names)
+            fam = self.pick(["number", "string"])
+            leaf = self.leaf_spec(fam, [])
+            levels = r.randint(1, 2)
+            inner = leaf
+            path_parts = []
+            for d in range(levels):
+                keyname = f"k{d}"
+                inner = {"t": "object", "a": [{keyname: {"$s": inner}}]}
+                path_parts.insert(0, keyname)
+            spec = {"t": "object", "a": inner["a"],
+                    "c": [["extract", ".".join(path_parts)]]}
+            pool = NUMBERS if fam == "number" else STRINGS
+            at = pa.float64() if fam == "number" else pa.string()
+            return (spec, at, lambda: self.pick(pool))
+        if kind == "concatalts":
+            if self.maybe(0.5):
+                # alternatives(array) concat alternatives(array): matches
+                # lists accumulate (base.js concat terms merge)
+                b1 = self.leaf_spec("string", [])
+                b2 = self.leaf_spec("string", [])
+                b3 = self.leaf_spec("string", [])
+                spec = {"t": "alternatives", "a": [[{"$s": b1}, {"$s": b2}]],
+                        "c": [["concat", {"$s": {"t": "alternatives",
+                                                 "a": [[{"$s": b3}]]}}]]}
+                if self.maybe(0.3):
+                    spec["c"].append(["required"])
+                return (spec, pa.string(), lambda: self.pick(STRINGS))
+            # leaf-with-when concat leaf-with-when: whens accumulate and
+            # both conditions apply in registration order
+            fam = self.pick(["number", "string"])
+            base = self.leaf_spec(fam, [])
+            others = [n for n in col_names if n != name]
+            cond = self.pick(others) if others else name
+            kw1 = {"is": self.pick(NUMBERS[:5] + STRINGS[:5]),
+                   "then": {"$s": self.leaf_spec(fam, [])}}
+            base.setdefault("c", []).append(["when", cond, {"$kw": kw1}])
+            other = self.leaf_spec(fam, [])
+            kw2 = {"is": self.pick(NUMBERS[:5] + STRINGS[:5]),
+                   "then": {"$s": self.leaf_spec(fam, [])}}
+            if self.maybe(0.4):
+                kw2["otherwise"] = {"$s": self.leaf_spec(fam, [])}
+            other.setdefault("c", []).append(["when", cond, {"$kw": kw2}])
+            base["c"].append(["concat", {"$s": other}])
+            pool = NUMBERS if fam == "number" else STRINGS
+            at = pa.float64() if fam == "number" else pa.string()
+            return (base, at, lambda: self.pick(pool))
         if kind == "binary":
             c = []
             if self.maybe(0.4):

@@ -67,6 +67,64 @@ const ser = (v) => {
 // "$o": {...}} a Joi.ref, {"$re": "pat", "$f": "i"} a RegExp, {"$kw": {..}}
 // a trailing options object, plus the value markers above.
 
+// Named fork/alter adjusters ({"$adj": name} markers) — functions cannot
+// cross the JSON pipe, so both sides resolve them from this shared catalog
+// (python mirror: tools/diffref.py _ADJUSTERS).
+const ADJUSTERS = {
+    required: (s) => s.required(),
+    optional: (s) => s.optional(),
+    forbidden: (s) => s.forbidden(),
+    strip: (s) => s.strip(),
+    raw: (s) => s.raw(),
+    min2: (s) => s.min(2),
+};
+
+// Joi.extend catalog: custom types registered through the reference's
+// public extension machinery (lib/extend.js) so fuzzed schemas exercise
+// extended-type rule dispatch authentically.  Python mirror:
+// tools/diffref.py registers the same rules/messages via
+// joi_ray.extend.register_rule.
+const EXT_TYPES = new Set(['xnum', 'xstr']);
+const ExtJoi = Joi.extend(
+    {
+        type: 'xnum',
+        base: Joi.number(),
+        messages: { 'xnum.even': '{{#label}} must be an even number' },
+        rules: {
+            even: {
+                validate(value, helpers) {
+                    return value % 2 === 0 ? value : helpers.error('xnum.even');
+                },
+            },
+        },
+    },
+    {
+        type: 'xstr',
+        base: Joi.string(),
+        messages: {
+            'xstr.vowelstart': '{{#label}} must start with a vowel',
+            'xstr.maxwords': '{{#label}} must have at most {{#limit}} words',
+        },
+        rules: {
+            vowelstart: {
+                validate(value, helpers) {
+                    return /^[aeiou]/i.test(value) ? value : helpers.error('xstr.vowelstart');
+                },
+            },
+            maxwords: {
+                method(limit) {
+                    return this.$_addRule({ name: 'maxwords', args: { limit } });
+                },
+                args: ['limit'],
+                validate(value, helpers, args) {
+                    const words = value.split(/\s+/).filter((w) => w.length).length;
+                    return words <= args.limit ? value : helpers.error('xstr.maxwords', { limit: args.limit });
+                },
+            },
+        },
+    }
+);
+
 const convArg = (v) => {
     if (v === null || typeof v !== 'object') return v;
     if (Array.isArray(v)) return v.map(convArg);
@@ -74,6 +132,7 @@ const convArg = (v) => {
     if (v.$ref !== undefined) return Joi.ref(v.$ref, convArg(v.$o || {}));
     if (v.$re !== undefined) return new RegExp(v.$re, v.$f || '');
     if (v.$x !== undefined) return Joi.x(v.$x);  // template (Joi.expression)
+    if (v.$adj !== undefined) return ADJUSTERS[v.$adj];
     if (v.$kw !== undefined) return convArg(v.$kw);
     if (v.$undef || v.$nan || v.$inf || v.$negz || v.$date !== undefined || v.$bin !== undefined) return deser(v);
     const o = {};
@@ -83,7 +142,8 @@ const convArg = (v) => {
 
 const buildSpec = (spec) => {
     if (spec === null || typeof spec !== 'object' || Array.isArray(spec)) return spec;  // literal sugar
-    let s = Joi[spec.t](...(spec.a || []).map(convArg));
+    const root = EXT_TYPES.has(spec.t) ? ExtJoi : Joi;
+    let s = root[spec.t](...(spec.a || []).map(convArg));
     for (const call of spec.c || []) {
         const [name, ...args] = call;
         s = s[name](...args.map(convArg));
