@@ -409,6 +409,26 @@ class Gen:
         if kind == "forkfield":
             # fork() rewrites a (possibly nested) field through a named
             # adjuster — strip/raw/presence interplay with the clone
+            if self.maybe(0.25):
+                # array-item / alternatives-branch fork by explicit id()
+                # (modify.js Ids.Store: non-key children need explicit ids)
+                if self.maybe():
+                    item = self.leaf_spec("number", [])
+                    item.setdefault("c", []).insert(0, ["id", "n1"])
+                    adj = self.pick(["optional", "min2", "raw", "strip"])
+                    spec = {"t": "array",
+                            "c": [["items", {"$s": item}],
+                                  ["fork", "n1", {"$adj": adj}]]}
+                    return (spec, pa.list_(pa.float64()),
+                            lambda: [None if self.maybe(0.15) else self.pick(NUMBERS[:6])
+                                     for _ in range(r.randint(0, 3))])
+                b1 = self.leaf_spec("string", [])
+                b1.setdefault("c", []).insert(0, ["id", "s1"])
+                b2 = self.leaf_spec("number", [])
+                adj = self.pick(["required", "optional", "min2"])
+                spec = {"t": "alternatives", "a": [[{"$s": b1}, {"$s": b2}]],
+                        "c": [["fork", "s1", {"$adj": adj}]]}
+                return (spec, pa.string(), lambda: self.pick(STRINGS))
             f1 = self.leaf_spec("number", [])
             f2 = self.leaf_spec("string", [])
             deep = self.maybe(0.4)
