@@ -266,7 +266,8 @@ class Gen:
                 "concat", "binary", "strref", "dateref", "ordered", "mixedalts",
                 "switchcol", "peekcol", "patstruct", "renstruct", "deepstruct",
                 "altobj", "structarray", "hascol",
-                "extnum", "extstr", "forkfield", "extractfield", "concatalts"]
+                "extnum", "extstr", "forkfield", "extractfield", "concatalts",
+                "altercol"]
         )
         if kind == "number":
             return (self.leaf_spec("number", sibling_nums), pa.float64(),
@@ -477,6 +478,35 @@ class Gen:
             pool = NUMBERS if fam == "number" else STRINGS
             at = pa.float64() if fam == "number" else pa.string()
             return (spec, at, lambda: self.pick(pool))
+        if kind == "altercol":
+            # alter() registers named adjuster variants; tailor() applies
+            # one recursively (base.js:88-103, :551-571) — adjusters come
+            # from the shared $adj catalog
+            fam = self.pick(["number", "string"])
+            leaf = self.leaf_spec(fam, [])
+            t1 = self.pick(["required", "optional", "forbidden", "min2", "strip"])
+            t2 = self.pick(["required", "min2"])
+            targets = {"t1": {"$adj": t1}}
+            if self.maybe(0.4):
+                targets["t2"] = {"$adj": t2}
+            applied = self.pick(["t1", "t2", "zz"])  # zz = unmatched no-op
+            if self.maybe(0.5):
+                leaf.setdefault("c", []).append(["alter", targets])
+                leaf["c"].append(["tailor", applied])
+                pool = NUMBERS if fam == "number" else STRINGS
+                at = pa.float64() if fam == "number" else pa.string()
+                return (leaf, at, lambda: self.pick(pool))
+            # nested: tailor on the object recurses into keys
+            leaf.setdefault("c", []).append(["alter", targets])
+            spec = {"t": "object", "a": [{"p": {"$s": leaf}}],
+                    "c": [["tailor", applied]]}
+            at = pa.struct([("p", pa.float64() if fam == "number" else pa.string())])
+            pool = NUMBERS[:6] if fam == "number" else STRINGS[:8]
+
+            def gen_alt_struct():
+                return {"p": None if self.maybe(0.3) else self.pick(pool)}
+
+            return (spec, at, gen_alt_struct)
         if kind == "concatalts":
             if self.maybe(0.5):
                 # alternatives(array) concat alternatives(array): matches
