@@ -481,8 +481,11 @@ def _ref_targets_have_raw_items(ref_errs: list, spec: dict) -> bool:
             return False
         sub = cols.get(m.group(1))
         blob = json.dumps(sub) if sub is not None else ""
-        if ('["raw"]' not in blob and '["strip"]' not in blob) or (
-                '"items"' not in blob and '"ordered"' not in blob):
+        # raw/strip may be direct chain calls OR fork/alter adjusters
+        # ({"$adj": "raw"}) — both plant the per-item shadow
+        has_result = any(t in blob for t in (
+            '["raw"]', '["strip"]', '{"$adj": "raw"}', '{"$adj": "strip"}'))
+        if not has_result or ('"items"' not in blob and '"ordered"' not in blob):
             return False
     return True
 
