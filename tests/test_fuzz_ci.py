@@ -29,3 +29,20 @@ def test_fuzz_120_seeds_no_hard_deviations():
         capture_output=True, text=True, timeout=600,
     )
     assert proc.returncode == 0, f"fuzz deviations:\n{proc.stdout[-3000:]}\n{proc.stderr[-2000:]}"
+
+
+@pytest.mark.skipif(shutil.which("node") is None, reason="node not available")
+def test_fuzz_manifest_roundtrip_slice():
+    """FUZZ_MANIFEST=1 routes every joi_ray-side schema through
+    build(describe()) before compiling, so this slice differentially fuzzes
+    the manifest round-trip itself (round-5 frontier; 2,800 cases at seeds
+    15.10-15.11M were clean when this guard landed)."""
+    runner = os.path.join(REPO, "tools", "refshim", "refrunner.js")
+    if not os.path.exists(runner):
+        pytest.skip("refshim runner missing")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "fuzz_spec.py"), "40", "15100000"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "FUZZ_MANIFEST": "1"},
+    )
+    assert proc.returncode == 0, f"manifest-roundtrip deviations:\n{proc.stdout[-3000:]}\n{proc.stderr[-2000:]}"

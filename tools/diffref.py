@@ -392,6 +392,15 @@ def _path_to_joi(path: str, item_index: int, array_paths: set | None = None) -> 
 def run_joi_ray(schema, tbl: pa.Table, prefs: dict | None = None):
     from joi_ray import compile_schema
 
+    # FUZZ_MANIFEST=1 round-trips the schema through describe() -> build()
+    # before compiling, so the manifest round-trip itself is differentially
+    # fuzzed: the node side already consumes describe() via Joi.build, and
+    # this knob makes the joi_ray side consume it too — any manifest field
+    # build() drops or misreads shows up as a deviation.
+    if os.environ.get("FUZZ_MANIFEST", "").strip():
+        from joi_ray import build as _build
+
+        schema = _build(schema.describe())
     cs = compile_schema(schema, prefs=prefs)
     return cs.validate_table(tbl)
 
