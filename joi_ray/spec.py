@@ -31,8 +31,9 @@ class Ref:
     table root.  Options (ref.js:80-105): ``ancestor=`` (int, exclusive
     with a dot prefix), ``separator=`` (single char, ``False`` = literal
     key), ``map=`` (list of [from, to] pairs applied to the resolved
-    value), ``adjust=`` (callable; excluded from describe() like
-    alterations — the JSON manifest cannot carry callables).
+    value), ``adjust=`` (callable; rides the in-memory describe() manifest
+    like the reference's ref.js:195-199 — to_json drops it the way
+    JSON.stringify drops function values).
     """
 
     __slots__ = ("path", "kind", "level", "separator", "map", "adjust")
@@ -119,6 +120,10 @@ class Ref:
             d["separator"] = self.separator
         if self.map is not None:
             d["map"] = [list(p) for p in self.map]
+        if self.adjust is not None:
+            # live callable in the in-memory manifest, like ref.js:195-199
+            # (to_json drops it the way JSON.stringify drops functions)
+            d["adjust"] = self.adjust
         return d
 
     def __repr__(self):  # pragma: no cover
@@ -136,6 +141,16 @@ class Ref:
 
 def ref(path: str, **opts) -> Ref:
     return Ref(path, **opts)
+
+
+def _drop_callables(o: Any) -> Any:
+    """JSON.stringify parity for manifests: function-valued dict entries
+    vanish (used by ``to_json`` on alteration adjusters)."""
+    if isinstance(o, dict):
+        return {k: _drop_callables(v) for k, v in o.items() if not callable(v)}
+    if isinstance(o, list):
+        return [_drop_callables(v) for v in o]
+    return o
 
 
 def _encode(v: Any) -> Any:
@@ -162,9 +177,9 @@ def _encode(v: Any) -> Any:
 
 def _decode(v: Any) -> Any:
     if isinstance(v, dict):
-        if "ref" in v and set(v) <= {"ref", "separator", "map"}:
+        if "ref" in v and set(v) <= {"ref", "separator", "map", "adjust"}:
             return Ref(v["ref"], separator=v.get("separator", "."),
-                       map=v.get("map"))
+                       map=v.get("map"), adjust=v.get("adjust"))
         if set(v) == {"__bytes__"}:
             import base64
 
@@ -795,20 +810,73 @@ class Schema:
 
     def alter(self, targets: dict) -> "Schema":
         """Register named variants (``lib/base.js:88-103``): ``targets`` maps
-        name -> adjuster fn, applied on demand by ``tailor``."""
+        name -> adjuster fn, applied on demand by ``tailor``.  Entries append
+        in registration order — duplicate targets are allowed and tailor
+        applies every match sequentially (base.js:94-98 pushes
+        ``{target, adjuster}`` per entry)."""
+        if not isinstance(targets, dict):
+            raise ValueError("Invalid targets argument (lib/base.js:90)")
         s = self._clone()
-        s.metas.setdefault("alterations", {}).update(targets)
+        entries = list(s.metas.get("alterations", []))
+        for target, adjuster in targets.items():
+            if not callable(adjuster):
+                raise ValueError(
+                    f"Alteration adjuster for {target} must be a function (lib/base.js:97)")
+            entries.append({"target": target, "adjuster": adjuster})
+        s.metas["alterations"] = entries
         return s
 
-    def tailor(self, target: str) -> "Schema":
-        """Apply the named alteration(s) recursively (``lib/base.js:551-571``)."""
+    def tailor(self, targets) -> "Schema":
+        """Apply the named alteration(s) (``lib/base.js:551-571``): accepts a
+        single target name or a list; the node's own matching adjusters run
+        in registration order, then recursion mirrors the reference's
+        per-type overrides — object keys / patterns / assert-rule schemas
+        (``object.js:478-509``) and alternatives matches' schema/peek/is/
+        then/otherwise (``alternatives.js:145-163``).  Array items are NOT
+        recursed (the reference has no array tailor override)."""
+        tgts = [targets] if isinstance(targets, str) else list(targets)
         s = self
-        alt = s.metas.get("alterations", {})
-        if target in alt:
-            s = alt[target](s)
+        for ent in s.metas.get("alterations", []):
+            if ent["target"] in tgts:
+                s = ent["adjuster"](s)
+                if not isinstance(s, Schema):
+                    raise ValueError(
+                        f"Alteration adjuster for {ent['target']} failed to "
+                        "return a schema object (lib/base.js:566)")
         if "keys" in s.terms:
             s = s._clone()
-            s.terms["keys"] = {k: v.tailor(target) for k, v in s.terms["keys"].items()}
+            s.terms["keys"] = {k: v.tailor(targets) for k, v in s.terms["keys"].items()}
+        if "patterns" in s.terms:
+            s = s._clone()
+            s.terms["patterns"] = [
+                {**e, **{k: e[k].tailor(targets) for k in ("schema", "matches")
+                         if isinstance(e.get(k), Schema)}}
+                for e in s.terms["patterns"]
+            ]
+        if any(r["name"] == "assert" and isinstance(r["args"].get("schema"), Schema)
+               for r in s.rules):
+            s = s._clone()
+            s.rules = [
+                {**r, "args": {**r["args"], "schema": r["args"]["schema"].tailor(targets)}}
+                if r["name"] == "assert" and isinstance(r["args"].get("schema"), Schema)
+                else r
+                for r in s.rules
+            ]
+        if "matches" in s.terms:
+            s = s._clone()
+            new = []
+            for m in s.terms["matches"]:
+                if isinstance(m, Schema):
+                    new.append(m.tailor(targets))
+                elif isinstance(m, dict):
+                    m = dict(m)
+                    for k in ("schema", "peek", "is", "then", "otherwise"):
+                        if isinstance(m.get(k), Schema):
+                            m[k] = m[k].tailor(targets)
+                    new.append(m)
+                else:
+                    new.append(m)
+            s.terms["matches"] = new
         return s
 
     # -- describe / serialize ---------------------------------------------
@@ -835,13 +903,20 @@ class Schema:
         if self.prefs:
             d["preferences"] = dict(self.prefs)
         if self.metas:
-            # alterations hold Python callables and _ruleset_start is a
-            # builder-internal marker: neither belongs in the portable IR
+            # _ruleset_start is a builder-internal marker and error_fn a
+            # live callable: neither belongs in the portable IR
             serializable = {
                 k: v for k, v in self.metas.items() if k not in ("alterations", "_ruleset_start", "error_fn")
             }
             if serializable:
                 d["metas"] = serializable
+            # alterations ride the IN-MEMORY manifest with live adjuster
+            # callables, exactly like the reference (manifest.js describe
+            # emits [{target, adjuster}] and build():339-346 re-alters);
+            # to_json drops the adjuster key the way JSON.stringify drops
+            # function-valued properties
+            if self.metas.get("alterations"):
+                d["alterations"] = [dict(e) for e in self.metas["alterations"]]
         for name, term in self.terms.items():
             if name == "keys":
                 d["keys"] = {k: v.describe() for k, v in term.items()}
@@ -884,7 +959,11 @@ class Schema:
         return d
 
     def to_json(self) -> str:
-        return json.dumps(self.describe(), sort_keys=True)
+        # JSON.stringify parity: function-valued dict entries (alteration
+        # adjusters) are silently dropped — a JSON manifest carries
+        # alterations as [{target}] and build() of that form raises, like
+        # the reference's alter() adjuster assert on a stringified manifest
+        return json.dumps(_drop_callables(self.describe()), sort_keys=True)
 
     def __repr__(self):  # pragma: no cover
         return f"Schema<{self.type}>({json.dumps(self.describe(), default=str)[:120]})"
@@ -1584,6 +1663,16 @@ def build(desc: dict) -> Schema:
     s.invalid_vals = _decode(desc.get("invalid", []))
     s.prefs = dict(desc.get("preferences", {}))
     s.metas = dict(desc.get("metas", {}))
+    if "alterations" in desc:
+        # manifest.js:339-346 funnels the entries through an object keyed by
+        # target (so duplicate targets collapse to the LAST adjuster at the
+        # FIRST position) before one .alter() call — reproduce that quirk;
+        # a JSON-serialized manifest arrives without adjusters and raises,
+        # matching the reference's alter() function assert
+        alter_map: dict[str, Any] = {}
+        for ent in desc["alterations"]:
+            alter_map[ent["target"]] = ent.get("adjuster")
+        s = s.alter(alter_map)
     for name in ("items", "ordered", "matches"):
         if name in desc:
             s.terms[name] = [
@@ -1644,4 +1733,21 @@ def build(desc: dict) -> Schema:
 
 
 def from_json(text: str) -> Schema:
-    return build(json.loads(text))
+    """joi_ray's wire format (reference has no JSON-rebuild path): a
+    stringified manifest cannot carry adjuster callables, and alterations
+    are inert during validation, so they are dropped here — build() of a
+    hand-parsed JSON manifest still raises like the reference's alter()
+    function assert."""
+    def strip_alts(o):
+        if isinstance(o, dict):
+            # only schema-manifest dicts (str-valued "type") carry
+            # alterations — a user object KEY named "alterations" lives in
+            # a keys mapping, whose dict has no str "type" entry
+            is_manifest = isinstance(o.get("type"), str)
+            return {k: strip_alts(v) for k, v in o.items()
+                    if not (is_manifest and k == "alterations")}
+        if isinstance(o, list):
+            return [strip_alts(v) for v in o]
+        return o
+
+    return build(strip_alts(json.loads(text)))

@@ -69,6 +69,79 @@ def test_modify_api():
     assert s3.tailor("post").extract("x").flags.get("presence") == "required"
 
 
+def test_alter_tailor_reference_parity():
+    """Node-verified against /root/reference (v16-rc2) in round 5:
+
+    - duplicate alter targets append and apply IN ORDER (base.js:94-98
+      pushes {target, adjuster}; tailor :562-571 applies each match)
+    - tailor() takes a single name or a list (base.js:559 [].concat)
+    - recursion follows the per-type overrides: object keys / patterns /
+      assert-rule schemas (object.js:478-509), alternatives matches
+      (alternatives.js:145-163) — and does NOT touch array items or
+      base whens (no overrides exist for either)
+    """
+    # duplicate targets, registration order
+    s = jr.number().alter({"x": lambda n: n.min(5)}).alter({"x": lambda n: n.max(9)})
+    assert [(r["name"], r["args"]["limit"]) for r in s.tailor("x").rules] == [
+        ("min", 5), ("max", 9)]
+    # list of targets
+    s2 = jr.number().alter({"a": lambda n: n.min(1), "b": lambda n: n.max(2)})
+    assert [r["name"] for r in s2.tailor(["a", "b"]).rules] == ["min", "max"]
+    assert [r["name"] for r in s2.tailor("a").rules] == ["min"]
+    # array items are NOT tailored (reference has no array override)
+    a = jr.array().items(jr.number().alter({"x": lambda n: n.min(5)}))
+    assert a.tailor("x").terms["items"][0].rules == []
+    # object patterns and assert-rule schemas ARE tailored
+    o = (jr.object({"k": jr.number().alter({"x": lambda n: n.min(5)})})
+         .pattern(r"^p", jr.string().alter({"x": lambda n: n.uppercase()})))
+    ot = o.tailor("x")
+    assert ot.terms["keys"]["k"].rules[0]["name"] == "min"
+    assert ot.terms["patterns"][0]["schema"].rules[0]["name"] == "case"
+    oa = jr.object({"q": jr.number()}).assert_(
+        jr.ref("q"), jr.number().alter({"x": lambda n: n.min(3)}))
+    art = [r for r in oa.tailor("x").rules if r["name"] == "assert"]
+    assert art[0]["args"]["schema"].rules[0]["name"] == "min"
+    # alternatives matches ARE tailored
+    alt = jr.alternatives(jr.number().alter({"x": lambda n: n.min(5)}))
+    assert alt.tailor("x").terms["matches"][0].rules[0]["name"] == "min"
+    # non-function adjuster / non-dict targets raise like the reference
+    with pytest.raises(ValueError, match="must be a function"):
+        jr.number().alter({"x": 3})
+    with pytest.raises(ValueError, match="Invalid targets"):
+        jr.number().alter(["x"])
+
+
+def test_alterations_manifest_roundtrip():
+    """manifest.js parity (node-verified r5): describe() carries
+    [{target, adjuster}] with LIVE callables; build() re-alters (collapsing
+    duplicate targets through a target-keyed object like manifest.js:
+    339-346); JSON-stringified manifests lose the functions, so build() of
+    the parsed form raises the adjuster assert — while from_json (joi_ray's
+    own wire format) drops the inert alterations instead."""
+    import json
+
+    from joi_ray import build, from_json
+
+    s = jr.number().alter({"x": lambda n: n.min(7)})
+    d = s.describe()
+    assert d["alterations"][0]["target"] == "x"
+    assert callable(d["alterations"][0]["adjuster"])
+    rb = build(d)
+    assert [r["name"] for r in rb.tailor("x").rules] == ["min"]
+    j = s.to_json()
+    assert json.loads(j)["alterations"] == [{"target": "x"}]
+    with pytest.raises(ValueError, match="must be a function"):
+        build(json.loads(j))
+    assert from_json(j).type == "number"  # alterations dropped, no raise
+    # a user object key literally named "alterations" survives from_json
+    uk = jr.object({"alterations": jr.string()})
+    assert "alterations" in from_json(uk.to_json()).terms["keys"]
+    # ref adjust= rides the in-memory manifest too (ref.js:195-199)
+    r = jr.ref("q", adjust=lambda v: v + 1)
+    rd = r.describe()
+    assert callable(rd["adjust"])
+
+
 def test_io_sources(ray_session, tmp_path):
     import pyarrow.parquet as pq
 
