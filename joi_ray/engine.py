@@ -1544,6 +1544,23 @@ def _finalize_branch_values(arr, branch_values, n: int):
                     value = pc.if_else(pa.array(m), pc.cast(v, arr.type), value)
                 except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
                     pass
+            elif (
+                pa.types.is_floating(arr.type) or pa.types.is_integer(arr.type)
+                or pa.types.is_boolean(arr.type)
+            ) and (pa.types.is_string(v.type) or pa.types.is_large_string(v.type)):
+                # the MIRRORED form (fuzz seed 15300258): a cast('string')
+                # or string-failover branch matching into a numeric/boolean
+                # column lands as its numeric PARSE when the rendering
+                # round-trips — value-equivalent to joi's string result
+                # (tracked value_repr) instead of the stale original the
+                # branch's failover replaced; non-matched rows are nulled
+                # first so only matched-row strings must parse
+                try:
+                    mm = pa.array(m)
+                    casted = pc.cast(pc.if_else(mm, v, pa.nulls(n, v.type)), arr.type)
+                    value = pc.if_else(mm, casted, value)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                    pass
         return value, AltView(value, pairs)
     target = next(iter(out_types))
     if target == arr.type:

@@ -1296,3 +1296,20 @@ def test_sort_mismatching_and_cast_field_widening():
         [[{"x": -1.0, "y": "abc"}, {"x": 3.0, "y": "AB"}, {"x": -1.0, "y": "ABC"}]], T)})
     r2 = jr.compile_schema(s2, prefs={"abort_early": False, "convert": False}).validate_table(t2)
     assert "array.unique" not in r2.violations["code"].to_pylist()
+
+
+def test_string_branch_grafts_numeric_parse_into_number_column():
+    # fuzz seed 15300258 (node-verified): an alternatives branch whose
+    # failover+cast('string') result matches into a NUMERIC column must land
+    # as its numeric parse (value-equivalent to joi's "5", the tracked
+    # value_repr form) — not keep the stale original the failover replaced
+    s = jr.object({"a": jr.alternatives(
+        jr.number().min(2),
+        jr.number().max(34).negative().failover(5.0).cast("string"))})
+    t = pa.table({"a": pa.array([-0.0, 0.5, 10.0, -2.5], pa.float64())})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    assert r.ok.all()
+    # -0.0/0.5 fail branch1 (min 2) and branch2's negative(), failover 5.0
+    # -> cast "5" -> parse 5.0; 10.0 matches branch1 verbatim; -2.5 passes
+    # branch2's rules so cast renders "-2.5" -> parse -2.5
+    assert r.value["a"].to_pylist() == [5.0, 5.0, 10.0, -2.5]

@@ -481,7 +481,12 @@ class Gen:
         if kind == "altercol":
             # alter() registers named adjuster variants; tailor() applies
             # one recursively (base.js:88-103, :551-571) — adjusters come
-            # from the shared $adj catalog
+            # from the shared $adj catalog.  Round-5 variants exercise the
+            # node-verified parity surfaces: duplicate targets applying in
+            # registration order across separate alter() calls, tailor with
+            # a LIST of targets (base.js:559 [].concat), and alternatives
+            # branches recursed by the alternatives tailor override
+            # (alternatives.js:145-163)
             fam = self.pick(["number", "string"])
             leaf = self.leaf_spec(fam, [])
             t1 = self.pick(["required", "optional", "forbidden", "min2", "strip"])
@@ -489,13 +494,29 @@ class Gen:
             targets = {"t1": {"$adj": t1}}
             if self.maybe(0.4):
                 targets["t2"] = {"$adj": t2}
-            applied = self.pick(["t1", "t2", "zz"])  # zz = unmatched no-op
-            if self.maybe(0.5):
+            # applied: single name, unmatched no-op, or a list of targets
+            applied = self.pick(["t1", "t2", "zz", ["t1", "t2"], ["t2", "zz"]])
+            pool = NUMBERS if fam == "number" else STRINGS
+            at = pa.float64() if fam == "number" else pa.string()
+            shape = self.pick(["plain", "plain", "dup", "object", "alts"])
+            if shape == "dup":
+                # same target registered twice via two alter() calls: tailor
+                # applies BOTH adjusters in registration order
+                leaf.setdefault("c", []).append(["alter", {"t1": {"$adj": t1}}])
+                leaf["c"].append(["alter", {"t1": {"$adj": t2}}])
+                leaf["c"].append(["tailor", self.pick(["t1", ["t1"], "zz"])])
+                return (leaf, at, lambda: self.pick(pool))
+            if shape == "plain":
                 leaf.setdefault("c", []).append(["alter", targets])
                 leaf["c"].append(["tailor", applied])
-                pool = NUMBERS if fam == "number" else STRINGS
-                at = pa.float64() if fam == "number" else pa.string()
                 return (leaf, at, lambda: self.pick(pool))
+            if shape == "alts":
+                # tailor at the alternatives level recurses into matches
+                other = self.leaf_spec(fam, [])
+                leaf.setdefault("c", []).append(["alter", targets])
+                spec = {"t": "alternatives", "a": [[{"$s": leaf}, {"$s": other}]],
+                        "c": [["tailor", applied]]}
+                return (spec, at, lambda: self.pick(pool))
             # nested: tailor on the object recurses into keys
             leaf.setdefault("c", []).append(["alter", targets])
             spec = {"t": "object", "a": [{"p": {"$s": leaf}}],
