@@ -2353,7 +2353,7 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
             for ic in exclusions:
                 if not remaining.any():
                     break
-                xsub = eval_node(exclusion_node(ic), flat, child_env, path, scope=remaining)
+                xsub = eval_node(exclusion_node(ic), flat, child_env.match_env(), path, scope=remaining)
                 bad = remaining & ~(xsub.failed if xsub.failed is not None
                                     else np.zeros(len(flat), bool))
                 shift_recs += lift_probe_warns(xsub, forced_abort=True)  # $_match probe
@@ -2931,7 +2931,7 @@ def _eval_structural_rule(node, cr, arr, env, path, scope, missing, resolved, fa
         flat, parents, positions = k_lists.flatten_with_parents(arr)
         ok_rows = np.zeros(n, dtype=bool)
         if len(parents):
-            sub = eval_node(cnode, flat, Env(env.prefs), path, scope=np.ones(len(flat), dtype=bool))
+            sub = eval_node(cnode, flat, Env(env.prefs).match_env(), path, scope=np.ones(len(flat), dtype=bool))
             okm = ~(sub.failed if sub.failed is not None else np.zeros(len(flat), bool))
             ok_rows[np.unique(parents[okm])] = True
             # joi probes items IN ORDER until the first match (array.js:
@@ -3008,7 +3008,7 @@ def _eval_structural_rule(node, cr, arr, env, path, scope, missing, resolved, fa
                 subject = env.resolve_ref(r, n)
             if not isinstance(subject, (pa.Array, pa.ChunkedArray)):
                 subject = pa.array([subject] * n)
-            asub = eval_node(cnode, combine(subject), env, "", scope=active)
+            asub = eval_node(cnode, combine(subject), env.match_env(), "", scope=active)
             ok = ~(asub.failed if asub.failed is not None else np.zeros(n, bool))
             # the assert sub-$_match is a real validate call: its warn
             # reports leak to the main state with joi's root-ish path
@@ -3260,7 +3260,7 @@ class CompiledSchema:
                 args = cr.fn[1]
                 cnode = CNode(args["schema"] if isinstance(args["schema"], Schema) else build(args["schema"]), self.prefs)
                 subject = combine(env.resolve_ref(args["ref"], n))
-                asub = eval_node(cnode, subject, env, "", scope=scope)
+                asub = eval_node(cnode, subject, env.match_env(), "", scope=scope)
                 ok = ~(asub.failed if asub.failed is not None else np.zeros(n, bool))
                 bad = scope & ~ok
                 # assert sub-$_match warn reports leak (root-ish path,

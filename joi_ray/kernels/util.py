@@ -258,6 +258,18 @@ class Env:
         e = Env(self.prefs, resolve_sibling, self.ancestors + ([self._resolve_sibling] if self._resolve_sibling else []))
         return e
 
+    def match_env(self) -> "Env":
+        """$_match prefs override (base.js:719-726): shallow-cloned prefs
+        with abortEarly FORCED true and externals disabled.  Probe sub-evals
+        (assert / has / array exclusions) must run under this env so warn
+        reports are never created on rows a hard error already aborted —
+        a failover in the probed schema later CLEARS those hard errors,
+        erasing the evidence the warn-leak filters rely on (fuzz seed
+        15500173: valids-failure abort precedes hex().warn(), failover
+        then matches the row)."""
+        return Env({**self.prefs, "abort_early": True, "externals": False},
+                   self._resolve_sibling, self.ancestors)
+
 
 def _walk_ref_path(base, parts: list[str], n: int):
     """Walk remaining ref path segments into struct fields.  ``length`` is a

@@ -1313,3 +1313,36 @@ def test_string_branch_grafts_numeric_parse_into_number_column():
     # -> cast "5" -> parse 5.0; 10.0 matches branch1 verbatim; -2.5 passes
     # branch2's rules so cast renders "-2.5" -> parse -2.5
     assert r.value["a"].to_pylist() == [5.0, 5.0, 10.0, -2.5]
+
+
+def test_match_probe_suppresses_warn_after_hard_abort():
+    # fuzz seed 15500173 (node-verified): $_match forces abortEarly
+    # (base.js:719-726), so inside an object.assert's probed schema a
+    # valids any.only HARD failure aborts the row BEFORE a later
+    # hex().warn() rule runs — and a failover() then clears the error and
+    # matches the row.  No warning may leak even under outer
+    # abortEarly:false (the failover erases the hard-error evidence the
+    # emission-order leak filter keys on).
+    T = pa.struct([("n", pa.struct([("x", pa.string())])), ("y", pa.float64())])
+    s = jr.object({"b": jr.object({
+        "n": jr.object({"x": jr.string()}),
+        "y": jr.number(),
+    }).assert_(jr.ref("n.x"), jr.string().insensitive().hex().warn()
+               .valid("a", "hello").failover(" pad "))})
+    t = pa.table({"b": pa.array([{"n": {"x": "x"}, "y": None}], T)})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    assert r.ok.all()
+    assert r.violations.num_rows == 0  # no leaked string.hex warning
+    # warn-BEFORE-abort still leaks: hex warn fires on the live row, then
+    # min() hard-fails -> assertion fails, warning persists (validator.js
+    # :303-306 records the warn as it fires)
+    s2 = jr.object({"b": jr.object({
+        "n": jr.object({"x": jr.string()}),
+        "y": jr.number(),
+    }).assert_(jr.ref("n.x"), jr.string().hex().warn().min(5))})
+    r2 = jr.compile_schema(s2, prefs={"abort_early": False}).validate_table(t)
+    codes = r2.violations["code"].to_pylist()
+    sev = r2.violations["severity"].to_pylist()
+    assert "object.assert" in codes
+    assert ("string.hex" in codes
+            and sev[codes.index("string.hex")] == "warn")

@@ -499,6 +499,26 @@ def _ref_targets_have_raw_items(ref_errs: list, spec: dict) -> bool:
     return True
 
 
+def _shadow_null_render(ref_msg: str, ray_msg: str, spec) -> bool:
+    """v16-rc2 shadow-Map null render (node-verified, fuzz seed 15520211):
+    once ANY result-flagged (strip/raw) schema has planted a shadow — an
+    object.assert's probed schema does, validator.js:413-417 shadows even
+    $_match results — template '[.]' resolves EVERY error's value through
+    the shadow Map at lazy render time; paths absent from the Map resolve
+    undefined and render 'with value "null"' (e.g. a SIBLING key's
+    string.pattern.base).  The value output itself is NOT corrupted, only
+    the message render.  We render the real value — tracked, not a
+    failure."""
+    if 'with value "null"' not in ref_msg or ref_msg == ray_msg:
+        return False
+    blob = json.dumps(spec) if spec is not None else ""
+    if not any(t in blob for t in (
+            '["strip"]', '["raw"]', '{"$adj": "strip"}', '{"$adj": "raw"}')):
+        return False
+    return ref_msg.replace('with value "null"', "with value <X>") == re.sub(
+        r'with value "[^"]*"', "with value <X>", ray_msg)
+
+
 def _shadow_map_render(ref_msg: str, ray_msg: str) -> bool:
     """True when the two messages differ only by joi's shadow-Map value
     render ('with value "[c -> abc]"' vs the actual value) — v16-rc2's
@@ -656,6 +676,7 @@ def diff_case(
                 kind = "messages"
                 if all(
                     a == b or _shadow_map_render(a[2], b[2])
+                    or _shadow_null_render(a[2], b[2], spec)
                     for a, b in zip(ref_msgs, ray_msgs)
                 ) and len(ref_msgs) == len(ray_msgs):
                     # KNOWN v16-rc2 BUG: '{[.]}' renders the internal
@@ -664,7 +685,12 @@ def diff_case(
                     # (ref.js:_resolve shadow.get([]) returns the Map;
                     # template.js:313-320 renders Maps as [k -> v]).
                     # We render the real value — tracked, not a failure.
+                    # The null-render variant (seed 15520211) is the same
+                    # Map poisoning paths it doesn't contain.
                     kind = "message_shadow_bug"
+                    if any(_shadow_null_render(a[2], b[2], spec)
+                           for a, b in zip(ref_msgs, ray_msgs)):
+                        kind = "message_shadow_null"
                 devs.append({**ctx, "kind": kind, "ref": ref_msgs, "ray": ray_msgs})
         # warnings
         ref_warn = sorted(((tuple(e["path"]), e["type"]) for e in (rr["warnings"] or [])), key=repr)

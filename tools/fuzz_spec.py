@@ -267,7 +267,7 @@ class Gen:
                 "switchcol", "peekcol", "patstruct", "renstruct", "deepstruct",
                 "altobj", "structarray", "hascol",
                 "extnum", "extstr", "forkfield", "extractfield", "concatalts",
-                "altercol"]
+                "altercol", "assertcol"]
         )
         if kind == "number":
             return (self.leaf_spec("number", sibling_nums), pa.float64(),
@@ -478,6 +478,39 @@ class Gen:
             pool = NUMBERS if fam == "number" else STRINGS
             at = pa.float64() if fam == "number" else pa.string()
             return (spec, at, lambda: self.pick(pool))
+        if kind == "assertcol":
+            # object.assert (object.js:205-231): a nested-path ref must
+            # $_match the asserted schema — match-mode, sub-errors never
+            # leak, failure is object.assert rendering the dotted ref path
+            # and the default or custom message; multi:true allows stacked
+            # assertions
+            fam = self.pick(["number", "string"])
+            asserted = self.leaf_spec(fam, [])
+            first = ["assert", {"$ref": "n.x"}, {"$s": asserted}]
+            if self.maybe(0.3):
+                first.append("pass the custom words")
+            chain = [first]
+            if self.maybe(0.3):
+                chain.append(["assert", {"$ref": "n.x"},
+                              {"$s": self.leaf_spec(fam, [])}])
+            inner_t = pa.float64() if fam == "number" else pa.string()
+            spec = {"t": "object",
+                    "a": [{"n": {"$s": {"t": "object",
+                                        "a": [{"x": {"$s": {"t": fam}}}]}},
+                           "y": {"$s": {"t": "number"}}}],
+                    "c": chain}
+            at = pa.struct([("n", pa.struct([("x", inner_t)])),
+                            ("y", pa.float64())])
+            pool = NUMBERS if fam == "number" else STRINGS
+
+            def gen_assert_struct():
+                if self.maybe(0.12):
+                    return None
+                nx = None if self.maybe(0.2) else self.pick(pool)
+                nv = None if self.maybe(0.15) else {"x": nx}
+                return {"n": nv, "y": None if self.maybe(0.2) else self.pick(NUMBERS)}
+
+            return (spec, at, gen_assert_struct)
         if kind == "altercol":
             # alter() registers named adjuster variants; tailor() applies
             # one recursively (base.js:88-103, :551-571) — adjusters come
@@ -926,7 +959,8 @@ def run_fuzz(n_cases: int, start_seed: int = 0, out_path="/tmp/fuzz_devs.jsonl")
                 # value.  Tracked in the kinds tally and the jsonl, but not
                 # failing cases.
                 hard = [d for d in devs if d["kind"] not in
-                        ("value_repr", "message_shadow_bug", "ref_shadow_map_ref")]
+                        ("value_repr", "message_shadow_bug",
+                         "message_shadow_null", "ref_shadow_map_ref")]
                 if devs:
                     bad_cases += 1 if hard else 0
                     total_devs += len(devs)
