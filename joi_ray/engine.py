@@ -2988,15 +2988,9 @@ def _eval_structural_rule(node, cr, arr, env, path, scope, missing, resolved, fa
             schema = args["schema"]
             cnode = CNode(schema if isinstance(schema, Schema) else build(schema), env.prefs)
             if pa.types.is_struct(arr.type):
-                # subject path resolves within the object's own value,
-                # dotted segments walking struct fields; refs inside the
-                # assert schema resolve with the object prepended to the
-                # ancestor chain (object.js:221-224 — ancestors:
-                # [value, ...state.ancestors])
-                from .kernels.util import _walk_ref_path
-
-                subject = combine(_walk_ref_path(arr, r.parts, n))
-
+                # refs inside the assert schema resolve with the object
+                # prepended to the ancestor chain (object.js:221-224 —
+                # ancestors: [value, ...state.ancestors])
                 def _own_child(seg, _arr=arr, _n=n):
                     t = _arr.type
                     if t.get_field_index(seg) >= 0:
@@ -3004,7 +2998,18 @@ def _eval_structural_rule(node, cr, arr, env, path, scope, missing, resolved, fa
                     return pa.nulls(_n)
 
                 env = env.child(_own_child)
+            if r.kind == "ancestor" and pa.types.is_struct(arr.type):
+                # subject path resolves within the object's own value,
+                # dotted segments walking struct fields
+                from .kernels.util import _walk_ref_path
+
+                subject = combine(_walk_ref_path(arr, r.parts, n))
             else:
+                # global ($context) subjects resolve via prefs.context.
+                # NOTE the reference CRASHES here (object.js:223 calls
+                # ref.resolve with no prefs, so ref.js:114 reads
+                # undefined.context) — we implement the documented intent;
+                # the fuzzer tracks the crash as assert_context_crash.
                 subject = env.resolve_ref(r, n)
             if not isinstance(subject, (pa.Array, pa.ChunkedArray)):
                 subject = pa.array([subject] * n)

@@ -1385,6 +1385,12 @@ class ObjectSchema(Schema):
 
     def assert_(self, subject, schema: Schema, message: str | None = None) -> "ObjectSchema":
         r = subject if isinstance(subject, Ref) else Ref(subject)
+        # object.js:209: only global ($context) refs or nested paths are
+        # allowed as assertion subjects
+        if r.kind == "ancestor" and len(r.parts) < 2:
+            raise ValueError(
+                "Cannot use assertions for root level references - use direct"
+                " key rules instead (lib/types/object.js:209)")
         return self._rule("assert", {"ref": r, "schema": schema, "message": message})
 
     def min(self, limit: int) -> "ObjectSchema":

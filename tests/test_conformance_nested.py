@@ -120,9 +120,19 @@ def test_dependencies_top_level():
 
 
 def test_object_assert_and_counts():
-    t = pa.table({"a": [5.0, 1.0], "b": [3.0, 3.0]})
-    root = obj({"a": jr.number(), "b": jr.number()}).assert_("a", jr.number().min(jr.ref("b")))
-    # NOTE: assert ref resolves 'a' against siblings; a >= b
+    # root-level single-segment subjects are rejected at build time
+    # (object.js:209 — node-verified: the reference throws the same)
+    import pytest
+
+    with pytest.raises(ValueError, match="root level references"):
+        obj({"a": jr.number()}).assert_("a", jr.number().min(1))
+    # legal form: nested path subject; n.a >= b (ref resolves inside the
+    # asserted object's own value with siblings as ancestors)
+    STRUCT_N = pa.struct([("n", pa.struct([("a", pa.float64())])), ("b", pa.float64())])
+    t = pa.table({"x": pa.array(
+        [{"n": {"a": 5.0}, "b": 3.0}, {"n": {"a": 1.0}, "b": 3.0}], STRUCT_N)})
+    root = obj({"x": jr.object({"n": jr.object({"a": jr.number()}), "b": jr.number()})
+                .assert_("n.a", jr.number().min(jr.ref("b")))})
     res = compile_schema(root, prefs={"abort_early": False}).validate_table(t)
     assert list(res.ok) == [True, False]
     # key-count rules on a struct column

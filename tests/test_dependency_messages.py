@@ -146,14 +146,16 @@ def test_array_excludes_forbidden_items():  # array.js:145-153, 206-218
 
 
 def test_assert_message_parity():  # object.js:1018-1020 '"d.e" failed to equal to a.c'
-    s = obj({"a": jr.number(), "b": jr.number()}).assert_(
-        "a", jr.number().min(jr.ref("b")), "be at least b")
-    res = compile_schema(s, prefs={"abort_early": False}).validate_table(
-        pa.table({"a": [1.0], "b": [3.0]}))
-    v = res.violations.to_pylist()
-    assert v[0]["message"] == '"value" is invalid because "a" failed to be at least b'
+    # node-verified forms: subjects must be nested (object.js:209 rejects
+    # root-level refs — the old 'a' form threw in the reference too)
+    T = pa.struct([("n", pa.struct([("a", pa.float64())])), ("b", pa.float64())])
+    t = pa.table({"x": pa.array([{"n": {"a": 1.0}, "b": 3.0}], T)})
+    s = obj({"x": jr.object({"n": jr.object({"a": jr.number()}), "b": jr.number()})
+             .assert_("n.a", jr.number().min(jr.ref("b")), "be at least b")})
+    v = compile_schema(s, prefs={"abort_early": False}).validate_table(t).violations.to_pylist()
+    assert v[0]["message"] == '"x" is invalid because "n.a" failed to be at least b'
     # default message (object.js:1098: 'failed to pass the assertion test')
-    s2 = obj({"a": jr.number(), "b": jr.number()}).assert_("a", jr.number().min(jr.ref("b")))
-    v2 = compile_schema(s2, prefs={"abort_early": False}).validate_table(
-        pa.table({"a": [1.0], "b": [3.0]})).violations.to_pylist()
-    assert v2[0]["message"] == '"value" is invalid because "a" failed to pass the assertion test'
+    s2 = obj({"x": jr.object({"n": jr.object({"a": jr.number()}), "b": jr.number()})
+              .assert_("n.a", jr.number().min(jr.ref("b")))})
+    v2 = compile_schema(s2, prefs={"abort_early": False}).validate_table(t).violations.to_pylist()
+    assert v2[0]["message"] == '"x" is invalid because "n.a" failed to pass the assertion test'

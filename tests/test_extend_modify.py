@@ -97,10 +97,13 @@ def test_alter_tailor_reference_parity():
     ot = o.tailor("x")
     assert ot.terms["keys"]["k"].rules[0]["name"] == "min"
     assert ot.terms["patterns"][0]["schema"].rules[0]["name"] == "case"
-    oa = jr.object({"q": jr.number()}).assert_(
-        jr.ref("q"), jr.number().alter({"x": lambda n: n.min(3)}))
+    # (assert subjects must be global or depth>1 — object.js:209)
+    oa = jr.object({"n": jr.object({"q": jr.number()})}).assert_(
+        jr.ref("n.q"), jr.number().alter({"x": lambda n: n.min(3)}))
     art = [r for r in oa.tailor("x").rules if r["name"] == "assert"]
     assert art[0]["args"]["schema"].rules[0]["name"] == "min"
+    with pytest.raises(ValueError, match="root level references"):
+        jr.object({"q": jr.number()}).assert_(jr.ref("q"), jr.number())
     # alternatives matches ARE tailored
     alt = jr.alternatives(jr.number().alter({"x": lambda n: n.min(5)}))
     assert alt.tailor("x").terms["matches"][0].rules[0]["name"] == "min"

@@ -1346,3 +1346,20 @@ def test_match_probe_suppresses_warn_after_hard_abort():
     assert "object.assert" in codes
     assert ("string.hex" in codes
             and sev[codes.index("string.hex")] == "warn")
+
+
+def test_assert_context_ref_subject_resolves_prefs_context():
+    # joi v16-rc2 CRASHES on any object.assert with a $context subject
+    # (object.js:223 calls ref.resolve with no prefs -> ref.js:114 reads
+    # undefined.context; node-verified, tracked as assert_context_crash).
+    # joi_ray implements the documented intent: the subject resolves
+    # prefs.context and unbound globals resolve undefined (optional pass).
+    T = pa.struct([("n", pa.struct([("x", pa.float64())])), ("y", pa.float64())])
+    s = jr.object({"c": jr.object({"n": jr.object({"x": jr.number()}),
+                                   "y": jr.number()})
+                   .assert_(jr.ref("$lim"), jr.number().min(10))})
+    t = pa.table({"c": pa.array([{"n": {"x": 1.0}, "y": 2.0}], T)})
+    for ctx, ok in (({"lim": 4}, False), ({"lim": 20}, True), ({}, True)):
+        r = jr.compile_schema(
+            s, prefs={"abort_early": False, "context": ctx}).validate_table(t)
+        assert bool(r.ok[0]) is ok, ctx

@@ -486,7 +486,12 @@ class Gen:
             # assertions
             fam = self.pick(["number", "string"])
             asserted = self.leaf_spec(fam, [])
-            first = ["assert", {"$ref": "n.x"}, {"$s": asserted}]
+            # global ($context) subjects are legal per object.js:209 but the
+            # REFERENCE CRASHES resolving them (assert_context_crash class);
+            # joi_ray resolves prefs.context, so these cases only verify
+            # that the crash fires — keep the rate low
+            subj = {"$ref": "$lim"} if self.maybe(0.12) else {"$ref": "n.x"}
+            first = ["assert", subj, {"$s": asserted}]
             if self.maybe(0.3):
                 first.append("pass the custom words")
             chain = [first]
@@ -933,6 +938,16 @@ def run_fuzz(n_cases: int, start_seed: int = 0, out_path="/tmp/fuzz_devs.jsonl")
                         # — a reference bug, tracked but not a deviation
                         kinds["ref_template_crash"] = kinds.get("ref_template_crash", 0) + 1
                         out.write(json.dumps({"seed": seed, "kind": "ref_template_crash",
+                                              "err": msg[:300], "spec": root_spec}) + "\n")
+                        continue
+                    if "reading 'context'" in msg and "ref.js" in msg:
+                        # joi v16-rc2 crashes on ANY object.assert whose
+                        # subject is a $context ref: object.js:223 calls
+                        # ref.resolve with NO prefs, so ref.js:114 reads
+                        # undefined.context — a reference bug (node-
+                        # verified); joi_ray resolves the context value
+                        kinds["assert_context_crash"] = kinds.get("assert_context_crash", 0) + 1
+                        out.write(json.dumps({"seed": seed, "kind": "assert_context_crash",
                                               "err": msg[:300], "spec": root_spec}) + "\n")
                         continue
                     # parity probe: joi may legitimately REFUSE the schema
