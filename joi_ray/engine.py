@@ -3175,6 +3175,22 @@ class CompiledSchema:
         errors: list[ErrRec] = []
         failed = np.zeros(n, dtype=bool)
 
+        # ---- root presence stage (validator.js:168-190): the ROOT node
+        # itself takes the explicit flag or the prefs.presence default.
+        # Every table row IS a provided root value, so an effective
+        # presence:'forbidden' errors any.unknown at the root path
+        # ('"value" is not allowed') and RETURNS — keys, renames and
+        # unknowns never run, the value keeps the originals
+        # (node-verified: prefs {presence:'forbidden'} fails {} and
+        # {a:5} alike at path []; an explicit root required() lets keys
+        # evaluate with the forbidden default applied per key)
+        root_presence = self.root.flags.get("presence") or self.prefs.get("presence", "optional")
+        if root_presence == "forbidden":
+            rec = ErrRec("any.unknown", np.ones(n, dtype=bool), "", {}, -3)
+            rec.rows = None
+            violations = self._assemble_violations([rec], columns, n)
+            return BatchResult(value=tbl, violations=violations, ok=np.zeros(n, dtype=bool))
+
         # table-level renames (object.js:387-415,886-967): regex sources,
         # template targets, multiple/override/alias/ignoreUndefined
         if self.root.renames:

@@ -1363,3 +1363,25 @@ def test_assert_context_ref_subject_resolves_prefs_context():
         r = jr.compile_schema(
             s, prefs={"abort_early": False, "context": ctx}).validate_table(t)
         assert bool(r.ok[0]) is ok, ctx
+
+
+def test_presence_forbidden_pref_hits_the_root():
+    # node-verified: prefs {presence:'forbidden'} applies to the ROOT node
+    # too (validator.js:168-190) — every provided root value (= every table
+    # row) errors any.unknown at path [] ('"value" is not allowed') and
+    # NOTHING else runs; an explicit root presence flag overrides the
+    # default and keys then evaluate with per-key forbidden
+    s = jr.object({"a": jr.number().min(2)})
+    t = pa.table({"a": [5.0, None]})
+    r = jr.compile_schema(s, prefs={"abort_early": False,
+                                    "presence": "forbidden"}).validate_table(t)
+    assert (~r.ok).all()
+    v = r.violations.to_pylist()
+    assert {(x["path"], x["code"]) for x in v} == {("", "any.unknown")}
+    assert v[0]["message"] == '"value" is not allowed'
+    assert r.value["a"].to_pylist() == [5.0, None]  # originals kept
+    s2 = jr.object({"a": jr.number().min(2)}).required()
+    r2 = jr.compile_schema(s2, prefs={"abort_early": False,
+                                      "presence": "forbidden"}).validate_table(t)
+    v2 = r2.violations.to_pylist()
+    assert {(x["path"], x["code"]) for x in v2} == {("a", "any.unknown")}

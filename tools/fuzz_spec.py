@@ -845,6 +845,9 @@ PREFS_POOL = [
     {"abortEarly": True, "presence": "required"},
     {"convert": False, "abortEarly": True},
     {"presence": "optional", "stripUnknown": True, "abortEarly": True},
+    # presence:'forbidden' default — every key without an explicit presence
+    # flag rejects provided values (validator.js:168-190 any.unknown)
+    {"presence": "forbidden"},
     # error-render options (errors.js:76 / common.js:27-32 defaults)
     {"errors": {"wrapArrays": False}},
     {"errors": {"escapeHtml": True}},
