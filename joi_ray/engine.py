@@ -588,7 +588,36 @@ def _json_parse_column(arr: pa.Array, want: str):
     return out, fail
 
 
+_LOCAL_ABORT_GID = [0]
+
+
 def eval_node(
+    node: CNode,
+    arr,
+    env: Env,
+    path: str,
+    scope: Optional[np.ndarray] = None,
+) -> NodeResult:
+    """Validate one column/array against one compiled node (thin wrapper
+    over the implementation).  When the node's schema-LOCAL prefs turn
+    abortEarly ON under a non-aborting caller (validator.js merges prefs
+    per node, :116-118), joi returns at that node's first error per row —
+    the subtree's error recs get a local-abort group id so
+    ``_assemble_violations`` applies the abort-early filter SCOPED to this
+    node's emissions (fuzz seed 15100028: ordered-array slot any.only must
+    suppress the later array.sparse/orderedLength under local abort).
+    Outer tags overwrite inner ones — the outer abort subsumes."""
+    res = _eval_node_impl(node, arr, env, path, scope=scope)
+    if (node.schema.prefs and node.schema.prefs.get("abort_early")
+            and not env.prefs.get("abort_early", True)):
+        _LOCAL_ABORT_GID[0] += 1
+        gid = _LOCAL_ABORT_GID[0]
+        for rec in res.errors:
+            rec.local_abort = gid
+    return res
+
+
+def _eval_node_impl(
     node: CNode,
     arr,
     env: Env,
@@ -910,9 +939,17 @@ def eval_node(
         base_fail = base_fail & ~in_allow_orig
     elif node.flags.get("only"):
         pass  # only with no allow values: everything fails? joi treats as no-op
+    # under the node-EFFECTIVE abortEarly (env carries schema-local prefs)
+    # joi returns at the first stage error per row (validator.js:194-247):
+    # a valids any.only suppresses the invalids check and the base-stage
+    # errors for that row.  With the outer abortEarly the table-level
+    # filter already picks the first emission, so this gate only changes
+    # observable output when a node-local prefs({abortEarly:true}) rides
+    # under an outer abortEarly:false (fuzz seed 16000129)
+    _ae_gate = (lambda m: m & ~failed) if env.abort_early else (lambda m: m)
     if node.invalid_static or node.invalid_refs:
         in_invalid = _set_membership(arr, node.invalid_static, node.invalid_refs, insensitive, env)
-        add_err("any.invalid", in_invalid & active & ~resolved, {"invalids": node.invalid_static}, seq=-2)
+        add_err("any.invalid", _ae_gate(in_invalid & active & ~resolved), {"invalids": node.invalid_static}, seq=-2)
     if node.invalid_missing:
         pass  # null in invalid(): joi invalid(null) -> missing is an error only if present-as-null; N/A in Arrow
 
@@ -934,7 +971,7 @@ def eval_node(
     # rows with base-stage errors skip the rules loop entirely (joi's
     # "Base error always aborts early", validator.js:236-247) — track them
     base_errored = base_fail & ~resolved
-    add_err(base_code, base_fail & ~resolved, seq=-1)
+    add_err(base_code, _ae_gate(base_fail & ~resolved), seq=-1)
 
     # ---- number base checks: NaN / Infinity / unsafe magnitude
     if node.type == "number" and (pa.types.is_floating(arr.type) or pa.types.is_integer(arr.type)):
@@ -942,7 +979,7 @@ def eval_node(
         for code, mask, ctx in base_errs:
             m = mask & ~missing & ~resolved
             base_errored |= m
-            add_err(code, m, ctx, seq=-1)
+            add_err(code, _ae_gate(m), ctx, seq=-1)
 
     # ---- string base: empty string is an error (string/index.js:139-148)
     if node.type == "string" and (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
@@ -951,7 +988,7 @@ def eval_node(
             empty_mask = as_bool_np(pc.equal(pc.utf8_length(arr), 0), n)
             m = empty_mask & scope & ~missing & ~resolved
             base_errored |= m
-            add_err("string.empty", m, seq=-1)
+            add_err("string.empty", _ae_gate(m), seq=-1)
 
     # ---- structural recursion
     _list_alt_pair = None
@@ -1614,6 +1651,17 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
             rec.rows = None
             errors.append(rec)
             failed |= req
+    elif presence == "forbidden":
+        # same presence-stage return as scalars (validator.js:183-190):
+        # provided values error any.unknown and NOTHING else runs — the
+        # forbidden default can arrive via schema-LOCAL prefs on the
+        # alternatives node itself (fuzz seed 16100190)
+        bad = ~missing & scope
+        if bad.any():
+            rec = ErrRec("any.unknown", bad, path, {**_lbl}, -3)
+            rec.rows = None
+            errors.append(rec)
+        return NodeResult(value=arr, errors=errors, missing=missing, failed=bad)
     else:
         resolved |= missing
     active = scope & ~missing & ~failed
@@ -3369,6 +3417,7 @@ class CompiledSchema:
         rec_l: list = []  # emission order (joi's traversal order)
         sub_l: list = []  # true emission index (group-internal tiebreak)
         soft_l: list = []  # non-aborting errors (see ErrRec.soft)
+        labort_l: list = []  # schema-local abortEarly group ids (0 = none)
         group_first: dict[int, int] = {}  # ordering-group -> first emission index
         for rec_idx, rec in enumerate(errors):
             if getattr(rec, "rows", None) is not None:
@@ -3449,6 +3498,7 @@ class CompiledSchema:
             # aborting error; fuzz seed 59130)
             sub_l.extend([rec_idx] * k)
             soft_l.extend([bool(getattr(rec, "soft", False))] * k)
+            labort_l.extend([int(getattr(rec, "local_abort", 0))] * k)
         if not rows_l:
             empty = {name: pa.array([], type=t) for name, t in zip(VIOLATION_SCHEMA.names, VIOLATION_SCHEMA.types)}
             return pa.table(empty)
@@ -3471,6 +3521,7 @@ class CompiledSchema:
                 "_rec": pa.array(rec_l, type=pa.int32()),
                 "_sub": pa.array(sub_l, type=pa.int32()),
                 "_soft": pa.array(soft_l, type=pa.bool_()),
+                "_labort": pa.array(labort_l, type=pa.int32()),
             }
         )
         if self.prefs.get("abort_early", True):
@@ -3479,9 +3530,21 @@ class CompiledSchema:
             # error by (emission order, item index); soft errors and
             # warnings emitted BEFORE it ride along (array.js:286-292)
             t = _abort_early_filter(t)
+        else:
+            # schema-local abortEarly subtrees under a non-aborting call:
+            # apply the same first-error-per-row filter SCOPED to each
+            # tagged node's emissions (validator.js merges prefs per node)
+            la = t["_labort"].to_numpy()
+            gids = np.unique(la[la > 0])
+            if len(gids):
+                base_part = t.filter(pa.array(la == 0))
+                parts = [base_part]
+                for g in gids:
+                    parts.append(_abort_early_filter(t.filter(pa.array(la == g))))
+                t = pa.concat_tables(parts)
         # deterministic order (FIXTURES.md determinism rules): (row, path, seq, item)
         t = t.sort_by([("row", "ascending"), ("path", "ascending"), ("_seq", "ascending"), ("item_index", "ascending")])
-        return t.drop_columns(["_seq", "_rec", "_sub", "_soft"])
+        return t.drop_columns(["_seq", "_rec", "_sub", "_soft", "_labort"])
 
 
 def _abort_early_filter(t: pa.Table) -> pa.Table:

@@ -1385,3 +1385,57 @@ def test_presence_forbidden_pref_hits_the_root():
                                       "presence": "forbidden"}).validate_table(t)
     v2 = r2.violations.to_pylist()
     assert {(x["path"], x["code"]) for x in v2} == {("a", "any.unknown")}
+
+
+def test_schema_local_abort_early_suppresses_later_stage_errors():
+    # fuzz seed 16000129 (node-verified): a schema-LOCAL
+    # prefs({abortEarly: true}) under an OUTER abortEarly:false must stop
+    # that node's own stage machinery at the first error per row — '' with
+    # valid('a') errors any.only at the valids stage and never reaches the
+    # base string.empty check (validator.js:194-247 returns); the sibling
+    # keys still report all their errors under the outer prefs
+    s = jr.object({"b": jr.string().valid("a").preferences(abort_early=True),
+                   "d": jr.number().integer().valid(0)})
+    t = pa.table({"b": [""], "d": [12.0]})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    got = [(v["path"], v["code"]) for v in r.violations.to_pylist()]
+    assert ("b", "any.only") in got
+    assert ("b", "string.empty") not in got
+    assert ("d", "any.only") in got
+
+
+def test_schema_local_abort_early_scopes_array_structural_errors():
+    # fuzz seed 15100028 (node-verified): ordered-array with schema-local
+    # prefs({abortEarly:true}) under outer abortEarly:false — the slot-0
+    # any.only aborts the ARRAY's own validation per row, so the later
+    # array.sparse and array.orderedLength never emit; sibling keys keep
+    # reporting everything
+    T = pa.list_(pa.string())
+    s = jr.object({
+        "b": jr.array().ordered(jr.string().length(3).valid("ABC", "ab").required(),
+                                jr.string()).preferences(abort_early=True),
+        "d": jr.number().integer().valid(0),
+    })
+    t = pa.table({"b": pa.array([["1.0", None, None, "ab"]], T),
+                  "d": [12.0]})
+    r = jr.compile_schema(s, prefs={"abort_early": False,
+                                    "convert": False}).validate_table(t)
+    got = [(v["path"], v["code"]) for v in r.violations.to_pylist()]
+    assert ("b", "any.only") in got
+    assert all(c not in ("array.sparse", "array.orderedLength") for _, c in got), got
+    assert ("d", "any.only") in got
+
+
+def test_alternatives_presence_forbidden_stage():
+    # fuzz seeds 16100190/16100272 (node-verified): an alternatives node
+    # whose EFFECTIVE presence is forbidden (e.g. via schema-local
+    # prefs({presence:'forbidden'})) errors any.unknown at the presence
+    # stage for provided rows — branches are never tried, absent rows pass
+    s = jr.object({"a": jr.alternatives(
+        jr.string().forbidden().empty(""), jr.string().min(4))
+        .preferences(presence="forbidden")})
+    t = pa.table({"a": ["", "  ", None]})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    assert r.ok.tolist() == [False, False, True]
+    got = [(v["path"], v["code"]) for v in r.violations.to_pylist()]
+    assert got == [("a", "any.unknown"), ("a", "any.unknown")]

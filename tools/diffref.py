@@ -285,6 +285,10 @@ def build_spec_py(spec):
         if args and isinstance(args[-1], dict) and "$kw" in args[-1]:
             kwargs = {_py_name(k): _conv_arg(x) for k, x in args[-1]["$kw"].items()}
             args = args[:-1]
+        if name == "prefs":
+            # joi's schema-local prefs(dict) -> joi_ray preferences(**snake)
+            s = s.preferences(**prefs_to_py(_conv_arg(args[0])))
+            continue
         meth = getattr(s, _py_name(name), None)
         if meth is None and name in _EXT_RULE_ARGS:
             names = _EXT_RULE_ARGS[name]

@@ -884,6 +884,16 @@ def gen_case(seed: int):
     sibling_nums: list[str] = []
     for n in names:
         spec, at, fn = g.column(n, [s for s in sibling_nums if s != n], names)
+        if r.random() < 0.06:
+            # schema-LOCAL prefs override the validate-call prefs for this
+            # node's subtree (base.js prefs(), merged at eval — node side
+            # replays s.prefs({...}) verbatim)
+            spec = dict(spec)
+            spec["c"] = list(spec.get("c", [])) + [["prefs", g.pick([
+                {"convert": False}, {"abortEarly": True},
+                {"presence": "required"}, {"presence": "forbidden"},
+                {"noDefaults": True},
+            ])]]
         cols[n] = (spec, at, fn)
         if at == pa.float64():
             sibling_nums.append(n)
