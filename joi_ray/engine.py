@@ -840,6 +840,12 @@ def _eval_node_impl(
             rec = ErrRec(code, mask, p, ctx or {}, seq, warn, message)
             rec.rows = item_rows
             rec.item_index = item_index
+            # FIRE-time item order: strip-splice bookkeeping re-points
+            # item_index post-hoc for display, but abortEarly ordering must
+            # follow joi's walk at emission time (fuzz seed 16300451: a
+            # stripped slot-0 warn precedes the slot-1 sparse even though
+            # both DISPLAY as index 0 post-splice)
+            rec.fire_items = np.asarray(item_index).copy()
             rec.ipos = path_ipos
             if values is not None:
                 rec.values = [v for v, k in zip(values, keep) if k]
@@ -3418,6 +3424,7 @@ class CompiledSchema:
         sub_l: list = []  # true emission index (group-internal tiebreak)
         soft_l: list = []  # non-aborting errors (see ErrRec.soft)
         labort_l: list = []  # schema-local abortEarly group ids (0 = none)
+        fitem_l: list = []  # FIRE-time item indexes (pre-splice walk order)
         group_first: dict[int, int] = {}  # ordering-group -> first emission index
         for rec_idx, rec in enumerate(errors):
             if getattr(rec, "rows", None) is not None:
@@ -3499,6 +3506,8 @@ class CompiledSchema:
             sub_l.extend([rec_idx] * k)
             soft_l.extend([bool(getattr(rec, "soft", False))] * k)
             labort_l.extend([int(getattr(rec, "local_abort", 0))] * k)
+            fi = getattr(rec, "fire_items", None)
+            fitem_l.append(fi.astype(np.int64) if fi is not None else items.astype(np.int64))
         if not rows_l:
             empty = {name: pa.array([], type=t) for name, t in zip(VIOLATION_SCHEMA.names, VIOLATION_SCHEMA.types)}
             return pa.table(empty)
@@ -3522,6 +3531,7 @@ class CompiledSchema:
                 "_sub": pa.array(sub_l, type=pa.int32()),
                 "_soft": pa.array(soft_l, type=pa.bool_()),
                 "_labort": pa.array(labort_l, type=pa.int32()),
+                "_fitem": pa.array(np.concatenate(fitem_l) if fitem_l else [], type=pa.int64()),
             }
         )
         if self.prefs.get("abort_early", True):
@@ -3544,7 +3554,7 @@ class CompiledSchema:
                 t = pa.concat_tables(parts)
         # deterministic order (FIXTURES.md determinism rules): (row, path, seq, item)
         t = t.sort_by([("row", "ascending"), ("path", "ascending"), ("_seq", "ascending"), ("item_index", "ascending")])
-        return t.drop_columns(["_seq", "_rec", "_sub", "_soft", "_labort"])
+        return t.drop_columns(["_seq", "_rec", "_sub", "_soft", "_labort", "_fitem"])
 
 
 def _abort_early_filter(t: pa.Table) -> pa.Table:
@@ -3565,7 +3575,11 @@ def _abort_early_filter(t: pa.Table) -> pa.Table:
     rows = t["row"].to_numpy()
     recs = t["_rec"].to_numpy().astype(np.int64)
     subs = t["_sub"].to_numpy().astype(np.int64)
-    items = t["item_index"].to_numpy().astype(np.int64)
+    # ordering follows joi's walk at FIRE time (pre-splice indexes) when
+    # the strip-splice bookkeeping re-pointed item_index for display
+    items = (t["_fitem"].to_numpy().astype(np.int64)
+             if "_fitem" in t.column_names
+             else t["item_index"].to_numpy().astype(np.int64))
     soft = t["_soft"].to_numpy(zero_copy_only=False).astype(bool)
     is_err = sev == "error"
     if not soft.any():

@@ -1439,3 +1439,22 @@ def test_alternatives_presence_forbidden_stage():
     assert r.ok.tolist() == [False, False, True]
     got = [(v["path"], v["code"]) for v in r.violations.to_pylist()]
     assert got == [("a", "any.unknown"), ("a", "any.unknown")]
+
+
+def test_stripped_slot_warn_survives_abort_before_shifted_sparse():
+    # fuzz seed 16300451 (node-verified): ordered array where slot 0 is a
+    # clean strip-flagged match whose pattern().warn() fired, and slot 1 is
+    # a null on a non-sparse array.  After the splice BOTH reports display
+    # index 0, but joi's walk fired the warn (item 0) BEFORE the sparse
+    # (item 1) — under abortEarly the warning rides along and must survive
+    # the first-error filter (fire-time ordering, not display index)
+    T = pa.list_(pa.string())
+    s = jr.object({"a": jr.array().ordered(
+        jr.string().max(5).pattern(r"[A-Z]{2}").warn().strip(),
+        jr.number().less(14).integer().strip())})
+    t = pa.table({"a": pa.array([["0.0", None]], T)})
+    r = jr.compile_schema(s, prefs={"abort_early": True}).validate_table(t)
+    got = [(v["path"], v["item_index"], v["code"], v["severity"])
+           for v in r.violations.to_pylist()]
+    assert ("a", 0, "array.sparse", "error") in got
+    assert ("a", 0, "string.pattern.base", "warn") in got
