@@ -912,6 +912,13 @@ def gen_case(seed: int):
         arrays[n] = pa.array(vals, type=at)
     tbl = pa.table(arrays)
     root_spec = {"t": "object", "a": [{n: {"$s": cols[n][0]} for n in names}]}
+    if r.random() < 0.04:
+        # ROOT-level schema-local prefs (the root presence stage, root
+        # convert-off, etc. — validator.js merges before the root eval)
+        root_spec["c"] = [["prefs", g.pick([
+            {"convert": False}, {"abortEarly": True},
+            {"presence": "forbidden"}, {"noDefaults": True},
+        ])]]
     # targeted sweeps: FUZZ_PREFS='{"stripUnknown":{"arrays":true,...}}'
     # pins the prefs for every case (like FUZZ_KINDS pins column kinds)
     _p = os.environ.get("FUZZ_PREFS", "").strip()
