@@ -423,6 +423,12 @@ class Schema:
         return s
 
     def preferences(self, **opts) -> "Schema":
+        """Schema-local prefs, merged over the call prefs at eval
+        (``lib/base.js:246-256``).  context/externals/warnings cannot be
+        set per schema — the reference asserts the same."""
+        for k in ("context", "externals", "warnings"):
+            if k in opts:
+                raise ValueError(f"Cannot override {k} (lib/base.js:248-250)")
         s = self._clone()
         s.prefs.update(opts)
         return s
