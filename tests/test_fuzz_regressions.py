@@ -1458,3 +1458,12 @@ def test_stripped_slot_warn_survives_abort_before_shifted_sparse():
            for v in r.violations.to_pylist()]
     assert ("a", 0, "array.sparse", "error") in got
     assert ("a", 0, "string.pattern.base", "warn") in got
+
+
+def test_schema_local_prefs_reject_uncopyable_keys():
+    # base.js:248-250: context/externals/warnings cannot be schema-local
+    import pytest
+
+    for k in ("context", "externals", "warnings"):
+        with pytest.raises(ValueError, match=f"Cannot override {k}"):
+            jr.number().preferences(**{k: True})
