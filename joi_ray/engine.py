@@ -470,6 +470,44 @@ def _set_membership_refs(arr: pa.Array, refs: list[Ref], env: Env, m: np.ndarray
     return m
 
 
+def _fn_default_values(fn, fired, env):
+    """Run a FUNCTION default/failover per missing/failed row exactly like
+    ``internals.default`` (validator.js:451-475): an arg-taking fn receives
+    ``(parent row dict, prefs)`` (joi passes ``Hoek.clone(state.ancestors
+    [0]), prefs`` when ``fn.length > 0``), a zero-arg fn calls bare —
+    FRESH per row, so generator defaults differ row to row.  A throw maps
+    to ``any.default`` / ``any.failover`` at the caller.  Returns
+    ``(values, threw mask over fired, first exception)``."""
+    import inspect
+
+    try:
+        sig = inspect.signature(fn)
+        nreq = sum(
+            1 for p in sig.parameters.values()
+            if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+            and p.default is p.empty
+        )
+    except (TypeError, ValueError):
+        nreq = 0
+    getter = getattr(env, "row_getter", None)
+    vals: list = []
+    threw = np.zeros(len(fired), dtype=bool)
+    first_err: Exception | None = None
+    for j, i in enumerate(fired):
+        try:
+            if nreq:
+                parent = getter(int(i)) if getter is not None else None
+                vals.append(fn(parent, env.prefs))
+            else:
+                vals.append(fn())
+        except Exception as e:  # noqa: BLE001 — joi catches everything too
+            vals.append(None)
+            threw[j] = True
+            if first_err is None:
+                first_err = e
+    return vals, threw, first_err
+
+
 def _scalar_for(value, arr_type):
     try:
         return pa.scalar(value, type=arr_type)
@@ -1166,12 +1204,33 @@ def _eval_node_impl(
                     s = _scalar_for(rv, arr.type)
                     if s is not None:
                         arr = pc.if_else(pa.array(fill_mask), s, arr)
+            elif callable(dv):
+                # function defaults run PER missing value (validator.js:
+                # 451-475): zero-arg fns call fresh per row, arg-taking
+                # fns get (parent row dict, prefs); a throw records
+                # any.default and the row keeps undefined
+                fired = np.nonzero(fill_mask)[0]
+                vals, threw, ferr = _fn_default_values(dv, fired, env)
+                if threw.any():
+                    tmask = np.zeros(n, dtype=bool)
+                    tmask[fired[threw]] = True
+                    _frec = add_err("any.default", tmask, {"error": repr(ferr)}, seq=10_001)
+                    if _frec is not None:
+                        # finalize pushes AFTER the abort point
+                        # (validator.js:385) — rides along under abortEarly
+                        _frec.post_abort = True
+                lst = arr.to_pylist() if not pa.types.is_null(arr.type) else [None] * n
+                for i, v, t in zip(fired, vals, threw):
+                    if not t:
+                        lst[int(i)] = v
+                try:
+                    arr = pa.array(lst, type=None if pa.types.is_null(arr.type) else arr.type)
+                except (pa.ArrowInvalid, pa.ArrowTypeError):
+                    try:
+                        arr = pa.array(lst)
+                    except (pa.ArrowInvalid, pa.ArrowTypeError):
+                        pass
             else:
-                if callable(dv):
-                    # zero-arg factory defaults (test/base.js:893-919);
-                    # evaluated once per batch — parent-dependent method
-                    # defaults are out of columnar scope (documented)
-                    dv = dv()
                 if pa.types.is_null(arr.type):
                     arr = pa.array([dv if m else None for m in fill_mask])
                 else:
@@ -1192,19 +1251,47 @@ def _eval_node_impl(
     if "failover" in node.flags and not no_defaults:
         fv = node.flags["failover"]
         fo_mask = failed & scope
-        if fo_mask.any():
-            s = _scalar_for(fv, arr.type)
-            if s is not None:
-                arr = pc.if_else(pa.array(fo_mask), s, arr)
-            elif not (~missing & ~failed & scope).any():
-                # cross-type failover over a column with no clean kept
-                # value (number failover on an all-failing string column
-                # under convert:false) rebuilds in the failover's type,
-                # like the default path above (fuzz seed 5000296)
+        if fo_mask.any() and callable(fv):
+            # function failovers run per failed row like function defaults
+            # (validator.js:359-364 -> internals.default): a throw appends
+            # any.failover and the row KEEPS its original errors; success
+            # rows adopt the value and clear errors below
+            fired = np.nonzero(fo_mask)[0]
+            vals, threw, ferr = _fn_default_values(fv, fired, env)
+            if threw.any():
+                tmask = np.zeros(n, dtype=bool)
+                tmask[fired[threw]] = True
+                _frec = add_err("any.failover", tmask, {"error": repr(ferr)}, seq=10_001)
+                if _frec is not None:
+                    # finalize pushes AFTER the abort point
+                    # (validator.js:359-364) — rides along under abortEarly
+                    _frec.post_abort = True
+                fo_mask = fo_mask & ~tmask  # thrown rows stay failed
+            lst = arr.to_pylist()
+            for i, v, t in zip(fired, vals, threw):
+                if not t:
+                    lst[int(i)] = v
+            try:
+                arr = pa.array(lst, type=arr.type)
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
                 try:
-                    arr = pa.array([fv if m else None for m in fo_mask])
+                    arr = pa.array(lst)
                 except (pa.ArrowInvalid, pa.ArrowTypeError):
                     pass
+        if fo_mask.any():
+            if not callable(fv):
+                s = _scalar_for(fv, arr.type)
+                if s is not None:
+                    arr = pc.if_else(pa.array(fo_mask), s, arr)
+                elif not (~missing & ~failed & scope).any():
+                    # cross-type failover over a column with no clean kept
+                    # value (number failover on an all-failing string column
+                    # under convert:false) rebuilds in the failover's type,
+                    # like the default path above (fuzz seed 5000296)
+                    try:
+                        arr = pa.array([fv if m else None for m in fo_mask])
+                    except (pa.ArrowInvalid, pa.ArrowTypeError):
+                        pass
             for rec in errors:
                 if rec.warn:
                     # failover clears ERRORS only (validator.js:359-364
@@ -1638,6 +1725,87 @@ def _finalize_branch_values(arr, branch_values, n: int):
     return value, None
 
 
+def _apply_default_failover_alt(node, value, missing, failed, scope, errors, env, path, lbl):
+    """Finalize default/failover for ALTERNATIVES nodes — joi's finalize
+    (validator.js:330-400) runs for every type, so a node-level
+    .default()/.failover() on an alternatives applies after the branch
+    union (fuzz seed 17100100: no-branch-match + failover replaces the
+    value and clears the errors).  Scalar, Ref and FUNCTION forms (the
+    last per row via _fn_default_values; throws record any.default /
+    any.failover).  Returns (value, failed)."""
+    n = len(missing)
+    if env.prefs.get("no_defaults", False):
+        return value, failed
+
+    def _fill(mask, src, code):
+        nonlocal value, failed
+        fired = np.nonzero(mask)[0]
+        if not len(fired):
+            return mask
+        arr_v = combine(value) if isinstance(value, pa.ChunkedArray) else value
+        if isinstance(src, Ref):
+            rv = env.resolve_ref(src, n)
+            if isinstance(rv, (pa.Array, pa.ChunkedArray)):
+                rv = combine(rv)
+                vals = [rv[int(i)].as_py() for i in fired]
+            else:
+                vals = [rv] * len(fired)
+        elif callable(src):
+            vals, threw, ferr = _fn_default_values(src, fired, env)
+            if threw.any():
+                tmask = np.zeros(n, dtype=bool)
+                tmask[fired[threw]] = True
+                rec = ErrRec(code, tmask, path, {"error": repr(ferr), **lbl}, 10_001)
+                rec.rows = None
+                rec.post_abort = True  # finalize push — rides under abortEarly
+                errors.append(rec)
+                failed = failed | tmask
+                mask = mask & ~tmask
+                fired = fired[~threw]
+                vals = [v for v, t in zip(vals, threw) if not t]
+        else:
+            vals = [src] * len(fired)
+        if len(fired):
+            lst = arr_v.to_pylist()
+            for i, v in zip(fired, vals):
+                lst[int(i)] = v
+            try:
+                value = pa.array(lst, type=None if pa.types.is_null(arr_v.type) else arr_v.type)
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                try:
+                    value = pa.array(lst)
+                except (pa.ArrowInvalid, pa.ArrowTypeError):
+                    pass  # heterogeneous column — the tracked repr ceiling
+        return mask
+
+    if "default" in node.flags:
+        dm = missing & scope
+        if dm.any():
+            _fill(dm, node.flags["default"], "any.default")
+    if "failover" in node.flags:
+        fm = failed & scope
+        if fm.any():
+            fm = _fill(fm, node.flags["failover"], "any.failover")
+            if fm.any():
+                # failover clears ERRORS only; warnings persist
+                for rec in errors:
+                    if rec.warn:
+                        continue
+                    if getattr(rec, "rows", None) is None:
+                        rec.mask = rec.mask & ~fm
+                    else:
+                        keep = ~fm[rec.rows]
+                        rec.rows = rec.rows[keep]
+                        if rec.item_index is not None:
+                            rec.item_index = rec.item_index[keep]
+                errors[:] = [r for r in errors
+                             if r.warn
+                             or (getattr(r, "rows", None) is not None and len(r.rows))
+                             or (getattr(r, "rows", None) is None and r.mask.any())]
+                failed = failed & ~fm
+    return value, failed
+
+
 def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeResult:
     n = len(arr)
     missing = null_mask(arr)
@@ -1831,6 +1999,9 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
                 m = err_fn(rec.code, rec.path, dict(rec.context or {}))
                 if isinstance(m, str):
                     rec.message = m
+    if ("default" in node.flags or "failover" in node.flags):
+        value, failed = _apply_default_failover_alt(
+            node, value, missing, failed, scope, errors, env, path, _lbl)
     nr = NodeResult(value=value, errors=errors, missing=missing, failed=failed)
     if alt_view is not None:
         # ref consumers (rule args, when-conditions) need the per-row
@@ -2825,6 +2996,10 @@ def _eval_object(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fa
         return pa.nulls(n)  # refs to absent keys resolve undefined (lib/ref.js)
 
     child_env = env.child(resolve_sibling)
+    # parent rows for arg-taking function defaults (validator.js:465)
+    child_env.row_getter = lambda i: {
+        k2: c2[int(i)].as_py() for k2, c2 in children.items()
+    }
     kscope = scope & parent_present
 
     for key in _topo_keys(node.keys):
@@ -3264,6 +3439,10 @@ class CompiledSchema:
             return pa.nulls(n)  # refs to absent columns resolve undefined
 
         env = Env(self.prefs, resolve_sibling)
+        # parent rows for arg-taking function defaults (validator.js:465)
+        env.row_getter = lambda i: {
+            k2: c2[int(i)].as_py() for k2, c2 in columns.items()
+        }
         scope = np.ones(n, dtype=bool)
 
         for key in self.key_order:
@@ -3425,6 +3604,7 @@ class CompiledSchema:
         soft_l: list = []  # non-aborting errors (see ErrRec.soft)
         labort_l: list = []  # schema-local abortEarly group ids (0 = none)
         fitem_l: list = []  # FIRE-time item indexes (pre-splice walk order)
+        fin_l: list = []  # finalize pushes (any.default/failover throws)
         group_first: dict[int, int] = {}  # ordering-group -> first emission index
         for rec_idx, rec in enumerate(errors):
             if getattr(rec, "rows", None) is not None:
@@ -3506,6 +3686,7 @@ class CompiledSchema:
             sub_l.extend([rec_idx] * k)
             soft_l.extend([bool(getattr(rec, "soft", False))] * k)
             labort_l.extend([int(getattr(rec, "local_abort", 0))] * k)
+            fin_l.extend([bool(getattr(rec, "post_abort", False))] * k)
             fi = getattr(rec, "fire_items", None)
             fitem_l.append(fi.astype(np.int64) if fi is not None else items.astype(np.int64))
         if not rows_l:
@@ -3532,6 +3713,7 @@ class CompiledSchema:
                 "_soft": pa.array(soft_l, type=pa.bool_()),
                 "_labort": pa.array(labort_l, type=pa.int32()),
                 "_fitem": pa.array(np.concatenate(fitem_l) if fitem_l else [], type=pa.int64()),
+                "_fin": pa.array(fin_l, type=pa.bool_()),
             }
         )
         if self.prefs.get("abort_early", True):
@@ -3554,7 +3736,7 @@ class CompiledSchema:
                 t = pa.concat_tables(parts)
         # deterministic order (FIXTURES.md determinism rules): (row, path, seq, item)
         t = t.sort_by([("row", "ascending"), ("path", "ascending"), ("_seq", "ascending"), ("item_index", "ascending")])
-        return t.drop_columns(["_seq", "_rec", "_sub", "_soft", "_labort", "_fitem"])
+        return t.drop_columns(["_seq", "_rec", "_sub", "_soft", "_labort", "_fitem", "_fin"])
 
 
 def _abort_early_filter(t: pa.Table) -> pa.Table:
@@ -3581,7 +3763,12 @@ def _abort_early_filter(t: pa.Table) -> pa.Table:
              if "_fitem" in t.column_names
              else t["item_index"].to_numpy().astype(np.int64))
     soft = t["_soft"].to_numpy(zero_copy_only=False).astype(bool)
-    is_err = sev == "error"
+    # finalize pushes (any.default/any.failover throws) land AFTER joi's
+    # abort point and always ride along (validator.js:359-364,:385) —
+    # kept unconditionally and excluded from first-error selection
+    fin = (t["_fin"].to_numpy(zero_copy_only=False).astype(bool)
+           if "_fin" in t.column_names else np.zeros(t.num_rows, dtype=bool))
+    is_err = (sev == "error") & ~fin
     if not soft.any():
         # fast path (no converted-sparse in the batch — the common case):
         # vectorized first-error-per-row + preceding warnings
@@ -3612,16 +3799,36 @@ def _abort_early_filter(t: pa.Table) -> pa.Table:
                 )
             )
             keep[warn_idx[before]] = True
+        if fin.any():
+            # a finalize push rides along iff its NODE ran: joi aborts
+            # between keys (object.js:125-128), so the push survives when
+            # the row's aborting error came from the fin's own subtree
+            # (same path or deeper) or from a LATER emission — an earlier
+            # key's abort means the fin's node never validated
+            paths_all = np.asarray(t["path"].to_pylist(), dtype=object)
+            first_rec_i = np.full(int(rows.max()) + 1, -1, dtype=np.int64)
+            first_rec_i[rows[keep_err]] = keep_err
+            for i in np.nonzero(fin)[0]:
+                j = int(first_rec_i[int(rows[i])])
+                if j < 0 or recs[i] < recs[j]:
+                    keep[i] = True
+                else:
+                    kp, fp = str(paths_all[j]), str(paths_all[i])
+                    if kp == fp or kp.startswith(fp + ".") or fp == "":
+                        keep[i] = True
         return t.filter(pa.array(keep))
     order = np.lexsort((subs, items, recs, rows))
     keep = np.zeros(t.num_rows, dtype=bool)
     cur_row = None
     soft_group = None  # rec index of the group holding a pending abort
     aborted = False
+    abort_at: dict[int, int] = {}  # row -> idx of the aborting emission
     for i in order:
         r = int(rows[i])
         if r != cur_row:
             cur_row, soft_group, aborted = r, None, False
+        if fin[i]:  # finalize pushes decided in the path-scoped pass below
+            continue
         if aborted:
             continue
         if not is_err[i]:  # warning
@@ -3629,12 +3836,25 @@ def _abort_early_filter(t: pa.Table) -> pa.Table:
             continue
         if soft_group is not None and int(recs[i]) != soft_group:
             aborted = True  # the soft error's node returned; parent aborts
+            abort_at.setdefault(r, int(i))
             continue
         keep[i] = True
         if soft[i]:
             soft_group = int(recs[i])
         else:
             aborted = True
+            abort_at.setdefault(r, int(i))
+    if fin.any():
+        # same path-scoped ride-along as the fast path
+        paths_all = np.asarray(t["path"].to_pylist(), dtype=object)
+        for i in np.nonzero(fin)[0]:
+            j = abort_at.get(int(rows[i]))
+            if j is None or recs[i] < recs[j]:
+                keep[i] = True
+            else:
+                kp, fp = str(paths_all[j]), str(paths_all[i])
+                if kp == fp or kp.startswith(fp + ".") or fp == "":
+                    keep[i] = True
     return t.filter(pa.array(keep))
 
 

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 MESSAGES: dict[str, str] = {
     # any (lib/messages.js)
+    "any.default": '"{label}" threw an error when running default method',
+    "any.failover": '"{label}" threw an error when running failover method',
     "any.required": '"{label}" is required',
     "any.unknown": '"{label}" is not allowed',
     "any.invalid": '"{label}" contains an invalid value',

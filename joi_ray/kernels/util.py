@@ -132,6 +132,11 @@ class Env:
         self.prefs = prefs
         self._resolve_sibling = resolve_sibling
         self.ancestors = ancestors or []
+        # optional per-row PARENT dict accessor (the containing object's
+        # value), used by arg-taking function defaults/failovers
+        # (validator.js:465 passes Hoek.clone(state.ancestors[0]), prefs);
+        # set by the object/root eval that owns the sibling columns
+        self.row_getter = None
 
     @property
     def convert(self) -> bool:
@@ -267,8 +272,10 @@ class Env:
         erasing the evidence the warn-leak filters rely on (fuzz seed
         15500173: valids-failure abort precedes hex().warn(), failover
         then matches the row)."""
-        return Env({**self.prefs, "abort_early": True, "externals": False},
-                   self._resolve_sibling, self.ancestors)
+        e = Env({**self.prefs, "abort_early": True, "externals": False},
+                self._resolve_sibling, self.ancestors)
+        e.row_getter = self.row_getter  # same scope, same parent rows
+        return e
 
 
 def _walk_ref_path(base, parts: list[str], n: int):

@@ -1467,3 +1467,61 @@ def test_schema_local_prefs_reject_uncopyable_keys():
     for k in ("context", "externals", "warnings"):
         with pytest.raises(ValueError, match=f"Cannot override {k}"):
             jr.number().preferences(**{k: True})
+
+
+def test_function_defaults_and_failovers_reference_semantics():
+    # node-verified (validator.js:451-475): zero-arg function defaults run
+    # FRESH per missing row; arg-taking fns receive (parent row dict,
+    # prefs); a throw records any.default/any.failover with the reference
+    # catalog message and the row keeps undefined / its original errors
+    calls = [0]
+
+    def gen():
+        calls[0] += 1
+        return float(calls[0])
+
+    s = jr.object({"a": jr.number().default(gen)})
+    t = pa.table({"a": [None, 3.0, None]})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    assert r.value["a"].to_pylist() == [1.0, 3.0, 2.0]  # fresh per row
+    s2 = jr.object({"a": jr.number(),
+                    "b": jr.number().default(lambda parent, prefs: parent["a"] * 2)})
+    r2 = jr.compile_schema(s2, prefs={"abort_early": False}).validate_table(
+        pa.table({"a": [5.0, 7.0], "b": [None, 1.0]}))
+    assert r2.value["b"].to_pylist() == [10.0, 1.0]
+
+    def boom(parent, prefs):
+        raise RuntimeError("x")
+
+    r3 = jr.compile_schema(jr.object({"a": jr.number().default(boom)}),
+                           prefs={"abort_early": False}).validate_table(
+        pa.table({"a": pa.array([None], pa.float64())}))
+    v3 = r3.violations.to_pylist()
+    assert not r3.ok[0]
+    assert v3[0]["code"] == "any.default"
+    assert v3[0]["message"] == '"a" threw an error when running default method'
+    r4 = jr.compile_schema(
+        jr.object({"a": jr.number().min(10).failover(lambda: 99.0)}),
+        prefs={"abort_early": False}).validate_table(pa.table({"a": [1.0, 20.0]}))
+    assert r4.ok.tolist() == [True, True]
+    assert r4.value["a"].to_pylist() == [99.0, 20.0]
+
+
+def test_failover_throw_rides_abort_early_only_when_its_node_ran():
+    # fuzz seed 17100263 (node-verified): a failover-throw is a FINALIZE
+    # push (validator.js:359-364) — under abortEarly it rides along with
+    # the same node's aborting error, but an abort at an EARLIER key means
+    # the node never validated and no any.failover exists
+    def boom(parent, prefs):
+        raise RuntimeError("x")
+
+    s = jr.object({"a": jr.date(), "b": jr.boolean().failover(boom)})
+    # b aborts (a passes): boolean.base + any.failover both present
+    t1 = pa.table({"a": ["2019-02-03"], "b": ["maybe"]})
+    r1 = jr.compile_schema(s, prefs={"abort_early": True}).validate_table(t1)
+    c1 = r1.violations["code"].to_pylist()
+    assert c1 == ["any.failover", "boolean.base"] or sorted(c1) == ["any.failover", "boolean.base"]
+    # a aborts first: b never runs -> ONLY date.base
+    t2 = pa.table({"a": ["2020-13-01"], "b": ["maybe"]})
+    r2 = jr.compile_schema(s, prefs={"abort_early": True}).validate_table(t2)
+    assert r2.violations["code"].to_pylist() == ["date.base"]

@@ -192,6 +192,8 @@ def _conv_arg(v):
             return re.compile(v["$re"])
         if "$adj" in v:
             return _ADJUSTERS[v["$adj"]]
+        if "$dflt" in v:
+            return _DFLT_FNS[v["$dflt"]]
         if any(k in v for k in ("$undef", "$nan", "$inf", "$negz", "$date", "$bin")):
             x = _from_marker(v)
             return None if x is MISSING else x
@@ -210,6 +212,23 @@ _ADJUSTERS = {
     "strip": lambda s: s.strip(),
     "raw": lambda s: s.raw(),
     "min2": lambda s: s.min(2),
+}
+
+
+def _dflt_thrower(parent, prefs):
+    raise RuntimeError("fuzz boom")
+
+
+# function default/failover catalog ({"$dflt": name}) — mirror of
+# refrunner.js DFLT_FNS; deterministic per row so converted values diff
+_DFLT_FNS = {
+    "const7": lambda: 7,
+    "strq": lambda: "q7",
+    "parent_a2": lambda parent, prefs: (
+        parent["a"] * 2 if isinstance(parent, dict)
+        and isinstance(parent.get("a"), (int, float))
+        and not isinstance(parent.get("a"), bool) else 0),
+    "thrower": _dflt_thrower,
 }
 
 # Joi.extend fuzz catalog: the node side registers these custom types
@@ -503,6 +522,41 @@ def _ref_targets_have_raw_items(ref_errs: list, spec: dict) -> bool:
     return True
 
 
+def _cross_type_default_repr(ref_v, ray_v, spec) -> bool:
+    """Tracked one-type-per-column ceiling via a function default/failover
+    ({"$dflt"} catalog) on a CONTAINER column: the reference replaces the
+    whole failed object/array with the fn's SCALAR return, which a struct/
+    list Arrow column holding other clean rows cannot represent — the
+    engine keeps the original (errors cleared).  Gated on the differing
+    key's spec carrying a $dflt chain entry and the shape mismatch being
+    exactly scalar-ref vs container-ray."""
+    if not (isinstance(ref_v, dict) and isinstance(ray_v, dict)):
+        return False
+    cols = {}
+    for group in (spec or {}).get("a", []) or []:
+        if isinstance(group, dict):
+            cols.update(group)
+    any_gated = False
+    for k in set(ref_v) | set(ray_v):
+        a, b = ref_v.get(k), ray_v.get(k)
+        if a == b or _values_close(a, b):
+            continue
+        # two ceiling shapes: container-ray (the column stayed struct/list)
+        # or None-ray (a scalar column of another type couldn't hold the
+        # fn's cross-type value, so the missing row stayed undefined —
+        # seed 17100103: 'q7' into a float64 column)
+        if isinstance(a, (dict, list)):
+            return False
+        if not (isinstance(b, (dict, list)) or b is None):
+            return False
+        sub = cols.get(k)
+        blob = json.dumps(sub, default=str) if sub is not None else ""
+        if '"$dflt"' not in blob:
+            return False
+        any_gated = True
+    return any_gated
+
+
 def _shadow_null_render(ref_msg: str, ray_msg: str, spec) -> bool:
     """v16-rc2 shadow-Map null render (node-verified, fuzz seed 15520211):
     once ANY result-flagged (strip/raw) schema has planted a shadow — an
@@ -730,6 +784,14 @@ def diff_case(
                     # types (number vs string) cannot be one Arrow column —
                     # the minority rows keep a value-equivalent string.
                     # Tracked separately so real value bugs stay visible.
+                    kind = "value_repr"
+                elif _cross_type_default_repr(rr["value"], ray_val, spec):
+                    # the SAME one-type-per-column ceiling through a
+                    # cross-type function default/failover on a CONTAINER
+                    # column: joi replaces the whole failed object/array
+                    # with the fn's scalar, but a struct/list column with
+                    # other clean rows cannot hold it — the engine clears
+                    # the errors and keeps the original (seed 17100064)
                     kind = "value_repr"
                 devs.append(
                     {**ctx, "kind": kind, "ref": rr["value"], "ray": ray_val}

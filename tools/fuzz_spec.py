@@ -911,6 +911,22 @@ def gen_case(seed: int):
         vals = [None if r.random() < 0.15 else fn() for _ in range(nrows)]
         arrays[n] = pa.array(vals, type=at)
     tbl = pa.table(arrays)
+    if r.random() < 0.08:
+        # FUNCTION defaults/failovers via the shared $dflt catalog
+        # (refrunner.js DFLT_FNS ↔ diffref._DFLT_FNS): zero-arg consts,
+        # a thrower (any.default/any.failover), and an arg-taking
+        # parent-reader — the last gated on column 'a' being a plain
+        # float64 so both engines see the same parent.a (a coercing
+        # column would give joi the converted value mid-iteration)
+        tgt = r.choice(names)
+        pool_d = ["const7", "strq", "thrower"]
+        if "a" in sibling_nums and tgt != "a":
+            pool_d.append("parent_a2")
+        kind_d = r.choice(["default", "failover"])
+        spec_t, at_t, fn_t = cols[tgt]
+        spec_t = dict(spec_t)
+        spec_t["c"] = list(spec_t.get("c", [])) + [[kind_d, {"$dflt": r.choice(pool_d)}]]
+        cols[tgt] = (spec_t, at_t, fn_t)
     root_spec = {"t": "object", "a": [{n: {"$s": cols[n][0]} for n in names}]}
     if r.random() < 0.04:
         # ROOT-level schema-local prefs (the root presence stage, root

@@ -79,6 +79,17 @@ const ADJUSTERS = {
     min2: (s) => s.min(2),
 };
 
+// Function default/failover catalog ({"$dflt": name} markers) — run per
+// missing/failed value (validator.js:451-475).  Python mirror:
+// tools/diffref.py _DFLT_FNS.  Deterministic only (the diff compares
+// converted values).
+const DFLT_FNS = {
+    const7: () => 7,
+    strq: () => 'q7',
+    parent_a2: (parent, prefs) => (parent && typeof parent.a === 'number' ? parent.a * 2 : 0),
+    thrower: (parent, prefs) => { throw new Error('fuzz boom'); },
+};
+
 // Joi.extend catalog: custom types registered through the reference's
 // public extension machinery (lib/extend.js) so fuzzed schemas exercise
 // extended-type rule dispatch authentically.  Python mirror:
@@ -133,6 +144,7 @@ const convArg = (v) => {
     if (v.$re !== undefined) return new RegExp(v.$re, v.$f || '');
     if (v.$x !== undefined) return Joi.x(v.$x);  // template (Joi.expression)
     if (v.$adj !== undefined) return ADJUSTERS[v.$adj];
+    if (v.$dflt !== undefined) return DFLT_FNS[v.$dflt];
     if (v.$kw !== undefined) return convArg(v.$kw);
     if (v.$undef || v.$nan || v.$inf || v.$negz || v.$date !== undefined || v.$bin !== undefined) return deser(v);
     const o = {};
