@@ -508,6 +508,79 @@ def _fn_default_values(fn, fired, env):
     return vals, threw, first_err
 
 
+def _rt_eq(v, got) -> bool:
+    """True when an adopted cell round-trips the intended python value —
+    the guard against pyarrow's silent cross-type conversions (int 7 into
+    a timestamp column becomes epoch+7 units, 1 into bool becomes True);
+    joi adopts default/failover values VERBATIM, so a lossy conversion
+    must count as blocked, not adopted (fuzz seed 18001374)."""
+    if v is None or got is None:
+        return v is None and got is None
+    if isinstance(v, bool) or isinstance(got, bool):
+        return isinstance(v, bool) and isinstance(got, bool) and v == got
+    if isinstance(v, (int, float)) and isinstance(got, (int, float)):
+        return v == got or (v != v and got != got)  # NaN round-trips
+    if isinstance(v, str) and isinstance(got, str):
+        return v == got
+    if type(v) is type(got):
+        try:
+            return bool(v == got)
+        except Exception:  # noqa: BLE001 — exotic __eq__
+            return False
+    import datetime as _dt
+
+    if isinstance(v, (_dt.datetime, _dt.date)) and isinstance(got, (_dt.datetime, _dt.date)):
+        return v == got
+    return False
+
+
+def _adopt_fn_values(arr, fired, vals, n: int):
+    """Adopt per-row function default/failover results into the column,
+    verifying every adopted cell round-trips (see ``_rt_eq``).  Tries the
+    column's own type first (type-stable), then a whole-column rebuild in
+    the values' type (joi's heterogeneous object — only when the CLEAN
+    rows round-trip too).  Returns the new array, or ``None`` when the
+    values cannot be represented — the one-type-per-column ceiling; the
+    caller exposes an AltView so sibling refs still see the typed values
+    joi would (fuzz seed 18001890: an object failover 7 feeding a sibling
+    date ref)."""
+    lst = arr.to_pylist() if not pa.types.is_null(arr.type) else [None] * n
+    for i, v in zip(fired, vals):
+        lst[int(i)] = v
+    tries = (None,) if pa.types.is_null(arr.type) else (arr.type, None)
+    for ty in tries:
+        try:
+            cand = pa.array(lst) if ty is None else pa.array(lst, type=ty)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+            continue
+        if all(_rt_eq(v, cand[int(i)].as_py()) for i, v in zip(fired, vals)) and (
+            ty is not None
+            or pa.types.is_null(arr.type)
+            or all(_rt_eq(v, cand[i].as_py()) for i, v in enumerate(lst))
+        ):
+            return cand
+    return None
+
+
+def _dflt_pair(n: int, fired, vals, threw=None):
+    """(mask, full-length typed array) AltView pair for a BLOCKED
+    default/failover adoption, or ``None`` when even a values-only array
+    cannot be built (mixed-type fn results — stays a tracked ceiling)."""
+    mask = np.zeros(n, dtype=bool)
+    lst = [None] * n
+    for j, (i, v) in enumerate(zip(fired, vals)):
+        if threw is not None and threw[j]:
+            continue
+        mask[int(i)] = True
+        lst[int(i)] = v
+    if not mask.any():
+        return None
+    try:
+        return (mask, pa.array(lst))
+    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+        return None
+
+
 def _scalar_for(value, arr_type):
     try:
         return pa.scalar(value, type=arr_type)
@@ -1151,6 +1224,74 @@ def _eval_node_impl(
     # joi's finalize substitutes the default whenever the value is undefined
     # regardless of presence (validator.js:383-386): required-missing rows
     # carry any.required AND the default in the output value
+    dflt_pairs: list = []  # blocked default/failover adoptions -> AltView
+    # finalize order is FAILOVER first, then default (validator.js:353-385:
+    # failover consumes the rule errors and clears them; the Default step
+    # runs after, on values still undefined — so a failover never swallows
+    # a default-throw's any.default, fuzz seed 18000796)
+    if "failover" in node.flags and not no_defaults:
+        fv = node.flags["failover"]
+        fo_mask = failed & scope
+        if fo_mask.any() and callable(fv):
+            # function failovers run per failed row like function defaults
+            # (validator.js:359-364 -> internals.default): a throw appends
+            # any.failover and the row KEEPS its original errors; success
+            # rows adopt the value and clear errors below
+            fired = np.nonzero(fo_mask)[0]
+            vals, threw, ferr = _fn_default_values(fv, fired, env)
+            if threw.any():
+                tmask = np.zeros(n, dtype=bool)
+                tmask[fired[threw]] = True
+                _frec = add_err("any.failover", tmask, {"error": repr(ferr)}, seq=10_001)
+                if _frec is not None:
+                    # finalize pushes AFTER the abort point
+                    # (validator.js:359-364) — rides along under abortEarly
+                    _frec.post_abort = True
+                fo_mask = fo_mask & ~tmask  # thrown rows stay failed
+            f_ok = fired[~threw]
+            v_ok = [v for v, t in zip(vals, threw) if not t]
+            if len(f_ok):
+                adopted = _adopt_fn_values(arr, f_ok, v_ok, n)
+                if adopted is not None:
+                    arr = adopted
+                else:
+                    # one-type-per-column ceiling: typed values reach
+                    # sibling refs via the AltView (fuzz seed 18001890)
+                    p = _dflt_pair(n, f_ok, v_ok)
+                    if p is not None:
+                        dflt_pairs.append(p)
+        if fo_mask.any():
+            if not callable(fv):
+                s = _scalar_for(fv, arr.type)
+                if s is not None and _rt_eq(fv, s.as_py()):
+                    arr = pc.if_else(pa.array(fo_mask), s, arr)
+                elif not (~missing & ~failed & scope).any():
+                    # cross-type failover over a column with no clean kept
+                    # value (number failover on an all-failing string column
+                    # under convert:false) rebuilds in the failover's type,
+                    # like the default path above (fuzz seed 5000296)
+                    try:
+                        arr = pa.array([fv if m else None for m in fo_mask])
+                    except (pa.ArrowInvalid, pa.ArrowTypeError):
+                        pass
+                else:
+                    fo_rows = np.nonzero(fo_mask)[0]
+                    p = _dflt_pair(n, fo_rows, [fv] * len(fo_rows))
+                    if p is not None:
+                        dflt_pairs.append(p)
+            for rec in errors:
+                if rec.warn:
+                    # failover clears ERRORS only (validator.js:359-364
+                    # `errors = []`); mainstay.warnings persist (fuzz seed
+                    # 44: the alphanum warn outlives the failover)
+                    continue
+                if rec.rows is None:
+                    rec.mask = rec.mask & ~fo_mask
+                else:
+                    keep = ~fo_mask[rec.rows]
+                    rec.rows, rec.item_index = rec.rows[keep], rec.item_index[keep]
+            errors[:] = [r for r in errors if r.warn or (r.rows is not None and len(r.rows)) or (r.rows is None and r.mask.any())]
+            failed = failed & ~fo_mask
     if ("default" in node.flags
             and not no_defaults and node.flags["default"] != Schema._DEEP_DEFAULT):
         dv = node.flags["default"]
@@ -1219,23 +1360,24 @@ def _eval_node_impl(
                         # finalize pushes AFTER the abort point
                         # (validator.js:385) — rides along under abortEarly
                         _frec.post_abort = True
-                lst = arr.to_pylist() if not pa.types.is_null(arr.type) else [None] * n
-                for i, v, t in zip(fired, vals, threw):
-                    if not t:
-                        lst[int(i)] = v
-                try:
-                    arr = pa.array(lst, type=None if pa.types.is_null(arr.type) else arr.type)
-                except (pa.ArrowInvalid, pa.ArrowTypeError):
-                    try:
-                        arr = pa.array(lst)
-                    except (pa.ArrowInvalid, pa.ArrowTypeError):
-                        pass
+                f_ok = fired[~threw]
+                v_ok = [v for v, t in zip(vals, threw) if not t]
+                if len(f_ok):
+                    adopted = _adopt_fn_values(arr, f_ok, v_ok, n)
+                    if adopted is not None:
+                        arr = adopted
+                    else:
+                        # one-type-per-column ceiling: expose the typed
+                        # values to sibling refs (joi's object holds them)
+                        p = _dflt_pair(n, f_ok, v_ok)
+                        if p is not None:
+                            dflt_pairs.append(p)
             else:
                 if pa.types.is_null(arr.type):
                     arr = pa.array([dv if m else None for m in fill_mask])
                 else:
                     s = _scalar_for(dv, arr.type)
-                    if s is not None:
+                    if s is not None and _rt_eq(dv, s.as_py()):
                         arr = pc.if_else(pa.array(fill_mask), s, arr)
                     elif not (~missing & ~failed & scope).any():
                         # the default's type can't live in the input column
@@ -1248,63 +1390,15 @@ def _eval_node_impl(
                             arr = pa.array([dv if m else None for m in fill_mask])
                         except (pa.ArrowInvalid, pa.ArrowTypeError):
                             pass
-    if "failover" in node.flags and not no_defaults:
-        fv = node.flags["failover"]
-        fo_mask = failed & scope
-        if fo_mask.any() and callable(fv):
-            # function failovers run per failed row like function defaults
-            # (validator.js:359-364 -> internals.default): a throw appends
-            # any.failover and the row KEEPS its original errors; success
-            # rows adopt the value and clear errors below
-            fired = np.nonzero(fo_mask)[0]
-            vals, threw, ferr = _fn_default_values(fv, fired, env)
-            if threw.any():
-                tmask = np.zeros(n, dtype=bool)
-                tmask[fired[threw]] = True
-                _frec = add_err("any.failover", tmask, {"error": repr(ferr)}, seq=10_001)
-                if _frec is not None:
-                    # finalize pushes AFTER the abort point
-                    # (validator.js:359-364) — rides along under abortEarly
-                    _frec.post_abort = True
-                fo_mask = fo_mask & ~tmask  # thrown rows stay failed
-            lst = arr.to_pylist()
-            for i, v, t in zip(fired, vals, threw):
-                if not t:
-                    lst[int(i)] = v
-            try:
-                arr = pa.array(lst, type=arr.type)
-            except (pa.ArrowInvalid, pa.ArrowTypeError):
-                try:
-                    arr = pa.array(lst)
-                except (pa.ArrowInvalid, pa.ArrowTypeError):
-                    pass
-        if fo_mask.any():
-            if not callable(fv):
-                s = _scalar_for(fv, arr.type)
-                if s is not None:
-                    arr = pc.if_else(pa.array(fo_mask), s, arr)
-                elif not (~missing & ~failed & scope).any():
-                    # cross-type failover over a column with no clean kept
-                    # value (number failover on an all-failing string column
-                    # under convert:false) rebuilds in the failover's type,
-                    # like the default path above (fuzz seed 5000296)
-                    try:
-                        arr = pa.array([fv if m else None for m in fo_mask])
-                    except (pa.ArrowInvalid, pa.ArrowTypeError):
-                        pass
-            for rec in errors:
-                if rec.warn:
-                    # failover clears ERRORS only (validator.js:359-364
-                    # `errors = []`); mainstay.warnings persist (fuzz seed
-                    # 44: the alphanum warn outlives the failover)
-                    continue
-                if rec.rows is None:
-                    rec.mask = rec.mask & ~fo_mask
-                else:
-                    keep = ~fo_mask[rec.rows]
-                    rec.rows, rec.item_index = rec.rows[keep], rec.item_index[keep]
-            errors[:] = [r for r in errors if r.warn or (r.rows is not None and len(r.rows)) or (r.rows is None and r.mask.any())]
-            failed = failed & ~fo_mask
+                    else:
+                        # blocked cross-type scalar default (the _rt_eq
+                        # guard also rejects pyarrow's silent conversions,
+                        # e.g. int into a timestamp column): refs still
+                        # see the typed value via the AltView
+                        fill_rows = np.nonzero(fill_mask)[0]
+                        p = _dflt_pair(n, fill_rows, [dv] * len(fill_rows))
+                        if p is not None:
+                            dflt_pairs.append(p)
     cast_to = node.flags.get("cast")
     if cast_to:
         arr = _apply_cast(arr, cast_to, env.prefs)
@@ -1334,11 +1428,13 @@ def _eval_node_impl(
             else None
         ),
     )
-    if _list_alt_pair is not None:
-        # blocked cross-type item promotion: ref consumers see the per-row
-        # typed list joi's value[i] assignment implies (engine value keeps
-        # originals — the Arrow one-type-per-column repr limit)
-        nr.alt_view = AltView(out_value, [_list_alt_pair])
+    pairs = ([_list_alt_pair] if _list_alt_pair is not None else []) + dflt_pairs
+    if pairs:
+        # blocked cross-type item promotion / default / failover: ref
+        # consumers see the per-row typed value joi's assignment implies
+        # (engine value keeps originals — the Arrow one-type-per-column
+        # repr limit)
+        nr.alt_view = AltView(out_value, pairs)
     return nr
 
 
@@ -1725,17 +1821,31 @@ def _finalize_branch_values(arr, branch_values, n: int):
     return value, None
 
 
-def _apply_default_failover_alt(node, value, missing, failed, scope, errors, env, path, lbl):
+def _apply_default_failover_alt(node, value, missing, failed, scope, errors, env, path, lbl,
+                                undef=None):
     """Finalize default/failover for ALTERNATIVES nodes — joi's finalize
     (validator.js:330-400) runs for every type, so a node-level
     .default()/.failover() on an alternatives applies after the branch
     union (fuzz seed 17100100: no-branch-match + failover replaces the
     value and clears the errors).  Scalar, Ref and FUNCTION forms (the
     last per row via _fn_default_values; throws record any.default /
-    any.failover).  Returns (value, failed)."""
+    any.failover).
+
+    Order follows joi: FAILOVER consumes errored rows first (clearing
+    their errors); the DEFAULT step then fires on rows whose value is
+    still *undefined* — which for alternatives includes no-branch-match
+    failures (``value = base.value`` leaves value undefined,
+    validator.js:234) — WITHOUT clearing the errors (fuzz seed 18001299:
+    joi returns both alternatives.match and the thrower's any.default).
+    ``undef`` is that undefined-rows mask (missing | branch-no-match);
+    defaults to ``missing``.  Returns (value, failed, blocked-adoption
+    AltView pairs)."""
     n = len(missing)
+    pairs: list = []
+    if undef is None:
+        undef = missing
     if env.prefs.get("no_defaults", False):
-        return value, failed
+        return value, failed, pairs
 
     def _fill(mask, src, code):
         nonlocal value, failed
@@ -1766,22 +1876,17 @@ def _apply_default_failover_alt(node, value, missing, failed, scope, errors, env
         else:
             vals = [src] * len(fired)
         if len(fired):
-            lst = arr_v.to_pylist()
-            for i, v in zip(fired, vals):
-                lst[int(i)] = v
-            try:
-                value = pa.array(lst, type=None if pa.types.is_null(arr_v.type) else arr_v.type)
-            except (pa.ArrowInvalid, pa.ArrowTypeError):
-                try:
-                    value = pa.array(lst)
-                except (pa.ArrowInvalid, pa.ArrowTypeError):
-                    pass  # heterogeneous column — the tracked repr ceiling
+            adopted = _adopt_fn_values(arr_v, fired, vals, n)
+            if adopted is not None:
+                value = adopted
+            else:
+                # heterogeneous column — the tracked repr ceiling; refs
+                # still see the typed values via the AltView pair
+                p = _dflt_pair(n, fired, vals)
+                if p is not None:
+                    pairs.append(p)
         return mask
 
-    if "default" in node.flags:
-        dm = missing & scope
-        if dm.any():
-            _fill(dm, node.flags["default"], "any.default")
     if "failover" in node.flags:
         fm = failed & scope
         if fm.any():
@@ -1803,7 +1908,14 @@ def _apply_default_failover_alt(node, value, missing, failed, scope, errors, env
                              or (getattr(r, "rows", None) is not None and len(r.rows))
                              or (getattr(r, "rows", None) is None and r.mask.any())]
                 failed = failed & ~fm
-    return value, failed
+                undef = undef & ~fm  # failover-adopted rows are defined now
+    if "default" in node.flags:
+        dm = undef & scope
+        if dm.any():
+            # fills the value only — errors (any.required, the branch
+            # union's alternatives.*) persist alongside (validator.js:385)
+            _fill(dm, node.flags["default"], "any.default")
+    return value, failed, pairs
 
 
 def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeResult:
@@ -1844,6 +1956,7 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
         hit = _set_membership(arr, node.allow_static, node.allow_refs, node.flags.get("insensitive", False), env)
         resolved |= hit
         active &= ~hit
+    defined_failed = np.zeros(n, dtype=bool)  # failed rows whose value joi KEEPS
     if node.invalid_static or node.invalid_refs:
         inv = _set_membership(arr, node.invalid_static, node.invalid_refs, node.flags.get("insensitive", False), env) & active
         if inv.any():
@@ -1851,6 +1964,7 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
             rec.rows = None
             errors.append(rec)
             failed |= inv
+            defined_failed |= inv  # invalids fail BEFORE base — value stays
             active &= ~inv
     matched = np.zeros(n, dtype=bool)
     decided = np.zeros(n, dtype=bool)  # conditional-branch rows: result final
@@ -2000,8 +2114,18 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
                 if isinstance(m, str):
                     rec.message = m
     if ("default" in node.flags or "failover" in node.flags):
-        value, failed = _apply_default_failover_alt(
-            node, value, missing, failed, scope, errors, env, path, _lbl)
+        value, failed, dflt_pairs = _apply_default_failover_alt(
+            node, value, missing, failed, scope, errors, env, path, _lbl,
+            # undefined at finalize = missing + no-branch-match failures
+            # (value = base.value leaves undefined, validator.js:234);
+            # invalids fail with the value KEPT, so they're excluded
+            undef=missing | (failed & ~defined_failed))
+        if dflt_pairs:
+            # blocked cross-type default/failover values: merge into the
+            # typed-view pairs so refs resolve them (later pairs win)
+            prev = ([(m, a) for m, a in alt_view.pairs]
+                    if isinstance(alt_view, AltView) else [])
+            alt_view = AltView(value, prev + dflt_pairs)
     nr = NodeResult(value=value, errors=errors, missing=missing, failed=failed)
     if alt_view is not None:
         # ref consumers (rule args, when-conditions) need the per-row
@@ -3763,12 +3887,15 @@ def _abort_early_filter(t: pa.Table) -> pa.Table:
              if "_fitem" in t.column_names
              else t["item_index"].to_numpy().astype(np.int64))
     soft = t["_soft"].to_numpy(zero_copy_only=False).astype(bool)
-    # finalize pushes (any.default/any.failover throws) land AFTER joi's
-    # abort point and always ride along (validator.js:359-364,:385) —
-    # kept unconditionally and excluded from first-error selection
+    # finalize pushes (any.default/any.failover throws) are part of their
+    # key's error bundle (validator.js:359-364,:385 push into the node's
+    # errors before it returns): they ABORT later keys like any error
+    # (object.js:125-128 breaks on the bundle), and when the bundle's
+    # FIRST error is a rule/base error the fin still rides along (same
+    # node's finalize ran after it) — fuzz seeds 17100263 / 18000711
     fin = (t["_fin"].to_numpy(zero_copy_only=False).astype(bool)
            if "_fin" in t.column_names else np.zeros(t.num_rows, dtype=bool))
-    is_err = (sev == "error") & ~fin
+    is_err = sev == "error"
     if not soft.any():
         # fast path (no converted-sparse in the batch — the common case):
         # vectorized first-error-per-row + preceding warnings
@@ -3800,61 +3927,84 @@ def _abort_early_filter(t: pa.Table) -> pa.Table:
             )
             keep[warn_idx[before]] = True
         if fin.any():
-            # a finalize push rides along iff its NODE ran: joi aborts
-            # between keys (object.js:125-128), so the push survives when
-            # the row's aborting error came from the fin's own subtree
-            # (same path or deeper) or from a LATER emission — an earlier
-            # key's abort means the fin's node never validated
+            # an unselected fin rides along iff its NODE ran: it survives
+            # when the row's aborting error came from the fin's own
+            # subtree (same path or deeper — the node's rules errored,
+            # then ITS finalize pushed); an abort at a different key
+            # means the fin's node never validated.  A root-level fin
+            # (path "") always rides: the root's finalize runs after the
+            # keys loop returns its bundle.
             paths_all = np.asarray(t["path"].to_pylist(), dtype=object)
             first_rec_i = np.full(int(rows.max()) + 1, -1, dtype=np.int64)
             first_rec_i[rows[keep_err]] = keep_err
             for i in np.nonzero(fin)[0]:
+                if keep[i]:
+                    continue  # selected as the row's first error
                 j = int(first_rec_i[int(rows[i])])
-                if j < 0 or recs[i] < recs[j]:
+                if j < 0:
                     keep[i] = True
-                else:
-                    kp, fp = str(paths_all[j]), str(paths_all[i])
-                    if kp == fp or kp.startswith(fp + ".") or fp == "":
-                        keep[i] = True
+                    continue
+                kp, fp = str(paths_all[j]), str(paths_all[i])
+                if kp == fp or kp.startswith(fp + ".") or fp == "":
+                    keep[i] = True
         return t.filter(pa.array(keep))
     order = np.lexsort((subs, items, recs, rows))
+    paths_all = np.asarray(t["path"].to_pylist(), dtype=object)
     keep = np.zeros(t.num_rows, dtype=bool)
     cur_row = None
     soft_group = None  # rec index of the group holding a pending abort
+    soft_idx = None  # emission idx of the pending soft error
     aborted = False
     abort_at: dict[int, int] = {}  # row -> idx of the aborting emission
     for i in order:
         r = int(rows[i])
         if r != cur_row:
-            cur_row, soft_group, aborted = r, None, False
-        if fin[i]:  # finalize pushes decided in the path-scoped pass below
-            continue
+            cur_row, soft_group, soft_idx, aborted = r, None, None, False
         if aborted:
-            continue
+            continue  # unselected fins get the path-scoped pass below
         if not is_err[i]:  # warning
             keep[i] = True
             continue
+        if fin[i]:
+            # a fin reached before any abort: with a pending soft error it
+            # rides iff it came from the soft error's own subtree (that
+            # node's finalize); either way the bundle aborts later keys
+            if soft_group is not None:
+                sp, fp = str(paths_all[soft_idx]), str(paths_all[i])
+                if sp == fp or sp.startswith(fp + ".") or fp == "":
+                    keep[i] = True
+                aborted = True
+                abort_at.setdefault(r, int(soft_idx))
+            else:
+                keep[i] = True
+                aborted = True
+                abort_at.setdefault(r, int(i))
+            continue
         if soft_group is not None and int(recs[i]) != soft_group:
-            aborted = True  # the soft error's node returned; parent aborts
-            abort_at.setdefault(r, int(i))
+            # the soft error's node returned; parent aborts — the abort
+            # anchor is the SOFT error's node (its finalize ran), so fins
+            # from that subtree still ride in the path-scoped pass
+            aborted = True
+            abort_at.setdefault(r, int(soft_idx))
             continue
         keep[i] = True
         if soft[i]:
-            soft_group = int(recs[i])
+            soft_group, soft_idx = int(recs[i]), int(i)
         else:
             aborted = True
             abort_at.setdefault(r, int(i))
     if fin.any():
         # same path-scoped ride-along as the fast path
-        paths_all = np.asarray(t["path"].to_pylist(), dtype=object)
         for i in np.nonzero(fin)[0]:
+            if keep[i]:
+                continue
             j = abort_at.get(int(rows[i]))
-            if j is None or recs[i] < recs[j]:
+            if j is None:
                 keep[i] = True
-            else:
-                kp, fp = str(paths_all[j]), str(paths_all[i])
-                if kp == fp or kp.startswith(fp + ".") or fp == "":
-                    keep[i] = True
+                continue
+            kp, fp = str(paths_all[j]), str(paths_all[i])
+            if kp == fp or kp.startswith(fp + ".") or fp == "":
+                keep[i] = True
     return t.filter(pa.array(keep))
 
 

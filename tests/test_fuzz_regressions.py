@@ -1525,3 +1525,98 @@ def test_failover_throw_rides_abort_early_only_when_its_node_ran():
     t2 = pa.table({"a": ["2020-13-01"], "b": ["maybe"]})
     r2 = jr.compile_schema(s, prefs={"abort_early": True}).validate_table(t2)
     assert r2.violations["code"].to_pylist() == ["date.base"]
+
+
+def test_finalize_order_failover_never_swallows_default_throw():
+    # fuzz seed 18000796 (node-verified): joi's finalize runs FAILOVER
+    # first (on rule errors) and the Default step after, on values still
+    # undefined (validator.js:353-385) — so a missing value whose
+    # function default throws keeps any.default and stays undefined; the
+    # failover never sees it
+    def boom():
+        raise RuntimeError("x")
+
+    s = jr.object({"c": jr.number().max(12).greater(14).failover(0.0).default(boom)})
+    t = pa.table({"c": pa.array([None, 3.0], pa.float64())})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    v = r.violations.to_pylist()
+    # row 0: any.default (kept; failover must not clear it), value undefined
+    # row 1: 3.0 fails greater(14) -> failover 0.0, errors cleared
+    assert [x["code"] for x in v] == ["any.default"]
+    assert v[0]["row"] == 0
+    assert r.value["c"].to_pylist() == [None, 0.0]
+
+
+def test_default_throw_aborts_later_keys_like_any_error():
+    # fuzz seed 18000711 (node-verified): a default-throw lands in its
+    # key's error bundle, so under abortEarly the object loop breaks and
+    # a LATER key's presence error never fires
+    def boom():
+        raise RuntimeError("x")
+
+    s = jr.object({
+        "b": jr.string().default(boom),
+        "c": jr.boolean().preferences(presence="forbidden"),
+    })
+    t = pa.table({"b": pa.array([None], pa.string()), "c": ["false"]})
+    r = jr.compile_schema(s, prefs={"abort_early": True}).validate_table(t)
+    assert r.violations["code"].to_pylist() == ["any.default"]
+
+
+def test_alternatives_default_fires_on_no_match_keeping_errors():
+    # fuzz seed 18001299 (node-verified): a no-branch-match alternatives
+    # leaves value = base.value = undefined (validator.js:234), so the
+    # Default step fires EVEN for the errored row and the error persists
+    # (joi returns both alternatives.match and the default-filled value)
+    s = jr.object({"b": jr.alternatives(
+        jr.object({"p": jr.number().required()}),
+        jr.object({"q": jr.string().required()}),
+    ).default(77.0)})
+    t = pa.table({"b": [{"z": 1.0}, None]})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    codes = r.violations["code"].to_pylist()
+    assert any(c.startswith("alternatives.") or c == "object.unknown" for c in codes)
+    # the missing row adopts the default; the failed row's fill is the
+    # engine's documented partial-value form (joi's PARENT discards an
+    # errored key's value, object.js:125-140 — failed-row output values
+    # are outside the fuzz compare, which checks ref-ok rows only)
+    s2 = jr.object({"b": jr.alternatives(
+        jr.number().min(100), jr.boolean()).default(77.0)})
+    t2 = pa.table({"b": pa.array([5.0, None], pa.float64())})
+    r2 = jr.compile_schema(s2, prefs={"abort_early": False}).validate_table(t2)
+    assert r2.value["b"].to_pylist() == [77.0, 77.0]
+    assert r2.violations["code"].to_pylist() == ["alternatives.match"]
+
+
+def test_cross_type_failover_never_corrupts_typed_columns():
+    # fuzz seed 18001374 (node-verified): failover/default values adopt
+    # VERBATIM — pyarrow's silent int->timestamp conversion (7 becoming
+    # epoch+7ms) must be rejected; blocked rows keep undefined/original
+    # and the error set still matches joi's cleared-by-failover state
+    s = jr.object({"a": jr.date().failover(7)})
+    t = pa.table({"a": ["2020-13-01", "2019-02-03"]})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    vals = r.value["a"].to_pylist()
+    assert vals[1] is not None  # the clean date survives
+    import datetime
+    assert vals[0] != datetime.datetime(1970, 1, 1, 0, 0, 0, 7000)  # not epoch+7ms
+    assert r.violations.num_rows == 0  # failover cleared the date.base
+
+
+def test_blocked_failover_value_feeds_sibling_refs():
+    # fuzz seed 18001890 (node-verified): joi topo-sorts a after b (ref
+    # dependency); b's failover 7 replaces the failed OBJECT, and a's
+    # date.greater(ref:b) then resolves 7 (a valid epoch) — no any.ref.
+    # The struct column cannot hold 7 (repr ceiling), so the typed value
+    # must reach the ref through the AltView side-channel.
+    s = jr.object({
+        "a": jr.date().greater(jr.ref("b")),
+        "b": jr.object({"p": jr.number().forbidden()}).failover(7),
+    })
+    t = pa.table({
+        "a": ["2021-06-15T08:00:00.123Z"],
+        "b": [{"p": 1.0}],
+    })
+    r = jr.compile_schema(s, prefs={"abort_early": False, "allow_unknown": True}).validate_table(t)
+    assert r.violations.num_rows == 0
+    assert bool(r.ok[0])

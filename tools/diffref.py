@@ -522,14 +522,31 @@ def _ref_targets_have_raw_items(ref_errs: list, spec: dict) -> bool:
     return True
 
 
+def _val_cat(x) -> str:
+    if x is None:
+        return "none"
+    if isinstance(x, bool):
+        return "bool"
+    if isinstance(x, (int, float)):
+        return "num"
+    if isinstance(x, str):
+        return "str"
+    if isinstance(x, (dict, list)):
+        return "container"
+    return "other"
+
+
 def _cross_type_default_repr(ref_v, ray_v, spec) -> bool:
     """Tracked one-type-per-column ceiling via a function default/failover
-    ({"$dflt"} catalog) on a CONTAINER column: the reference replaces the
-    whole failed object/array with the fn's SCALAR return, which a struct/
-    list Arrow column holding other clean rows cannot represent — the
-    engine keeps the original (errors cleared).  Gated on the differing
-    key's spec carrying a $dflt chain entry and the shape mismatch being
-    exactly scalar-ref vs container-ray."""
+    ({"$dflt"} catalog): the reference replaces the failed/missing value
+    with the fn's SCALAR return, which an Arrow column of a DIFFERENT type
+    holding other clean rows cannot represent — the engine keeps the
+    original/converted value (errors cleared; refs see the typed value via
+    the AltView).  Gated on the differing key's spec carrying a $dflt
+    chain entry, the ref side being the fn's scalar, and the two sides
+    landing in different value categories (num vs str vs container vs
+    None — seed 17100064: 7 into a struct column; seed 18000175: 'q7'
+    into a float64 column with clean rows)."""
     if not (isinstance(ref_v, dict) and isinstance(ray_v, dict)):
         return False
     cols = {}
@@ -541,13 +558,7 @@ def _cross_type_default_repr(ref_v, ray_v, spec) -> bool:
         a, b = ref_v.get(k), ray_v.get(k)
         if a == b or _values_close(a, b):
             continue
-        # two ceiling shapes: container-ray (the column stayed struct/list)
-        # or None-ray (a scalar column of another type couldn't hold the
-        # fn's cross-type value, so the missing row stayed undefined —
-        # seed 17100103: 'q7' into a float64 column)
-        if isinstance(a, (dict, list)):
-            return False
-        if not (isinstance(b, (dict, list)) or b is None):
+        if _val_cat(a) in ("container", "other") or _val_cat(a) == _val_cat(b):
             return False
         sub = cols.get(k)
         blob = json.dumps(sub, default=str) if sub is not None else ""
