@@ -97,6 +97,11 @@ class NodeResult:
     #: runtime types): disjoint (row-mask, column) pairs consumed by the
     #: sibling-ref post-processing as AltView branches
     shadow_pairs: Optional[list] = None
+    #: rows whose value was SET by this node's finalize (default/failover
+    #: adoption) — joi's `value !== undefined` afterwards, so a whens
+    #: WRAPPER default must not re-fill them (validator.js:383; the
+    #: missing mask intentionally stays true for required+default rows)
+    fin_filled: Optional[np.ndarray] = None
 
 
 _RULE_FACTORIES = {
@@ -289,6 +294,7 @@ class CNode:
         # remaining whens, which recurse at CNode construction (2^K combos
         # worst case, K is small in practice).
         self.whens = []
+        self.wrapper_fins: dict | None = None  # post-when default/failover
         all_whens = t.get("whens", [])
         for w in all_whens[:1]:
             rest = all_whens[1:]
@@ -296,6 +302,29 @@ class CNode:
             base.terms = {k: v for k, v in base.terms.items() if k != "whens"}
             if rest:
                 base.terms["whens"] = rest
+            bf = w.get("base_flags")
+            if bf is not None:
+                # the BRANCHES carry the PRE-when default/failover snapshot
+                # (joi: branch = base-at-when-time concat then/otherwise,
+                # base.js:330-343); flags (re)set after the when belong to
+                # the wrapper and apply over the merged result instead
+                # (fuzz seeds 957 / 1028, node-verified)
+                base.flags = {k: v for k, v in base.flags.items()
+                              if k not in ("default", "failover")}
+                base.flags.update(bf)
+                fins = {}
+                for k in ("default", "failover"):
+                    if k not in self.flags:
+                        continue
+                    if k in bf and self.flags[k] is bf[k]:
+                        continue  # unchanged since the when: branch-level only
+                    try:
+                        if k in bf and bool(self.flags[k] == bf[k]):
+                            continue  # manifest round-trip broke identity
+                    except Exception:  # noqa: BLE001 — exotic __eq__
+                        pass
+                    fins[k] = self.flags[k]
+                self.wrapper_fins = fins
             if "peek" in w:
                 # schema condition (the reference's peek form,
                 # lib/types/alternatives.js:192): evaluated against the
@@ -759,27 +788,36 @@ def _eval_node_impl(
             merged = NodeResult(value=arr, missing=np.zeros(n, bool), failed=np.zeros(n, bool))
             _merge_into(merged, eval_node(w["then"], arr, env, path, scope=sel_then), sel_then)
             _merge_into(merged, eval_node(w["otherwise"], arr, env, path, scope=sel_other), sel_other)
-            return _whens_alt(merged)
+            return _finish_whens(
+                node, merged,
+                [(w["then"], sel_then), (w["otherwise"], sel_other)],
+                env, path, scope)
         ref_resolved = _resolve_when_ref(w["ref"], arr, env, n)
         if "switch" in w:
             remaining = scope.copy()
             merged = NodeResult(value=arr, missing=np.zeros(n, bool), failed=np.zeros(n, bool))
+            parts = []
             for is_c, then_c in w["switch"]:
                 cond = _when_condition(is_c, ref_resolved, env, remaining, n)
                 sel = remaining & cond
                 remaining = remaining & ~cond
                 sub = eval_node(then_c, arr, env, path, scope=sel)
                 _merge_into(merged, sub, sel)
+                parts.append((then_c, sel))
             sub = eval_node(w["otherwise"], arr, env, path, scope=remaining)
             _merge_into(merged, sub, remaining)
-            return _whens_alt(merged)
+            parts.append((w["otherwise"], remaining))
+            return _finish_whens(node, merged, parts, env, path, scope)
         cond = _when_condition(w["is"], ref_resolved, env, scope, n)
         sel_then = scope & cond
         sel_other = scope & ~cond
         merged = NodeResult(value=arr, missing=np.zeros(n, bool), failed=np.zeros(n, bool))
         _merge_into(merged, eval_node(w["then"], arr, env, path, scope=sel_then), sel_then)
         _merge_into(merged, eval_node(w["otherwise"], arr, env, path, scope=sel_other), sel_other)
-        return _whens_alt(merged)
+        return _finish_whens(
+            node, merged,
+            [(w["then"], sel_then), (w["otherwise"], sel_other)],
+            env, path, scope)
 
     errors: list[ErrRec] = []
     original = arr
@@ -910,10 +948,10 @@ def _eval_node_impl(
     failed = np.zeros(n, dtype=bool)
     resolved = np.zeros(n, dtype=bool)
 
-    def add_err(code, mask, ctx=None, seq=10_000, warn=False, message=None, item_rows=None, item_index=None, path_override=None, values=None, group=None, soft=False, path_ipos=None):
+    def add_err(code, mask, ctx=None, seq=10_000, warn=False, message=None, item_rows=None, item_index=None, path_override=None, values=None, group=None, soft=False, path_ipos=None, no_label=False):
         mask = mask & scope
         p = path_override if path_override is not None else path
-        if "label" in node.flags and path_override is None:
+        if "label" in node.flags and path_override is None and not no_label:
             ctx = {**(ctx or {}), "label": node.flags["label"]}
         # node-level error() override (lib/base.js:136-142, applied at
         # finalize lib/validator.js:368-380 — replaces every error of the
@@ -1225,6 +1263,9 @@ def _eval_node_impl(
     # regardless of presence (validator.js:383-386): required-missing rows
     # carry any.required AND the default in the output value
     dflt_pairs: list = []  # blocked default/failover adoptions -> AltView
+    # rows whose value finalize SET (joi: no longer undefined) — consumed
+    # by a whens wrapper's own default step (_finish_whens)
+    _fin_filled = np.zeros(n, dtype=bool)
     # finalize order is FAILOVER first, then default (validator.js:353-385:
     # failover consumes the rule errors and clears them; the Default step
     # runs after, on values still undefined — so a failover never swallows
@@ -1242,7 +1283,11 @@ def _eval_node_impl(
             if threw.any():
                 tmask = np.zeros(n, dtype=bool)
                 tmask[fired[threw]] = True
-                _frec = add_err("any.failover", tmask, {"error": repr(ferr)}, seq=10_001)
+                _frec = add_err(
+                    "any.failover", tmask, {"error": repr(ferr)}, seq=10_001,
+                    # a pre-when label belongs to joi's branches; the
+                    # finalize error fires on the unlabeled wrapper
+                    no_label=bool(getattr(node.schema, "metas", {}).get("_label_pre_when")))
                 if _frec is not None:
                     # finalize pushes AFTER the abort point
                     # (validator.js:359-364) — rides along under abortEarly
@@ -1260,8 +1305,11 @@ def _eval_node_impl(
                     p = _dflt_pair(n, f_ok, v_ok)
                     if p is not None:
                         dflt_pairs.append(p)
+                # a failover fn returning undefined leaves the row undefined
+                _fin_filled[f_ok[[v is not None for v in v_ok]]] = True
         if fo_mask.any():
             if not callable(fv):
+                _fin_filled |= fo_mask
                 s = _scalar_for(fv, arr.type)
                 if s is not None and _rt_eq(fv, s.as_py()):
                     arr = pc.if_else(pa.array(fo_mask), s, arr)
@@ -1310,6 +1358,7 @@ def _eval_node_impl(
                 rows_fill = np.nonzero(fill_mask)[0]
                 tcol = resolve_template_column(dv, env, n)
                 vals = [tcol[int(i)].as_py() for i in rows_fill]
+                _fin_filled[rows_fill[[v is not None for v in vals]]] = True
                 filled = [None] * n
                 for i, val in zip(rows_fill, vals):
                     filled[int(i)] = val
@@ -1329,6 +1378,8 @@ def _eval_node_impl(
                 rv = env.resolve_ref(dv, n)
                 if isinstance(rv, (pa.Array, pa.ChunkedArray)):
                     rv = combine(rv)
+                    # a ref resolving undefined leaves the row undefined
+                    _fin_filled |= fill_mask & ~null_mask(rv)
                     fill = pa.array(fill_mask)
                     try:
                         if pa.types.is_null(arr.type):
@@ -1340,8 +1391,12 @@ def _eval_node_impl(
                     except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
                         pass
                 elif pa.types.is_null(arr.type):
+                    if rv is not None:
+                        _fin_filled |= fill_mask
                     arr = pa.array([rv if m else None for m in fill_mask])
                 else:
+                    if rv is not None:
+                        _fin_filled |= fill_mask
                     s = _scalar_for(rv, arr.type)
                     if s is not None:
                         arr = pc.if_else(pa.array(fill_mask), s, arr)
@@ -1355,7 +1410,10 @@ def _eval_node_impl(
                 if threw.any():
                     tmask = np.zeros(n, dtype=bool)
                     tmask[fired[threw]] = True
-                    _frec = add_err("any.default", tmask, {"error": repr(ferr)}, seq=10_001)
+                    _frec = add_err(
+                        "any.default", tmask, {"error": repr(ferr)}, seq=10_001,
+                        # pre-when label = branch label, wrapper unlabeled
+                        no_label=bool(getattr(node.schema, "metas", {}).get("_label_pre_when")))
                     if _frec is not None:
                         # finalize pushes AFTER the abort point
                         # (validator.js:385) — rides along under abortEarly
@@ -1372,7 +1430,10 @@ def _eval_node_impl(
                         p = _dflt_pair(n, f_ok, v_ok)
                         if p is not None:
                             dflt_pairs.append(p)
+                    # a default fn returning undefined leaves undefined
+                    _fin_filled[f_ok[[v is not None for v in v_ok]]] = True
             else:
+                _fin_filled |= fill_mask
                 if pa.types.is_null(arr.type):
                     arr = pa.array([dv if m else None for m in fill_mask])
                 else:
@@ -1427,6 +1488,7 @@ def _eval_node_impl(
             if (node.flags.get("raw") or node.flags.get("strip"))
             else None
         ),
+        fin_filled=_fin_filled if _fin_filled.any() else None,
     )
     pairs = ([_list_alt_pair] if _list_alt_pair is not None else []) + dflt_pairs
     if pairs:
@@ -1501,6 +1563,67 @@ def _apply_cast(arr: pa.Array, to: str, prefs: dict | None = None) -> pa.Array:
         return arr
 
 
+class _WrapperShim:
+    """Minimal flag-bearer standing in for joi's unlabeled alternatives
+    wrapper in _apply_default_failover_alt."""
+
+    def __init__(self, flags):
+        self.flags = flags
+
+
+def _finish_whens(node: CNode, merged: NodeResult, parts, env: Env, path, scope) -> NodeResult:
+    """Wrapper finalize after a whens branch merge — joi's when() wraps the
+    base in a FRESH alternatives (base.js:364), so chain calls AFTER the
+    when apply in the WRAPPER's finalize over the merged branch result:
+
+    - a post-when .failover() fires only on rows the branches left errored
+      (a pre-when failover already cleared its rows inside the branch —
+      fuzz seed 1028: failover('ab') before the when, failover(thrower)
+      after, both active at different levels);
+    - a post-when .default() fires on rows whose branch result value is
+      UNDEFINED: missing rows AND every row of a strip-flagged branch
+      (validator.js:413-421 returns undefined for strip even on errors —
+      fuzz seed 957: strip + when + default(thrower) errors any.default
+      on every row);
+    - rows that adopt a wrapper value are no longer strip-deleted (the
+      wrapper has no result flag, so the parent writes the value)."""
+    wf = getattr(node, "wrapper_fins", None)
+    if not wf or env.prefs.get("no_defaults", False):
+        return _whens_alt(merged)
+    n = len(merged.missing)
+    undef = merged.missing.copy()
+    if merged.fin_filled is not None:
+        # a branch default/failover already set the value (joi: no longer
+        # undefined) — the wrapper default must not re-fill (node: default(9)
+        # before the when beats default(11) after it on missing rows)
+        undef &= ~merged.fin_filled
+    if merged.strip_rows is not None:
+        undef |= merged.strip_rows
+    for cn, sel in parts:
+        if cn.flags.get("strip"):
+            undef |= sel  # strip branches return undefined even on error
+    lbl = {}
+    if "label" in node.flags and not getattr(node.schema, "metas", {}).get("_label_pre_when"):
+        lbl = {"label": node.flags["label"]}
+    value, failed, pairs, filled = _apply_default_failover_alt(
+        _WrapperShim(wf), combine(merged.value), merged.missing, merged.failed,
+        scope, merged.errors, env, path, lbl, undef=undef)
+    merged.value, merged.failed = value, failed
+    if filled.any():
+        # visible to an enclosing wrapper's own default step
+        merged.fin_filled = (
+            filled if merged.fin_filled is None else merged.fin_filled | filled)
+        if merged.strip_rows is not None:
+            keep = merged.strip_rows & ~filled
+            merged.strip_rows = keep if keep.any() else None
+    nr = _whens_alt(merged)
+    if pairs:
+        prev = ([(m, a) for m, a in nr.alt_view.pairs]
+                if isinstance(getattr(nr, "alt_view", None), AltView) else [])
+        nr.alt_view = AltView(nr.value, prev + pairs)
+    return nr
+
+
 def _whens_alt(merged: NodeResult) -> NodeResult:
     """After a whens branch merge: when branches emitted DIFFERENT output
     types (the column was promoted), expose each branch's typed value to
@@ -1518,6 +1641,11 @@ def _merge_into(merged: NodeResult, sub: NodeResult, sel: np.ndarray):
         merged.missing = merged.missing | (sub.missing & sel)
     if sub.failed is not None:
         merged.failed = merged.failed | (sub.failed & sel)
+    if sub.fin_filled is not None:
+        ff = sub.fin_filled & sel
+        if ff.any():
+            merged.fin_filled = (
+                ff if merged.fin_filled is None else merged.fin_filled | ff)
     if len(sel) and sel.any() and sub.value is not None:
         sel_arr = pa.array(sel)
         sub_val = combine(sub.value) if isinstance(sub.value, pa.ChunkedArray) else sub.value
@@ -1839,13 +1967,16 @@ def _apply_default_failover_alt(node, value, missing, failed, scope, errors, env
     joi returns both alternatives.match and the thrower's any.default).
     ``undef`` is that undefined-rows mask (missing | branch-no-match);
     defaults to ``missing``.  Returns (value, failed, blocked-adoption
-    AltView pairs)."""
+    AltView pairs, filled-rows mask) — ``filled`` covers every row that
+    adopted a default/failover value (joi's value is set even when the
+    Arrow column could not hold it)."""
     n = len(missing)
     pairs: list = []
+    filled = np.zeros(n, dtype=bool)
     if undef is None:
         undef = missing
     if env.prefs.get("no_defaults", False):
-        return value, failed, pairs
+        return value, failed, pairs, filled
 
     def _fill(mask, src, code):
         nonlocal value, failed
@@ -1891,6 +2022,7 @@ def _apply_default_failover_alt(node, value, missing, failed, scope, errors, env
         fm = failed & scope
         if fm.any():
             fm = _fill(fm, node.flags["failover"], "any.failover")
+            filled |= fm
             if fm.any():
                 # failover clears ERRORS only; warnings persist
                 for rec in errors:
@@ -1914,8 +2046,9 @@ def _apply_default_failover_alt(node, value, missing, failed, scope, errors, env
         if dm.any():
             # fills the value only — errors (any.required, the branch
             # union's alternatives.*) persist alongside (validator.js:385)
-            _fill(dm, node.flags["default"], "any.default")
-    return value, failed, pairs
+            dm = _fill(dm, node.flags["default"], "any.default")
+            filled |= dm
+    return value, failed, pairs, filled
 
 
 def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeResult:
@@ -2113,8 +2246,9 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
                 m = err_fn(rec.code, rec.path, dict(rec.context or {}))
                 if isinstance(m, str):
                     rec.message = m
+    alt_fin_filled = None
     if ("default" in node.flags or "failover" in node.flags):
-        value, failed, dflt_pairs = _apply_default_failover_alt(
+        value, failed, dflt_pairs, alt_fin_filled = _apply_default_failover_alt(
             node, value, missing, failed, scope, errors, env, path, _lbl,
             # undefined at finalize = missing + no-branch-match failures
             # (value = base.value leaves undefined, validator.js:234);
@@ -2127,6 +2261,8 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
                     if isinstance(alt_view, AltView) else [])
             alt_view = AltView(value, prev + dflt_pairs)
     nr = NodeResult(value=value, errors=errors, missing=missing, failed=failed)
+    if alt_fin_filled is not None and alt_fin_filled.any():
+        nr.fin_filled = alt_fin_filled
     if alt_view is not None:
         # ref consumers (rule args, when-conditions) need the per-row
         # TYPED values the single column couldn't hold

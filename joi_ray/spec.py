@@ -415,7 +415,11 @@ class Schema:
         return self._flag("cast", to)
 
     def label(self, name: str) -> "Schema":
-        return self._flag("label", name)
+        s = self._flag("label", name)
+        # a label set AFTER when() lands on joi's alternatives WRAPPER
+        # (base.js:364) and renders in its finalize errors again
+        s.metas.pop("_label_pre_when", None)
+        return s
 
     def strict(self, enabled: bool = True) -> "Schema":
         s = self._clone()
@@ -603,6 +607,20 @@ class Schema:
             if otherwise is not None:
                 entry["otherwise"] = otherwise
             s.terms.setdefault("whens", []).append(entry)
+            if "label" in s.flags:
+                # joi's when() on a non-alternatives base returns a FRESH
+                # unlabeled alternatives wrapper (base.js:364) — the
+                # pre-when label lives in the BRANCHES, so the wrapper's
+                # own finalize errors (any.default/any.failover) render
+                # the key name (fuzz seed 277, node-verified)
+                s.metas["_label_pre_when"] = True
+            # pre-when default/failover snapshot: these flags belong to the
+            # BRANCHES (base.concat); anything (re)set AFTER the when lands
+            # on the wrapper and applies in ITS finalize over the merged
+            # branch result (fuzz seed 1028, node-verified)
+            entry["base_flags"] = {
+                k: self.flags[k] for k in ("default", "failover") if k in self.flags
+            }
             return s
         cond = condition if isinstance(condition, Ref) else Ref(condition)
         entry = {"ref": cond}
@@ -629,6 +647,13 @@ class Schema:
             if otherwise is not None:
                 entry["otherwise"] = otherwise
         s.terms.setdefault("whens", []).append(entry)
+        if "label" in s.flags:
+            # see the peek-form note above: the wrapper is unlabeled
+            s.metas["_label_pre_when"] = True
+        # see the peek-form note: pre-when default/failover are branch-level
+        entry["base_flags"] = {
+            k: self.flags[k] for k in ("default", "failover") if k in self.flags
+        }
         return s
 
     def _when_ended(self, entry: dict) -> bool:

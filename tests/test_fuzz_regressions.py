@@ -1620,3 +1620,95 @@ def test_blocked_failover_value_feeds_sibling_refs():
     r = jr.compile_schema(s, prefs={"abort_early": False, "allow_unknown": True}).validate_table(t)
     assert r.violations.num_rows == 0
     assert bool(r.ok[0])
+
+
+def test_pre_when_label_hidden_in_finalize_errors():
+    # fuzz seed 277 (node-verified): when() on a non-alternatives base
+    # returns a FRESH unlabeled alternatives wrapper (base.js:364) — a
+    # label set BEFORE the when lives in the branches, so the wrapper's
+    # finalize errors (any.default/any.failover throws) render the KEY
+    # name; a label set AFTER the when lands on the wrapper and renders
+    def boom():
+        raise RuntimeError("x")
+
+    base = jr.number().label("L9").when("a", is_="ab", then=jr.number().required())
+    s = jr.object({"a": base.default(boom)})
+    t = pa.table({"a": pa.array([None], pa.float64())})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    assert r.violations["message"].to_pylist() == [
+        '"a" threw an error when running default method']
+    s2 = jr.object({"a": base.label("L10").default(boom)})
+    r2 = jr.compile_schema(s2, prefs={"abort_early": False}).validate_table(t)
+    assert r2.violations["message"].to_pylist() == [
+        '"L10" threw an error when running default method']
+
+
+def test_post_when_default_fires_on_strip_branch_rows():
+    # fuzz seed 957 (node-verified): a strip branch returns undefined from
+    # joi's finalize even when it ERRORED (validator.js:413-421), so a
+    # default set AFTER the when fires on EVERY row of the strip key —
+    # and with errors present the strip delete is skipped (value kept)
+    def boom():
+        raise RuntimeError("x")
+
+    s = jr.object({
+        "a": jr.number().strip().when(
+            "b", is_="z", then=jr.number().min(5)).default(boom),
+        "b": jr.string(),
+    })
+    t = pa.table({"a": pa.array([3.0, 3.0, None], pa.float64()),
+                  "b": ["z", "q", "q"]})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    assert r.violations["message"].to_pylist() == [
+        '"a" must be larger than or equal to 5',
+        '"a" threw an error when running default method',
+        '"a" threw an error when running default method',
+        '"a" threw an error when running default method',
+    ]
+    assert "a" in r.value.column_names  # errors block the strip delete
+
+
+def test_pre_when_failover_clears_before_post_when_failover():
+    # fuzz seed 1028 (node-verified): failover('ab') BEFORE the when lives
+    # in the branches and clears their errors; the failover(boom) set
+    # AFTER the when belongs to the wrapper and only fires on rows the
+    # branches left errored — here none, so no any.failover anywhere
+    def boom():
+        raise RuntimeError("x")
+
+    s = jr.object({
+        "a": jr.number().failover("ab").when(
+            "b", is_="z", then=jr.number().min(100)).failover(boom),
+        "b": jr.string(),
+    })
+    t = pa.table({"a": pa.array(["3", "xx"], pa.string()),
+                  "b": ["z", "q"]})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    assert r.violations.num_rows == 0
+    assert r.value["a"].to_pylist() == ["ab", "ab"]
+
+
+def test_branch_default_beats_post_when_default():
+    # node-verified: default(9) before the when fills in the BRANCH
+    # finalize, so the wrapper's default(11) sees the row as defined and
+    # must not overwrite (joi: value !== undefined after the branch)
+    base = jr.number().default(9).when(
+        "b", is_="z", then=jr.number().min(5)).default(11)
+    s = jr.object({"a": base, "b": jr.string()})
+    t = pa.table({"a": pa.array([None, None], pa.float64()), "b": ["q", "z"]})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    assert r.violations.num_rows == 0
+    assert r.value["a"].to_pylist() == [9.0, 9.0]
+
+
+def test_post_when_default_fills_missing_rows():
+    # node-verified: a default set only AFTER the when applies in the
+    # wrapper finalize over the merged branch result for every condition
+    s = jr.object({
+        "a": jr.number().when("b", is_="z", then=jr.number().min(5)).default(7),
+        "b": jr.string(),
+    })
+    t = pa.table({"a": pa.array([None, None], pa.float64()), "b": ["q", "z"]})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    assert r.violations.num_rows == 0
+    assert r.value["a"].to_pylist() == [7.0, 7.0]
