@@ -1343,7 +1343,11 @@ def _eval_node_impl(
     if ("default" in node.flags
             and not no_defaults and node.flags["default"] != Schema._DEEP_DEFAULT):
         dv = node.flags["default"]
-        fill_mask = missing & scope
+        # the default fires on values still UNDEFINED after the failover
+        # step (validator.js:383) — a required-missing row the failover
+        # just filled is defined now (node: failover(-1)+default(10) on a
+        # missing required value yields -1; fuzz seed 19000479)
+        fill_mask = missing & scope & ~_fin_filled
         from .kernels.template import Template as _Tmpl
 
         if fill_mask.any():

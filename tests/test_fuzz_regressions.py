@@ -1712,3 +1712,27 @@ def test_post_when_default_fills_missing_rows():
     r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
     assert r.violations.num_rows == 0
     assert r.value["a"].to_pylist() == [7.0, 7.0]
+
+
+def test_failover_filled_required_row_skips_default():
+    # fuzz seed 19000479 (node-verified): a required-missing row carries
+    # any.required, so the finalize FAILOVER consumes it first (fills -1,
+    # clears the error); the default step then sees the value as defined
+    # (validator.js:383) and must not overwrite with 10 — chain order of
+    # .default()/.failover() is irrelevant (they are flags)
+    s = jr.object({"b": jr.number().default(10.0).failover(-1.0).required()})
+    t = pa.table({"b": pa.array([None], pa.float64())})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    assert r.violations.num_rows == 0
+    assert r.value["b"].to_pylist() == [-1.0]
+    # same through a when-otherwise branch (the seed's original shape)
+    s2 = jr.object({
+        "a": jr.string(),
+        "b": jr.number().default(10.0).when(
+            "a", is_=1.0, then=jr.number().multiple(2),
+            otherwise=jr.number().failover(-1.0).required()),
+    })
+    t2 = pa.table({"a": ["12.5"], "b": pa.array([None], pa.float64())})
+    r2 = jr.compile_schema(s2, prefs={"abort_early": False}).validate_table(t2)
+    assert r2.violations.num_rows == 0
+    assert r2.value["b"].to_pylist() == [-1.0]
