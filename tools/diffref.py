@@ -546,13 +546,27 @@ def _cross_type_default_repr(ref_v, ray_v, spec) -> bool:
     chain entry, the ref side being the fn's scalar, and the two sides
     landing in different value categories (num vs str vs container vs
     None — seed 17100064: 7 into a struct column; seed 18000175: 'q7'
-    into a float64 column with clean rows)."""
+    into a float64 column with clean rows).  SCALAR-valued default/
+    failover chain entries hit the same ceiling (seeds 20000211/20000965:
+    failover('') on an object column, failover('ab') on a date column) —
+    gated STRICTLY on the ref side EQUALLING the chain entry's scalar."""
     if not (isinstance(ref_v, dict) and isinstance(ray_v, dict)):
         return False
     cols = {}
     for group in (spec or {}).get("a", []) or []:
         if isinstance(group, dict):
             cols.update(group)
+
+    def _chain_fill_scalars(sub) -> list:
+        out = []
+        s = (sub or {}).get("$s", sub) or {}
+        for e in s.get("c", []) or []:
+            if (isinstance(e, (list, tuple)) and len(e) == 2
+                    and e[0] in ("default", "failover")
+                    and isinstance(e[1], (str, int, float, bool))):
+                out.append(e[1])
+        return out
+
     any_gated = False
     for k in set(ref_v) | set(ray_v):
         a, b = ref_v.get(k), ray_v.get(k)
@@ -562,7 +576,8 @@ def _cross_type_default_repr(ref_v, ray_v, spec) -> bool:
             return False
         sub = cols.get(k)
         blob = json.dumps(sub, default=str) if sub is not None else ""
-        if '"$dflt"' not in blob:
+        if '"$dflt"' not in blob and not any(
+                a == v or _values_close(a, v) for v in _chain_fill_scalars(sub)):
             return False
         any_gated = True
     return any_gated

@@ -927,6 +927,30 @@ def gen_case(seed: int):
         spec_t = dict(spec_t)
         spec_t["c"] = list(spec_t.get("c", [])) + [[kind_d, {"$dflt": r.choice(pool_d)}]]
         cols[tgt] = (spec_t, at_t, fn_t)
+    if r.random() < 0.07:
+        # POST-WHEN chain flags: joi's when() wraps the base in a fresh
+        # unlabeled alternatives (base.js:364), so default/failover/label
+        # set AFTER a when land on the WRAPPER and apply in its finalize
+        # over the merged branch result (engine._finish_whens) — a
+        # distinct layer from the pre-when snapshot the branches carry.
+        # Target a when-carrying column when one exists to hit that path.
+        when_tgts = [n for n in names
+                     if any(e and e[0] == "when" for e in cols[n][0].get("c", []))]
+        tgt = r.choice(when_tgts) if when_tgts else r.choice(names)
+        spec_t, at_t, fn_t = cols[tgt]
+        spec_t = dict(spec_t)
+        chain = list(spec_t.get("c", []))
+        scalar_pool = (NUMBERS[:6] if at_t == pa.float64() else STRINGS[:8])
+        for kind_p in r.sample(["default", "failover", "label"],
+                               1 if r.random() < 0.6 else 2):
+            if kind_p == "label":
+                chain.append(["label", "W" + str(r.randint(1, 5))])
+            elif r.random() < 0.4:
+                chain.append([kind_p, {"$dflt": r.choice(["const7", "strq", "thrower"])}])
+            else:
+                chain.append([kind_p, r.choice(scalar_pool)])
+        spec_t["c"] = chain
+        cols[tgt] = (spec_t, at_t, fn_t)
     root_spec = {"t": "object", "a": [{n: {"$s": cols[n][0]} for n in names}]}
     if r.random() < 0.04:
         # ROOT-level schema-local prefs (the root presence stage, root
