@@ -1467,6 +1467,23 @@ def _eval_node_impl(
     cast_to = node.flags.get("cast")
     if cast_to:
         arr = _apply_cast(arr, cast_to, env.prefs)
+        if dflt_pairs:
+            # a blocked cross-type default/failover adoption may FIT the
+            # cast output type: joi's cast is gated by a `from` predicate
+            # (validator.js:390-394), so the adopted raw scalar passes
+            # through uncast — number cast('string') with failover 'q7'
+            # outputs 'q7', not the cast of the stale original (fuzz seed
+            # 20004648, node-verified)
+            still = []
+            for m, col in dflt_pairs:
+                try:
+                    if col.type == arr.type:
+                        arr = pc.if_else(pa.array(m), col, arr)
+                    else:
+                        still.append((m, col))
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                    still.append((m, col))
+            dflt_pairs = still
 
     out_value = original if node.flags.get("raw") else arr
     nr = NodeResult(
@@ -2105,6 +2122,15 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
             active &= ~inv
     matched = np.zeros(n, dtype=bool)
     decided = np.zeros(n, dtype=bool)  # conditional-branch rows: result final
+    # rows whose MATCHED branch is strip-flagged: the branch finalize
+    # returns undefined (validator.js:413-421), so the parent deletes the
+    # key AND the alternatives' own default sees the row as undefined
+    # (fuzz seed 20003109, node-verified: strip branch + default(thrower)
+    # errors any.default on a PRESENT value)
+    strip_hit = np.zeros(n, dtype=bool)
+    # rows whose matched branch RETURNED undefined (empty('') coercion):
+    # the node default sees them as undefined too
+    undef_hit = np.zeros(n, dtype=bool)
     value = arr
     branch_values: list[tuple[np.ndarray, object]] = []  # (rows, converted)
     branch_outcomes: list[tuple[str, list]] = []
@@ -2139,6 +2165,15 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
             _collect_shadow(sub, still)
             hit = still & ~sub.failed
             matched |= hit
+            if sub.strip:
+                strip_hit |= hit
+            elif sub.strip_rows is not None:
+                strip_hit |= hit & sub.strip_rows
+            if sub.missing is not None:
+                # a matched branch can RETURN undefined for a present value
+                # (empty('') coercion) — the node default then fires
+                # (fuzz seed 23600100, node-verified)
+                undef_hit |= hit & sub.missing
             branch_outcomes.append((m["schema"].type, sub.errors))
             # warn-rule reports push to the MAIN state immediately in joi
             # (validator.js:303-306), so every ATTEMPTED branch leaks its
@@ -2164,6 +2199,12 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
             decided |= sel
             ok_rows = sel & ~sub.failed
             matched |= ok_rows
+            if sub.strip:
+                strip_hit |= ok_rows
+            elif sub.strip_rows is not None:
+                strip_hit |= ok_rows & sub.strip_rows
+            if sub.missing is not None:
+                undef_hit |= ok_rows & sub.missing
             errors.extend(sub.errors)
             failed |= sel & sub.failed
             if ok_rows.any():
@@ -2255,9 +2296,10 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
         value, failed, dflt_pairs, alt_fin_filled = _apply_default_failover_alt(
             node, value, missing, failed, scope, errors, env, path, _lbl,
             # undefined at finalize = missing + no-branch-match failures
-            # (value = base.value leaves undefined, validator.js:234);
+            # (value = base.value leaves undefined, validator.js:234) +
+            # strip-branch matches (branch finalize returned undefined);
             # invalids fail with the value KEPT, so they're excluded
-            undef=missing | (failed & ~defined_failed))
+            undef=missing | (failed & ~defined_failed) | strip_hit | undef_hit)
         if dflt_pairs:
             # blocked cross-type default/failover values: merge into the
             # typed-view pairs so refs resolve them (later pairs win)
@@ -2267,6 +2309,16 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
     nr = NodeResult(value=value, errors=errors, missing=missing, failed=failed)
     if alt_fin_filled is not None and alt_fin_filled.any():
         nr.fin_filled = alt_fin_filled
+    if strip_hit.any():
+        # rows whose value the finalize SET (default/failover) or that
+        # errored there (the thrower) are no longer strip-deleted — joi's
+        # parent keeps the value on errors (object.js:126-139) and writes
+        # an adopted one
+        sh = strip_hit & ~failed
+        if alt_fin_filled is not None:
+            sh &= ~alt_fin_filled
+        if sh.any():
+            nr.strip_rows = sh
     if alt_view is not None:
         # ref consumers (rule args, when-conditions) need the per-row
         # TYPED values the single column couldn't hold

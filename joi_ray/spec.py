@@ -419,6 +419,43 @@ class Schema:
         # a label set AFTER when() lands on joi's alternatives WRAPPER
         # (base.js:364) and renders in its finalize errors again
         s.metas.pop("_label_pre_when", None)
+        # alternatives' label() override pushes the name into EVERY match
+        # branch, replacing their own labels (alternatives.js:121-142) —
+        # and a when-bearing schema IS that wrapper, so its whens branches
+        # relabel the same way (fuzz seed 23000401, node-verified: a
+        # post-when label wins over the then-branch's own label)
+        def _lab(v):
+            return v.label(name) if isinstance(v, Schema) else v
+
+        if s.terms.get("matches"):
+            new = []
+            for m in s.terms["matches"]:
+                if isinstance(m, Schema):
+                    new.append(m.label(name))
+                elif isinstance(m, dict):
+                    m = dict(m)
+                    for k in ("schema", "then", "otherwise"):
+                        if m.get(k) is not None:
+                            m[k] = _lab(m[k])
+                    new.append(m)
+                else:
+                    new.append(m)
+            s.terms["matches"] = new
+        if s.terms.get("whens"):
+            new = []
+            for w in s.terms["whens"]:
+                w = dict(w)
+                for k in ("then", "otherwise"):
+                    if w.get(k) is not None:
+                        w[k] = _lab(w[k])
+                if "switch" in w:
+                    w["switch"] = [
+                        {**c, **{k: _lab(c[k]) for k in ("then", "otherwise")
+                                 if c.get(k) is not None}}
+                        for c in w["switch"]
+                    ]
+                new.append(w)
+            s.terms["whens"] = new
         return s
 
     def strict(self, enabled: bool = True) -> "Schema":
@@ -741,7 +778,17 @@ class Schema:
         s.prefs.update(other.prefs)
         for k, v in other.terms.items():
             if k == "keys" and "keys" in s.terms:
-                s.terms["keys"].update(copy.deepcopy(v))
+                # same-named keys CONCAT (object.js:1110-1133 Keys.concat:
+                # result[pos].schema.concat(item.schema), target position
+                # kept); new keys append — a plain dict update would DROP
+                # the target key's rules (fuzz seed 21100015, node-verified:
+                # {q: length(2)}.concat({q: raw()}) keeps the length rule)
+                for kk, vv in v.items():
+                    cur = s.terms["keys"].get(kk)
+                    if cur is not None:
+                        s.terms["keys"][kk] = cur.concat(vv)
+                    else:
+                        s.terms["keys"][kk] = copy.deepcopy(vv)
             elif isinstance(v, list) and isinstance(s.terms.get(k), list):
                 s.terms[k] = s.terms[k] + copy.deepcopy(v)
             else:

@@ -1736,3 +1736,101 @@ def test_failover_filled_required_row_skips_default():
     r2 = jr.compile_schema(s2, prefs={"abort_early": False}).validate_table(t2)
     assert r2.violations.num_rows == 0
     assert r2.value["b"].to_pylist() == [-1.0]
+
+
+def test_alternatives_strip_branch_feeds_node_default():
+    # fuzz seed 20003109 (node-verified): a MATCHED strip-flagged
+    # alternatives branch returns undefined from joi's finalize
+    # (validator.js:413-421), so the alternatives node's OWN default
+    # fires on present values — and with a thrower the any.default error
+    # suppresses the strip delete (the parent keeps the original)
+    def boom():
+        raise RuntimeError("x")
+
+    branches = [jr.string().max(5).strip(), jr.string().max(9).uppercase()]
+    t = pa.table({"a": ["a"]})
+    r = jr.compile_schema(jr.object({"a": jr.alternatives(list(branches))}),
+                          prefs={"abort_early": False}).validate_table(t)
+    assert r.value.to_pylist() == [{"a": None}]  # strip-match: key deleted
+    r = jr.compile_schema(
+        jr.object({"a": jr.alternatives(list(branches)).default("dd")}),
+        prefs={"abort_early": False}).validate_table(t)
+    assert r.value.to_pylist() == [{"a": "dd"}]  # default fills the strip
+    r = jr.compile_schema(
+        jr.object({"a": jr.alternatives(list(branches)).default(boom)}),
+        prefs={"abort_early": False}).validate_table(t)
+    assert r.violations["message"].to_pylist() == [
+        '"a" threw an error when running default method']
+    assert r.value.to_pylist() == [{"a": "a"}]  # error blocks the delete
+
+
+def test_blocked_cross_type_failover_lands_after_cast():
+    # fuzz seed 20004648 (node-verified): failover 'q7' cannot live in the
+    # float64 column at failover time, but joi's cast is gated by a `from`
+    # predicate (validator.js:390-394) so the adopted string passes
+    # through cast('string') UNCAST — the output is 'q7', never the cast
+    # of the stale original
+    s = jr.object({"b": jr.number().less(45).valid(2.0, 0.0)
+                   .cast("string").failover(lambda: "q7")})
+    t = pa.table({"b": pa.array([1024.0, 2.0], pa.float64())})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    assert r.violations.num_rows == 0
+    assert r.value["b"].to_pylist() == ["q7", "2"]
+
+
+def test_object_concat_merges_same_named_keys():
+    # fuzz seed 21100015 (node-verified): object concat CONCATS same-named
+    # keys (object.js:1110-1133 Keys.concat) — a {q: raw()} delta must not
+    # drop the target's {q: length(2)} rule
+    base = jr.object({"p": jr.number().integer().multiple(5),
+                      "q": jr.string().length(2)})
+    delta = jr.object({"q": jr.string().raw()})
+    at = pa.struct([("p", pa.float64()), ("q", pa.string())])
+    t = pa.table({"a": pa.array([{"p": 2.0, "q": "a"}], at), "b": ["zz"]})
+    r = jr.compile_schema(jr.object({"a": base.concat(delta), "b": jr.string()}),
+                          prefs={"abort_early": False}).validate_table(t)
+    codes = sorted(zip(r.violations["path"].to_pylist(), r.violations["code"].to_pylist()))
+    assert codes == [("a.p", "number.multiple"), ("a.q", "string.length")]
+    # and through a when-otherwise branch (base.concat(otherwise))
+    s2 = jr.object({"a": base.when("b", is_="", then=jr.object({"q": jr.string().forbidden()}),
+                                   otherwise=delta), "b": jr.string()})
+    r2 = jr.compile_schema(s2, prefs={"abort_early": False}).validate_table(t)
+    codes2 = sorted(zip(r2.violations["path"].to_pylist(), r2.violations["code"].to_pylist()))
+    assert codes2 == [("a.p", "number.multiple"), ("a.q", "string.length")]
+
+
+def test_post_when_label_pushes_into_branches():
+    # fuzz seed 23000401 (node-verified): alternatives' label() override
+    # pushes the name into EVERY match branch, replacing their own labels
+    # (alternatives.js:121-142) — a when-bearing schema IS that wrapper,
+    # so a post-when label wins over the then-branch's own label
+    s = jr.object({
+        "b": jr.string().when(
+            jr.string().min(3),
+            then=jr.string().valid("hello", "ABC", "x1").label("L3"),
+            otherwise=jr.string().valid("x1").required(),
+        ).label("W3"),
+    })
+    t = pa.table({"b": ["12.5"]})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    assert r.violations["message"].to_pylist() == [
+        '"W3" must be one of [hello, ABC, x1]']
+
+
+def test_empty_matched_alternatives_branch_feeds_node_default():
+    # fuzz seed 23600100 (node-verified): a matched branch whose empty('')
+    # coercion turned the present value undefined feeds the alternatives
+    # node's OWN default — here a thrower, so any.default fires on ''
+    def boom():
+        raise RuntimeError("x")
+
+    s = jr.object({
+        "a": jr.alternatives([
+            jr.string().empty(""),
+            jr.string().max(6).valid("x1", "hello"),
+        ]).default(boom),
+    })
+    t = pa.table({"a": ["", "x1"]})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    assert r.violations["message"].to_pylist() == [
+        '"a" threw an error when running default method']

@@ -572,6 +572,11 @@ def _cross_type_default_repr(ref_v, ray_v, spec) -> bool:
         a, b = ref_v.get(k), ray_v.get(k)
         if a == b or _values_close(a, b):
             continue
+        if _values_repr_equiv(a, b):
+            # this key's difference is itself the numeric-string repr
+            # ceiling (e.g. an ordered-slot cast inside a list) — it
+            # doesn't disqualify the cross-type fill on ANOTHER key
+            continue
         if _val_cat(a) in ("container", "other") or _val_cat(a) == _val_cat(b):
             return False
         sub = cols.get(k)

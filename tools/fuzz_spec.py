@@ -267,7 +267,7 @@ class Gen:
                 "switchcol", "peekcol", "patstruct", "renstruct", "deepstruct",
                 "altobj", "structarray", "hascol",
                 "extnum", "extstr", "forkfield", "extractfield", "concatalts",
-                "altercol", "assertcol"]
+                "altercol", "assertcol", "whenstruct"]
         )
         if kind == "number":
             return (self.leaf_spec("number", sibling_nums), pa.float64(),
@@ -355,7 +355,7 @@ class Gen:
             spec = {"t": "alternatives", "a": [[{"$s": b1}, {"$s": b2}]]}
             return (spec, pa.string(), lambda: self.pick(STRINGS))
         if kind == "whencol":
-            base_family = self.pick(["number", "string"])
+            base_family = self.pick(["number", "string", "date"])
             base = self.leaf_spec(base_family, [])
             others = [n for n in col_names if n != name]
             cond = self.pick(others) if others else name
@@ -367,9 +367,51 @@ class Gen:
             if self.maybe(0.4):
                 kw["otherwise"] = {"$s": self.leaf_spec(base_family, [])}
             base.setdefault("c", []).append(["when", cond, {"$kw": kw}])
+            if base_family == "date":
+                # date branches coerce per row: the wrapper merge stitches
+                # timestamp columns whose branches may disagree on iso()
+                return (base, pa.string(), lambda: self.pick(ISODATES))
             pool = NUMBERS if base_family == "number" else STRINGS
             at = pa.float64() if base_family == "number" else pa.string()
             return (base, at, lambda: self.pick(pool))
+        if kind == "whenstruct":
+            # when() on an OBJECT column (unexplored until round 5 s3):
+            # branches are object DELTAS joi concats with the base —
+            # per-key presence flips, strips, defaults — so the wrapper
+            # merge must stitch per-row STRUCT results (strip deletes,
+            # deep defaults) across conditions
+            f1 = self.leaf_spec("number", [])
+            f2 = self.leaf_spec("string", [])
+            base = {"t": "object", "a": [{"p": {"$s": f1}, "q": {"$s": f2}}]}
+            others = [n for n in col_names if n != name]
+            cond = self.pick(others) if others else name
+
+            def obj_delta() -> dict:
+                k = self.pick(["p", "q"])
+                fam = "number" if k == "p" else "string"
+                mod = self.pick([
+                    ["required"], ["strip"], ["forbidden"], ["raw"],
+                    ["default", 3.0 if fam == "number" else "x1"],
+                ])
+                return {"t": "object",
+                        "a": [{k: {"$s": {"t": fam, "c": [mod]}}}]}
+
+            kw = {"is": self.pick(NUMBERS[:5] + STRINGS[:5]),
+                  "then": {"$s": obj_delta()}}
+            if self.maybe(0.5):
+                kw["otherwise"] = {"$s": obj_delta()}
+            # object-specific methods don't exist on joi's post-when
+            # alternatives wrapper (object().when(...).unknown() is a
+            # TypeError) — unknown() must precede the when
+            base["c"] = ([["unknown"]] if self.maybe(0.2) else [])
+            base["c"].append(["when", cond, {"$kw": kw}])
+            at = pa.struct([("p", pa.float64()), ("q", pa.string())])
+
+            def gen_ws():
+                return {"p": None if self.maybe(0.3) else self.pick(NUMBERS[:6]),
+                        "q": None if self.maybe(0.3) else self.pick(STRINGS[:8])}
+
+            return (base, at, gen_ws)
         if kind == "concat":
             fam = self.pick(["number", "string"])
             s1 = self.leaf_spec(fam, [])
