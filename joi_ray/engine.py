@@ -1680,17 +1680,41 @@ def _merge_into(merged: NodeResult, sub: NodeResult, sel: np.ndarray):
         try:
             merged.value = pc.if_else(sel_arr, sub_val, merged.value)
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
-            # cross-type branch output (a cast('string') branch over a
-            # float column): promote the merged column to the branch type
-            merged._mixed_types = True
-            try:
-                base = pc.cast(merged.value, sub_val.type, safe=False)
-            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
-                base = pa.nulls(len(sel), sub_val.type)
-            try:
-                merged.value = pc.if_else(sel_arr, sub_val, base)
-            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
-                pass
+            # a branch whose key strip NARROWED the struct: widen the
+            # subset side back (deleted key ≙ null) instead of casting the
+            # full struct down — that would drop the key for EVERY row
+            # (fuzz seed 24001572, node-verified: then keeps p, otherwise
+            # strips it; the then-rows must keep their p)
+            widened = False
+            mv = combine(merged.value)
+            if pa.types.is_struct(mv.type) and pa.types.is_struct(sub_val.type):
+                sv2 = _expand_struct_to(sub_val, mv.type)
+                if sv2.type == mv.type:
+                    try:
+                        merged.value = pc.if_else(sel_arr, sv2, mv)
+                        widened = True
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                        pass
+                if not widened:
+                    mv2 = _expand_struct_to(mv, sub_val.type)
+                    if mv2.type == sub_val.type:
+                        try:
+                            merged.value = pc.if_else(sel_arr, sub_val, mv2)
+                            widened = True
+                        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                            pass
+            if not widened:
+                # cross-type branch output (a cast('string') branch over a
+                # float column): promote the merged column to the branch type
+                merged._mixed_types = True
+                try:
+                    base = pc.cast(merged.value, sub_val.type, safe=False)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                    base = pa.nulls(len(sel), sub_val.type)
+                try:
+                    merged.value = pc.if_else(sel_arr, sub_val, base)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                    pass
     # shadow entries (raw-flagged branches) survive the merge per row
     if sub.shadow_value is not None and len(sel) and sel.any():
         sm = sub.shadow_mask if sub.shadow_mask is not None else np.ones(len(sel), bool)
@@ -1787,6 +1811,17 @@ def _failed_overlay(res: NodeResult, orig, n: int, mode: str):
         try:
             if sh.type == val.type:
                 val = pc.if_else(pa.array(shm), sh, val)
+                if isinstance(alt, AltView):
+                    # the shadow wins over branch-value pairs per row
+                    # (ref.js _resolve checks the shadow FIRST) — a
+                    # cast-branch's typed pair must not override the
+                    # folded shadow for shadowed rows (fuzz seed
+                    # 27000130, node-verified: a failed strip-branch's
+                    # numeric shadow feeds min(ref), not the matched
+                    # cast('string') branch's '42')
+                    pairs = [(m & ~shm, a) for m, a in alt.pairs]
+                    pairs = [(m, a) for m, a in pairs if m.any()]
+                    alt = AltView(val, pairs) if pairs else None
             else:
                 # cross-type shadow (cast branch): per-row typed view
                 pairs = ([(m, a) for m, a in alt.pairs] if isinstance(alt, AltView) else [])
@@ -2523,7 +2558,7 @@ def _converted_sparse_items(node, add_err, sub, live, nulls_flat, parents, posit
             group=grp,
             soft=soft,
         )
-        if shift_recs is not None:
+        if shift_recs is not None and rec is not None:
             shift_recs.append((rec, np.nonzero(became)[0]))
         return became
     return None
@@ -2551,7 +2586,7 @@ def _required_strip_claims(ic, hit, parents, positions, n_items, n, node, add_er
             "array.sparse", np.zeros(n, bool),
             item_rows=parents[claim], item_index=positions[claim].astype(np.int32),
             seq=-1, group=items_grp, soft=False)
-        if shift_recs is not None:
+        if shift_recs is not None and rec is not None:
             shift_recs.append((rec, np.nonzero(claim)[0]))
     return claim, hit & ~claim
 
@@ -2588,7 +2623,8 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                     seq=-1,
                     group=items_grp,
                 )
-                _sparse_info = (_sparse_rec, sparse_mask)
+                if _sparse_rec is not None:  # all rows outside a branch scope
+                    _sparse_info = (_sparse_rec, sparse_mask)
 
     if not len(parents):
         # ALL-EMPTY batch fast path: joi's required-items bookkeeping still
@@ -2642,6 +2678,15 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
             else:
                 fired = np.nonzero(rec.mask)[0]
             rows = parents[fired]
+            # pre-filter by the branch scope so ``fired`` stays aligned
+            # with the rec's post-filter rows (add_err drops out-of-scope
+            # rows itself; a whens-branch scope can drop some or all)
+            sel = scope[rows]
+            vals = getattr(rec, "values", None)
+            if not sel.all():
+                fired, rows = fired[sel], rows[sel]
+                if vals is not None:
+                    vals = [v for v, k in zip(vals, sel) if k]
             idx = positions[fired].astype(np.int32)
             if len(rows) == 0:
                 continue
@@ -2654,11 +2699,13 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
             ipos = len(path) if len(rec.path) > len(path) else None
             nr = add_err(rec.code, np.zeros(n, bool), rec.context, seq=rec.seq, warn=rec.warn,
                          message=rec.message, item_rows=rows, item_index=idx, path_override=rec.path,
-                         values=getattr(rec, "values", None), group=items_grp, path_ipos=ipos)
-            made.append((nr, fired))
+                         values=vals, group=items_grp, path_ipos=ipos)
+            if nr is not None:
+                made.append((nr, fired))
         return made
 
-    def lift_probe_warns(sub: NodeResult, forced_abort: bool = False):
+    def lift_probe_warns(sub: NodeResult, forced_abort: bool = False,
+                         exclude: Optional[np.ndarray] = None):
         """A probe (exclusion / inclusion-match / has) is a real validate
         call in joi, so its warn-rule reports leak to the main state as
         they fire (validator.js:303-306).  $_match probes (exclusions,
@@ -2676,6 +2723,11 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
             rows0 = rec.rows if getattr(rec, "rows", None) is not None else np.nonzero(rec.mask)[0]
             if rec.warn:
                 keepv = ~aborted[rows0] if abort else np.ones(len(rows0), bool)
+                if exclude is not None:
+                    # items already attempted (and leaked) in the requireds
+                    # pre-loop: joi reuses that result in the inclusions
+                    # stage (array.js:274-278 previousCheck), no re-leak
+                    keepv &= ~exclude[rows0]
                 if not keepv.any():
                     continue
                 nr2 = ErrRec(rec.code, np.zeros(m, bool), rec.path, rec.context,
@@ -2720,6 +2772,7 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
     # the tag array carries that lost type bit (fuzz seed 5300531)
     adopted_any = np.zeros(n_items, dtype=bool)
     env._item_type_tags = None  # reset any sibling array's stale tags
+    env._item_type_tag_fields = None
     # joi's items loop SKIPS undefined entries in non-sparse arrays — the
     # sparse check already errored them and `continue`s (array.js:154-164);
     # with sparse() they flow through item validation like any value
@@ -2907,7 +2960,8 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                         item_index=positions[bad].astype(np.int32),
                         group=items_grp,
                     )
-                    shift_recs.append((rec_x, np.nonzero(bad)[0]))
+                    if rec_x is not None:  # branch scope can drop every row
+                        shift_recs.append((rec_x, np.nonzero(bad)[0]))
                 matched_any |= bad
                 remaining = remaining & ~bad
             if len(inclusions) == 1 and not strip_arrays and remaining.any():
@@ -2950,11 +3004,76 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                 remaining &= as_bool_np(pc.is_null(flat), n_items)
             else:
                 incl_pairs: list = []
-                for ic in inclusions:
+                # joi's per-item loop runs the REQUIREDS pre-loop first
+                # (array.js:233-258): each item tries the still-unclaimed
+                # requireds in order via full $_validate — the first match
+                # CLAIMS the schema, adopts ITS conversion, and skips the
+                # inclusions stage; warns leak from every attempt (items up
+                # to and including the claim point).  Model that before the
+                # inclusions sweep (fuzz seed 25000108, node-verified: a
+                # claimant matching a non-required too still adopts the
+                # required's value and leaks its warn).
+                _reqs = [ic for ic in inclusions if ic.flags.get("presence") == "required"]
+                _req_attempts: dict[int, np.ndarray] = {}
+                if _reqs:
+                    claim_of_item = np.full(n_items, -1, dtype=np.int64)
+                    claim_sets: list[np.ndarray] = []
+                    pre_claimed = np.zeros(n_items, dtype=bool)
+                    for j, ric in enumerate(_reqs):
+                        okj = (node_validity(ric, flat, child_env, remaining & ~pre_claimed)
+                               & remaining & ~pre_claimed)
+                        clj = np.zeros(n_items, dtype=bool)
+                        idxs = np.nonzero(okj)[0]
+                        if len(idxs):
+                            rows_j, first = np.unique(parents[idxs], return_index=True)
+                            clj[idxs[first]] = True
+                            pre_claimed |= clj
+                            claim_of_item[clj] = j
+                        claim_sets.append(clj)
+                    for j, ric in enumerate(_reqs):
+                        clj = claim_sets[j]
+                        # attempts = items up to the row's claim point that
+                        # didn't already claim an EARLIER required (a claim
+                        # breaks the item's requireds walk)
+                        claim_pos = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+                        if clj.any():
+                            claim_pos[parents[clj]] = positions[clj]
+                        att = remaining & (positions <= claim_pos[parents])
+                        att &= ~((claim_of_item >= 0) & (claim_of_item < j))
+                        _req_attempts[id(ric)] = att
+                        if not att.any():
+                            continue
+                        sub_r = eval_node(ric, flat, child_env, path, scope=att)
+                        shift_recs += lift_probe_warns(sub_r)
+                        if clj.any():
+                            if ric.flags.get("strip"):
+                                # required+strip claim: value[i] = undefined
+                                # (validator.js:414), sparse error, NO splice
+                                claim_u, _sp = _required_strip_claims(
+                                    ric, clj, parents, positions, n_items, n,
+                                    node, add_err, items_grp, shift_recs)
+                                if claim_u is not None:
+                                    undef_items |= claim_u
+                            else:
+                                became_r = _converted_sparse_items(
+                                    node, add_err, sub_r, clj, nulls_flat, parents,
+                                    positions, n, items_grp, shift_recs=shift_recs)
+                                adopt_r = clj if became_r is None else clj & ~became_r
+                                if sub_r.value is not None and adopt_r.any():
+                                    incl_pairs.append((adopt_r, sub_r.value))
+                    matched_any |= pre_claimed
+                    remaining = remaining & ~pre_claimed
+                # joi tries NON-REQUIRED inclusions first, requireds last
+                # (array.js:137 `[...inclusions, ...requireds]`); required
+                # schemas skip warn re-leaks for items their pre-loop
+                # attempt already covered (previousCheck reuse)
+                _incl_order = ([ic for ic in inclusions if ic.flags.get("presence") != "required"]
+                               + _reqs)
+                for ic in _incl_order:
                     if not remaining.any():
                         break
                     isub = eval_node(ic, flat, child_env, path, scope=remaining)
-                    shift_recs += lift_probe_warns(isub)
+                    shift_recs += lift_probe_warns(isub, exclude=_req_attempts.get(id(ic)))
                     ok = ~(isub.failed if isub.failed is not None
                            else np.zeros(len(flat), bool))
                     hit = remaining & ok
@@ -3142,6 +3261,16 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
             _ff = k_lists.flatten_with_parents(combine(arr))[0]
             if _ff.type != flat.type and len(_ff) == len(adopted_any):
                 env._item_type_tags = adopted_any
+                # which struct FIELDS the promotion retyped — sort(by=...)
+                # only sees a typeof split when its by-field is one of
+                # them (fuzz seed 26000610: cast x, sort by y — no
+                # mismatch in joi's by-resolved comparator)
+                if pa.types.is_struct(_ff.type) and pa.types.is_struct(flat.type):
+                    old_f = {f.name: f.type for f in flat.type}
+                    env._item_type_tag_fields = {
+                        f.name for f in _ff.type if old_f.get(f.name) != f.type}
+                else:
+                    env._item_type_tag_fields = None  # whole-value promotion
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
             pass
     return arr, alt_pair

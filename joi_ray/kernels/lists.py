@@ -271,7 +271,16 @@ def make_sort(args):
             # 13003105, node-verified); it REPLACES array.sort for the row
             mism = np.zeros(n, dtype=bool)
             tags = getattr(env, "_item_type_tags", None)
-            if tags is not None and len(tags) == len(v):
+            # joi resolves settings.by BEFORE the typeof check (array.js:
+            # 753-766), so mismatching is about the BY-VALUE types — the
+            # promotion tags only apply when the by-field is one the
+            # promotion retyped, or to plain value sorts (fuzz seed
+            # 26000610, node-verified: struct items with a cast x field
+            # sorted by y error array.sort, not .mismatching; seed
+            # 13003105: sorted by the cast x itself, .mismatching)
+            _tf = getattr(env, "_item_type_tag_fields", None)
+            _tags_apply = (by in _tf) if (by and _tf is not None) else not by
+            if tags is not None and len(tags) == len(v) and _tags_apply:
                 t0 = np.asarray(tags, dtype=np.int8)
                 sel = lvl == 0
                 if sel.any():

@@ -1834,3 +1834,66 @@ def test_empty_matched_alternatives_branch_feeds_node_default():
     r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
     assert r.violations["message"].to_pylist() == [
         '"a" threw an error when running default method']
+
+
+def test_sort_by_field_tags_only_apply_to_promoted_field():
+    # fuzz seed 26000610 (node-verified): joi resolves settings.by BEFORE
+    # the comparator's typeof check (array.js:753-766), so a struct items
+    # schema whose CAST field is x sorted by y errors plain array.sort
+    # when out of order — not array.sort.mismatching
+    T = pa.list_(pa.struct([("x", pa.float64()), ("y", pa.string())]))
+    item = jr.object({"x": jr.number().max(30).default(3.0).required().cast("string"),
+                      "y": jr.string().pattern(r"[A-Z]{2}").optional()})
+    s = jr.object({"b": jr.array().items(item).min(1)
+                   .sort(by="y", order="descending").sparse()})
+    t = pa.table({"b": pa.array(
+        [[{"x": 0.0, "y": "ABC"}, {"x": 0.0, "y": "x1"}, {"x": None, "y": None}]], T)})
+    r = jr.compile_schema(s, prefs={"abort_early": False, "convert": False}).validate_table(t)
+    codes = r.violations["code"].to_pylist()
+    assert "array.sort" in codes and "array.sort.mismatching" not in codes
+
+
+def test_when_branch_key_strip_is_per_row():
+    # fuzz seed 24001572 (node-verified): a when() on an object column
+    # whose OTHERWISE branch strips key p must not drop p for THEN rows —
+    # the merge widens the strip-narrowed struct back (deleted key ≙ null)
+    # instead of casting the full struct down
+    at = pa.struct([("p", pa.float64()), ("q", pa.string())])
+    s = jr.object({
+        "b": jr.string(),
+        "d": jr.object({"p": jr.number(), "q": jr.string().min(0)}).when(
+            "b", is_="zz",
+            then=jr.object({"p": jr.number().required()}),
+            otherwise=jr.object({"p": jr.number().strip()})),
+    })
+    t = pa.table({"b": ["zz", "nn"],
+                  "d": pa.array([{"p": -1.0, "q": "k"}, {"p": 3.0, "q": "a"}], at)})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    assert r.violations.num_rows == 0
+    assert r.value["d"].to_pylist() == [
+        {"p": -1.0, "q": "k"},   # then row keeps p
+        {"p": None, "q": "a"},   # otherwise row: p stripped (≙ deleted)
+    ]
+
+
+def test_failed_strip_branch_shadow_beats_cast_branch_pair_in_ref_args():
+    # fuzz seed 27000130 (node-verified): refs check joi's shadow FIRST
+    # (ref.js _resolve) — a FAILED strip-flagged alternatives branch
+    # shadows its coerced number, so min(ref) resolves 42 (number) even
+    # though the matched cast('string') branch output '42'; with another
+    # row matching the numeric branch the shadow folds into the column
+    # and must still override the cast branch's typed pair
+    a = jr.alternatives([
+        jr.number().min(46).negative().warn().strip(),
+        jr.number().min(29).multiple(3).cast("string"),
+    ]).preferences(presence="required")
+    s = jr.object({
+        "a": a,
+        "c": jr.array().items(jr.number().max(37).strip()).min(jr.ref("a")).max(4),
+    })
+    t = pa.table({"a": pa.array([65536.0, 42.0], pa.float64()),
+                  "c": pa.array([[2.0, 2.0], [2.0, 2.0]], pa.list_(pa.float64()))})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    codes = sorted(zip(r.violations["path"].to_pylist(), r.violations["code"].to_pylist()))
+    assert ("c", "any.ref") not in codes
+    assert codes.count(("c", "array.min")) == 2  # limits 65536 and 42 both > 0 items

@@ -267,7 +267,7 @@ class Gen:
                 "switchcol", "peekcol", "patstruct", "renstruct", "deepstruct",
                 "altobj", "structarray", "hascol",
                 "extnum", "extstr", "forkfield", "extractfield", "concatalts",
-                "altercol", "assertcol", "whenstruct"]
+                "altercol", "assertcol", "whenstruct", "whenarray"]
         )
         if kind == "number":
             return (self.leaf_spec("number", sibling_nums), pa.float64(),
@@ -374,6 +374,38 @@ class Gen:
             pool = NUMBERS if base_family == "number" else STRINGS
             at = pa.float64() if base_family == "number" else pa.string()
             return (base, at, lambda: self.pick(pool))
+        if kind == "whenarray":
+            # when() on an ARRAY column: branches are array deltas joi
+            # concats with the base — min/max/sparse/unique/required flips
+            # and EXTRA items schemas (items is a multi term: concat
+            # accumulates them, widening the accepted union)
+            elem_family = self.pick(["number", "string"])
+            item = self.leaf_spec(elem_family, [])
+            base = {"t": "array", "c": [["items", {"$s": item}]]}
+            others = [n for n in col_names if n != name]
+            cond = self.pick(others) if others else name
+
+            def arr_delta() -> dict:
+                mod = self.pick([
+                    ["min", r.randint(1, 3)], ["max", r.randint(1, 4)],
+                    ["sparse"], ["unique"], ["required"],
+                    ["items", {"$s": self.leaf_spec(elem_family, [])}],
+                ])
+                return {"t": "array", "c": [mod]}
+
+            kw = {"is": self.pick(NUMBERS[:5] + STRINGS[:5]),
+                  "then": {"$s": arr_delta()}}
+            if self.maybe(0.5):
+                kw["otherwise"] = {"$s": arr_delta()}
+            base["c"].append(["when", cond, {"$kw": kw}])
+            at = pa.list_(pa.float64() if elem_family == "number" else pa.string())
+            pool = NUMBERS[:6] if elem_family == "number" else STRINGS[:8]
+
+            def gen_wa():
+                k = r.randint(0, 4)
+                return [None if self.maybe(0.1) else self.pick(pool) for _ in range(k)]
+
+            return (base, at, gen_wa)
         if kind == "whenstruct":
             # when() on an OBJECT column (unexplored until round 5 s3):
             # branches are object DELTAS joi concats with the base —
