@@ -302,6 +302,15 @@ class Schema:
         return s
 
     def _rule(self, name: str, args: dict | None = None, *, single: bool = False) -> "Schema":
+        if self.terms.get("whens"):
+            # joi's when() returns a fresh ALTERNATIVES wrapper
+            # (base.js:364) — type-specific rule methods don't exist on it
+            # (`...when(...).min(2)` is a TypeError in the reference), so a
+            # post-when rule call is a build error, never branch semantics
+            raise TypeError(
+                f"{self.type}(...).when(...).{name} is not a function — "
+                "when() returns an alternatives wrapper (lib/base.js:364); "
+                "set rules BEFORE the when() or inside its branches")
         s = self._clone()
         if single:
             # non-multi rules replace a prior instance (lib/base.js:617-622)
@@ -410,8 +419,12 @@ class Schema:
     def cast(self, to) -> "Schema":
         if to is False:
             return self._flag("cast", None)
-        if to not in self._CAST_TARGETS.get(self.type, ()):
-            raise ValueError(f"Type {self.type} does not support casting to {to}")
+        # a when-bearing schema IS an alternatives wrapper, which has no
+        # cast defs — the reference asserts 'Type alternatives does not
+        # support casting' (base.js:104-108, node-verified)
+        eff_type = "alternatives" if self.terms.get("whens") else self.type
+        if to not in self._CAST_TARGETS.get(eff_type, ()):
+            raise ValueError(f"Type {eff_type} does not support casting to {to}")
         return self._flag("cast", to)
 
     def label(self, name: str) -> "Schema":

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 import numpy as np
 import pyarrow as pa
 
@@ -1897,3 +1899,17 @@ def test_failed_strip_branch_shadow_beats_cast_branch_pair_in_ref_args():
     codes = sorted(zip(r.violations["path"].to_pylist(), r.violations["code"].to_pylist()))
     assert ("c", "any.ref") not in codes
     assert codes.count(("c", "array.min")) == 2  # limits 65536 and 42 both > 0 items
+
+
+def test_post_when_typed_rules_and_cast_are_build_errors():
+    # node-verified: when() returns an alternatives wrapper (base.js:364)
+    # — type-specific rule methods don't exist on it (TypeError in the
+    # reference) and cast() asserts 'Type alternatives does not support
+    # casting' (base.js:104-108); flags like default/label stay legal
+    base = jr.number().when("b", is_=1.0, then=jr.number().max(2))
+    with pytest.raises(TypeError):
+        base.min(3)
+    with pytest.raises(ValueError):
+        base.cast("string")
+    base.default(5).label("W")  # wrapper-legal chain calls still work
+    jr.number().min(3).when("b", is_=1.0, then=jr.number().max(2))  # pre-when ok
