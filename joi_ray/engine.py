@@ -1327,11 +1327,39 @@ def _eval_node_impl(
                     p = _dflt_pair(n, fo_rows, [fv] * len(fo_rows))
                     if p is not None:
                         dflt_pairs.append(p)
+            if env.abort_early:
+                # joi had already RETURNED at the row's first hard error
+                # (array.js:213-216 etc.) — warns that would have fired
+                # AFTER that point were never emitted, and the failover's
+                # error-clear must not resurrect them (fuzz seed 29003478,
+                # node-verified: slot0 number.base aborts before slot1's
+                # alphanum warn; failover then clears the error).  The
+                # errors list is in emission (fire) order.
+                first_hard = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+                for pos, rec in enumerate(errors):
+                    if rec.warn:
+                        continue
+                    rows = rec.rows if rec.rows is not None else np.nonzero(rec.mask)[0]
+                    np.minimum.at(first_hard, rows, pos)
+                for pos, rec in enumerate(errors):
+                    if not rec.warn:
+                        continue
+                    if rec.rows is None:
+                        rec.mask = rec.mask & ~(fo_mask & (first_hard < pos))
+                    else:
+                        keep = ~(fo_mask[rec.rows] & (first_hard[rec.rows] < pos))
+                        if not keep.all():
+                            rec.rows, rec.item_index = rec.rows[keep], rec.item_index[keep]
+                            if getattr(rec, "fire_items", None) is not None:
+                                rec.fire_items = rec.fire_items[keep]
+                            if getattr(rec, "values", None) is not None:
+                                rec.values = [v for v, k in zip(rec.values, keep) if k]
             for rec in errors:
                 if rec.warn:
                     # failover clears ERRORS only (validator.js:359-364
-                    # `errors = []`); mainstay.warnings persist (fuzz seed
-                    # 44: the alphanum warn outlives the failover)
+                    # `errors = []`); warns emitted BEFORE the abort point
+                    # persist (fuzz seed 44: the alphanum warn outlives
+                    # the failover)
                     continue
                 if rec.rows is None:
                     rec.mask = rec.mask & ~fo_mask
@@ -2080,7 +2108,34 @@ def _apply_default_failover_alt(node, value, missing, failed, scope, errors, env
             fm = _fill(fm, node.flags["failover"], "any.failover")
             filled |= fm
             if fm.any():
-                # failover clears ERRORS only; warnings persist
+                if env.prefs.get("abort_early", True):
+                    # joi returned at the row's first hard error — warns
+                    # after that point never fired; the failover's clear
+                    # must not resurrect them (fuzz seed 30500135: a
+                    # required-missing p aborts before q's pattern warn)
+                    first_hard = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+                    for pos, rec in enumerate(errors):
+                        if rec.warn:
+                            continue
+                        rows = (rec.rows if getattr(rec, "rows", None) is not None
+                                else np.nonzero(rec.mask)[0])
+                        np.minimum.at(first_hard, rows, pos)
+                    for pos, rec in enumerate(errors):
+                        if not rec.warn:
+                            continue
+                        if getattr(rec, "rows", None) is None:
+                            rec.mask = rec.mask & ~(fm & (first_hard < pos))
+                        else:
+                            keep = ~(fm[rec.rows] & (first_hard[rec.rows] < pos))
+                            if not keep.all():
+                                rec.rows = rec.rows[keep]
+                                if rec.item_index is not None:
+                                    rec.item_index = rec.item_index[keep]
+                                if getattr(rec, "fire_items", None) is not None:
+                                    rec.fire_items = rec.fire_items[keep]
+                                if getattr(rec, "values", None) is not None:
+                                    rec.values = [v for v, k in zip(rec.values, keep) if k]
+                # failover clears ERRORS only; pre-abort warnings persist
                 for rec in errors:
                     if rec.warn:
                         continue

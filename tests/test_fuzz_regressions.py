@@ -1913,3 +1913,31 @@ def test_post_when_typed_rules_and_cast_are_build_errors():
         base.cast("string")
     base.default(5).label("W")  # wrapper-legal chain calls still work
     jr.number().min(3).when("b", is_=1.0, then=jr.number().max(2))  # pre-when ok
+
+
+def test_failover_does_not_resurrect_post_abort_warns():
+    # fuzz seed 29003478 (node-verified, abortEarly): joi returns at the
+    # row's first hard error (slot0 number.base), so slot1's alphanum
+    # warn never fires — the node failover then clears the error and the
+    # warn must NOT surface; a warn fired BEFORE the first hard error
+    # still outlives the failover (seed 44 behavior preserved)
+    s = jr.object({
+        "a": jr.array().ordered(
+            jr.number().max(32).integer().port().label("L5"),
+            jr.string().max(7).alphanum().warn(),
+        ).failover(lambda: 7),
+    })
+    t = pa.table({"a": pa.array([["ab", "0.0", "2.0", "-1.0"]], pa.list_(pa.string()))})
+    r = jr.compile_schema(s, prefs={"abort_early": True}).validate_table(t)
+    assert r.violations.num_rows == 0  # no errors (failover), no warns (post-abort)
+    # warn BEFORE the hard error persists through the failover
+    s2 = jr.object({
+        "a": jr.array().ordered(
+            jr.string().max(7).alphanum().warn(),
+            jr.number().max(2).integer(),
+        ).failover(lambda: 7),
+    })
+    t2 = pa.table({"a": pa.array([["0.0", "9"]], pa.list_(pa.string()))})
+    r2 = jr.compile_schema(s2, prefs={"abort_early": True}).validate_table(t2)
+    assert r2.violations["code"].to_pylist() == ["string.alphanum"]
+    assert r2.violations["severity"].to_pylist() == ["warn"]
