@@ -419,6 +419,15 @@ class Gen:
             cond = self.pick(others) if others else name
 
             def obj_delta() -> dict:
+                if self.maybe(0.2):
+                    # DEPENDENCY delta: joi concat appends dependencies
+                    # (multi term), so the branch adds an and/or/xor/oxor
+                    # over the base keys per matched row
+                    dep = self.pick(["and", "or", "xor", "oxor", "with", "without"])
+                    if dep in ("with", "without"):
+                        return {"t": "object", "a": [{}],
+                                "c": [[dep, "p", ["q"]]]}
+                    return {"t": "object", "a": [{}], "c": [[dep, "p", "q"]]}
                 k = self.pick(["p", "q"])
                 fam = "number" if k == "p" else "string"
                 mod = self.pick([
