@@ -2171,8 +2171,20 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
     _lbl = ({"label": node.flags["label"]} if "label" in node.flags else {})
     _err_start = len(errors)
     # prefs.presence supplies the default here exactly as for scalar nodes
-    # (validator.js:168-190 runs before the type dispatch)
-    presence = node.flags.get("presence") or env.prefs.get("presence", "optional")
+    # (validator.js:168-190 runs before the type dispatch) — EXCEPT on an
+    # ended-switch alternatives: a match entry carrying BOTH then and
+    # otherwise makes the presence default 'ignore' (validator.js:170
+    # `_endedSwitch ? 'ignore' : prefs.presence`), so an undefined value
+    # flows INTO the matched branch — its own presence/defaults govern
+    # (fuzz seed 35000022, node-verified: the otherwise branch's
+    # optional() beats prefs presence:'required'; a branch default even
+    # fills the undefined value under default prefs)
+    ended = any(
+        isinstance(m, dict) and "schema" not in m
+        and m.get("then") is not None and m.get("otherwise") is not None
+        for m in node.matches)
+    presence = node.flags.get("presence") or (
+        "ignore" if ended else env.prefs.get("presence", "optional"))
     resolved = np.zeros(n, dtype=bool)
     if presence == "required":
         req = missing & scope
@@ -2192,9 +2204,11 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
             rec.rows = None
             errors.append(rec)
         return NodeResult(value=arr, errors=errors, missing=missing, failed=bad)
+    elif presence == "ignore":
+        pass  # undefined rows flow into the match loop (validator.js:170)
     else:
         resolved |= missing
-    active = scope & ~missing & ~failed
+    active = (scope & ~failed) if presence == "ignore" else (scope & ~missing & ~failed)
     # allow/invalid sets apply to the alternatives node itself too
     if node.allow_static or node.allow_refs:
         hit = _set_membership(arr, node.allow_static, node.allow_refs, node.flags.get("insensitive", False), env)
@@ -2221,6 +2235,9 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
     # rows whose matched branch RETURNED undefined (empty('') coercion):
     # the node default sees them as undefined too
     undef_hit = np.zeros(n, dtype=bool)
+    # rows a BRANCH default/failover filled (presence-ignore lets missing
+    # rows through): defined now — the node default must skip them
+    branch_filled = np.zeros(n, dtype=bool)
     value = arr
     branch_values: list[tuple[np.ndarray, object]] = []  # (rows, converted)
     branch_outcomes: list[tuple[str, list]] = []
@@ -2238,9 +2255,15 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
                 shadow_pairs.append((eff, sub.shadow_value))
             # rows whose COERCION failed inside a raw() branch: joi's
             # shadow holds the value finalize saw — the ORIGINAL ('true'
-            # stays a string when number coercion missed; fuzz seed 59592)
+            # stays a string when number coercion missed; fuzz seed 59592).
+            # EMPTIED rows are different: finalize saw UNDEFINED (the
+            # empty() conversion), so they shadow nothing — a later
+            # is:'' condition must NOT resolve the raw '' (fuzz seed
+            # 35000213, node-verified)
             if sub.raw_value is not None:
                 rest = tried & ~sm
+                if sub.missing is not None:
+                    rest &= ~sub.missing
                 if rest.any():
                     shadow_pairs.append((rest, sub.raw_value))
 
@@ -2263,7 +2286,9 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
                 # a matched branch can RETURN undefined for a present value
                 # (empty('') coercion) — the node default then fires
                 # (fuzz seed 23600100, node-verified)
-                undef_hit |= hit & sub.missing
+                ff = sub.fin_filled if sub.fin_filled is not None else np.zeros(n, bool)
+                undef_hit |= hit & sub.missing & ~ff
+                branch_filled |= hit & ff
             branch_outcomes.append((m["schema"].type, sub.errors))
             # warn-rule reports push to the MAIN state immediately in joi
             # (validator.js:303-306), so every ATTEMPTED branch leaks its
@@ -2294,9 +2319,18 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
             elif sub.strip_rows is not None:
                 strip_hit |= ok_rows & sub.strip_rows
             if sub.missing is not None:
-                undef_hit |= ok_rows & sub.missing
+                ff = sub.fin_filled if sub.fin_filled is not None else np.zeros(n, bool)
+                undef_hit |= ok_rows & sub.missing & ~ff
+                branch_filled |= ok_rows & ff
             errors.extend(sub.errors)
             failed |= sel & sub.failed
+            # a DECIDED branch failure keeps its processed value (joi
+            # returns the branch result as-is) — only try-style no-match
+            # leaves value undefined (validator.js:234), so the node
+            # default must not fire here (fuzz seed 35000189,
+            # node-verified) unless the input itself was undefined
+            defined_failed |= sel & sub.failed & ~(
+                sub.missing if sub.missing is not None else np.zeros(n, bool))
             if ok_rows.any():
                 branch_values.append((ok_rows, sub.value))
     value, alt_view = _finalize_branch_values(arr, branch_values, n)
@@ -2388,8 +2422,10 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
             # undefined at finalize = missing + no-branch-match failures
             # (value = base.value leaves undefined, validator.js:234) +
             # strip-branch matches (branch finalize returned undefined);
-            # invalids fail with the value KEPT, so they're excluded
-            undef=missing | (failed & ~defined_failed) | strip_hit | undef_hit)
+            # invalids fail with the value KEPT, so they're excluded;
+            # branch default/failover fills are DEFINED now
+            undef=(missing & ~branch_filled) | (failed & ~defined_failed)
+                  | strip_hit | undef_hit)
         if dflt_pairs:
             # blocked cross-type default/failover values: merge into the
             # typed-view pairs so refs resolve them (later pairs win)
@@ -3133,15 +3169,23 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                            else np.zeros(len(flat), bool))
                     hit = remaining & ok
                     if ic.flags.get("strip"):
-                        # items matching a strip-marked schema are removed
-                        # from the output array (array.js strip handling);
-                        # a required schema's first claim stays as undefined
-                        claim, splice = _required_strip_claims(
-                            ic, hit, parents, positions, n_items, n, node,
-                            add_err, items_grp, shift_recs)
-                        strip_items |= splice
-                        if claim is not None:
-                            undef_items |= claim
+                        if id(ic) in _req_attempts:
+                            # the requireds PRE-LOOP already holds this
+                            # schema's claim — inclusion-stage matches of
+                            # an already-claimed required splice like
+                            # plain inclusions (array.js:280-283; fuzz
+                            # seed 38000247, node-verified)
+                            strip_items |= hit
+                        else:
+                            # items matching a strip-marked schema are
+                            # removed from the output array; a required
+                            # schema's first claim stays as undefined
+                            claim, splice = _required_strip_claims(
+                                ic, hit, parents, positions, n_items, n, node,
+                                add_err, items_grp, shift_recs)
+                            strip_items |= splice
+                            if claim is not None:
+                                undef_items |= claim
                     else:
                         # a matched item whose CONVERTED value is undefined
                         # (empty('') conversion) sparse-errors and keeps

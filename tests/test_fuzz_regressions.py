@@ -1941,3 +1941,89 @@ def test_failover_does_not_resurrect_post_abort_warns():
     r2 = jr.compile_schema(s2, prefs={"abort_early": True}).validate_table(t2)
     assert r2.violations["code"].to_pylist() == ["string.alphanum"]
     assert r2.violations["severity"].to_pylist() == ["warn"]
+
+
+def test_ended_switch_alternatives_ignores_presence_default():
+    # fuzz seed 35000022 (node-verified): a match entry carrying BOTH
+    # then and otherwise makes the presence default 'ignore'
+    # (validator.js:170 _endedSwitch) — undefined flows INTO the matched
+    # branch, whose own presence/defaults govern; a then-only entry does
+    # NOT end the switch, so prefs presence applies at the wrapper
+    ended = jr.object({
+        "a": jr.alternatives().when("c", is_=2.0, then=jr.string().default("T"),
+                                    otherwise=jr.string().default("F")),
+        "c": jr.number(),
+    })
+    t = pa.table({"a": pa.array([None], pa.string()), "c": [6.0]})
+    r = jr.compile_schema(ended, prefs={"abort_early": False}).validate_table(t)
+    assert r.violations.num_rows == 0
+    assert r.value["a"].to_pylist() == ["F"]  # branch default fills
+    r2 = jr.compile_schema(ended, prefs={"abort_early": False,
+                                         "presence": "required"}).validate_table(t)
+    assert r2.violations["code"].to_pylist() == ["any.required"]  # from the BRANCH
+    not_ended = jr.object({
+        "a": jr.alternatives().when("c", is_=2.0, then=jr.string().default("T")),
+        "c": jr.number(),
+    })
+    r3 = jr.compile_schema(not_ended, prefs={"abort_early": False}).validate_table(t)
+    assert r3.violations.num_rows == 0
+    assert r3.value["a"].to_pylist() == [None]  # wrapper optional: early return
+    r4 = jr.compile_schema(not_ended, prefs={"abort_early": False,
+                                             "presence": "required"}).validate_table(t)
+    assert r4.violations["code"].to_pylist() == ["any.required"]  # wrapper
+
+
+def test_decided_branch_failure_keeps_value_from_node_default():
+    # fuzz seed 35000189 (node-verified): a DECIDED when-branch failure
+    # keeps its processed value (joi returns the branch result as-is), so
+    # the node default must NOT fire — only try-style no-match leaves the
+    # value undefined (validator.js:234)
+    def boom():
+        raise RuntimeError("x")
+
+    s = jr.object({
+        "a": jr.string(),
+        "b": jr.alternatives().when("a", is_="a", then=jr.number().strip(),
+                                    otherwise=jr.number().max(37).negative()
+                                    ).default(boom),
+    })
+    t = pa.table({"a": ["q"], "b": pa.array([65536.0], pa.float64())})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    codes = sorted(r.violations["code"].to_pylist())
+    assert codes == ["number.max", "number.negative"]  # no any.default
+
+
+def test_emptied_rows_shadow_undefined_not_raw_original():
+    # fuzz seed 35000213 (node-verified): an empty('')-converted row in a
+    # strip-flagged branch shadows UNDEFINED (finalize saw the conversion)
+    # — a later sibling is:'' condition must not resolve the raw ''
+    s = jr.object({
+        "a": jr.alternatives([jr.string().length(2).empty(
+            jr.string().valid("N/A", "")).strip()]),
+        "b": jr.alternatives().when("a", is_="", then=jr.number().max(-1)),
+    })
+    t = pa.table({"a": [""], "b": pa.array([0.5], pa.float64())})
+    r = jr.compile_schema(s, prefs={"abort_early": False, "convert": False}).validate_table(t)
+    assert "number.max" not in r.violations["code"].to_pylist()
+
+
+def test_claimed_required_strip_splices_later_matches():
+    # fuzz seed 38000247 (node-verified): the requireds pre-loop claims
+    # the FIRST match of a required+strip items schema (undefined +
+    # array.sparse, no splice); LATER matches reach the inclusions stage
+    # of the already-claimed schema and splice like plain inclusions
+    # (array.js:280-283) — they must not produce a second sparse claim
+    s = jr.object({
+        "b": jr.array().items(jr.string().max(7).trim().required().strip()),
+        "c": jr.array().items(jr.number()),
+    })
+    t = pa.table({"b": pa.array([[" pad ", "x1"]], pa.list_(pa.string())),
+                  "c": pa.array([[3.0]], pa.list_(pa.float64()))})
+    r = jr.compile_schema(s, prefs={
+        "abort_early": False,
+        "strip_unknown": {"arrays": True, "objects": True},
+    }).validate_table(t)
+    recs = list(zip(r.violations["path"].to_pylist(),
+                    r.violations["item_index"].to_pylist(),
+                    r.violations["code"].to_pylist()))
+    assert recs == [("b", 0, "array.sparse")]  # one claim, item1 spliced

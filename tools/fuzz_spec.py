@@ -267,7 +267,7 @@ class Gen:
                 "switchcol", "peekcol", "patstruct", "renstruct", "deepstruct",
                 "altobj", "structarray", "hascol",
                 "extnum", "extstr", "forkfield", "extractfield", "concatalts",
-                "altercol", "assertcol", "whenstruct", "whenarray"]
+                "altercol", "assertcol", "whenstruct", "whenarray", "altwhen"]
         )
         if kind == "number":
             return (self.leaf_spec("number", sibling_nums), pa.float64(),
@@ -374,6 +374,31 @@ class Gen:
             pool = NUMBERS if base_family == "number" else STRINGS
             at = pa.float64() if base_family == "number" else pa.string()
             return (base, at, lambda: self.pick(pool))
+        if kind == "altwhen":
+            # when() on a RAW alternatives: entries push MATCH entries
+            # (alternatives.js:165-218) — a then-only condition that does
+            # not match falls through to the NEXT entry (no base.js
+            # wrapping, no auto-filled otherwise), so 1-3 sequential
+            # conditions are legal until one carries both branches
+            fam = self.pick(["number", "string"])
+            others = [n for n in col_names if n != name]
+            pool_is = NUMBERS[:5] + STRINGS[:5]
+            n_conds = r.randint(1, 3)
+            chain: list = []
+            for i in range(n_conds):
+                cond = self.pick(others) if others else name
+                kw: dict = {"is": self.pick(pool_is),
+                            "then": {"$s": self.leaf_spec(fam, [])}}
+                if i == n_conds - 1 and self.maybe(0.4):
+                    kw["otherwise"] = {"$s": self.leaf_spec(fam, [])}
+                chain.append(["when", cond, {"$kw": kw}])
+            if self.maybe(0.3):
+                chain.append(["default", self.pick(
+                    NUMBERS[:5] if fam == "number" else STRINGS[:5])])
+            spec = {"t": "alternatives", "c": chain}
+            at = pa.float64() if fam == "number" else pa.string()
+            pool = NUMBERS if fam == "number" else STRINGS
+            return (spec, at, lambda: self.pick(pool))
         if kind == "whenarray":
             # when() on an ARRAY column: branches are array deltas joi
             # concats with the base — min/max/sparse/unique/required flips
