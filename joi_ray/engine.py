@@ -1537,7 +1537,15 @@ def _eval_node_impl(
             if (node.flags.get("raw") or node.flags.get("strip"))
             else None
         ),
-        fin_filled=_fin_filled if _fin_filled.any() else None,
+        # a result flag REVERTS the finalize fill in the output slot
+        # (validator.js:413-421 runs after the default step: raw returns
+        # the ORIGINAL — undefined for missing input — and strip returns
+        # undefined), so a wrapper's own default still sees those rows as
+        # undefined (fuzz seed 40000303, node-verified: raw otherwise-
+        # branch + post-when default(thrower) errors any.default)
+        fin_filled=(_fin_filled if _fin_filled.any()
+                    and not (node.flags.get("raw") or node.flags.get("strip"))
+                    else None),
     )
     pairs = ([_list_alt_pair] if _list_alt_pair is not None else []) + dflt_pairs
     if pairs:

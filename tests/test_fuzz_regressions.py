@@ -2027,3 +2027,26 @@ def test_claimed_required_strip_splices_later_matches():
                     r.violations["item_index"].to_pylist(),
                     r.violations["code"].to_pylist()))
     assert recs == [("b", 0, "array.sparse")]  # one claim, item1 spliced
+
+
+def test_raw_branch_reverts_default_fill_for_wrapper_default():
+    # fuzz seed 40000303 (node-verified): the branch's default fills the
+    # required-missing value, but the branch's raw() result flag reverts
+    # to the ORIGINAL (undefined) at the end of finalize
+    # (validator.js:413-421) — so the post-when wrapper default still
+    # sees the row as undefined and its thrower errors any.default
+    # alongside the branch's any.required
+    def boom():
+        raise RuntimeError("x")
+
+    s = jr.object({
+        "a": jr.string().default("abc").when(
+            "a", is_="abc",
+            then=jr.string().uppercase().valid(" pad ", "a", "x1").forbidden().label("L7"),
+            otherwise=jr.string().alphanum().hex().valid("x1").raw(),
+        ).default(boom),
+    })
+    t = pa.table({"a": pa.array([None], pa.string())})
+    r = jr.compile_schema(s, prefs={"abort_early": False,
+                                    "presence": "required"}).validate_table(t)
+    assert sorted(r.violations["code"].to_pylist()) == ["any.default", "any.required"]
