@@ -4327,7 +4327,7 @@ def _abort_early_filter(t: pa.Table) -> pa.Table:
     - warnings ride along until the abort point."""
     if t.num_rows == 0:
         return t
-    sev = np.asarray(t["severity"].to_pylist())
+    is_err_col = as_bool_np(pc.equal(t["severity"], "error"), t.num_rows)
     rows = t["row"].to_numpy()
     recs = t["_rec"].to_numpy().astype(np.int64)
     subs = t["_sub"].to_numpy().astype(np.int64)
@@ -4345,7 +4345,7 @@ def _abort_early_filter(t: pa.Table) -> pa.Table:
     # node's finalize ran after it) — fuzz seeds 17100263 / 18000711
     fin = (t["_fin"].to_numpy(zero_copy_only=False).astype(bool)
            if "_fin" in t.column_names else np.zeros(t.num_rows, dtype=bool))
-    is_err = sev == "error"
+    is_err = is_err_col
     if not soft.any():
         # fast path (no converted-sparse in the batch — the common case):
         # vectorized first-error-per-row + preceding warnings
