@@ -2698,10 +2698,17 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
     items_grp = object()
     _sparse_info = None  # (rec, flat mask) for strip-arrays index shifts
 
-    # sparse: null items forbidden unless flag (array.js:454-466)
+    # sparse: null items forbidden unless flag (array.js:454-466).
+    # Item masks are ROW-scoped up front: under a whens branch, add_err
+    # drops out-of-scope rows from the rec, so any bookkeeping mask paired
+    # with a rec (strip-splice index shifts, shift_recs) must agree with
+    # the rec's rows or the violations assembly misaligns (fuzz seed
+    # 43005514: a branch-scoped sparse rec kept 5 rows against an
+    # 8-row mask)
+    item_in_scope = scope[parents] if len(parents) else np.zeros(0, dtype=bool)
     if not node.flags.get("sparse") and len(parents):
         nulls = as_bool_np(pc.is_null(flat), len(flat))
-        if nulls.any():
+        if (nulls & item_in_scope).any():
             sparse_mask = nulls
             if node.ordered and not node.items:
                 # joi BREAKs the items loop at the first beyond-slots
@@ -2713,6 +2720,7 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                     cutoff = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
                     np.minimum.at(cutoff, parents[beyond_live], positions[beyond_live])
                     sparse_mask = nulls & (positions < cutoff[parents])
+            sparse_mask = sparse_mask & item_in_scope
             if sparse_mask.any():
                 _sparse_rec = add_err(
                     "array.sparse",
@@ -2877,6 +2885,10 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
     # with sparse() they flow through item validation like any value
     nulls_flat = as_bool_np(pc.is_null(flat), n_items) if n_items else np.zeros(0, bool)
     item_live = np.ones(n_items, dtype=bool) if node.flags.get("sparse") else ~nulls_flat
+    # row scope applies to EVERY item-level mask, keeping rec bookkeeping
+    # aligned with add_err's own scope filter (seed 43005514)
+    if len(parents):
+        item_live &= item_in_scope
     if (len(inclusions) == 1 and not exclusions and not node.ordered and not strip_arrays
             and not inclusions[0].flags.get("strip")):
         # single inclusion: the item's ACTUAL errors surface, not
@@ -3042,7 +3054,11 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
         if node.items:
             remaining = item_scope_all & ~matched_any
             # exclusions first (array.js:206-218): a match errors and claims
-            # the item before any inclusion can
+            # the item before any inclusion can — an exclusion-errored item
+            # also never reaches the requireds loop (`errored -> continue`),
+            # so it cannot CLAIM a required schema (fuzz seed 43005251,
+            # node-verified: all-excluded items still miss the required)
+            excl_hit = np.zeros(n_items, dtype=bool)
             for ic in exclusions:
                 if not remaining.any():
                     break
@@ -3062,6 +3078,7 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                     if rec_x is not None:  # branch scope can drop every row
                         shift_recs.append((rec_x, np.nonzero(bad)[0]))
                 matched_any |= bad
+                excl_hit |= bad
                 remaining = remaining & ~bad
             if len(inclusions) == 1 and not strip_arrays and remaining.any():
                 # single inclusion: unmatched items surface the item's
@@ -3270,7 +3287,8 @@ def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fai
                     # a required occurrence (fuzz seed 3000341: [undefined]
                     # still misses the required item) — node_validity
                     # defaults to "valid" outside its scope
-                    ok = node_validity(ic, flat, child_env, item_scope_all) & ~claimed & item_scope_all
+                    ok = (node_validity(ic, flat, child_env, item_scope_all)
+                          & ~claimed & item_scope_all & ~excl_hit)
                     matched_j = np.zeros(n, dtype=bool)
                     idxs = np.nonzero(ok)[0]
                     if len(idxs):

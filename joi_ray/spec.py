@@ -313,8 +313,20 @@ class Schema:
                 "set rules BEFORE the when() or inside its branches")
         s = self._clone()
         if single:
-            # non-multi rules replace a prior instance (lib/base.js:617-622)
-            s.rules = [r for r in s.rules if r["name"] != name]
+            # a duplicate single rule with DEEP-EQUAL options is a NO-OP —
+            # the original keeps its chain position (base.js:617-621
+            # returns `this`; fuzz seed 46000268: min(2)...min(2) under
+            # abortEarly errors number.min first, not a later rule)
+            prev = next((r for r in s.rules if r["name"] == name), None)
+            if prev is not None:
+                try:
+                    if prev.get("args", {}) == (args or {}):
+                        return self
+                except Exception:  # noqa: BLE001 — exotic arg __eq__
+                    pass
+                # different options: remove + re-push at the end
+                # (base.js:661-663 _ruleRemove then push)
+                s.rules = [r for r in s.rules if r["name"] != name]
         s.rules.append({"name": name, "args": args or {}})
         # adding a rule RE-OPENS last-rule mode after a closed ruleset
         # (lib/base.js:666-667): min(1).message('a').max(2).message('b') ok

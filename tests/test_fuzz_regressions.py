@@ -2050,3 +2050,57 @@ def test_raw_branch_reverts_default_fill_for_wrapper_default():
     r = jr.compile_schema(s, prefs={"abort_early": False,
                                     "presence": "required"}).validate_table(t)
     assert sorted(r.violations["code"].to_pylist()) == ["any.default", "any.required"]
+
+
+def test_branch_scoped_array_sparse_rec_stays_aligned():
+    # fuzz seed 43005514: under a whens branch scope, add_err drops
+    # out-of-scope rows from the violation rec — every item-level
+    # bookkeeping mask (sparse strip-splice shifts, shift_recs) must be
+    # row-scoped the same way or the violations assembly misaligns
+    # (ArrowInvalid length mismatch)
+    s = jr.object({
+        "a": jr.alternatives([jr.number(), jr.string().min(2).default("").optional()]),
+        "b": jr.array().items(jr.string().min(1)).when(
+            "a", is_=0.0, then=jr.array().max(2)).label("W1"),
+    })
+    t = pa.table({
+        "a": ["0.0", "xx", None],
+        "b": pa.array([["x", None], [None, "y"], [None]], pa.list_(pa.string())),
+    })
+    r = jr.compile_schema(s, prefs={
+        "abort_early": False,
+        "strip_unknown": {"arrays": True, "objects": True},
+    }).validate_table(t)  # must not raise
+    assert r.violations.num_rows >= 1
+
+
+def test_excluded_items_cannot_claim_requireds():
+    # fuzz seed 43005251 (node-verified): an exclusion-errored item
+    # `continue`s before joi's requireds loop (array.js:206-218), so it
+    # can never CLAIM a required items schema — an all-excluded array
+    # still misses the required (array.includesRequiredUnknowns)
+    s = jr.object({
+        "a": jr.array().items(
+            jr.number().invalid(0.5, 10.0).forbidden(),
+            jr.number().max(32).integer().valid(0.0, -1.0, 5.0).required(),
+        ),
+    })
+    t = pa.table({"a": pa.array([[3.0, 5.0]], pa.list_(pa.float64()))})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    codes = sorted(r.violations["code"].to_pylist())
+    assert codes == ["array.excludes", "array.excludes", "array.includesRequiredUnknowns"]
+
+
+def test_duplicate_single_rule_is_a_noop_keeping_position():
+    # fuzz seed 46000268 (node-verified): re-adding a non-multi rule with
+    # DEEP-EQUAL options is a no-op (base.js:617-621 returns `this`) — the
+    # original keeps its chain position, so under abortEarly
+    # min(2)...min(2) on 0.5 errors number.min, not a later rule; a
+    # DIFFERENT limit removes the old rule and pushes at the end
+    s = jr.object({"a": jr.number().min(2).max(48).less(-4).integer().min(2)})
+    t = pa.table({"a": pa.array([0.5], pa.float64())})
+    r = jr.compile_schema(s, prefs={"abort_early": True, "convert": False}).validate_table(t)
+    assert r.violations["code"].to_pylist() == ["number.min"]
+    s2 = jr.object({"a": jr.number().min(5).max(48).less(-4).min(2)})
+    r2 = jr.compile_schema(s2, prefs={"abort_early": True, "convert": False}).validate_table(t)
+    assert r2.violations["code"].to_pylist() == ["number.less"]  # min moved last
