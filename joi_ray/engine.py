@@ -776,7 +776,12 @@ def _eval_node_impl(
 
     # schema-local prefs override call prefs (lib/validator.js:116-118,433-448)
     if node.schema.prefs:
-        env = Env({**env.prefs, **node.schema.prefs}, env._resolve_sibling, env.ancestors)
+        _e2 = Env({**env.prefs, **node.schema.prefs}, env._resolve_sibling, env.ancestors)
+        # keep the parent-row accessor for arg-taking fn defaults/failovers
+        # (fuzz seed 48003724: schema-local prefs dropped it, feeding the
+        # failover fn a None parent)
+        _e2.row_getter = env.row_getter
+        env = _e2
 
     # ---- conditionals: branch per row, each branch = base.concat(branch)
     if node.whens:
@@ -1331,29 +1336,9 @@ def _eval_node_impl(
                 # joi had already RETURNED at the row's first hard error
                 # (array.js:213-216 etc.) — warns that would have fired
                 # AFTER that point were never emitted, and the failover's
-                # error-clear must not resurrect them (fuzz seed 29003478,
-                # node-verified: slot0 number.base aborts before slot1's
-                # alphanum warn; failover then clears the error).  The
-                # errors list is in emission (fire) order.
-                first_hard = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
-                for pos, rec in enumerate(errors):
-                    if rec.warn:
-                        continue
-                    rows = rec.rows if rec.rows is not None else np.nonzero(rec.mask)[0]
-                    np.minimum.at(first_hard, rows, pos)
-                for pos, rec in enumerate(errors):
-                    if not rec.warn:
-                        continue
-                    if rec.rows is None:
-                        rec.mask = rec.mask & ~(fo_mask & (first_hard < pos))
-                    else:
-                        keep = ~(fo_mask[rec.rows] & (first_hard[rec.rows] < pos))
-                        if not keep.all():
-                            rec.rows, rec.item_index = rec.rows[keep], rec.item_index[keep]
-                            if getattr(rec, "fire_items", None) is not None:
-                                rec.fire_items = rec.fire_items[keep]
-                            if getattr(rec, "values", None) is not None:
-                                rec.values = [v for v, k in zip(rec.values, keep) if k]
+                # error-clear must not resurrect them (fuzz seeds
+                # 29003478 / 49000734, node-verified)
+                _drop_post_abort_warns(errors, fo_mask, n)
             for rec in errors:
                 if rec.warn:
                     # failover clears ERRORS only (validator.js:359-364
@@ -2121,28 +2106,7 @@ def _apply_default_failover_alt(node, value, missing, failed, scope, errors, env
                     # after that point never fired; the failover's clear
                     # must not resurrect them (fuzz seed 30500135: a
                     # required-missing p aborts before q's pattern warn)
-                    first_hard = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
-                    for pos, rec in enumerate(errors):
-                        if rec.warn:
-                            continue
-                        rows = (rec.rows if getattr(rec, "rows", None) is not None
-                                else np.nonzero(rec.mask)[0])
-                        np.minimum.at(first_hard, rows, pos)
-                    for pos, rec in enumerate(errors):
-                        if not rec.warn:
-                            continue
-                        if getattr(rec, "rows", None) is None:
-                            rec.mask = rec.mask & ~(fm & (first_hard < pos))
-                        else:
-                            keep = ~(fm[rec.rows] & (first_hard[rec.rows] < pos))
-                            if not keep.all():
-                                rec.rows = rec.rows[keep]
-                                if rec.item_index is not None:
-                                    rec.item_index = rec.item_index[keep]
-                                if getattr(rec, "fire_items", None) is not None:
-                                    rec.fire_items = rec.fire_items[keep]
-                                if getattr(rec, "values", None) is not None:
-                                    rec.values = [v for v, k in zip(rec.values, keep) if k]
+                    _drop_post_abort_warns(errors, fm, n)
                 # failover clears ERRORS only; pre-abort warnings persist
                 for rec in errors:
                     if rec.warn:
@@ -2211,7 +2175,23 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
             rec = ErrRec("any.unknown", bad, path, {**_lbl}, -3)
             rec.rows = None
             errors.append(rec)
-        return NodeResult(value=arr, errors=errors, missing=missing, failed=bad)
+        # joi's presence return STILL runs finalize (validator.js:172-186
+        # `return internals.finalize(...)`) — a node failover consumes the
+        # any.unknown and a default fills undefined rows (fuzz seed
+        # 48004116: forbidden + default(thrower) errors any.default on
+        # the MISSING rows too)
+        fb_value, fb_failed = arr, bad
+        if ("default" in node.flags or "failover" in node.flags):
+            fb_value, fb_failed, fb_pairs, fb_filled = _apply_default_failover_alt(
+                node, fb_value, missing, fb_failed, scope, errors, env, path, _lbl,
+                undef=missing)
+            nr0 = NodeResult(value=fb_value, errors=errors, missing=missing, failed=fb_failed)
+            if fb_filled is not None and fb_filled.any():
+                nr0.fin_filled = fb_filled
+            if fb_pairs:
+                nr0.alt_view = AltView(fb_value, fb_pairs)
+            return nr0
+        return NodeResult(value=fb_value, errors=errors, missing=missing, failed=fb_failed)
     elif presence == "ignore":
         pass  # undefined rows flow into the match loop (validator.js:170)
     else:
@@ -2688,6 +2668,97 @@ def _required_strip_claims(ic, hit, parents, positions, n_items, n, node, add_er
         if shift_recs is not None and rec is not None:
             shift_recs.append((rec, np.nonzero(claim)[0]))
     return claim, hit & ~claim
+
+
+def _drop_post_abort_warns(errors: list, fm: np.ndarray, n: int):
+    """Under abortEarly joi RETURNED at the row's first hard error — warns
+    that would have fired after it were never emitted, and a failover's
+    error-clear must not resurrect them (fuzz seeds 29003478/30500135).
+    Ordering follows joi's walk like _abort_early_filter: (ordering-group
+    first emission index, FIRE-time item index, emission index) — an
+    item-0 warn precedes an item-1 hard error from an EARLIER rec
+    (fuzz seed 49000734, node-verified)."""
+    group_first: dict[int, int] = {}
+    eff = []
+    for pos, rec in enumerate(errors):
+        g = getattr(rec, "order", None)
+        eff.append(pos if g is None else group_first.setdefault(id(g), pos))
+
+    def _key(pos, rec, rows):
+        items = getattr(rec, "fire_items", None)
+        if items is None and getattr(rec, "item_index", None) is not None:
+            items = rec.item_index
+        it = (np.asarray(items, dtype=np.int64) if items is not None
+              else np.full(len(rows), -1, dtype=np.int64))
+        return (np.int64(eff[pos]) << 42) | ((it + 1) << 21) | np.int64(pos)
+
+    INF = np.iinfo(np.int64).max
+    first_key = np.full(n, INF, dtype=np.int64)
+    for pos, rec in enumerate(errors):
+        if rec.warn:
+            continue
+        rows = rec.rows if getattr(rec, "rows", None) is not None else np.nonzero(rec.mask)[0]
+        if not len(rows):
+            continue
+        np.minimum.at(first_key, rows, _key(pos, rec, rows))
+    for pos, rec in enumerate(errors):
+        if not rec.warn:
+            continue
+        rows = rec.rows if getattr(rec, "rows", None) is not None else None
+        if rows is None:
+            wrows = np.nonzero(rec.mask)[0]
+            if not len(wrows):
+                continue
+            drop = fm[wrows] & (_key(pos, rec, wrows) > first_key[wrows])
+            if drop.any():
+                m2 = rec.mask.copy()
+                m2[wrows[drop]] = False
+                rec.mask = m2
+            continue
+        if not len(rows):
+            continue
+        drop = fm[rows] & (_key(pos, rec, rows) > first_key[rows])
+        if drop.any():
+            keep = ~drop
+            rec.rows = rows[keep]
+            if getattr(rec, "item_index", None) is not None:
+                rec.item_index = rec.item_index[keep]
+            if getattr(rec, "fire_items", None) is not None:
+                rec.fire_items = rec.fire_items[keep]
+            if getattr(rec, "values", None) is not None:
+                rec.values = [v for v, k in zip(rec.values, keep) if k]
+
+
+def _parent_row_getter(columns: dict, results: dict):
+    """Per-row PARENT dict for arg-taking function defaults/failovers
+    (validator.js:465 passes Hoek.clone(state.ancestors[0])): joi's value
+    object MUTATES as keys validate in topo order, so already-validated
+    keys expose their PROCESSED value (converted/defaulted), errored keys
+    keep the original (object.js:125-140), and strip keys read as deleted
+    (fuzz seed 48002125, node-verified: a forbidden key's failover
+    fn reads the sibling's default-filled value, not the raw null).
+    ``results`` is the live per-key dict the key loop fills — keys not
+    yet validated fall back to the raw column like joi's untouched
+    value[key]."""
+    def get(i):
+        i = int(i)
+        out = {}
+        for k2, c2 in columns.items():
+            res2 = results.get(k2)
+            if res2 is None:
+                out[k2] = c2[i].as_py()
+                continue
+            f2 = res2.failed
+            if f2 is not None and bool(f2[i]):
+                out[k2] = c2[i].as_py()
+            elif res2.strip or (res2.strip_rows is not None
+                                and bool(res2.strip_rows[i])):
+                out[k2] = None
+            else:
+                v2 = res2.value
+                out[k2] = combine(v2)[i].as_py() if v2 is not None else None
+        return out
+    return get
 
 
 def _eval_array(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, failed, add_err) -> pa.Array:
@@ -3567,9 +3638,7 @@ def _eval_object(node: CNode, arr: pa.Array, env: Env, path, scope, resolved, fa
 
     child_env = env.child(resolve_sibling)
     # parent rows for arg-taking function defaults (validator.js:465)
-    child_env.row_getter = lambda i: {
-        k2: c2[int(i)].as_py() for k2, c2 in children.items()
-    }
+    child_env.row_getter = _parent_row_getter(children, results)
     kscope = scope & parent_present
 
     for key in _topo_keys(node.keys):
@@ -4010,9 +4079,7 @@ class CompiledSchema:
 
         env = Env(self.prefs, resolve_sibling)
         # parent rows for arg-taking function defaults (validator.js:465)
-        env.row_getter = lambda i: {
-            k2: c2[int(i)].as_py() for k2, c2 in columns.items()
-        }
+        env.row_getter = _parent_row_getter(columns, results)
         scope = np.ones(n, dtype=bool)
 
         for key in self.key_order:

@@ -319,8 +319,16 @@ class Schema:
             # abortEarly errors number.min first, not a later rule)
             prev = next((r for r in s.rules if r["name"] == name), None)
             if prev is not None:
+                # v16 artifact: the FIRST call's stored options lose their
+                # undefined args (base.js:630-634 `delete args[key]`
+                # mutates the stored object) while the re-add's options
+                # still carry them, so rules with an undefined optional
+                # arg (string min/max/length's `encoding`) NEVER compare
+                # deep-equal and always remove+re-push (node-verified:
+                # string min(2)...min(2) moves last; number min(2) stays)
                 try:
-                    if prev.get("args", {}) == (args or {}):
+                    if (prev.get("args", {}) == (args or {})
+                            and not any(v is None for v in (args or {}).values())):
                         return self
                 except Exception:  # noqa: BLE001 — exotic arg __eq__
                     pass

@@ -2104,3 +2104,85 @@ def test_duplicate_single_rule_is_a_noop_keeping_position():
     s2 = jr.object({"a": jr.number().min(5).max(48).less(-4).min(2)})
     r2 = jr.compile_schema(s2, prefs={"abort_early": True, "convert": False}).validate_table(t)
     assert r2.violations["code"].to_pylist() == ["number.less"]  # min moved last
+
+
+def test_parent_arg_fns_read_processed_sibling_values():
+    # fuzz seed 48002125 (node-verified): joi's value object MUTATES as
+    # keys validate in topo order — an arg-taking failover fn receives
+    # the sibling's PROCESSED value (here the default-filled a=5), not
+    # the raw null; and a forbidden key's presence return still runs
+    # finalize, so the failover consumes the any.unknown
+    def parent_a2(parent, prefs):
+        return parent["a"] * 2
+
+    s = jr.object({
+        "a": jr.number().default(5.0).optional(),
+        "d": jr.number().integer().default(5.0).forbidden().failover(parent_a2),
+    })
+    t = pa.table({"a": pa.array([None], pa.float64()),
+                  "d": pa.array([0.0], pa.float64())})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    assert r.violations.num_rows == 0
+    assert r.value.to_pylist() == [{"a": 5.0, "d": 10.0}]
+    # schema-local prefs on the consuming node keep the parent accessor
+    s2 = jr.object({
+        "a": jr.number().default(5.0).optional(),
+        "b": jr.number().greater(47.0).less(13.0).default(5.0).when(
+            "a", is_="ABC", then=jr.number().min(8)).preferences(
+            convert=False).failover(parent_a2),
+    })
+    t2 = pa.table({"a": pa.array([2.0], pa.float64()),
+                   "b": pa.array([65536.0], pa.float64())})
+    r2 = jr.compile_schema(s2, prefs={"abort_early": False}).validate_table(t2)
+    assert r2.violations.num_rows == 0
+    assert r2.value["b"].to_pylist() == [4.0]
+
+
+def test_forbidden_alternatives_runs_finalize_default():
+    # fuzz seed 48004116 (node-verified): joi's forbidden presence return
+    # goes through internals.finalize (validator.js:186), so a node
+    # default(thrower) on a schema-local-forbidden alternatives errors
+    # any.default on MISSING rows too
+    def boom():
+        raise RuntimeError("x")
+
+    s = jr.object({
+        "a": jr.alternatives([
+            jr.object({"p": jr.number().required()}),
+            jr.object({"q": jr.string().required()}),
+        ]).preferences(presence="forbidden").default(boom).label("W1"),
+    })
+    t = pa.table({"a": pa.array([None], pa.struct([("p", pa.float64()), ("q", pa.string())]))})
+    r = jr.compile_schema(s, prefs={"abort_early": True}).validate_table(t)
+    assert r.violations["message"].to_pylist() == [
+        '"W1" threw an error when running default method']
+
+
+def test_string_duplicate_min_always_repushes():
+    # node-verified v16 artifact (seed 48004609): string min's undefined
+    # `encoding` arg is DELETED from the stored options at first add
+    # (base.js:630-634 mutates), so a re-added identical min never
+    # compares deep-equal and moves to the END — unlike number.min,
+    # whose args survive intact and no-op in place
+    s = jr.object({"a": jr.string().min(2).token().data_uri().min(2)})
+    t = pa.table({"a": ["3"]})
+    r = jr.compile_schema(s, prefs={"abort_early": True}).validate_table(t)
+    assert r.violations["code"].to_pylist() == ["string.dataUri"]
+
+
+def test_failover_keeps_item_warn_fired_before_later_items_hard_error():
+    # fuzz seed 49000734 (node-verified): joi's items walk is ITEM-outer —
+    # item 0's creditCard warn fires BEFORE item 1's any.invalid hard
+    # error, so under abortEarly the warn rides along and SURVIVES the
+    # node failover's error-clear (the post-abort drop orders by
+    # fire-item index, not flat rec position)
+    s = jr.object({
+        "a": jr.array().items(
+            jr.string().max(7).credit_card().warn().invalid("ABC").strip()
+        ).failover(lambda: 7),
+    })
+    t = pa.table({"a": pa.array([["abc", "ABC"]], pa.list_(pa.string()))})
+    r = jr.compile_schema(s, prefs={"abort_early": True}).validate_table(t)
+    assert r.violations["code"].to_pylist() == ["string.creditCard"]
+    assert r.violations["severity"].to_pylist() == ["warn"]
+    assert r.violations["item_index"].to_pylist() == [0]
