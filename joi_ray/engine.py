@@ -295,6 +295,9 @@ class CNode:
         # worst case, K is small in practice).
         self.whens = []
         self.wrapper_fins: dict | None = None  # post-when default/failover
+        self.wrapper_allow: list | None = None  # post-when valid() values
+        self.wrapper_invalid: list | None = None
+        self.wrapper_only = False
         all_whens = t.get("whens", [])
         for w in all_whens[:1]:
             rest = all_whens[1:]
@@ -304,13 +307,13 @@ class CNode:
                 base.terms["whens"] = rest
             bf = w.get("base_flags")
             if bf is not None:
-                # the BRANCHES carry the PRE-when default/failover snapshot
-                # (joi: branch = base-at-when-time concat then/otherwise,
-                # base.js:330-343); flags (re)set after the when belong to
-                # the wrapper and apply over the merged result instead
-                # (fuzz seeds 957 / 1028, node-verified)
+                # the BRANCHES carry the PRE-when default/failover/only
+                # snapshot (joi: branch = base-at-when-time concat then/
+                # otherwise, base.js:330-343); flags (re)set after the when
+                # belong to the wrapper and apply over the merged result
+                # instead (fuzz seeds 957 / 1028, node-verified)
                 base.flags = {k: v for k, v in base.flags.items()
-                              if k not in ("default", "failover")}
+                              if k not in ("default", "failover", "only")}
                 base.flags.update(bf)
                 fins = {}
                 for k in ("default", "failover"):
@@ -325,6 +328,45 @@ class CNode:
                         pass
                     fins[k] = self.flags[k]
                 self.wrapper_fins = fins
+            ba = w.get("base_allow")
+            if ba is not None:
+                from .spec import _value_key as _vk
+
+                bi = w.get("base_invalid") or []
+                # branches get the PRE-when sets; values added after the
+                # when live on the fresh WRAPPER (base.js:364), whose own
+                # valids stage runs BEFORE branch dispatch (fuzz seed
+                # 54000083, node-verified: wrapper any.only precedes the
+                # branch's; a wrapper-valid match returns VERBATIM)
+                base.allow_vals = list(ba)
+                base.invalid_vals = list(bi)
+
+                def _delta(cur, snap):
+                    keys = set()
+                    for v in snap:
+                        try:
+                            keys.add(_vk(v))
+                        except TypeError:
+                            pass
+                    out = []
+                    for v in cur:
+                        try:
+                            if _vk(v) in keys:
+                                continue
+                        except TypeError:
+                            pass
+                        out.append(v)
+                    return out
+
+                self.wrapper_allow = [
+                    v for v in _delta(schema.allow_vals, ba)
+                    if v is not None and not _resolvable(v)]
+                self.wrapper_invalid = [
+                    v for v in _delta(schema.invalid_vals, bi)
+                    if v is not None and not _resolvable(v)]
+                # post-when valid() sets only on the WRAPPER itself —
+                # independent of the branches' own (pre-when) only flag
+                self.wrapper_only = bool(self.wrapper_allow)
             if "peek" in w:
                 # schema condition (the reference's peek form,
                 # lib/types/alternatives.js:192): evaluated against the
@@ -786,6 +828,8 @@ def _eval_node_impl(
     # ---- conditionals: branch per row, each branch = base.concat(branch)
     if node.whens:
         w = node.whens[0]
+        scope, _wpre_errs, _wpre_failed = _wrapper_valids_stage(
+            node, arr, env, path, scope, n)
         if "peek" in w:
             cond = node_validity(w["peek"], arr, env, scope)
             sel_then = scope & cond
@@ -793,6 +837,8 @@ def _eval_node_impl(
             merged = NodeResult(value=arr, missing=np.zeros(n, bool), failed=np.zeros(n, bool))
             _merge_into(merged, eval_node(w["then"], arr, env, path, scope=sel_then), sel_then)
             _merge_into(merged, eval_node(w["otherwise"], arr, env, path, scope=sel_other), sel_other)
+            merged.errors[:0] = _wpre_errs
+            merged.failed |= _wpre_failed
             return _finish_whens(
                 node, merged,
                 [(w["then"], sel_then), (w["otherwise"], sel_other)],
@@ -812,6 +858,8 @@ def _eval_node_impl(
             sub = eval_node(w["otherwise"], arr, env, path, scope=remaining)
             _merge_into(merged, sub, remaining)
             parts.append((w["otherwise"], remaining))
+            merged.errors[:0] = _wpre_errs
+            merged.failed |= _wpre_failed
             return _finish_whens(node, merged, parts, env, path, scope)
         cond = _when_condition(w["is"], ref_resolved, env, scope, n)
         sel_then = scope & cond
@@ -819,6 +867,8 @@ def _eval_node_impl(
         merged = NodeResult(value=arr, missing=np.zeros(n, bool), failed=np.zeros(n, bool))
         _merge_into(merged, eval_node(w["then"], arr, env, path, scope=sel_then), sel_then)
         _merge_into(merged, eval_node(w["otherwise"], arr, env, path, scope=sel_other), sel_other)
+        merged.errors[:0] = _wpre_errs
+        merged.failed |= _wpre_failed
         return _finish_whens(
             node, merged,
             [(w["then"], sel_then), (w["otherwise"], sel_other)],
@@ -1605,6 +1655,46 @@ def _apply_cast(arr: pa.Array, to: str, prefs: dict | None = None) -> pa.Array:
         return arr
 
 
+def _wrapper_valids_stage(node: CNode, arr, env: Env, path, scope, n):
+    """joi's when() wrapper runs ITS OWN valids stage before the branch
+    dispatch (validator.js:194-227 precedes the type validate): values
+    added by valid()/invalid() AFTER the when live on the fresh wrapper
+    (base.js:364 starts empty).  A wrapper-valid match returns the value
+    VERBATIM — the branch (and its coercion) never runs; a no-match under
+    the wrapper's only flag pushes any.only (wrapper label) and CONTINUES
+    into the branches, so the branch's own any.only can follow (fuzz seed
+    54000083, node-verified — fires on missing rows too).  Returns
+    (reduced scope, pre-errors, pre-failed)."""
+    pre_errs: list[ErrRec] = []
+    pre_failed = np.zeros(n, dtype=bool)
+    wa = getattr(node, "wrapper_allow", None)
+    wi = getattr(node, "wrapper_invalid", None)
+    if not wa and not wi:
+        return scope, pre_errs, pre_failed
+    _wlbl = ({"label": node.flags["label"]}
+             if "label" in node.flags
+             and not getattr(node.schema, "metas", {}).get("_label_pre_when")
+             else {})
+    insensitive = node.flags.get("insensitive", False)
+    if wa:
+        hit = _set_membership(arr, wa, [], insensitive, env) & scope
+        miss = scope & ~hit
+        scope = miss
+        if getattr(node, "wrapper_only", False) and miss.any():
+            rec = ErrRec("any.only", miss, path, {"valids": wa, **_wlbl}, -2)
+            rec.rows = None
+            pre_errs.append(rec)
+            pre_failed |= miss
+    if wi:
+        inv = _set_membership(arr, wi, [], insensitive, env) & scope
+        if inv.any():
+            rec = ErrRec("any.invalid", inv, path, {"invalids": wi, **_wlbl}, -2)
+            rec.rows = None
+            pre_errs.append(rec)
+            pre_failed |= inv
+    return scope, pre_errs, pre_failed
+
+
 class _WrapperShim:
     """Minimal flag-bearer standing in for joi's unlabeled alternatives
     wrapper in _apply_default_failover_alt."""
@@ -2197,12 +2287,25 @@ def _eval_alternatives(node: CNode, arr, env: Env, path, scope, errors) -> NodeR
     else:
         resolved |= missing
     active = (scope & ~failed) if presence == "ignore" else (scope & ~missing & ~failed)
-    # allow/invalid sets apply to the alternatives node itself too
+    defined_failed = np.zeros(n, dtype=bool)  # failed rows whose value joi KEEPS
+    # allow/invalid sets apply to the alternatives node itself too — and
+    # the valids stage is UNIVERSAL (validator.js:194-227 runs before the
+    # type dispatch): under the only flag a non-match pushes any.only and
+    # CONTINUES into the matches, so the branch union's alternatives.base
+    # follows it (fuzz seed 56000275, node-verified)
     if node.allow_static or node.allow_refs:
         hit = _set_membership(arr, node.allow_static, node.allow_refs, node.flags.get("insensitive", False), env)
         resolved |= hit
         active &= ~hit
-    defined_failed = np.zeros(n, dtype=bool)  # failed rows whose value joi KEEPS
+        if node.flags.get("only"):
+            miss_only = active.copy()
+            if miss_only.any():
+                rec = ErrRec("any.only", miss_only, path,
+                             {"valids": node.allow_static, **_lbl}, -2)
+                rec.rows = None
+                errors.append(rec)
+                failed |= miss_only
+                defined_failed |= miss_only  # value kept
     if node.invalid_static or node.invalid_refs:
         inv = _set_membership(arr, node.invalid_static, node.invalid_refs, node.flags.get("insensitive", False), env) & active
         if inv.any():

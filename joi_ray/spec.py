@@ -358,8 +358,30 @@ class Schema:
 
     exist = required
 
+    @staticmethod
+    def _values_remove(kept: list, value) -> list:
+        """SameValueZero removal of one value (reference Values.remove)."""
+        try:
+            k = _value_key(value)
+        except TypeError:
+            return kept  # unhashable: identity-keyed, clones never match
+        out = []
+        for v in kept:
+            try:
+                if _value_key(v) == k:
+                    continue
+            except TypeError:
+                pass
+            out.append(v)
+        return out
+
     def allow(self, *values) -> "Schema":
         s = self._clone()
+        # an allowed value LEAVES the invalids set at registration time
+        # (base.js:73-80): invalid('x').valid('x') accepts 'x'
+        for v in values:
+            if s.invalid_vals:
+                s.invalid_vals = self._values_remove(s.invalid_vals, v)
         s.allow_vals.extend(_dedup_values(s.allow_vals, values))
         return s
 
@@ -372,6 +394,18 @@ class Schema:
 
     def invalid(self, *values) -> "Schema":
         s = self._clone()
+        # an invalid value LEAVES the valids set (base.js:188-196) — and
+        # emptying a previous valid() set under only REJECTS EVERYTHING,
+        # which the reference asserts at build time (fuzz seed 15100014
+        # via the post-when valids dimension)
+        for v in values:
+            if s.allow_vals:
+                s.allow_vals = self._values_remove(s.allow_vals, v)
+                if not s.allow_vals and s.flags.get("only"):
+                    raise ValueError(
+                        f"Setting invalid value {v!r} leaves schema rejecting "
+                        "all values due to previous valid rule "
+                        "(lib/base.js:194)")
         s.invalid_vals.extend(_dedup_values(s.invalid_vals, values))
         return s
 
@@ -689,8 +723,14 @@ class Schema:
             # on the wrapper and applies in ITS finalize over the merged
             # branch result (fuzz seed 1028, node-verified)
             entry["base_flags"] = {
-                k: self.flags[k] for k in ("default", "failover") if k in self.flags
+                k: self.flags[k] for k in ("default", "failover", "only") if k in self.flags
             }
+            # pre-when valids/invalids snapshot: joi's fresh wrapper starts
+            # with EMPTY sets (base.js:364) — values added after the when
+            # live on the WRAPPER, whose own valids stage runs BEFORE the
+            # branch dispatch (fuzz seed 54000083, node-verified)
+            entry["base_allow"] = list(self.allow_vals)
+            entry["base_invalid"] = list(self.invalid_vals)
             return s
         cond = condition if isinstance(condition, Ref) else Ref(condition)
         entry = {"ref": cond}
@@ -722,8 +762,11 @@ class Schema:
             s.metas["_label_pre_when"] = True
         # see the peek-form note: pre-when default/failover are branch-level
         entry["base_flags"] = {
-            k: self.flags[k] for k in ("default", "failover") if k in self.flags
+            k: self.flags[k] for k in ("default", "failover", "only") if k in self.flags
         }
+        # see the peek-form note: pre-when valids/invalids are branch-level
+        entry["base_allow"] = list(self.allow_vals)
+        entry["base_invalid"] = list(self.invalid_vals)
         return s
 
     def _when_ended(self, entry: dict) -> bool:

@@ -2186,3 +2186,56 @@ def test_failover_keeps_item_warn_fired_before_later_items_hard_error():
     assert r.violations["code"].to_pylist() == ["string.creditCard"]
     assert r.violations["severity"].to_pylist() == ["warn"]
     assert r.violations["item_index"].to_pylist() == [0]
+
+
+def test_wrapper_valids_stage_runs_before_branch_dispatch():
+    # fuzz seed 54000083 (node-verified): values added by valid() AFTER a
+    # when() live on joi's fresh wrapper, whose own valids stage runs
+    # BEFORE the branch dispatch — a match returns VERBATIM (no branch
+    # coercion), a no-match pushes the wrapper's any.only first and the
+    # branch's own any.only follows
+    base = (jr.string().uppercase().valid("ABC", "ab", "a").required()
+            .when(jr.string().min(3),
+                  then=jr.string().max(5).valid("abc"),
+                  otherwise=jr.string().max(4).default("abc"))
+            .label("W3").valid(" pad "))
+    s = jr.object({"a": base})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(
+        pa.table({"a": ["yy"]}))
+    msgs = r.violations["message"].to_pylist()
+    assert msgs == ['"W3" must be one of [ pad ]',
+                    '"W3" must be one of [ABC, ab, a]']
+    r2 = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(
+        pa.table({"a": [" pad "]}))
+    assert r2.violations.num_rows == 0
+    assert r2.value["a"].to_pylist() == [" pad "]  # verbatim: no uppercase
+
+
+def test_alternatives_only_flag_pushes_any_only_before_branch_union():
+    # fuzz seed 56000275 (node-verified): the valids stage is universal —
+    # an only-flagged alternatives pushes any.only for non-matches and
+    # CONTINUES into the matches, so alternatives.base follows
+    s = jr.object({
+        "a": jr.alternatives()
+            .when("b", is_=3.0, then=jr.string().max(3).lowercase())
+            .when("b", is_=1.0, then=jr.string().length(5))
+            .valid("a", "ABC"),
+        "b": jr.number(),
+    })
+    t = pa.table({"a": ["Hello World"], "b": pa.array([7.0])})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(t)
+    assert sorted(r.violations["code"].to_pylist()) == [
+        "alternatives.base", "any.only"]
+
+
+def test_invalid_emptying_valids_under_only_is_a_build_error():
+    # fuzz seed 15100014 (node-verified): invalid() removes the value
+    # from a previous valid() set at registration (base.js:188-196) —
+    # emptying it under the only flag asserts at build; the reverse
+    # direction re-allows (base.js:73-80)
+    with pytest.raises(ValueError):
+        jr.number().valid(2.0).invalid(2.0)
+    s = jr.object({"a": jr.string().invalid("x").valid("x")})
+    r = jr.compile_schema(s, prefs={"abort_early": False}).validate_table(
+        pa.table({"a": ["x"]}))
+    assert r.violations.num_rows == 0  # valid('x') re-allowed it

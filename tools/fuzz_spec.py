@@ -1049,10 +1049,15 @@ def gen_case(seed: int):
         spec_t = dict(spec_t)
         chain = list(spec_t.get("c", []))
         scalar_pool = (NUMBERS[:6] if at_t == pa.float64() else STRINGS[:8])
-        for kind_p in r.sample(["default", "failover", "label"],
+        for kind_p in r.sample(["default", "failover", "label", "valid", "invalid"],
                                1 if r.random() < 0.6 else 2):
             if kind_p == "label":
                 chain.append(["label", "W" + str(r.randint(1, 5))])
+            elif kind_p in ("valid", "invalid"):
+                # post-when valid/invalid live on joi's WRAPPER — its own
+                # valids stage runs BEFORE branch dispatch, so a raw match
+                # returns verbatim without the branch's coercion
+                chain.append([kind_p] + r.sample(scalar_pool, r.randint(1, 2)))
             elif r.random() < 0.4:
                 chain.append([kind_p, {"$dflt": r.choice(["const7", "strq", "thrower"])}])
             else:
